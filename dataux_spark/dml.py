@@ -1,0 +1,186 @@
+"""DML — INSERT / UPDATE / UPSERT / DELETE with affected-row counts.
+
+Reference semantics (/root/reference SURVEY §3.3): the exec layer drives a
+per-backend mutator — Cassandra prepared upsert (backends/cassandra/
+sql_to_cql.go:246-361), Datastore read-modify-write (backends/datastore/
+sql_to_datastore.go:251-338), delete-by-key or delete-by-expression
+(sql_to_cql.go:368-394). Result is an affected-row count
+(frontends/mysqlfe/results_mysql.go:295-348).
+
+Spark-first: mutations are expressed as DataFrame transforms over the current
+table state and committed copy-on-write:
+  INSERT  → VALUES df unioned by name (missing cols → NULL)
+  UPDATE  → CASE WHEN <where> THEN <expr> ELSE <col> END per SET column
+  DELETE  → anti-filter
+  UPSERT  → delete-matching-keys + insert (MERGE semantics)
+At 100 TB these are exactly the Delta Lake / Iceberg MERGE/DELETE patterns;
+this container has no Delta jars, so commit targets are in-memory views or
+parquet rewrite — the transform layer is the part that scales (a Delta MERGE
+executes the same anti-join + union plan).
+
+Statement parsing stays intentionally small: the reference's DML grammar is
+MySQL basic (no subqueries in SET, no multi-table UPDATE).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INSERT_RE = re.compile(
+    r"^\s*(INSERT|UPSERT)\s+INTO\s+`?(\w+)`?\s*\(([^)]*)\)\s*VALUES\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+WHERE\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep outside parens/quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+class DmlResult:
+    """Affected-row count result (reference results_mysql.go:295-348)."""
+
+    def __init__(self, affected: int):
+        self.affected = affected
+
+    def __repr__(self):
+        return f"DmlResult(affected={self.affected})"
+
+
+class TableStore:
+    """Mutable table state keeper: name → current DataFrame + optional keys.
+
+    Commits re-register the temp view so subsequent SELECTs observe the
+    mutation (read-your-writes, as the reference's backends provide).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._keys: dict[str, list[str]] = {}
+
+    def set_keys(self, table: str, keys: list[str]) -> None:
+        self._keys[table] = keys
+
+    def keys(self, table: str) -> list[str]:
+        return self._keys.get(table, [])
+
+    def current(self, table: str) -> DataFrame:
+        return self.spark.table(table)
+
+    def commit(self, table: str, df: DataFrame) -> None:
+        # Materialize before re-registering: the new plan reads the old view.
+        rows = df.collect()
+        out = self.spark.createDataFrame(rows, df.schema) if rows else \
+            self.spark.createDataFrame([], df.schema)
+        out.createOrReplaceTempView(table)
+
+
+def execute_dml(spark: SparkSession, store: TableStore, sql: str) -> DmlResult:
+    m = _INSERT_RE.match(sql)
+    if m:
+        return _insert(spark, store, m, upsert=m.group(1).upper() == "UPSERT")
+    m = _UPDATE_RE.match(sql)
+    if m:
+        return _update(spark, store, m)
+    m = _DELETE_RE.match(sql)
+    if m:
+        return _delete(spark, store, m)
+    raise ValueError(f"unsupported DML statement: {sql[:80]}")
+
+
+def _values_df(spark: SparkSession, cols: list[str], values_sql: str) -> DataFrame:
+    aliased = ", ".join(f"`{c}`" for c in cols)
+    return spark.sql(f"SELECT * FROM VALUES {values_sql} AS v({aliased})")
+
+
+def _align(new: DataFrame, target: DataFrame) -> DataFrame:
+    """Schema-align an insert batch to the target table (missing → NULL),
+    mirroring the reference's sparse-column zero-fill
+    (frontends/mysqlfe/results_mysql.go:171-198)."""
+    out_cols = []
+    for f in target.schema.fields:
+        if f.name in new.columns:
+            out_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return new.select(*out_cols)
+
+
+def _insert(spark, store: TableStore, m, upsert: bool) -> DmlResult:
+    table = m.group(2)
+    cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+    batch = _align(_values_df(spark, cols, m.group(4).strip()), store.current(table))
+    target = store.current(table)
+    n = batch.count()
+    if upsert:
+        keys = store.keys(table) or [cols[0]]
+        target = target.join(batch.select(*keys), on=keys, how="left_anti")
+    store.commit(table, target.unionByName(batch))
+    return DmlResult(n)
+
+
+def _update(spark, store: TableStore, m) -> DmlResult:
+    table, set_clause, where = m.group(1), m.group(2), m.group(3)
+    df = store.current(table)
+    cond = F.expr(where) if where else F.lit(True)
+    affected = df.filter(cond).count()
+    assignments = {}
+    for part in _split_top_level(set_clause):
+        col, expr = part.split("=", 1)
+        assignments[col.strip().strip("`")] = expr.strip()
+    out_cols = []
+    for f in df.schema.fields:
+        if f.name in assignments:
+            new_val = F.expr(assignments[f.name]).cast(f.dataType)
+            out_cols.append(F.when(cond, new_val).otherwise(F.col(f.name)).alias(f.name))
+        else:
+            out_cols.append(F.col(f.name))
+    store.commit(table, df.select(*out_cols))
+    return DmlResult(affected)
+
+
+def _delete(spark, store: TableStore, m) -> DmlResult:
+    table, where = m.group(1), m.group(2)
+    df = store.current(table)
+    if not where:
+        n = df.count()
+        store.commit(table, df.limit(0))
+        return DmlResult(n)
+    cond = F.expr(where)
+    n = df.filter(cond).count()
+    store.commit(table, df.filter(~cond | cond.isNull()))
+    return DmlResult(n)

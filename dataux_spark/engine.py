@@ -1,0 +1,265 @@
+"""Engine — the session object: SQL entry point, source registry, session
+context, DML, and mysql-dialect admin commands.
+
+Reference query lifecycle (SURVEY §3.1, /root/reference/frontends/mysqlfe/
+mysql_handler.go:130-264): wire command → statement dispatch (SELECT vs
+SHOW/DESCRIBE vs DML vs DDL vs SET) → plan/build → per-source pushdown →
+polyfill tasks → result writer.
+
+Spark-first mapping: `Engine.sql(text)` replaces the wire protocol; dispatch
+happens on the statement head; SELECT goes to Spark SQL (Catalyst =
+parse/analyze/optimize/pushdown/codegen) after the dialect rewrite pass;
+SHOW/DESCRIBE are driver-side metadata shims; DML runs the dml module;
+`CREATE source` registers a new backend at runtime (reference
+README.md:76-86). The reference's distributed machinery (planner/) has no
+equivalent code here because Spark's partitioned execution subsumes it — the
+`WITH distributed=true` hint is accepted and ignored
+(planner/executor.go:112-116).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataux_spark import dialect
+from dataux_spark.dialect import SessionContext
+from dataux_spark.dml import DmlResult, TableStore, execute_dml
+from dataux_spark.functions import register_all
+from dataux_spark.plans import show as show_plans
+from dataux_spark.sources import (
+    CsvDirSource,
+    JsonDirSource,
+    MemorySource,
+    ParquetDirSource,
+    Source,
+)
+
+
+class QueryError(Exception):
+    """Invalid SQL or unresolvable query — returned as an error, never a
+    crash (reference: graceful error path, backends/mongo/mgo_test.go:111-121,
+    per-query recover at mysql_handler.go:171-179)."""
+
+
+_TERMS_RE = re.compile(
+    r"^\s*SELECT\s+terms\s*\(\s*(`[^`]+`|[\w.]+)\s*(?:,\s*(\d+)\s*)?\)\s+FROM\s+(\S+)\s*(?:WHERE\s+(.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SELECT_VARS_RE = re.compile(r"^\s*SELECT\s+(@[@\w.]+\s*(?:AS\s+\w+\s*)?(?:,\s*@[@\w.]+\s*(?:AS\s+\w+\s*)?)*)\s*$", re.IGNORECASE)
+_CREATE_SOURCE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SOURCE\s+`?(\w+)`?\s+WITH\s+(\{.*\})\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_SOURCE_RE = re.compile(r"^\s*DROP\s+SOURCE\s+`?(\w+)`?\s*$", re.IGNORECASE)
+_USE_RE = re.compile(r"^\s*USE\s+`?(\w+)`?\s*$", re.IGNORECASE)
+_UNRESOLVED_COL_RE = re.compile(
+    r"with name `([\w.]+)` cannot be resolved"
+    r"|cannot resolve '`?([\w.]+)`?'"
+    r"|Column '`?([\w.]+)`?' does not exist",
+    re.DOTALL,
+)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.ctx = SessionContext()
+        self.sources: dict[str, Source] = {}
+        self.store = TableStore(spark)
+        register_all(spark)
+
+    # ------------------------------------------------------------ registry
+
+    def register_source(self, source: Source) -> None:
+        self.sources[source.name] = source
+        source.register_all(self.spark)
+
+    def register_parquet_dir(self, name: str, path: str) -> ParquetDirSource:
+        src = ParquetDirSource(name, path)
+        self.register_source(src)
+        return src
+
+    def register_memory(self, name: str, tables: dict[str, DataFrame] | None = None,
+                        keys: dict[str, list[str]] | None = None) -> MemorySource:
+        src = MemorySource(name, tables)
+        for t, df in (tables or {}).items():
+            df.createOrReplaceTempView(t)
+        for t, k in (keys or {}).items():
+            self.store.set_keys(t, k)
+        self.register_source(src)
+        return src
+
+    def create_source(self, name: str, conf: dict) -> Source:
+        """Runtime `CREATE source ... WITH {json}` (reference README.md:76-86,
+        SqlCreate dispatch at mysql_handler.go:253-260)."""
+        kind = conf.get("type", "parquet")
+        path = conf.get("path") or conf.get("settings", {}).get("path")
+        if kind in ("parquet", "file", "files"):
+            src: Source = ParquetDirSource(name, path)
+        elif kind == "csv":
+            src = CsvDirSource(name, path)
+        elif kind == "json":
+            src = JsonDirSource(name, path)
+        elif kind in ("memory", "memdb"):
+            src = MemorySource(name)
+        else:
+            raise QueryError(f"unknown source type {kind!r}")
+        self.register_source(src)
+        return src
+
+    def add_function(self, name: str, fn, return_type=None) -> None:
+        """Custom function registry (reference expr.FuncAdd,
+        mysql_functions.go:53-78)."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def _all_tables(self) -> list[str]:
+        out = []
+        for s in self.sources.values():
+            out.extend(s.tables())
+        return out
+
+    def _all_columns(self) -> set[str]:
+        cols: set[str] = set()
+        for s in self.sources.values():
+            for t in s.tables():
+                try:
+                    cols.update(self.spark.table(t).columns)
+                except Exception:
+                    pass
+        return cols
+
+    # ------------------------------------------------------------ sql entry
+
+    def sql(self, text: str):
+        """Execute one or more ;-separated statements; returns the last
+        result (DataFrame for queries, DmlResult for DML, None for SET)."""
+        result = None
+        for stmt in dialect.split_statements(text):
+            result = self._execute(stmt)
+        return result
+
+    def _execute(self, stmt: str):
+        head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+        try:
+            if head == "SET":
+                return self._set(stmt)
+            if head in ("COMMIT", "ROLLBACK", "BEGIN", "START"):
+                return None  # accepted, no transactions (mysql_handler.go:205-222)
+            if head == "USE":
+                m = _USE_RE.match(stmt)
+                if m:
+                    self.ctx.current_schema = m.group(1)
+                    return None
+            if head in ("SHOW", "DESCRIBE", "DESC"):
+                return self._show(stmt)
+            if head in ("CREATE", "DROP"):
+                m = _CREATE_SOURCE_RE.match(stmt)
+                if m:
+                    return self.create_source(m.group(1), json.loads(m.group(2)))
+                m = _DROP_SOURCE_RE.match(stmt)
+                if m:
+                    src = self.sources.pop(m.group(1), None)
+                    if src:
+                        for t in src.tables():
+                            self.spark.catalog.dropTempView(t)
+                    return None
+                # fall through: let Spark SQL handle CREATE VIEW etc.
+            if head in ("INSERT", "UPSERT", "UPDATE", "DELETE"):
+                return execute_dml(self.spark, self.store, dialect.rewrite(stmt, self.ctx))
+            return self._select(stmt)
+        except QueryError:
+            raise
+        except Exception as e:  # graceful error, never a crash
+            raise QueryError(str(e)) from e
+
+    def _set(self, stmt: str):
+        parsed = dialect.parse_set(stmt)
+        if parsed is None:
+            raise QueryError(f"unparseable SET statement: {stmt!r}")
+        name, value = parsed
+        self.ctx.set(name, value)
+        return None
+
+    def _select(self, stmt: str) -> DataFrame:
+        m = _SELECT_VARS_RE.match(stmt.rstrip(";"))
+        if m:
+            return self._select_session_vars(m.group(1))
+        m = _TERMS_RE.match(stmt.rstrip(";"))
+        if m:
+            return self._terms(m)
+        sql = dialect.rewrite(stmt, self.ctx)
+        return self._run_with_null_fallback(sql)
+
+    def _select_session_vars(self, select_list: str) -> DataFrame:
+        """SELECT @@max_allowed_packet / SELECT @my_var
+        (reference mgo_test.go:123-173)."""
+        cols = []
+        for item in select_list.split(","):
+            item = item.strip()
+            mm = re.match(r"(@@?)([\w.]+)(?:\s+AS\s+(\w+))?$", item, re.IGNORECASE)
+            if not mm:
+                raise QueryError(f"bad session-var select item {item!r}")
+            alias = mm.group(3) or (mm.group(1) + mm.group(2))
+            cols.append(F.lit(self.ctx.get(mm.group(2))).alias(alias))
+        return self.spark.range(1).select(*cols)
+
+    def _terms(self, m) -> DataFrame:
+        """terms(field[, size]) → top-k terms with counts, the ES terms agg
+        (reference sqltoes.go:612-634; multi-row result shape decoded at
+        backends/elasticsearch/esresults.go:183-219). Spark plan:
+        partial-agg groupBy + global top-k (TakeOrderedAndProject) — scales
+        as a map-side-combined count, no full sort."""
+        field = m.group(1).strip("`")
+        size = int(m.group(2)) if m.group(2) else 10
+        table, where = m.group(3).strip("`"), m.group(4)
+        df = self.spark.table(table)
+        if where:
+            df = df.filter(dialect.rewrite(where, self.ctx))
+        return (
+            df.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.col("count").desc(), F.col("key"))
+            .limit(size)
+        )
+
+    def _run_with_null_fallback(self, sql: str, depth: int = 0) -> DataFrame:
+        """Schemaless semantics: an unknown column is NULL, not an error
+        (reference: missing fields in schemaless docs — es_test.go:409-425;
+        exists(fakefield) → 0 rows, mgo_test.go:686-691). We retry analysis
+        with the unresolved identifier replaced by NULL, up to 5 columns."""
+        try:
+            return self.spark.sql(sql)
+        except Exception as e:
+            msg = str(e)
+            if depth >= 5 or ("UNRESOLVED_COLUMN" not in msg and "cannot resolve" not in msg):
+                raise
+            m = _UNRESOLVED_COL_RE.search(msg)
+            if not m:
+                raise
+            col = next(g for g in m.groups() if g)
+            known = self._all_columns()
+            if col in known or col.split(".")[-1] in known:
+                raise  # real ambiguity/typo in a known schema — surface it
+            base = col.split(".")[-1]
+            pat = re.compile(
+                rf"(?<![\w.`]){re.escape(col)}(?![\w.])|`{re.escape(base)}`"
+            )
+            replaced = dialect._map_code(sql, lambda code: pat.sub(f"NULL AS `{base}`", code, count=0))
+            if replaced == sql:
+                raise
+            # bare select-item stays aliased; in expressions the alias is
+            # harmless to Spark only inside select lists — strip alias when
+            # followed by an operator or inside parens context is complex;
+            # simplest correct form: alias only when not inside a function.
+            replaced = re.sub(rf"\(\s*NULL AS `{re.escape(base)}`", "(NULL", replaced)
+            replaced = re.sub(
+                rf"NULL AS `{re.escape(base)}`(\s*(?:=|!=|<>|<|>|IS|IN|BETWEEN|LIKE|AND|OR|\)))",
+                r"NULL\1",
+                replaced,
+                flags=re.IGNORECASE,
+            )
+            return self._run_with_null_fallback(replaced, depth + 1)

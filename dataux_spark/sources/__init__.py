@@ -1,0 +1,12 @@
+from dataux_spark.sources.base import PushdownTier, Source
+from dataux_spark.sources.file_source import CsvDirSource, JsonDirSource, ParquetDirSource
+from dataux_spark.sources.memory import MemorySource
+
+__all__ = [
+    "Source",
+    "PushdownTier",
+    "ParquetDirSource",
+    "CsvDirSource",
+    "JsonDirSource",
+    "MemorySource",
+]
