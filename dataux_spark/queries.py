@@ -1,0 +1,689 @@
+"""Declared query inventory — one entry per operator class from SURVEY §2,
+each with a DuckDB-oracle SQL twin for the driver's correctness gate.
+
+Every query is written Spark-first (DataFrame API → Catalyst plans the
+physical strategy). Column aliases match the oracle exactly; doubles that
+aggregate over floating sums are rounded on BOTH sides so summation order
+cannot flip the hash.
+
+Scale notes (the point is 100 TB, tested at sf0.1):
+  - groupBy/join columns are the natural shuffle keys; small dims
+    (region/nation/supplier/customer at TPC-H ratios) stay under the
+    broadcast threshold so joins plan as BroadcastHashJoin — no shuffle of
+    the fact table.
+  - top-k = orderBy().limit() → TakeOrderedAndProject (no global sort).
+  - aggregations are partial+final (map-side combine) by construction.
+  - filters/projections are pushed to the parquet scan (verified via
+    .explain in tests/bench).
+
+Reference citations per query are in each docstring (file:line into
+/root/reference) so parity with the dataux test surface is checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- io
+
+_NANOS_TS = {"events": ["ts"]}  # parquet TIMESTAMP(NANOS) columns per table
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; converts nanos timestamps to µs (matches
+    DuckDB's ns→µs truncation)."""
+    if name in _NANOS_TS:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS LONG))"))
+    return df
+
+
+def _r2(c):  # stable money rounding
+    return F.round(c, 2)
+
+
+# ------------------------------------------------------------------ queries
+# Each function: (spark, sf_dir) -> DataFrame.  ORACLE holds the DuckDB twin.
+
+ORACLE: dict[str, str] = {}
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- filters / projection (reference SURVEY §2.2) -------------------------
+
+@_q(
+    "point_filter",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 42",
+)
+def point_filter(spark, sf_dir):
+    """Point predicate pushed to the parquet scan.
+    Reference shape: WHERE author = "aaron" (backends/mongo/mgo_test.go:427-436)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_q(
+    "filter_and_or",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE (o_orderstatus = 'F' AND o_totalprice > 150000) "
+    "OR (o_orderstatus = 'O' AND o_totalprice < 1000)",
+)
+def filter_and_or(spark, sf_dir):
+    """Nested AND/OR boolean tree (reference WHERE walkers,
+    backends/elasticsearch/sqltoes.go:403-586)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        | ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 1000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@_q(
+    "filter_like",
+    "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%green%'",
+)
+def filter_like(spark, sf_dir):
+    """LIKE with %-wildcards (reference mgo_test.go:631-652)."""
+    return (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%green%"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@_q(
+    "filter_in",
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+)
+def filter_in(spark, sf_dir):
+    """IN list (reference mgo_test.go:654-670)."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@_q(
+    "filter_between",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity BETWEEN 5 AND 10",
+)
+def filter_between(spark, sf_dir):
+    """Numeric BETWEEN (reference mgo_test.go:694-716)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(5, 10))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_q(
+    "filter_between_dates",
+    "SELECT o_orderkey, o_orderdate FROM orders "
+    "WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 00:00:00'",
+)
+def filter_between_dates(spark, sf_dir):
+    """Date BETWEEN incl. todate semantics (reference mgo_test.go:717-733)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1996-01-01", "1996-06-30"))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@_q(
+    "field_vs_field",
+    "SELECT count(*) AS ct FROM lineitem WHERE l_discount > l_tax",
+)
+def field_vs_field(spark, sf_dir):
+    """Field-to-field predicate (reference: WHERE author != title →
+    Mongo $where JS, backends/mongo/sql_to_mgo.go:532-539)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_discount") > F.col("l_tax")).agg(F.count("*").alias("ct"))
+
+
+# --- aggregation (reference SURVEY §2.4) ----------------------------------
+
+@_q(
+    "count_star",
+    "SELECT count(*) AS ct FROM lineitem",
+)
+def count_star(spark, sf_dir):
+    """count(*) (reference mgo_test.go:320-333; pushed to source when
+    possible, mgo_results.go:112-119 — Spark: parquet row-group stats)."""
+    return read_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("ct"))
+
+
+@_q(
+    "count_distinct",
+    "SELECT count(DISTINCT l_partkey) AS dct, count(*) AS ct FROM lineitem",
+)
+def count_distinct(spark, sf_dir):
+    """Exact distinct count. Reference exposes approximate `cardinality`
+    (sqltoes.go:599-611); exact distinct is checked here (approx is not
+    oracle-comparable), approx variant in cardinality_approx."""
+    return read_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("dct"), F.count("*").alias("ct")
+    )
+
+
+@_q("cardinality_approx")  # no oracle: approximate (HLL vs DuckDB would differ)
+def cardinality_approx(spark, sf_dir):
+    """cardinality(f) — approx distinct, the ES cardinality agg
+    (reference backends/elasticsearch/sqltoes.go:599-611, es_test.go:192-227).
+    rows-only check; exact twin is count_distinct."""
+    return read_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("c")
+    )
+
+
+@_q(
+    "agg_minmax_sum_avg",
+    "SELECT round(min(l_extendedprice), 2) AS mn, round(max(l_extendedprice), 2) AS mx, "
+    "round(sum(l_extendedprice), 2) AS sm, round(avg(l_extendedprice), 4) AS av FROM lineitem",
+)
+def agg_minmax_sum_avg(spark, sf_dir):
+    """min/max/sum/avg single-value aggs (reference sqltoes.go:599-612)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        _r2(F.min("l_extendedprice")).alias("mn"),
+        _r2(F.max("l_extendedprice")).alias("mx"),
+        _r2(F.sum("l_extendedprice")).alias("sm"),
+        F.round(F.avg("l_extendedprice"), 4).alias("av"),
+    )
+
+
+@_q(
+    "group_by_agg",
+    "SELECT l_returnflag, l_linestatus, count(*) AS ct, "
+    "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def group_by_agg(spark, sf_dir):
+    """Multi-column GROUP BY (reference mgo_test.go:599-613,
+    cass_test.go:365-384). Spark: partial+final HashAggregate — the
+    reference's explicit Partial/GroupByFinal split (planner/executor.go:
+    104-110,150-155) is automatic here."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("ct"), _r2(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@_q(
+    "pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship scan+agg. All expressions stay inside
+    whole-stage codegen; one shuffle on the (tiny-cardinality) group key."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r2(F.sum("l_quantity")).alias("sum_qty"),
+        _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+        _r2(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            )
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "revenue_filter",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+)
+def revenue_filter(spark, sf_dir):
+    """TPC-H Q6 shape — selective filter + single agg; everything pushes
+    to the scan except the product-sum."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "agg_over_expression",
+    "SELECT round(avg(length(CAST(o_orderpriority AS VARCHAR))), 6) AS title_avg FROM orders",
+)
+def agg_over_expression(spark, sf_dir):
+    """AVG(CHAR_LENGTH(CAST(x AS CHAR))) — agg over computed expression,
+    polyfilled in the reference (mgo_test.go:383-408)."""
+    return read_table(spark, sf_dir, "orders").agg(
+        F.round(F.avg(F.length(F.col("o_orderpriority").cast("string"))), 6).alias("title_avg")
+    )
+
+
+@_q(
+    "having",
+    "SELECT o_custkey, count(*) AS ct FROM orders GROUP BY o_custkey HAVING count(*) >= 20",
+)
+def having(spark, sf_dir):
+    """HAVING (reference recognized + polyfill-TODO, sql_to_cql.go:207-209;
+    full semantics here)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") >= 20)
+    )
+
+
+@_q(
+    "terms_topk",
+    "SELECT o_orderpriority AS key, count(*) AS count FROM orders "
+    "GROUP BY o_orderpriority ORDER BY count DESC, key LIMIT 3",
+)
+def terms_topk(spark, sf_dir):
+    """terms(field, k) — ES terms agg shape (sqltoes.go:612-634,
+    esresults.go:183-219): top-k keys with counts."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("key"))
+        .limit(3)
+    )
+
+
+# --- sort / limit / top-k (reference SURVEY §2.5) -------------------------
+
+@_q(
+    "topk_order_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def topk_order_limit(spark, sf_dir):
+    """ORDER BY DESC + LIMIT → TakeOrderedAndProject, no global sort
+    (reference mgo_test.go:755-778). o_orderkey tiebreak keeps it
+    deterministic."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "order_multi_offset",
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+    "ORDER BY o_orderdate, o_orderkey LIMIT 10 OFFSET 20",
+)
+def order_multi_offset(spark, sf_dir):
+    """Multi-column ORDER BY + LIMIT + OFFSET (reference parses OFFSET,
+    sql_to_mgo.go:220; full semantics here)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(20)
+        .limit(10)
+    )
+
+
+# --- joins (reference SURVEY §2.3) ----------------------------------------
+
+@_q(
+    "join_inner",
+    "SELECT c.c_mktsegment, count(*) AS ct, round(sum(o.o_totalprice), 2) AS total "
+    "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment",
+)
+def join_inner(spark, sf_dir):
+    """2-way INNER equi-join — the reference's one join strategy
+    (mgo_test.go:780-818, cross-source multi_backend_test.go:168-200).
+    customer is the small side → broadcast, no fact shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("ct"), _r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@_q(
+    "join_3way",
+    "SELECT n.n_name, count(*) AS ct, round(sum(l.l_extendedprice), 2) AS volume "
+    "FROM lineitem l "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def join_3way(spark, sf_dir):
+    """3-way join through two dims; both dims broadcast so the fact table
+    never shuffles for the join — only the final group-by key exchange."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("ct"), _r2(F.sum("l_extendedprice")).alias("volume"))
+    )
+
+
+@_q(
+    "join_5way_regional_revenue",
+    "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    "GROUP BY n.n_name",
+)
+def join_5way_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — 6-table join. Catalyst + AQE pick broadcast for
+    every dim; the only large shuffle is lineitem⋈orders on orderkey."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@_q(
+    "join_left_outer",
+    "SELECT n.n_name, count(c.c_custkey) AS ct FROM nation n "
+    "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER join — beyond-reference extension (reference implements
+    only INNER, SURVEY §2.3); count(col) counts non-null only."""
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("ct"))
+    )
+
+
+@_q(
+    "join_semi",
+    "SELECT count(*) AS ct FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join (EXISTS) — extension."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(F.count("*").alias("ct"))
+
+
+@_q(
+    "join_anti",
+    "SELECT count(*) AS ct FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) — extension."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count("*").alias("ct"))
+
+
+# --- set operations / distinct (SURVEY §2.6 — extensions) ----------------
+
+@_q(
+    "set_union",
+    "SELECT k FROM (SELECT o_custkey AS k FROM orders UNION "
+    "SELECT c_custkey AS k FROM customer) t",
+)
+def set_union(spark, sf_dir):
+    """UNION (distinct) — extension; reference has no set ops."""
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.union(c).distinct()
+
+
+@_q(
+    "set_intersect_except",
+    "SELECT 'both' AS tag, count(*) AS ct FROM "
+    "(SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT DISTINCT c_custkey FROM customer) a "
+    "UNION ALL "
+    "SELECT 'only_cust' AS tag, count(*) AS ct FROM "
+    "(SELECT DISTINCT c_custkey FROM customer EXCEPT SELECT DISTINCT o_custkey FROM orders) b",
+)
+def set_intersect_except(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    both = c.intersect(o).agg(F.count("*").alias("ct")).select(F.lit("both").alias("tag"), "ct")
+    only = c.exceptAll(o).agg(F.count("*").alias("ct")).select(
+        F.lit("only_cust").alias("tag"), "ct"
+    )
+    return both.unionAll(only)
+
+
+@_q(
+    "distinct_projection",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_projection(spark, sf_dir):
+    return read_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --- window functions (SURVEY §2.7 — extensions) --------------------------
+
+@_q(
+    "window_topk_per_group",
+    "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders WHERE o_custkey < 50) t WHERE rn <= 2",
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number window — extension."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@_q(
+    "window_running_sum",
+    "SELECT o_custkey, o_orderkey, "
+    "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running "
+    "FROM orders WHERE o_custkey < 20",
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _r2(F.sum("o_totalprice").over(w)).alias("running"),
+        )
+    )
+
+
+# --- grouping sets / rollup (extensions) ----------------------------------
+
+@_q(
+    "rollup_counts",
+    "SELECT l_returnflag, l_linestatus, count(*) AS ct, round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def rollup_counts(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("ct"), _r2(F.sum("l_quantity")).alias("qty"))
+    )
+
+
+@_q(
+    "cube_counts",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS ct "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def cube_counts(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
+# --- scalar expression surface (SURVEY §2.8) ------------------------------
+
+@_q(
+    "case_string_math",
+    "SELECT upper(substr(c_name, 1, 8)) AS uname, "
+    "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band, "
+    "round(abs(c_acctbal), 2) AS mag "
+    "FROM customer WHERE c_custkey <= 100",
+)
+def case_string_math(spark, sf_dir):
+    """String funcs + CASE + math — qlbridge builtin library surface
+    (loaded wholesale, runtestserver.go:74)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        F.upper(F.substring("c_name", 1, 8)).alias("uname"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        _r2(F.abs(F.col("c_acctbal"))).alias("mag"),
+    )
+
+
+@_q(
+    "date_extract",
+    "SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, "
+    "count(*) AS ct FROM orders GROUP BY 1, 2",
+)
+def date_extract(spark, sf_dir):
+    """Date part extraction + group (reference date funcs via qlbridge)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.count("*").alias("ct"))
+    )
+
+
+# --- events / time-series -------------------------------------------------
+
+@_q(
+    "events_hourly_agg",
+    "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS ct, "
+    "round(sum(value), 2) AS total "
+    "FROM events GROUP BY 1, 2",
+)
+def events_hourly_agg(spark, sf_dir):
+    """Time-bucketed aggregation over the event stream table — the batch
+    twin of the Structured Streaming windowed agg (extension; reference has
+    no stream operators, SURVEY §2.11)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("ct"), _r2(F.sum("value")).alias("total"))
+    )
+
+
+@_q(
+    "events_json_extract",
+    "SELECT event_type, round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k "
+    "FROM events GROUP BY event_type",
+)
+def events_json_extract(spark, sf_dir):
+    """JSON field extraction from a raw-JSON column (reference JsonType
+    surfaced as raw blob, frontends/mysqlfe/results_mysql.go:248-249)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 4).alias("avg_k")
+        )
+    )
+
+
+# ------------------------------------------------------------------ export
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

@@ -1,0 +1,107 @@
+"""Local correctness harness — mimics the driver's DuckDB-oracle gate.
+
+Runs every __spark_entry__.queries() entry at the given sf_dir, runs the
+matching oracle_sql() in DuckDB over the same parquet (tables registered as
+views), and compares: row count, column-name set, and order-insensitive
+cell values (exact; floats must match after the query's own rounding).
+
+Usage: python3 tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(name, sdf, con, osql):
+    cols = sdf.columns
+    t0 = time.time()
+    srows = [tuple(r) for r in sdf.collect()]
+    spark_s = time.time() - t0
+    res = con.execute(osql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    problems = []
+    if sorted(cols) != sorted(ocols):
+        problems.append(f"schema: spark={sorted(cols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        a, b = normalize(srows, cols), normalize(orows, ocols)
+        if a != b:
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            problems.append(f"values differ; first diffs: {bad}")
+    return problems, spark_s, len(srows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from dataux_spark import get_spark
+
+    spark = get_spark("check")
+    con = duck_connect(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                problems, secs, n = compare(name, sdf, con, oracles[name])
+                status = "OK " if not problems else "FAIL"
+                print(f"{status} {name:32s} rows={n:<7d} {secs:5.2f}s {problems or ''}")
+                if problems:
+                    failed.append(name)
+            else:
+                n = sdf.count()
+                print(f"ROWS {name:32s} rows={n:<7d} (no oracle)")
+        except Exception as e:
+            print(f"ERR  {name:32s} {type(e).__name__}: {str(e).splitlines()[0][:100]}")
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} passing")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
