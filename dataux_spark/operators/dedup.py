@@ -1,0 +1,288 @@
+"""Deduplication operators for web-scale corpus cleaning.
+
+Five dedup families, each designed for the 100 TB regime:
+
+  exact          — hash-groupBy on content digest. One shuffle on the
+                   digest; digests are near-unique so no skew.
+  fingerprint    — canonicalized content (sorted distinct tokens) digest;
+                   catches token-order shuffles. Same cost as exact.
+  ngram_jaccard  — exact pairwise Jaccard within blocking keys. Quadratic
+                   *within a block only*; blocks are (lang, length-bucket),
+                   so it's the verify stage after candidate generation, not
+                   a corpus-wide scan.
+  minhash_lsh    — shingle → minhash signature → banded LSH bucket join →
+                   verified Jaccard. The scale path: candidate generation is
+                   a groupBy on (band, bandhash) — linear shuffles, no n².
+  simhash        — 64-bit simhash + pigeonhole banding (k-bit hamming
+                   radius → one of k+1 chunks equal), verified by hamming.
+
+Everything below is built-in Spark expressions (split / transform /
+array_min / xhash64 / groupBy) — no Python in the hot path; whole-stage
+codegen applies end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokens(col, lower: bool = True):
+    c = F.lower(col) if lower else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingles(tok_col, n: int = 3):
+    """Word n-gram shingles via higher-order functions (JVM-side)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({tok_col}, i, {n})))"
+    )
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5 digest groupBy, keep the smallest id per digest.
+
+    Scale: the only shuffle is on the digest (uniformly distributed).
+    Returns (digest, keep_id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Canonical-fingerprint dedup: digest of sorted distinct lowercase
+    tokens — catches reordered/repeated-token duplicates exact dedup misses.
+    Returns (fp, keep_id, dup_count) for fingerprints, incl. singletons."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(content_col))))))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard over pairs sharing a blocking key.
+
+    Blocking keeps the join linear-ish: pairs are generated only within a
+    block (e.g. same lang + length bucket), which at 100 TB must be chosen
+    so blocks stay ~10³-10⁴ docs. Self-join is a shuffle on the block key.
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    g = (
+        df.select(F.col(id_col).alias("_id"), *block_cols, tokens(F.col(content_col)).alias("_toks"))
+        .select("_id", *block_cols, F.array_distinct(shingles("_toks", n)).alias("_grams"))
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
+    union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- minhash LSH
+
+def minhash_signatures(
+    df: DataFrame, content_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, i). Seeded by hashing the tuple (shingle, i) — no
+    Python, stays in codegen. Returns (_id, _grams, sig array<bigint>)."""
+    g = (
+        df.select(F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_toks"))
+        .select("_id", F.array_distinct(shingles("_toks", shingle_n)).alias("_grams"))
+    )
+    sig = F.array(
+        *[F.array_min(F.expr(f"transform(_grams, s -> xxhash64(s, {i}))")) for i in range(num_hashes)]
+    )
+    return g.select("_id", "_grams", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline (all shuffles linear in corpus size):
+      1. signatures (scan, no shuffle)
+      2. explode to (band_idx, band_hash, id) and self-join on the band
+         bucket → candidate pairs. With r = num_hashes/bands rows per band,
+         P(candidate) ≈ 1-(1-j^r)^bands — tuned so j≥threshold is caught
+         w.h.p. Bucket join is a shuffle on (band_idx, band_hash); hot
+         buckets (boilerplate docs) are the skew risk — AQE skew-join
+         handles moderate cases, extreme boilerplate should be pre-filtered
+         by exact dedup first.
+      3. exact Jaccard on candidate pairs only (verify stage).
+    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "_id",
+        "_grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_grams", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._grams").alias("ga"),
+            F.col("b._grams").alias("gb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb")),
+        6,
+    )
+    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token xxhash64 bits.
+
+    Implementation: explode tokens, then for each bit b a conditional sum
+    (+1 if bit set else -1); sign of the sum sets the output bit. 64 agg
+    expressions in one groupBy — one shuffle on the doc id (map-side
+    combined). Returns (_id, simhash bigint)."""
+    t = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(content_col))).alias("tok"))
+    t = t.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{b}"
+        )
+        for b in range(64)
+    ]
+    agg = t.groupBy("_id").agg(*bit_sums)
+    sh = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sh = term if sh is None else sh.bitwiseXOR(term)
+    return agg.select("_id", sh.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ≤ max_hamming.
+
+    Candidate generation by pigeonhole banding: split the 64-bit hash into
+    `chunks` 16-bit pieces; any pair within distance ≤ chunks-1 must agree
+    on ≥1 chunk, so the join key is (chunk_idx, chunk_value) — linear
+    shuffle, no n². Verified with bit_count(xor). Returns
+    (id_a, id_b, hamming)."""
+    width = 64 // chunks
+    sh = simhash(df, content_col, id_col)
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "simhash", "cc.chunk", "cc.cv")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -------------------------------------------------- embedding cosine dedup
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, block_col: str | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Exact variant: pairwise within an optional block column. Cosine is
+    computed with built-in higher-order functions (zip_with + aggregate) in
+    double precision — no UDF. At 100 TB use the LSH variant in
+    similarity.py for candidate generation; this is the verify stage.
+    Returns (id_a, id_b, cos)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        a.join(b, cond)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+  brute_force_topk — exact cosine top-k, query set × corpus. The baseline
+      and the rerank stage. Cosine in double precision via built-in
+      higher-order functions (zip_with/aggregate) — JVM-side, no UDF, no
+      Python serialization. Query set broadcast; corpus never shuffles.
+  lsh_topk — random-hyperplane (sign) LSH: H-bit signature, multi-probe by
+      signature-band equality, exact rerank inside buckets. The 100 TB
+      path: candidate generation is a broadcast-join on band values,
+      linear in corpus size.
+
+The hyperplanes are generated from a fixed seed driver-side (numpy) and
+inlined as literal arrays — deterministic across runs, no state to ship.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.expr(f"transform({vec_col}, x -> cast(x as double))")
+
+
+def _norm(col):
+    return F.sqrt(F.expr(f"aggregate({col}, cast(0 as double), (acc, x) -> acc + x * x)"))
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself). Plan: broadcast the query set, one pass
+    over the corpus, per-query top-k via window row_number (ties broken by
+    neighbor id). Returns (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qnorm", _norm("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cnorm", _norm("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def signature_expr(vec_col: str, planes: np.ndarray, band_bits: int = 4):
+    """Sign-LSH signature as an array<int> of band values.
+
+    band_bits trades candidates for recall: P(band match) = p^band_bits
+    with p = 1 - θ/π per hyperplane. Low-similarity corpora (neighbor
+    cos ≈ 0.4 → p ≈ 0.63) need narrow bands (4 bits → ~16% per band,
+    ~94% recall over 16 bands); high-similarity dedup workloads can use
+    8-16 bit bands to keep candidate counts down."""
+    nbits, _dim = planes.shape
+    bits = []
+    for i in range(nbits):
+        coeffs = ", ".join(f"{x:.17g}D" for x in planes[i])
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({coeffs}), (x, y) -> x * y), "
+            f"cast(0 as double), (acc, x) -> acc + x)"
+        )
+        bits.append(F.when(F.expr(dot) > 0, F.lit(1)).otherwise(F.lit(0)))
+    bands = []
+    for idx, b in enumerate(range(0, nbits, band_bits)):
+        band = None
+        for j, bit in enumerate(bits[b : b + band_bits]):
+            term = bit * (1 << j)
+            band = term if band is None else band + term
+        bands.append(band + F.lit((1 << band_bits) * idx))  # disambiguate band index
+    return F.array(*bands)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nbits: int = 64,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus rows sharing ≥1
+    signature band (8-bit) with the query, exact rerank on candidates.
+
+    Scale: corpus signatures are computed in the scan projection; the
+    explode×join is on small band values with the (small) query side
+    broadcast, so the corpus is never shuffled. Recall is tuned by
+    nbits/band count. Returns (query_id, neighbor_id, cos, rank)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, seed)
+    sig = signature_expr("v", planes, band_bits)
+
+    def prep(df, ident):
+        return (
+            df.select(F.col(id_col).alias(ident), _as_double(vec_col).alias("v"))
+            .withColumn("norm", _norm("v"))
+            .withColumn("sig", sig)
+        )
+
+    c = prep(corpus, "neighbor_id").select(
+        "neighbor_id", F.col("v").alias("cv"), F.col("norm").alias("cnorm"),
+        F.explode("sig").alias("band"),
+    )
+    q = prep(queries, "query_id").select(
+        "query_id", F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
+        F.explode("sig").alias("band"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "band")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,87 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure built-in expressions (split/regexp/aggregate) — these run in the
+scan projection at 100 TB with zero shuffles; only the optional summary
+aggregations shuffle (on tiny keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dataux_spark.operators.dedup import tokens
+
+# Marker stopwords per language for the n-gram-free heuristic language ID.
+# Deliberately tiny and deterministic so the oracle twin is expressible in
+# plain SQL; a production lang-id would use char n-gram profiles (same
+# plumbing, bigger tables).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+}
+
+
+def token_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars, and a
+    BPE-ish subword estimate (4 chars/token heuristic on non-space mass).
+    Returns one row per doc."""
+    toks = tokens(F.col(content_col))
+    nonspace = F.length(F.regexp_replace(F.col(content_col), r"\s+", ""))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(content_col)).alias("n_chars_measured"),
+        F.ceil(nonspace / F.lit(4)).cast("bigint").alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Quality scoring: length band, punctuation ratio, stopword ratio,
+    mean token length, composite [0,1] score. The filter thresholds mirror
+    common corpus-cleaning heuristics (Gopher/C4-style length + symbol
+    ratios). Returns one row per doc with the components and the score."""
+    c = F.col(content_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    mean_tok_len = (F.length(F.regexp_replace(c, r"\s+", "")) / n_tok).cast("double")
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop / F.greatest(n_tok, F.lit(1)), 6)
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    tok_len_ok = (mean_tok_len >= 2) & (mean_tok_len <= 12)
+    score = F.round(
+        (len_ok.cast("double") + tok_len_ok.cast("double") + (1 - punct_ratio)) / 3, 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_scores(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: marker-stopword hit-rate per language, argmax
+    with 'und' (undetermined) fallback when no markers hit. Deterministic
+    tie-break by language code. Returns (id, *score_<lang>, lang_pred)."""
+    toks = F.array_distinct(tokens(F.col(content_col)))
+    cols = [F.col(id_col)]
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        s = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        cols.append(s.alias(f"score_{lang}"))
+        score_cols.append((lang, f"score_{lang}"))
+    out = df.select(*cols)
+    best = F.greatest(*[F.col(c) for _, c in score_cols])
+    pred = F.lit("und")
+    for lang, c in reversed(score_cols):  # earlier langs win ties
+        pred = F.when(F.col(c) == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))

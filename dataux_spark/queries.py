@@ -679,6 +679,231 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+# --- LLM-pipeline operators: dedup / similarity / text / multimodal -------
+# (beyond-reference extensions per BASELINE.json north star)
+
+@_q(
+    "dedup_exact",
+    "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count "
+    "FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-digest groupBy (operators/dedup.py)."""
+    from dataux_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "dedup_fingerprint",
+    "SELECT md5(array_to_string(list_sort(list_distinct("
+    "regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp, "
+    "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Sorted-distinct-token fingerprint dedup — catches token-shuffled
+    duplicates (operators/dedup.py)."""
+    from dataux_spark.operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id AS _id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a._id AS id_a, b._id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥0.5 within lang blocks
+    (operators/dedup.py: the verify stage of near-dup detection)."""
+    from dataux_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", ["lang"], n=3, threshold=0.5
+    )
+
+
+@_q("dedup_minhash_lsh")  # rows-only: banded-LSH bucketing isn't plain-SQL
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥0.5
+    (operators/dedup.py). Equivalence to exact ngram_jaccard at high
+    thresholds is asserted in tests/test_dedup.py."""
+    from dataux_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=64, bands=16, shingle_n=3, threshold=0.5,
+    )
+
+
+@_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + pigeonhole banding
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)."""
+    from dataux_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(read_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3)
+
+
+@_q(
+    "embedding_neardup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4",
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥0.4, exact pairwise (the verify
+    stage; LSH candidates at scale — operators/dedup.py)."""
+    from dataux_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.4
+    )
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT * FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, c.neighbor_id) AS INT) AS rank
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 query vectors — the exact ANN
+    baseline (operators/similarity.py)."""
+    from dataux_spark.operators.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
+
+
+@_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
+def ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-5 with exact rerank
+    (operators/similarity.py). Recall vs brute force asserted in tests."""
+    from dataux_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
+
+
+@_q(
+    "text_token_stats",
+    "SELECT doc_id, "
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens, "
+    "CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS INT) AS n_distinct_tokens, "
+    "CAST(length(text) AS INT) AS n_chars_measured, "
+    "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est "
+    "FROM documents",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting incl. BPE-ish subword estimate (operators/text.py)."""
+    from dataux_spark.operators.text import token_stats
+
+    return token_stats(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "text_quality",
+    """
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+           round(((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN mean_token_len_raw BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                  + (1 - punct_ratio)) / 3, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens,
+             round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> t IN ('the','and','of','to','a','in','is')))::DOUBLE
+                   / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6)
+                   AS stopword_ratio,
+             length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mean_token_len_raw,
+             round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6) AS mean_token_len
+      FROM documents)
+    """,
+)
+def text_quality(spark, sf_dir):
+    """C4/Gopher-style quality components + composite score
+    (operators/text.py)."""
+    from dataux_spark.operators.text import quality_score
+
+    return quality_score(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "text_lang_scores",
+    """
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+        CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+             ['der','die','das','und','ist','nicht','ein'])) AS INT) AS score_de,
+        CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+             ['the','and','of','to','a','in','is'])) AS INT) AS score_en,
+        CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+             ['el','los','las','es','una','que','por'])) AS INT) AS score_es,
+        CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+             ['le','la','les','et','est','une','dans'])) AS INT) AS score_fr
+      FROM documents)
+    """,
+)
+def text_lang_scores(spark, sf_dir):
+    """Marker-stopword language ID with deterministic argmax
+    (operators/text.py)."""
+    from dataux_spark.operators.text import lang_scores
+
+    return lang_scores(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "multimodal_features",
+    "SELECT doc_id, 'image/fake' AS mime, "
+    "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest "
+    "FROM documents",
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column decode plumbing: payload+metadata struct →
+    Arrow-batched mapInPandas feature extraction (operators/multimodal.py).
+    The oracle checks the SQL-expressible outputs (byte count, digest);
+    the stubbed decoder's feature vector is covered by tests."""
+    from dataux_spark.operators.multimodal import attach_binary_payload, extract_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs, "text", "doc_id"))
+    return feats.select("doc_id", "mime", "n_bytes", "digest")
+
+
 # ------------------------------------------------------------------ export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

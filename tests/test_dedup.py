@@ -1,0 +1,81 @@
+"""Dedup operator tests: LSH candidate generation must agree with the exact
+(oracle-checked) pairwise computations at matching thresholds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataux_spark.operators import dedup
+from dataux_spark.queries import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_exact_dedup_counts(docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    total = docs.count()
+    assert out.agg(F.sum("dup_count")).first()[0] == total
+    # digests are unique keys
+    assert out.select("digest").distinct().count() == out.count()
+
+
+def test_fingerprint_catches_token_shuffles(spark, docs):
+    """Reordered-token duplicates share a fingerprint but not an exact digest."""
+    base = docs.limit(20)
+    shuffled = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))).alias("text"),
+    )
+    both = base.select("doc_id", "text").unionByName(shuffled)
+    fp = dedup.fingerprint_dedup(both, "text", "doc_id")
+    groups = fp.collect()
+    # every doc landed in a dup group (reversed twin always matches, and
+    # pre-existing token-set near-dups in the corpus may merge groups)
+    assert all(g.dup_count >= 2 for g in groups)
+    assert sum(g.dup_count for g in groups) == 40
+    assert len(groups) <= 20
+    ex = dedup.exact_dedup(both, "text", "doc_id")
+    assert ex.filter(F.col("dup_count") >= 2).count() == 0
+
+
+def test_minhash_lsh_matches_exact_jaccard_high_threshold(docs):
+    """At j≥0.8, 64-hash/16-band LSH (r=4: P(miss) = (1-j^4)^16 ≤ 0.1%)
+    must find the same pairs the exact pairwise scan finds."""
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=[], n=3, threshold=0.8
+    )
+    lsh = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_n=3, threshold=0.8
+    )
+    exact_pairs, lsh_pairs = _pairset(exact), _pairset(lsh)
+    assert lsh_pairs == exact_pairs
+    # and the verified jaccard values agree with the exact computation
+    ej = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    for r in lsh.collect():
+        assert abs(ej[(r.id_a, r.id_b)] - r.jaccard) < 1e-9
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    dup = docs.limit(5).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    pairs = dedup.simhash_pairs(both, "text", "doc_id", max_hamming=0)
+    found = _pairset(pairs)
+    for i in range(5):
+        orig = docs.limit(5).collect()[i].doc_id
+        assert (orig, orig + 100000) in found
+
+
+def test_embedding_neardup_self_similarity(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(10)
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(dup)
+    pairs = dedup.embedding_neardup_pairs(both, "embedding", "vec_id", threshold=0.999999)
+    found = _pairset(pairs)
+    for r in emb.collect():
+        assert (r.vec_id, r.vec_id + 100000) in found

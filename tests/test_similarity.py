@@ -1,0 +1,64 @@
+"""Similarity-search tests: LSH recall against the exact brute-force top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataux_spark.operators import similarity
+from dataux_spark.queries import read_table
+
+K = 5
+N_QUERIES = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_brute_force_topk_shape(emb):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=K)
+    rows = res.collect()
+    assert len(rows) == N_QUERIES * K
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.cos <= 1.0
+    # ranks are 1..K per query, cos non-increasing within a query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, K + 1))
+        assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    """Sign-LSH with 64 bits / 4-bit bands: recall@5 ≥ 0.7 on random-ish
+    embeddings (low-similarity corpus is the worst case for sign-LSH;
+    this asserts the mechanism works, not SOTA recall)."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_map(similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=K))
+    approx = _topk_map(
+        similarity.lsh_topk(emb, q, "embedding", "vec_id", k=K, nbits=64, band_bits=4)
+    )
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        total += len(nbrs)
+        hits += len(nbrs & approx.get(qid, set()))
+    assert total == N_QUERIES * K
+    assert hits / total >= 0.7, f"recall {hits}/{total}"
+
+
+def test_lsh_deterministic(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    a = similarity.lsh_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
+    b = similarity.lsh_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

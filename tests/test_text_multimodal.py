@@ -1,0 +1,67 @@
+"""Text-analysis and multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataux_spark.operators import multimodal, text
+from dataux_spark.queries import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+def test_token_stats_consistency(docs):
+    out = text.token_stats(docs, "text", "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 < r.n_distinct_tokens <= r.n_tokens
+        assert r.n_subwords_est > 0
+
+
+def test_quality_score_bounds(docs):
+    out = text.quality_score(docs, "text", "doc_id").collect()
+    for r in out:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_lang_scores_pred_membership(docs):
+    out = text.lang_scores(docs, "text", "doc_id").collect()
+    allowed = set(text.LANG_MARKERS) | {"und"}
+    assert {r.lang_pred for r in out} <= allowed
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(20), "text", "doc_id")
+    # payload+meta schema with pruning-friendly struct
+    assert dict(wrapped.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(wrapped)
+    rows = feats.collect()
+    assert len(rows) == 20
+    src = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for r in rows:
+        assert r.mime == "image/fake"
+        assert r.n_bytes == len(src[r.doc_id].encode())
+        assert len(r.feat) == 4 and r.feat[0] == float(r.n_bytes)
+
+
+def test_multimodal_decoder_injection(spark, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(5), "text", "doc_id")
+
+    def decoder(payload: bytes, mime: str):
+        raise NotImplementedError("no codec in this environment")
+
+    feats = multimodal.extract_features(wrapped, decoder=decoder)
+    with pytest.raises(Exception):  # surfaces through the Spark job
+        feats.collect()
+
+
+def test_resize_stub_rewrites_metadata(spark, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(5), "text", "doc_id")
+    resized = multimodal.resize_stub(wrapped, 224, 224)
+    for r in resized.select("meta.width", "meta.height").collect():
+        assert (r.width, r.height) == (224, 224)
