@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline query set and prints ONE JSON line.
+
+  $SPARK_GRAFT_SF_DIR  data dir   (default /root/testdata/sf0.1)
+  $SPARK_GRAFT_CPUS    local[N]   (default all cores)
+  $BENCH_RUNS          timed runs per query, median reported (default 3)
+
+Query set spans the SURVEY §2 operator classes plus the LLM-pipeline
+operators: scan+agg (TPC-H Q1/Q6 shapes), multi-join (Q5 shape), broadcast
+join+agg, top-k, window, count-distinct, time-bucketed events, minhash-LSH
+dedup, ANN top-k, text quality scan. Each query runs once for warm-up
+cache/JIT effects are shared across engines being compared — then
+`BENCH_RUNS` timed runs; per-query median and the total are reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_filter",
+    "group_by_agg",
+    "count_distinct",
+    "join_inner",
+    "join_5way_regional_revenue",
+    "topk_order_limit",
+    "window_topk_per_group",
+    "events_hourly_agg",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from dataux_spark import get_spark
+    from dataux_spark import queries as Q
+
+    spark = get_spark("bench")
+    registry = Q.queries()
+
+    # warm the session: file listing, codegen, JIT
+    Q.read_table(spark, sf_dir, "lineitem").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        fn(spark, sf_dir).count()  # warm-up (plans + shuffles primed)
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -144,10 +144,12 @@ def minhash_lsh_pairs(
       3. exact Jaccard on candidate pairs only (verify stage).
     Returns (id_a, id_b, jaccard ≥ threshold)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n).persist()
+    # Candidate generation on SLIM rows (id, band, bandhash) only — the
+    # shingle arrays must not ride through the 16× explode + shuffle
+    # (they're ~100× the width of the key columns).
     banded = sigs.select(
         "_id",
-        "_grams",
         F.explode(
             F.array(
                 *[
@@ -159,7 +161,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_grams", "bb.band", "bb.bh")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -168,13 +170,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._grams").alias("ga"),
-            F.col("b._grams").alias("gb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verify stage: re-attach shingles to the (much smaller) candidate set.
+    # sigs is persisted — at production scale this materialization is the
+    # signature checkpoint table every corpus-dedup pipeline keeps anyway.
+    grams = sigs.select("_id", "_grams")
+    cand = (
+        cand.join(grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
+        .join(grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
     )
     jac = F.round(
         F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb")),
