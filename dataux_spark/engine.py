@@ -176,6 +176,77 @@ class Engine:
         except Exception as e:  # graceful error, never a crash
             raise QueryError(str(e)) from e
 
+    _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+`?(\w+)`?)?\s*$", re.I)
+    _SHOW_COLUMNS_RE = re.compile(
+        r"^\s*SHOW\s+(FULL\s+)?COLUMNS\s+FROM\s+`?(\w+)`?\s*$", re.I
+    )
+    _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$", re.I)
+    _SHOW_VARS_RE = re.compile(
+        r"^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+['\"](.+?)['\"])?\s*$", re.I
+    )
+    _DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+`?(\w+)`?\s*$", re.I)
+
+    def _show(self, stmt: str) -> DataFrame:
+        """SHOW/DESCRIBE with mysql output layouts (reference rewrites these
+        into introspection SELECTs, CHANGELOG.md:20-23; layouts pinned at
+        mgo_test.go:175-301 — see plans/show.py)."""
+        s = stmt.rstrip(";")
+        if re.match(r"^\s*SHOW\s+DATABASES\s*$", s, re.I):
+            names = list(self.sources) or [self.ctx.current_schema]
+            return show_plans.show_databases(self.spark, names)
+        m = self._SHOW_TABLES_RE.match(s)
+        if m:
+            schema_name = m.group(1) or self.ctx.current_schema
+            return show_plans.show_tables(self.spark, schema_name, self._all_tables())
+        m = self._SHOW_COLUMNS_RE.match(s)
+        if m:
+            return show_plans.describe(self.spark, m.group(2), full=bool(m.group(1)))
+        m = self._SHOW_CREATE_RE.match(s)
+        if m:
+            return show_plans.show_create_table(self.spark, m.group(1))
+        m = self._SHOW_VARS_RE.match(s)
+        if m:
+            return show_plans.show_variables(self.spark, self.ctx, m.group(1))
+        m = self._DESCRIBE_RE.match(s)
+        if m:
+            return show_plans.describe(self.spark, m.group(1), full=False)
+        # anything else (SHOW FUNCTIONS, DESCRIBE QUERY ...): Spark-native
+        return self.spark.sql(s)
+
+    def _array_columns(self) -> set[str]:
+        cols: set[str] = set()
+        for s in self.sources.values():
+            for t in s.tables():
+                try:
+                    for f in self.spark.table(t).schema.fields:
+                        if f.dataType.typeName() == "array":
+                            cols.add(f.name)
+                except Exception:
+                    pass
+        return cols
+
+    _IN_RE = re.compile(
+        r"\b([A-Za-z_]\w*)\s+IN\s*\(((?:[^()'\"]|'[^']*'|\"[^\"]*\")*)\)", re.IGNORECASE
+    )
+
+    def _rewrite_array_in(self, sql: str) -> str:
+        """`arraycol IN ("x")` means membership when the column is an array
+        (schemaless-document semantics: reference mgo_test.go:654-670 —
+        Mongo matches scalar queries against array fields). Spark needs
+        arrays_overlap. The regex is quote-aware so IN-lists with string
+        literals match as one unit."""
+        arr_cols = self._array_columns()
+        if not arr_cols:
+            return sql
+
+        def sub(m):
+            col, items = m.group(1), m.group(2)
+            if col in arr_cols:
+                return f"arrays_overlap({col}, array({items}))"
+            return m.group(0)
+
+        return self._IN_RE.sub(sub, sql)
+
     def _set(self, stmt: str):
         parsed = dialect.parse_set(stmt)
         if parsed is None:
@@ -192,6 +263,7 @@ class Engine:
         if m:
             return self._terms(m)
         sql = dialect.rewrite(stmt, self.ctx)
+        sql = self._rewrite_array_in(sql)
         return self._run_with_null_fallback(sql)
 
     def _select_session_vars(self, select_list: str) -> DataFrame:

@@ -41,11 +41,15 @@ class _DirSource(Source):
         if not p.exists():
             return
         for child in sorted(p.iterdir()):
+            name = child.name
+            if name.endswith(self.ext):
+                name = name[: -len(self.ext)]
             if child.is_file() and child.name.endswith(self.ext):
-                self._tables[child.name[: -len(self.ext)]] = str(child)
+                self._tables[name] = str(child)
             elif child.is_dir():
-                # partitioned table layout: table-name directory of files
-                self._tables[child.name] = str(child)
+                # partitioned/Spark-written table layout: directory of files
+                # (possibly named table.parquet — strip the suffix)
+                self._tables[name] = str(child)
 
     def tables(self) -> list[str]:
         return list(self._tables)
@@ -79,12 +83,17 @@ class ParquetDirSource(_DirSource):
 
     def _read(self, spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
         for col in _nanos_timestamp_columns(path):
             # nanosAsLong read the column as long ns; convert to a µs
             # timestamp with integer division (ns values overflow double's
             # 53-bit mantissa — float division would corrupt µs digits).
             # Matches DuckDB's ns→µs truncation for oracle comparison.
-            df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS LONG))"))
+            # Guard on the read dtype: pyarrow also reports INT96 (legacy
+            # Spark-written) timestamps as ns, but Spark reads those as
+            # timestamp directly — no conversion needed.
+            if dtypes.get(col) == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS LONG))"))
         return df
 
 
