@@ -1,0 +1,153 @@
+"""Time-series operators Spark lacks natively: as-of join, range join,
+sessionization.
+
+The reference has none of these (SURVEY §2.3: inner equi-join only) — they
+are beyond-reference extensions, but they're table stakes for an events
+pipeline at 100 TB, so each is built as a composition of DataFrame ops with
+exactly one keyed shuffle (never a cross join, never applyInPandas):
+
+  asof_join    — union + keyed window + last(ignorenulls). The classic
+                 scalable as-of: both sides shuffle once on the join key,
+                 the window is a single sort within each key partition.
+                 (pd.merge_asof per group would ship data to Python; the
+                 union trick stays in Tungsten.)
+  range_join   — equi-join on overlapping buckets + exact residual filter.
+                 Turns an O(n·m) theta join into a bucketed hash join;
+                 bucket width tunes duplication vs selectivity.
+  sessionize   — lag + gap-flag + running sum (two windows over one
+                 shuffle): the standard sessionization idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row (right.ts ≤
+    left.ts) within the same `on` key — NULLs if none (left outer as-of).
+
+    Plan: tag both sides, unionByName, one window partitioned by `on`
+    ordered by (ts, tag) — right rows sort before left rows at equal ts so
+    the match is inclusive — then last(col, ignorenulls=True) carries the
+    latest right values forward. One shuffle total, linear in rows.
+    tolerance_sec: matches older than this are nulled out (pandas
+    merge_asof tolerance semantics)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    l_tag = left.withColumn("_tag", F.lit(1))
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"{prefix}{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    l_tag = l_tag.withColumn("_rts", F.lit(None).cast("timestamp"))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.col(ts).alias("_rts"),
+    )
+    for c in left.columns:
+        if c not in (on, ts) and c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = W.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_tag").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in right_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_c_rts"),
+    )
+    out = carried.filter(F.col("_tag") == 1)
+    keep = [F.col(c) for c in left.columns]
+    within = (
+        F.lit(True)
+        if tolerance_sec is None
+        else (F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_c_rts")))
+        <= int(tolerance_sec * 1_000_000)
+    )
+    for c in right_cols:
+        keep.append(F.when(within, F.col(f"_c_{c}")).alias(f"{prefix}{c}"))
+    keep.append(F.when(within, F.col("_c_rts")).alias(f"{prefix}{ts}"))
+    return out.select(*keep)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to right ranges [lo, hi) containing left_val.
+
+    Plan: explode each right range into the buckets it overlaps, bucket the
+    left value, equi-join on bucket, exact residual filter. The shuffle key
+    is the bucket id — pick bucket_width ≈ typical range width so each
+    range lands in O(1) buckets."""
+    lb = left.withColumn("_bkt", F.floor(F.col(left_val) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width).cast("long"),
+                F.floor((F.col(right_hi) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (lb["_bkt"] == rb["_bkt"])
+        & (lb[left_val] >= rb[right_lo])
+        & (lb[left_val] < rb[right_hi])
+    )
+    return lb.join(rb, cond, how).drop("_bkt")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same key exceeds gap_minutes.
+
+    Plan: one shuffle on key; lag + conditional flag + running sum inside
+    the same window sort. Returns the input plus `session_id` (per-key,
+    1-based)."""
+    w = W.partitionBy(key).orderBy(F.col(ts).asc())
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    prev = F.lag(F.col(ts)).over(w)
+    new_flag = F.when(
+        prev.isNull() | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn("_new", new_flag).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame, key: str = "user_id", ts: str = "ts", gap_minutes: float = 30.0
+) -> DataFrame:
+    """Per-key session summary: session count, max events in a session,
+    mean session duration (seconds, rounded)."""
+    s = sessionize(df, key, ts, gap_minutes)
+    per_session = s.groupBy(key, "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("dur_us"),
+    )
+    return per_session.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg(F.col("dur_us") / 1_000_000.0), 4).alias("avg_session_sec"),
+    )

@@ -904,6 +904,158 @@ def multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "mime", "n_bytes", "digest")
 
 
+# --- time-series: as-of join / range join / sessionization ----------------
+
+@_q(
+    "asof_join_events",
+    "SELECT l.event_id, l.user_id, l.ts, r.value AS asof_value, r.ts AS asof_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each click gets the most recent prior error of the same
+    user (operators/timeseries.py — union+window, one shuffle; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    from dataux_spark.operators.timeseries import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return asof_join(clicks, errors, on="user_id", ts="ts", right_cols=["value"], prefix="asof_")
+
+
+@_q(
+    "range_join_price_bands",
+    "SELECT b.band, count(*) AS ct, round(avg(p.p_retailprice), 4) AS avg_price "
+    "FROM part p JOIN (VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0), "
+    "('b950', 950.0, 975.0), ('b975', 975.0, 1000.0)) AS b(band, lo, hi) "
+    "ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi "
+    "GROUP BY b.band",
+)
+def range_join_price_bands(spark, sf_dir):
+    """Range join via bucketized equi-join (operators/timeseries.py) —
+    avoids the O(n·m) theta join a naive BETWEEN join would plan."""
+    from dataux_spark.operators.timeseries import range_join
+
+    part = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(part, bands, "p_retailprice", "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("ct"), F.round(F.avg("p_retailprice"), 4).alias("avg_price")
+    )
+
+
+@_q(
+    "sessionize_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+           round(avg(dur_us / 1000000.0), 4) AS avg_session_sec
+    FROM per_session GROUP BY user_id
+    """,
+)
+def sessionize_stats(spark, sf_dir):
+    """Sessionization (30-min gap) + per-user session stats
+    (operators/timeseries.py — lag/flag/cumsum, one shuffle)."""
+    from dataux_spark.operators.timeseries import session_stats
+
+    return session_stats(read_table(spark, sf_dir, "events"), "user_id", "ts", 30.0)
+
+
+# --- pivot / percentiles / dedup-keep-best --------------------------------
+
+@_q(
+    "pivot_status_priority",
+    "SELECT o_orderpriority, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS F, "
+    "count(*) FILTER (WHERE o_orderstatus = 'O') AS O, "
+    "count(*) FILTER (WHERE o_orderstatus = 'P') AS P "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def pivot_status_priority(spark, sf_dir):
+    """Pivot (wide conditional aggregation) — extension; reference has no
+    pivot. Explicit value list keeps the plan a single pass."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@_q(
+    "percentiles",
+    "SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
+    "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem",
+)
+def percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). The approximate path for 100 TB is percentile_approx —
+    same API shape, sketch-mergeable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    """
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fp
+    )
+    SELECT fp, doc_id AS keep_id FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Dedup with survivor selection: keep the highest-quality (here:
+    longest) doc per fingerprint group — the production dedup pattern
+    (don't keep an arbitrary member, keep the best)."""
+    from dataux_spark.operators.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select(F.col("doc_id"), F.col("n_chars"), fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("keep_id"))
+    )
+
+
 # ------------------------------------------------------------------ export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,90 @@
+"""Time-series operator tests: as-of join edge semantics, range join
+boundary behavior, sessionization gap logic."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataux_spark.operators import timeseries as TS
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_t("2024-01-01T10:00:00"), trade="t1"),
+            Row(user_id=1, ts=_t("2024-01-01T10:05:00"), trade="t2"),
+            Row(user_id=2, ts=_t("2024-01-01T09:00:00"), trade="t3"),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_t("2024-01-01T09:59:00"), px=10.0),
+            Row(user_id=1, ts=_t("2024-01-01T10:05:00"), px=11.0),  # equal-ts match
+            Row(user_id=2, ts=_t("2024-01-01T09:30:00"), px=99.0),  # after t3 only
+        ]
+    )
+
+
+def test_asof_basic_and_equal_ts_inclusive(trades, quotes):
+    out = {r.trade: (r.asof_px, r.asof_ts) for r in
+           TS.asof_join(trades, quotes, on="user_id", ts="ts", right_cols=["px"]).collect()}
+    assert out["t1"] == (10.0, _t("2024-01-01T09:59:00"))
+    assert out["t2"] == (11.0, _t("2024-01-01T10:05:00"))  # ts-equal is a match
+    assert out["t3"] == (None, None)  # no quote at or before → NULLs
+
+
+def test_asof_tolerance(trades, quotes):
+    out = {r.trade: r.asof_px for r in
+           TS.asof_join(trades, quotes, on="user_id", ts="ts",
+                        right_cols=["px"], tolerance_sec=30).collect()}
+    assert out["t1"] is None      # 60s-old quote > 30s tolerance
+    assert out["t2"] == 11.0      # same-instant quote within tolerance
+
+
+def test_range_join_boundaries(spark):
+    vals = spark.createDataFrame([Row(v=float(x)) for x in (0.0, 24.9, 25.0, 49.9, 50.0)])
+    ranges = spark.createDataFrame(
+        [Row(name="lo", lo=0.0, hi=25.0), Row(name="hi", lo=25.0, hi=50.0)]
+    )
+    out = sorted((r.v, r.name) for r in
+                 TS.range_join(vals, ranges, "v", "lo", "hi", bucket_width=10.0).collect())
+    # [lo, hi) semantics: 25.0 belongs to the upper band, 50.0 to none
+    assert out == [(0.0, "lo"), (24.9, "lo"), (25.0, "hi"), (49.9, "hi")]
+
+
+def test_sessionize_gap_logic(spark):
+    rows = [
+        Row(user_id=1, ts=_t("2024-01-01T10:00:00")),
+        Row(user_id=1, ts=_t("2024-01-01T10:10:00")),  # same session (10m)
+        Row(user_id=1, ts=_t("2024-01-01T11:00:00")),  # 50m gap → new session
+        Row(user_id=2, ts=_t("2024-01-01T08:00:00")),
+    ]
+    out = TS.sessionize(spark.createDataFrame(rows), gap_minutes=30.0).collect()
+    sess = {(r.user_id, r.ts.isoformat()): r.session_id for r in out}
+    assert sess[(1, "2024-01-01T10:00:00")] == 1
+    assert sess[(1, "2024-01-01T10:10:00")] == 1
+    assert sess[(1, "2024-01-01T11:00:00")] == 2
+    assert sess[(2, "2024-01-01T08:00:00")] == 1
+
+
+def test_session_stats(spark):
+    rows = [
+        Row(user_id=1, ts=_t("2024-01-01T10:00:00")),
+        Row(user_id=1, ts=_t("2024-01-01T10:10:00")),
+        Row(user_id=1, ts=_t("2024-01-01T11:00:00")),
+    ]
+    out = TS.session_stats(spark.createDataFrame(rows), gap_minutes=30.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_sessions, r.max_session_events) == (2, 2)
+    assert r.avg_session_sec == 300.0  # sessions: 600s and 0s → avg 300

@@ -86,6 +86,7 @@ def main():
         if only and name not in only:
             continue
         try:
+            spark.catalog.clearCache()  # isolate queries (minhash persists etc.)
             sdf = fn(spark, sf_dir)
             if name in oracles:
                 problems, secs, n = compare(name, sdf, con, oracles[name])
