@@ -983,6 +983,28 @@ def sessionize_stats(spark, sf_dir):
     return session_stats(read_table(spark, sf_dir, "events"), "user_id", "ts", 30.0)
 
 
+@_q(
+    "streaming_windowed_agg",
+    "SELECT date_trunc('hour', ts) AS win_start, "
+    "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, "
+    "event_type, count(*) AS ct, round(sum(value), 2) AS total "
+    "FROM events GROUP BY 1, 2, 3",
+)
+def streaming_windowed_agg(spark, sf_dir):
+    """Structured Streaming windowed aggregation driven to completion
+    (streaming/ops.py): readStream(events) → watermark → 1h windows →
+    memory sink. The oracle is the equivalent batch SQL — the streaming
+    result must equal the batch answer (complete mode)."""
+    from dataux_spark import streaming as S
+
+    out = S.run_to_memory(
+        S.windowed_agg(S.stream_events(spark, sf_dir), "1 hour"),
+        "q_stream_win",
+        "complete",
+    )
+    return out
+
+
 # --- pivot / percentiles / dedup-keep-best --------------------------------
 
 @_q(

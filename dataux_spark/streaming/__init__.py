@@ -1,0 +1,15 @@
+from dataux_spark.streaming.ops import (
+    run_to_memory,
+    session_window_agg,
+    stateful_user_counter,
+    stream_events,
+    windowed_agg,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_agg",
+    "session_window_agg",
+    "stateful_user_counter",
+    "run_to_memory",
+]

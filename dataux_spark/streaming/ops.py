@@ -1,0 +1,138 @@
+"""Structured Streaming operators — beyond-reference extensions.
+
+The reference has NO stream processing (SURVEY §2.11: its "streams" are
+paged result iteration, e.g. mongo cursors at
+/root/reference/backends/mongo/mgo_results.go:141). These operators give the
+engine the streaming surface a 100 TB events pipeline needs, built on
+Structured Streaming's incremental execution:
+
+  windowed_agg        — tumbling/sliding event-time windows + watermark for
+                        late data; state is bounded by the watermark.
+  session_window_agg  — data-driven session windows (gap-closed).
+  stateful_user_counter — arbitrary per-key state via
+                        applyInPandasWithState (Arrow-batched).
+
+Local testing drives a parquet file source with `availableNow` semantics
+into a memory sink (`run_to_memory`) — the same code attaches to Kafka by
+swapping the reader, which is exactly Structured Streaming's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns epoch (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source = the local stand-in
+    for Kafka; one file becomes one micro-batch). ns→µs conversion matches
+    the batch reader."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+
+
+def windowed_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts/sums with a watermark bound on state.
+
+    Append-mode emits a window only once the watermark passes its end —
+    late rows inside the watermark still count; older ones are dropped.
+    State size is O(active windows × event types), independent of stream
+    length."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("ct"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "ct",
+            "total",
+        )
+    )
+
+
+def session_window_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Data-driven session windows per user (the streaming twin of
+    operators/timeseries.sessionize)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+STATE_SCHEMA = "n_events bigint, total double"
+COUNTER_OUT_SCHEMA = "user_id bigint, n_events bigint, total double"
+
+
+def stateful_user_counter(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Arbitrary stateful op: running per-user event count + value total,
+    emitting the updated state every micro-batch
+    (applyInPandasWithState — Arrow-batched, state bounded per key)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, COUNTER_OUT_SCHEMA, STATE_SCHEMA, "update", timeout
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str = "append"
+) -> "DataFrame":
+    """Drive a streaming DataFrame to completion into an in-memory table
+    (local testing harness; production swaps in kafka/delta/foreachBatch
+    sinks). Returns the sink table DataFrame."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)

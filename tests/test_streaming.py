@@ -1,0 +1,85 @@
+"""Structured Streaming tests: stream results must equal the batch
+computation over the same data (the fundamental streaming-correctness
+property), plus stateful-op behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataux_spark import streaming as S
+from dataux_spark.queries import read_table
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return S.stream_events(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def batch(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").cache()
+
+
+def test_windowed_agg_equals_batch(spark, stream, batch):
+    # complete mode: append would (correctly) withhold windows newer than
+    # the final watermark — equivalence needs every window emitted
+    out = S.run_to_memory(S.windowed_agg(stream, "1 hour"), "win_counts", "complete")
+    got = {
+        (r.win_start, r.event_type): (r.ct, r.total)
+        for r in out.collect()
+    }
+    expect = {
+        (r.h, r.event_type): (r.ct, r.total)
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("ct"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == expect
+    # window bounds are exactly one hour
+    for r in out.collect():
+        assert (r.win_end - r.win_start).total_seconds() == 3600
+
+
+def test_append_mode_withholds_open_windows(spark, stream, batch):
+    """Append emits only windows the final watermark has passed — the
+    correct late-data contract: everything emitted is final."""
+    out = S.run_to_memory(S.windowed_agg(stream, "1 hour", watermark="2 hours"), "win_append")
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    emitted = out.collect()
+    assert emitted, "old windows must emit"
+    import datetime as dt
+    horizon = max_ts - dt.timedelta(hours=2)
+    for r in emitted:
+        assert r.win_end <= horizon + dt.timedelta(hours=1), r
+
+
+def test_session_window_agg_equals_batch_sessionize(spark, stream, batch):
+    from dataux_spark.operators.timeseries import sessionize
+
+    out = S.run_to_memory(S.session_window_agg(stream, gap="30 minutes"), "sess_win", "complete")
+    stream_sessions = {
+        (r.user_id, r.sess_start): r.n_events for r in out.collect()
+    }
+    b = (
+        sessionize(batch, "user_id", "ts", 30.0)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n_events"))
+    )
+    batch_sessions = {(r.user_id, r.start): r.n_events for r in b.collect()}
+    assert stream_sessions == batch_sessions
+
+
+def test_stateful_counter_totals(spark, stream, batch):
+    out = S.run_to_memory(
+        S.stateful_user_counter(stream), "user_totals", output_mode="update"
+    )
+    # one micro-batch (availableNow over one file) → final state per user
+    got = {r.user_id: (r.n_events, r.total) for r in out.collect()}
+    expect = {
+        r.user_id: (r.n, r.total)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == expect
