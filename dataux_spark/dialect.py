@@ -70,6 +70,29 @@ _CARDINALITY_RE = re.compile(r"\bcardinality\s*\(", re.IGNORECASE)
 _EXISTS_RE = re.compile(r"\bexists\s*\(\s*([A-Za-z_][\w.]*|`[^`]+`)\s*\)", re.IGNORECASE)
 _MISSING_RE = re.compile(r"\bmissing\s*\(\s*([A-Za-z_][\w.]*|`[^`]+`)\s*\)", re.IGNORECASE)
 _SESSION_FN_RE = re.compile(r"\b(current_user|connection_id|database)\s*\(\s*\)", re.IGNORECASE)
+
+# qlbridge-builtin spellings that are pure renames of Spark natives
+# (library loaded wholesale in the reference, runtestserver.go:74; the
+# value-typed conversions toint/tonumber/todate etc. are UDFs in
+# functions/registry.py, everything here stays JVM-native)
+_FN_RENAMES = {
+    "tolower": "lower",
+    "toupper": "upper",
+    "strip": "trim",
+    "oneof": "coalesce",      # first non-null (qlbridge OneOf)
+    "yy": "year",
+    "mm": "month",
+    "dd": "day",
+    "hourofday": "hour",
+    "dayofweek": "dayofweek",
+    "totimestamp": "unix_timestamp",  # epoch seconds
+    "todatetime": "todate",           # same loose parser
+    "mapkeys": "map_keys",
+    "mapvalues": "map_values",
+}
+_FN_RENAME_RE = re.compile(
+    r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.IGNORECASE
+)
 _VAR_RE = re.compile(r"@@?([A-Za-z_][\w.]*)")
 
 
@@ -152,6 +175,7 @@ def rewrite(sql: str, ctx: SessionContext | None = None) -> str:
         code = _CARDINALITY_RE.sub("approx_count_distinct(", code)
         code = _EXISTS_RE.sub(lambda m: f"({m.group(1)} IS NOT NULL)", code)
         code = _MISSING_RE.sub(lambda m: f"({m.group(1)} IS NULL)", code)
+        code = _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).lower()] + "(", code)
 
         def session_fn(m):
             name = m.group(1).lower()

@@ -86,11 +86,23 @@ class TableStore:
 
     Commits re-register the temp view so subsequent SELECTs observe the
     mutation (read-your-writes, as the reference's backends provide).
+
+    Two commit modes:
+      in-memory (default) — collect + re-create; fine for small admin
+          tables (the reference's memdb).
+      parquet-backed (`set_parquet_backing`) — copy-on-write versioned
+          parquet directories, executor-side write, never collects to the
+          driver. This is the 100 TB path: a mutation is a distributed
+          rewrite producing a new table version (exactly what Delta/Iceberg
+          MERGE does under the hood; swap in those formats when their jars
+          are on the classpath).
     """
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._keys: dict[str, list[str]] = {}
+        self._backing: dict[str, str] = {}  # table -> workdir
+        self._version: dict[str, int] = {}
 
     def set_keys(self, table: str, keys: list[str]) -> None:
         self._keys[table] = keys
@@ -98,11 +110,24 @@ class TableStore:
     def keys(self, table: str) -> list[str]:
         return self._keys.get(table, [])
 
+    def set_parquet_backing(self, table: str, workdir: str) -> None:
+        """Commits for `table` write versioned parquet under workdir."""
+        self._backing[table] = workdir
+        self._version.setdefault(table, 0)
+
     def current(self, table: str) -> DataFrame:
         return self.spark.table(table)
 
     def commit(self, table: str, df: DataFrame) -> None:
-        # Materialize before re-registering: the new plan reads the old view.
+        if table in self._backing:
+            v = self._version[table] + 1
+            path = f"{self._backing[table]}/v{v:06d}"
+            df.write.mode("overwrite").parquet(path)  # executor-side write
+            self._version[table] = v
+            self.spark.read.parquet(path).createOrReplaceTempView(table)
+            return
+        # in-memory: materialize before re-registering (the new plan reads
+        # the old view — re-registering without a barrier would self-refer)
         rows = df.collect()
         out = self.spark.createDataFrame(rows, df.schema) if rows else \
             self.spark.createDataFrame([], df.schema)

@@ -93,6 +93,18 @@ class Engine:
         self.register_source(src)
         return src
 
+    def register_writable_parquet(
+        self, table: str, src_path: str, workdir: str, keys: list[str] | None = None
+    ) -> None:
+        """Register a parquet-backed WRITABLE table: DML commits are
+        copy-on-write versioned parquet rewrites (executor-side, no driver
+        collect) — the Delta-MERGE pattern without Delta jars.
+        (Reference DML semantics: SURVEY §3.3.)"""
+        self.spark.read.parquet(src_path).createOrReplaceTempView(table)
+        self.store.set_parquet_backing(table, workdir)
+        if keys:
+            self.store.set_keys(table, keys)
+
     def create_source(self, name: str, conf: dict) -> Source:
         """Runtime `CREATE source ... WITH {json}` (reference README.md:76-86,
         SqlCreate dispatch at mysql_handler.go:253-260)."""

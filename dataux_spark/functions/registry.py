@@ -47,3 +47,88 @@ def register_all(spark: SparkSession) -> None:
     # JVM-side.
     spark.udf.register("hasprefix", lambda s, p: s.startswith(p) if s is not None and p is not None else None, T.BooleanType())
     spark.udf.register("hassuffix", lambda s, p: s.endswith(p) if s is not None and p is not None else None, T.BooleanType())
+
+    # loose type-conversion family (qlbridge CastIntSafe-style semantics:
+    # parse what you can, NULL on failure — never error)
+    spark.udf.register("toint", _toint, T.LongType())
+    spark.udf.register("tonumber", _tonumber, T.DoubleType())
+    spark.udf.register("tobool", _tobool, T.BooleanType())
+
+    # email / url extraction family (qlbridge email(), domain(), host(),
+    # path(), qs() builtins)
+    spark.udf.register("email", lambda s: s.strip().lower() if isinstance(s, str) and "@" in s else None, T.StringType())
+    spark.udf.register("emaildomain", lambda s: s.strip().lower().rsplit("@", 1)[1] if isinstance(s, str) and "@" in s else None, T.StringType())
+    spark.udf.register("emailname", lambda s: s.strip().lower().rsplit("@", 1)[0] if isinstance(s, str) and "@" in s else None, T.StringType())
+    spark.udf.register("host", _host, T.StringType())
+    spark.udf.register("domain", _domain, T.StringType())
+    spark.udf.register("urlpath", _urlpath, T.StringType())
+    spark.udf.register("qs", _qs, T.StringType())
+
+
+def _toint(s):
+    if s is None:
+        return None
+    try:
+        return int(float(str(s).strip().strip('"').replace(",", "")))
+    except (ValueError, TypeError):
+        return None
+
+
+def _tonumber(s):
+    if s is None:
+        return None
+    try:
+        return float(str(s).strip().strip('"').replace(",", ""))
+    except (ValueError, TypeError):
+        return None
+
+
+_TRUTHY = {"true", "t", "1", "yes", "y"}
+_FALSY = {"false", "f", "0", "no", "n"}
+
+
+def _tobool(s):
+    if s is None:
+        return None
+    v = str(s).strip().lower()
+    if v in _TRUTHY:
+        return True
+    if v in _FALSY:
+        return False
+    return None
+
+
+def _parse_url(s):
+    from urllib.parse import urlparse
+
+    if not isinstance(s, str) or not s:
+        return None
+    return urlparse(s if "://" in s else "http://" + s)
+
+
+def _host(s):
+    u = _parse_url(s)
+    return u.hostname if u and u.hostname else None
+
+
+def _domain(s):
+    h = _host(s)
+    if not h:
+        return None
+    parts = h.split(".")
+    return ".".join(parts[-2:]) if len(parts) >= 2 else h
+
+
+def _urlpath(s):
+    u = _parse_url(s)
+    return u.path if u and u.path else None
+
+
+def _qs(s, param):
+    from urllib.parse import parse_qs
+
+    u = _parse_url(s)
+    if not u or param is None:
+        return None
+    vals = parse_qs(u.query).get(param)
+    return vals[0] if vals else None

@@ -1,0 +1,90 @@
+"""Function-shim surface (qlbridge builtin spellings) and parquet-backed
+copy-on-write DML."""
+
+import pytest
+from pyspark.sql import Row
+
+from dataux_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = Engine(spark)
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="  Hello ", num="42", f="3.5", b="yes",
+                mail="Bob@Example.COM", url="https://sub.example.com/a/b?x=1&y=2"),
+            Row(id=2, s="world", num="nope", f=None, b="0",
+                mail="not-an-email", url=None),
+        ]
+    )
+    e.register_memory("fnsrc", {"t": df})
+    return e
+
+
+def one(eng, expr):
+    return eng.sql(f"SELECT {expr} AS v FROM t WHERE id = 1").collect()[0][0]
+
+
+def test_rename_shims(eng):
+    assert one(eng, "tolower(s)") == "  hello "
+    assert one(eng, "toupper(strip(s))") == "HELLO"
+    assert one(eng, "oneof(f, num)") == "3.5"        # first non-null
+    assert eng.sql("SELECT oneof(f, num) AS v FROM t WHERE id = 2").collect()[0][0] == "nope"
+
+
+def test_conversion_shims(eng):
+    assert one(eng, "toint(num)") == 42
+    assert one(eng, 'toint("1,234")') == 1234
+    assert eng.sql("SELECT toint(num) AS v FROM t WHERE id = 2").collect()[0][0] is None
+    assert one(eng, "tonumber(f)") == 3.5
+    assert one(eng, "tobool(b)") is True
+    assert eng.sql("SELECT tobool(b) AS v FROM t WHERE id = 2").collect()[0][0] is False
+
+
+def test_email_url_shims(eng):
+    assert one(eng, "email(mail)") == "bob@example.com"
+    assert one(eng, "emaildomain(mail)") == "example.com"
+    assert one(eng, "emailname(mail)") == "bob"
+    assert eng.sql("SELECT email(mail) AS v FROM t WHERE id = 2").collect()[0][0] is None
+    assert one(eng, "host(url)") == "sub.example.com"
+    assert one(eng, "domain(url)") == "example.com"
+    assert one(eng, "urlpath(url)") == "/a/b"
+    assert one(eng, 'qs(url, "y")') == "2"
+
+
+def test_date_part_shims(eng, spark):
+    e2 = Engine(spark)
+    e2.register_memory("datesrc", {"d": spark.sql(
+        "SELECT timestamp '2024-03-15 13:45:00' AS ts"
+    )})
+    row = e2.sql("SELECT yy(ts) AS y, mm(ts) AS m, dd(ts) AS d, hourofday(ts) AS h FROM d").collect()[0]
+    assert tuple(row) == (2024, 3, 15, 13)
+
+
+def test_parquet_backed_dml_roundtrip(spark, sf_dir, tmp_path):
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_rw", f"{sf_dir}/nation.parquet", str(tmp_path / "nation_work"), keys=["n_nationkey"]
+    )
+    n0 = eng.sql("SELECT count(*) AS ct FROM nation_rw").collect()[0][0]
+    r = eng.sql('INSERT INTO nation_rw (n_nationkey, n_name, n_regionkey) VALUES (999, "ATLANTIS", 0)')
+    assert r.affected == 1
+    assert eng.sql("SELECT count(*) AS ct FROM nation_rw").collect()[0][0] == n0 + 1
+
+    r = eng.sql('UPDATE nation_rw SET n_name = "LEMURIA" WHERE n_nationkey = 999')
+    assert r.affected == 1
+    assert eng.sql("SELECT n_name FROM nation_rw WHERE n_nationkey = 999").collect()[0][0] == "LEMURIA"
+
+    r = eng.sql('UPSERT INTO nation_rw (n_nationkey, n_name, n_regionkey) VALUES (999, "MU", 1)')
+    assert r.affected == 1
+    assert eng.sql("SELECT n_name FROM nation_rw WHERE n_nationkey = 999").collect()[0][0] == "MU"
+    assert eng.sql("SELECT count(*) AS ct FROM nation_rw").collect()[0][0] == n0 + 1
+
+    r = eng.sql("DELETE FROM nation_rw WHERE n_nationkey = 999")
+    assert r.affected == 1
+    assert eng.sql("SELECT count(*) AS ct FROM nation_rw").collect()[0][0] == n0
+
+    # versioned copy-on-write dirs exist (v000001..v000004)
+    versions = sorted(p.name for p in (tmp_path / "nation_work").iterdir())
+    assert versions == [f"v{i:06d}" for i in range(1, 5)]
