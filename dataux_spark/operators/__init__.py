@@ -3,6 +3,6 @@ BASELINE.json north star): deduplication, similarity search, text analysis,
 multimodal column plumbing. All Spark-first: built-in higher-order functions
 where possible, Arrow-batched pandas UDFs only where semantics require."""
 
-from dataux_spark.operators import dedup, multimodal, similarity, text
+from dataux_spark.operators import dedup, multimodal, similarity, skew, text, timeseries
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "timeseries", "skew"]

@@ -1,0 +1,72 @@
+"""Skew mitigation — the knobs a 100 TB job needs when AQE isn't enough.
+
+Spark's AQE (enabled in get_spark: skewJoin + coalescePartitions) handles
+moderate skew by splitting oversized partitions at runtime. These helpers
+cover the cases it can't:
+
+  salted_join       — a join key so hot one key exceeds a single task's
+                      memory: salt the skewed (large) side N ways, replicate
+                      the small side N times. Shuffle becomes uniform at the
+                      cost of N× the small side (which must be the SMALL
+                      side — if both sides are huge AND skewed on the same
+                      hot keys, pre-aggregate or isolate the hot keys first).
+  two_stage_agg     — high-cardinality aggregation whose partial-agg hash
+                      map thrashes on a hot group: pre-aggregate on
+                      (key, salt), then final-aggregate on key. Only valid
+                      for algebraic aggs (sum/count/min/max — mergeable
+                      partials).
+
+The salt is deterministic (hash of a uniquifying column, not rand()) so
+retries/speculative tasks stay consistent — rand() in a shuffle key breaks
+exactly-once recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, salt_n: int, uniquifier: str) -> DataFrame:
+    """Deterministic salt column in [0, salt_n) from an existing column."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(F.col(uniquifier)), F.lit(salt_n)))
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_n: int = 8,
+    uniquifier: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `large` is skewed on `on`: salt large, explode-
+    replicate small across all salts, join on (key, salt)."""
+    uniquifier = uniquifier or large.columns[0]
+    lg = with_salt(large, salt_n, uniquifier)
+    sm = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+    out = lg.join(sm, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count: bool = True,
+    salt_n: int = 16,
+    uniquifier: str | None = None,
+) -> DataFrame:
+    """Salted two-stage aggregation for algebraic aggs: stage 1 groups on
+    (keys, salt) — hot keys split across salt_n reducers — stage 2 merges
+    partials on keys. Output: keys + sum_<c> per sum col + ct if count."""
+    sum_cols = sum_cols or []
+    uniquifier = uniquifier or df.columns[0]
+    salted = with_salt(df, salt_n, uniquifier)
+    partial_aggs = [F.sum(c).alias(f"_p_sum_{c}") for c in sum_cols]
+    if count:
+        partial_aggs.append(F.count("*").alias("_p_ct"))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    final_aggs = [F.sum(f"_p_sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    if count:
+        final_aggs.append(F.sum("_p_ct").cast("long").alias("ct"))
+    return partial.groupBy(*keys).agg(*final_aggs)
