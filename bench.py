@@ -36,6 +36,9 @@ HEADLINE = [
     "text_quality",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "asof_join_events",
+    "sessionize_stats",
+    "range_join_price_bands",
 ]
 
 

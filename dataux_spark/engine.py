@@ -42,7 +42,15 @@ from dataux_spark.sources import (
 class QueryError(Exception):
     """Invalid SQL or unresolvable query — returned as an error, never a
     crash (reference: graceful error path, backends/mongo/mgo_test.go:111-121,
-    per-query recover at mysql_handler.go:171-179)."""
+    per-query recover at mysql_handler.go:171-179).
+
+    The message always starts with a non-empty summary line (Spark analysis
+    errors can begin with blank lines, which breaks clients that show only
+    the first line)."""
+
+    def __init__(self, message: str):
+        lines = [ln for ln in str(message).splitlines() if ln.strip()]
+        super().__init__("\n".join(lines) if lines else "query failed")
 
 
 _TERMS_RE = re.compile(

@@ -1,0 +1,86 @@
+"""Plan audit — asserts the physical-plan properties each headline query is
+designed around (the 100 TB checklist): filter/column pushdown reaches the
+scan, dim joins broadcast, top-k avoids global sorts, no nested-loop joins
+sneak in, aggregations split partial/final.
+
+Usage: python3 tools/explain_audit.py [sf_dir]
+Exit 1 if any assertion fails — run after changing any query plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    # query -> list of (description, predicate over plan text)
+    "point_filter": [
+        ("filter pushed to scan", lambda p: "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in p),
+        ("columns pruned", lambda p: "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in p),
+    ],
+    "pricing_summary": [
+        ("date filter pushed", lambda p: "LessThanOrEqual(l_shipdate" in p),
+        ("partial+final agg", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "join_inner": [
+        ("dim broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no nested loop", lambda p: "BroadcastNestedLoop" not in p and "CartesianProduct" not in p),
+    ],
+    "join_5way_regional_revenue": [
+        ("all joins hash-based", lambda p: "BroadcastNestedLoop" not in p and "CartesianProduct" not in p),
+        ("region filter pushed", lambda p: "EqualTo(r_name,ASIA)" in p),
+    ],
+    "topk_order_limit": [
+        ("top-k not global sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "text_quality": [
+        ("only needed columns read", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "asof_join_events": [
+        ("no nested loop", lambda p: "BroadcastNestedLoop" not in p and "CartesianProduct" not in p),
+        ("window over keyed exchange", lambda p: "Window" in p and "hashpartitioning(user_id" in p),
+    ],
+    "sessionize_stats": [
+        ("single keyed shuffle for window", lambda p: "hashpartitioning(user_id" in p),
+    ],
+    "dedup_minhash_lsh": [
+        ("no cartesian candidate gen", lambda p: "CartesianProduct" not in p),
+    ],
+    "ann_cosine_topk": [
+        ("query side broadcast", lambda p: "BroadcastExchange" in p),
+    ],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from dataux_spark import get_spark
+    from dataux_spark import queries as Q
+
+    spark = get_spark("explain-audit")
+    registry = Q.queries()
+    failed = 0
+    for name, checks in CHECKS.items():
+        p = plan_of(registry[name](spark, sf_dir))
+        for desc, pred in checks:
+            ok = pred(p)
+            print(f"{'OK ' if ok else 'FAIL'} {name:28s} {desc}")
+            failed += 0 if ok else 1
+    print(f"\n{'ALL PLAN CHECKS PASS' if not failed else f'{failed} plan checks FAILED'}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
