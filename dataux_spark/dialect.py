@@ -164,8 +164,14 @@ def split_statements(sql: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def rewrite(sql: str, ctx: SessionContext | None = None) -> str:
-    """Rewrite one dataux-dialect statement into Spark SQL."""
+def rewrite(
+    sql: str, ctx: SessionContext | None = None, literal_dotted: set[str] | None = None
+) -> str:
+    """Rewrite one dataux-dialect statement into Spark SQL.
+
+    literal_dotted: column names that literally contain dots (flattened
+    sources) — their backtick tokens stay whole; all other backtick-dotted
+    tokens become struct access (`a.b` → `a`.`b`)."""
     ctx = ctx or SessionContext()
     sql = sql.strip().rstrip(";")
     sql = _DISTRIBUTED_HINT_RE.sub("", sql).strip()
@@ -191,12 +197,15 @@ def rewrite(sql: str, ctx: SessionContext | None = None) -> str:
 
     sql = _map_code(sql, fix_code)
 
-    # `a.b.c` → `a`.`b`.`c` (dotted nested-field identifiers)
+    # `a.b.c` → `a`.`b`.`c` (dotted nested-field identifiers), unless the
+    # dotted name IS a literal column of a flattened source
+    literal_dotted = literal_dotted or set()
     out = []
     for kind, text in _segments(sql):
         if kind == "btick" and "." in text:
             inner = text[1:-1]
-            text = ".".join(f"`{p}`" for p in inner.split("."))
+            if inner not in literal_dotted:
+                text = ".".join(f"`{p}`" for p in inner.split("."))
         out.append(text)
     return "".join(out)
 

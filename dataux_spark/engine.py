@@ -282,9 +282,19 @@ class Engine:
         m = _TERMS_RE.match(stmt.rstrip(";"))
         if m:
             return self._terms(m)
-        sql = dialect.rewrite(stmt, self.ctx)
+        sql = dialect.rewrite(stmt, self.ctx, literal_dotted=self._literal_dotted_columns())
         sql = self._rewrite_array_in(sql)
         return self._run_with_null_fallback(sql)
+
+    def _literal_dotted_columns(self) -> set[str]:
+        """Columns whose names literally contain dots (flattened sources —
+        e.g. an ES-style mapping walk); their backtick tokens must not be
+        split into struct access."""
+        out: set[str] = set()
+        for c in self._all_columns():
+            if "." in c:
+                out.add(c)
+        return out
 
     def _select_session_vars(self, select_list: str) -> DataFrame:
         """SELECT @@max_allowed_packet / SELECT @my_var
@@ -310,7 +320,9 @@ class Engine:
         table, where = m.group(3).strip("`"), m.group(4)
         df = self.spark.table(table)
         if where:
-            df = df.filter(dialect.rewrite(where, self.ctx))
+            df = df.filter(
+                dialect.rewrite(where, self.ctx, literal_dotted=self._literal_dotted_columns())
+            )
         return (
             df.groupBy(F.col(field).alias("key"))
             .agg(F.count("*").alias("count"))

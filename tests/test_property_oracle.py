@@ -1,0 +1,96 @@
+"""Property-based oracle fuzzing: hypothesis generates random predicate
+trees; the same SQL must return the same row count in Spark (via Engine,
+through the dialect pass) and DuckDB on the same parquet. This is the
+adversarial extension of the fixed tools/check.py inventory — it explores
+predicate shapes nobody hand-wrote (reference has no property tests;
+SURVEY §5 calls out our DuckDB-oracle plan)."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataux_spark import Engine
+
+NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+STR_COLS = ["o_orderstatus", "o_orderpriority"]
+STR_VALS = ["O", "F", "P", "1-URGENT", "2-HIGH", "3-MEDIUM", "nope"]
+NUM_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def num_pred():
+    return st.builds(
+        lambda c, op, v: f"{c} {op} {v}",
+        st.sampled_from(NUM_COLS),
+        st.sampled_from(NUM_OPS),
+        st.integers(min_value=-10, max_value=200000),
+    )
+
+
+def str_pred():
+    return st.one_of(
+        st.builds(
+            lambda c, op, v: f"{c} {op} '{v}'",
+            st.sampled_from(STR_COLS),
+            st.sampled_from(["=", "!="]),
+            st.sampled_from(STR_VALS),
+        ),
+        st.builds(
+            lambda c, vals: f"{c} IN ({', '.join(repr(v) for v in vals)})",
+            st.sampled_from(STR_COLS),
+            st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3),
+        ),
+        st.builds(
+            lambda c, v: f"{c} LIKE '%{v}%'",
+            st.sampled_from(STR_COLS),
+            st.sampled_from(["H", "1", "URG", "E", "zz"]),
+        ),
+    )
+
+
+def leaf():
+    return st.one_of(num_pred(), str_pred())
+
+
+predicate = st.recursive(
+    leaf(),
+    lambda children: st.builds(
+        lambda a, op, b: f"({a} {op} {b})",
+        children,
+        st.sampled_from(["AND", "OR"]),
+        children,
+    ),
+    max_leaves=4,
+)
+
+
+@pytest.fixture(scope="module")
+def harness(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_parquet_dir("prop", sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    return eng, con
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pred=predicate)
+def test_random_predicates_match_duckdb(harness, pred):
+    eng, con = harness
+    sql = f"SELECT count(*) AS ct FROM orders WHERE {pred}"
+    spark_ct = eng.sql(sql).collect()[0][0]
+    duck_ct = con.execute(sql).fetchone()[0]
+    assert spark_ct == duck_ct, sql
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pred=predicate, limit=st.integers(min_value=0, max_value=50))
+def test_random_filter_order_limit_match(harness, pred, limit):
+    eng, con = harness
+    sql = (
+        f"SELECT o_orderkey, o_totalprice FROM orders WHERE {pred} "
+        f"ORDER BY o_orderkey LIMIT {limit}"
+    )
+    a = [tuple(r) for r in eng.sql(sql).collect()]
+    b = con.execute(sql).fetchall()
+    assert a == b, sql
