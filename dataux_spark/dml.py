@@ -41,6 +41,14 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+WHERE\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+`?(\w+)`?\s+(?:AS\s+)?(\w+)?\s*"
+    r"USING\s+`?(\w+)`?\s+(?:AS\s+)?(\w+)?\s*"
+    r"ON\s+(.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -141,6 +149,9 @@ def execute_dml(spark: SparkSession, store: TableStore, sql: str) -> DmlResult:
     m = _UPDATE_RE.match(sql)
     if m:
         return _update(spark, store, m)
+    m = _MERGE_RE.match(sql)
+    if m:
+        return _merge(spark, store, m)
     m = _DELETE_RE.match(sql)
     if m:
         return _delete(spark, store, m)
@@ -196,6 +207,67 @@ def _update(spark, store: TableStore, m) -> DmlResult:
             out_cols.append(F.col(f.name))
     store.commit(table, df.select(*out_cols))
     return DmlResult(affected)
+
+
+def _merge(spark, store: TableStore, m) -> DmlResult:
+    """MERGE INTO target USING source ON cond WHEN MATCHED THEN UPDATE SET
+    ... WHEN NOT MATCHED THEN INSERT (...) VALUES (...) — the Delta/Iceberg
+    MERGE shape, executed as the classic join-rewrite:
+      matched   = target ⋈ source (update exprs applied)
+      unmatched = target anti-join source (kept as-is)
+      inserts   = source anti-join target (insert exprs applied)
+    One keyed shuffle per leg; exactly the plan Delta generates. Affected =
+    matched + inserted. Beyond-reference extension (reference stops at
+    UPSERT-by-key, SURVEY §3.3)."""
+    (target_name, talias, source_name, salias, cond,
+     set_clause, ins_cols, ins_vals) = m.groups()
+    talias = talias or target_name
+    salias = salias or source_name
+    target = store.current(target_name).alias(talias)
+    source = store.current(source_name).alias(salias)
+    on = F.expr(cond)
+
+    assignments = {}
+    for part in _split_top_level(set_clause):
+        col, expr = part.split("=", 1)
+        assignments[col.strip().strip("`").split(".")[-1]] = expr.strip()
+
+    tcols = store.current(target_name).schema.fields
+    matched = target.join(source, on, "inner")
+    n_matched = matched.count()
+    updated = matched.select(
+        *[
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f"{talias}.{f.name}")
+            for f in tcols
+        ]
+    )
+    untouched = target.join(source, on, "left_anti").select(
+        *[F.col(f"{talias}.{f.name}") for f in tcols]
+    )
+    if ins_cols:
+        cols = [c.strip().strip("`") for c in ins_cols.split(",")]
+        vals = _split_top_level(ins_vals)
+        vmap = dict(zip(cols, vals))
+        insert_sel = [
+            F.expr(vmap[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in vmap
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in tcols
+        ]
+    else:  # INSERT * — source columns by name
+        src_cols = set(store.current(source_name).columns)
+        insert_sel = [
+            F.col(f"{salias}.{f.name}").cast(f.dataType).alias(f.name)
+            if f.name in src_cols
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in tcols
+        ]
+    inserts = source.join(target, on, "left_anti").select(*insert_sel)
+    n_inserts = inserts.count()
+    store.commit(target_name, untouched.unionByName(updated).unionByName(inserts))
+    return DmlResult(n_matched + n_inserts)
 
 
 def _delete(spark, store: TableStore, m) -> DmlResult:

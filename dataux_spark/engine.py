@@ -188,7 +188,7 @@ class Engine:
                             self.spark.catalog.dropTempView(t)
                     return None
                 # fall through: let Spark SQL handle CREATE VIEW etc.
-            if head in ("INSERT", "UPSERT", "UPDATE", "DELETE"):
+            if head in ("INSERT", "UPSERT", "UPDATE", "DELETE", "MERGE"):
                 return execute_dml(self.spark, self.store, dialect.rewrite(stmt, self.ctx))
             return self._select(stmt)
         except QueryError:

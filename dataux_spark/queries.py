@@ -904,6 +904,114 @@ def multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "mime", "n_bytes", "digest")
 
 
+# --- subqueries / CTE / cross-source / lateral / array ops ----------------
+
+@_q(
+    "cross_source_join",
+    "SELECT n.n_name, count(*) AS ct FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def cross_source_join(spark, sf_dir):
+    """Cross-source join — the reference's flagship federation feature
+    (backends/tests/multi_backend_test.go:168-200): one side comes from a
+    different 'backend' (materialized in-memory, as a Mongo/ES scan would
+    be), joined against the parquet source. Catalyst broadcasts the
+    materialized side; same plan as a single-source join."""
+    sup = read_table(spark, sf_dir, "supplier")
+    nation_rows = read_table(spark, sf_dir, "nation").collect()  # other-backend scan
+    nation = spark.createDataFrame(nation_rows)
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
+@_q(
+    "correlated_subquery",
+    "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders o "
+    "WHERE o_totalprice > 3 * (SELECT avg(o2.o_totalprice) FROM orders o2 "
+    "WHERE o2.o_custkey = o.o_custkey)",
+)
+def correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates this into an
+    aggregate + join (the reference has no subquery support at all;
+    SURVEY §4 'subquery decorrelation: absent')."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q_corr_orders")
+    return spark.sql(
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM q_corr_orders o "
+        "WHERE o_totalprice > 3 * (SELECT avg(o2.o_totalprice) FROM q_corr_orders o2 "
+        "WHERE o2.o_custkey = o.o_custkey)"
+    )
+
+
+@_q(
+    "cte_scalar_subquery",
+    "WITH seg AS (SELECT c_mktsegment, round(avg(c_acctbal), 4) AS seg_avg "
+    "FROM customer GROUP BY c_mktsegment) "
+    "SELECT c_mktsegment, seg_avg, "
+    "round(seg_avg - (SELECT round(avg(c_acctbal), 4) FROM customer), 4) AS delta "
+    "FROM seg",
+)
+def cte_scalar_subquery(spark, sf_dir):
+    """CTE + uncorrelated scalar subquery."""
+    c = read_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("q_cte_customer")
+    return spark.sql(
+        "WITH seg AS (SELECT c_mktsegment, round(avg(c_acctbal), 4) AS seg_avg "
+        "FROM q_cte_customer GROUP BY c_mktsegment) "
+        "SELECT c_mktsegment, seg_avg, "
+        "round(seg_avg - (SELECT round(avg(c_acctbal), 4) FROM q_cte_customer), 4) AS delta "
+        "FROM seg"
+    )
+
+
+@_q(
+    "explode_top_tokens",
+    "SELECT tok, count(*) AS ct FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+')) AS tok FROM documents) GROUP BY tok ORDER BY ct DESC, tok LIMIT 10",
+)
+def explode_top_tokens(spark, sf_dir):
+    """Table function / lateral view: explode tokens → global top-10 terms
+    (UDTF surface, SURVEY §2.9 — explode is Spark's generator; DuckDB twin
+    is unnest)."""
+    from dataux_spark.operators.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("tok"))
+        .limit(10)
+    )
+
+
+@_q(
+    "array_functions",
+    "SELECT vec_id, round(list_max(embedding::DOUBLE[]), 6) AS mx, "
+    "round(list_min(embedding::DOUBLE[]), 6) AS mn, "
+    "round(list_sum(embedding::DOUBLE[]), 6) AS sm, len(embedding)::INT AS n "
+    "FROM embeddings WHERE vec_id < 20",
+)
+def array_functions(spark, sf_dir):
+    """Array/map expression surface over the embedding column (qlbridge
+    Slice/Map value types, SURVEY §1.2) — higher-order aggregate stays
+    JVM-side."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    dvec = F.expr("transform(embedding, x -> cast(x as double))")
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(dvec), 6).alias("mx"),
+        F.round(F.array_min(dvec), 6).alias("mn"),
+        F.round(F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double)), cast(0 as double), (a, x) -> a + x)"
+        ), 6).alias("sm"),
+        F.size("embedding").cast("int").alias("n"),
+    )
+
+
 # --- time-series: as-of join / range join / sessionization ----------------
 
 @_q(

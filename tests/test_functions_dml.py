@@ -62,6 +62,25 @@ def test_date_part_shims(eng, spark):
     assert tuple(row) == (2024, 3, 15, 13)
 
 
+def test_merge_into(spark):
+    eng = Engine(spark)
+    target = spark.createDataFrame(
+        [Row(id=1, name="a", qty=10), Row(id=2, name="b", qty=20), Row(id=3, name="c", qty=30)]
+    )
+    updates = spark.createDataFrame(
+        [Row(id=2, name="b2", qty=5), Row(id=4, name="d", qty=40)]
+    )
+    eng.register_memory("mrg", {"tgt": target, "src": updates})
+    r = eng.sql(
+        "MERGE INTO tgt t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = s.name, qty = t.qty + s.qty "
+        "WHEN NOT MATCHED THEN INSERT (id, name, qty) VALUES (s.id, s.name, s.qty)"
+    )
+    assert r.affected == 2  # 1 matched + 1 inserted
+    rows = {r.id: (r.name, r.qty) for r in eng.sql("SELECT * FROM tgt").collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30), 4: ("d", 40)}
+
+
 def test_parquet_backed_dml_roundtrip(spark, sf_dir, tmp_path):
     eng = Engine(spark)
     eng.register_writable_parquet(
