@@ -1186,6 +1186,52 @@ def dedup_keep_best(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_clean_pipeline",
+    """
+    WITH stats AS (
+      SELECT doc_id, n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+      FROM stats WHERE n_tokens >= 30
+    )
+    SELECT count(*) AS n_kept,
+           (SELECT count(*) FROM documents) AS n_total,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp
+    FROM kept WHERE rn = 1
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """The composed corpus-cleaning flow (quality gate → fingerprint dedup
+    with survivor selection → summary): the canonical LLM-training-data
+    pipeline, end to end in one plan. At 100 TB each stage is the same
+    shape — scan-projection filters, one digest shuffle, one window."""
+    from dataux_spark.operators.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    total = docs.count()
+    stats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+        ).alias("fp"),
+    ).filter(F.col("n_tokens") >= 30)
+    w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    kept = stats.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.lit(total).alias("n_total"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique_fp"),
+    )
+
+
 # ------------------------------------------------------------------ export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -160,6 +160,11 @@ def test_q18_session_vars(eng):
     assert rows(eng.sql("SELECT @@max_allowed_packet"))[0][0] == 67108864
     eng.sql('SET @my_test_var = "hello world"')
     assert rows(eng.sql("SELECT @my_test_var")) == [("hello world",)]
+    # session-scoped spelling + var inside a real query (mgo_test.go:123-173)
+    assert rows(eng.sql("SELECT @@session.auto_increment_increment"))[0][0] == 1
+    eng.sql("SET @cnt_floor = 20")
+    out = rows(eng.sql("SELECT title FROM article WHERE count > @cnt_floor"))
+    assert {r[0] for r in out} == {"article1", "zarticle3"}
 
 
 # -- 19: SHOW / DESCRIBE layouts (mgo_test.go:175-301)
