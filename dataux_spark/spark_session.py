@@ -34,6 +34,11 @@ def get_spark(app_name: str = "dataux_spark", extra_conf: dict | None = None) ->
         # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
         # unreadable; read as long and convert to µs in the source layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf: bucketed saveAsTable target (keep out of the repo CWD)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dataux_spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

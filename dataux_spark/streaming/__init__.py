@@ -3,6 +3,7 @@ from dataux_spark.streaming.ops import (
     session_window_agg,
     stateful_user_counter,
     stream_events,
+    stream_stream_join,
     windowed_agg,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_agg",
     "session_window_agg",
     "stateful_user_counter",
+    "stream_stream_join",
     "run_to_memory",
 ]

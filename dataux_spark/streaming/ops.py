@@ -97,6 +97,34 @@ def session_window_agg(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left event pairs with right events of
+    the same key from the preceding `lookback` window.
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    right row can be dropped once the left watermark passes its ts +
+    lookback (Structured Streaming derives the state TTL from the range
+    condition — unbounded-state stream joins are rejected without it)."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.ts >= l.ts - INTERVAL {lookback} AND r.ts <= l.ts"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.event_id").alias("left_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 STATE_SCHEMA = "n_events bigint, total double"
 COUNTER_OUT_SCHEMA = "user_id bigint, n_events bigint, total double"
 

@@ -70,6 +70,45 @@ def test_session_window_agg_equals_batch_sessionize(spark, stream, batch):
     assert stream_sessions == batch_sessions
 
 
+def test_stream_stream_join_equals_batch(spark, stream, batch):
+    """Stream-stream join (clicks × errors within 1h lookback) must equal
+    the same join computed in batch."""
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    errors_s = stream.filter(F.col("event_type") == "error")
+    out = S.run_to_memory(
+        S.stream_stream_join(clicks_s, errors_s, lookback="1 hour"), "ssj"
+    )
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+
+    c = batch.filter(F.col("event_type") == "click").alias("l")
+    e = batch.filter(F.col("event_type") == "error").alias("r")
+    b = c.join(
+        e,
+        F.expr("l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"),
+    ).select(F.col("l.event_id").alias("li"), F.col("r.event_id").alias("ri"))
+    expect = {(r.li, r.ri) for r in b.collect()}
+    # append-mode may withhold pairs newer than the final watermark;
+    # everything emitted must be correct and the stable region complete
+    assert got <= expect
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(hours=3)  # watermark 2h + lookback 1h
+    stable = {
+        (r.li, r.ri)
+        for r in c.join(
+            e,
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"
+            ),
+        )
+        .filter(F.col("l.ts") < F.lit(horizon))
+        .select(F.col("l.event_id").alias("li"), F.col("r.event_id").alias("ri"))
+        .collect()
+    }
+    assert stable <= got
+
+
 def test_stateful_counter_totals(spark, stream, batch):
     out = S.run_to_memory(
         S.stateful_user_counter(stream), "user_totals", output_mode="update"
