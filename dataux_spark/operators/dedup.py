@@ -259,6 +259,65 @@ def simhash_pairs(
     )
 
 
+# ---------------------------------------------------- duplicate clustering
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10
+) -> DataFrame:
+    """Cluster near-dup pairs into duplicate groups: iterative min-label
+    propagation over the undirected pair graph (the standard distributed
+    connected-components loop — large-star/small-star simplified to
+    neighbor-min, which converges in O(diameter) rounds; near-dup clusters
+    are shallow, so a handful of rounds suffices).
+
+    Each round is one groupBy shuffle on the node id; no driver-side
+    union-find, no collect. Every round's labels are localCheckpoint'ed —
+    WITHOUT lineage truncation an iterative DataFrame loop builds an
+    exponentially deep plan and Catalyst analysis itself becomes the
+    bottleneck after ~10 rounds (at any data size). Returns
+    (node, cluster) where cluster is the min node id reachable.
+    Early-stops when labels stop changing."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # -------------------------------------------------- embedding cosine dedup
 
 def embedding_neardup_pairs(

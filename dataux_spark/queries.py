@@ -760,6 +760,46 @@ def dedup_simhash(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE g AS (
+      SELECT doc_id AS _id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a._id AS id_a, b._id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+      SELECT DISTINCT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT node, min(r) AS cluster FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: near-dup pairs → connected components via
+    distributed min-label propagation (operators/dedup.py). The oracle
+    computes exact transitive closure with a recursive CTE — label
+    propagation must converge to the same clusters."""
+    from dataux_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", ["lang"], n=3, threshold=0.5
+    )
+    return connected_components(pairs)
+
+
+@_q(
     "embedding_neardup",
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos "

@@ -71,6 +71,26 @@ def test_simhash_identical_docs_distance_zero(spark, docs):
         assert (orig, orig + 100000) in found
 
 
+def test_connected_components_chain_and_cliques(spark):
+    """Chain graph = worst case: diameter >> 1 forces many propagation
+    rounds — guards the lineage-truncation fix (without localCheckpoint the
+    loop's plan depth explodes and analysis hangs)."""
+    from pyspark.sql import Row
+
+    chain = [Row(id_a=i, id_b=i + 1) for i in range(100, 111)]
+    tri = [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=1, id_b=3)]
+    pair = [Row(id_a=50, id_b=51)]
+    labels = {
+        r.node: r.cluster
+        for r in dedup.connected_components(
+            spark.createDataFrame(chain + tri + pair), max_iter=20
+        ).collect()
+    }
+    assert all(labels[n] == 100 for n in range(100, 112))
+    assert all(labels[n] == 1 for n in (1, 2, 3))
+    assert labels[50] == 50 and labels[51] == 50
+
+
 def test_embedding_neardup_self_similarity(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings").limit(10)
     dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
