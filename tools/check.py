@@ -5,7 +5,11 @@ matching oracle_sql() in DuckDB over the same parquet (tables registered as
 views), and compares: row count, column-name set, and order-insensitive
 cell values (exact; floats must match after the query's own rounding).
 
-Usage: python3 tools/check.py [sf_dir] [query ...]
+Usage: python3 tools/check.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla: use a bare SparkSession (no dataux_spark.get_spark configs) —
+simulates the external driver, which builds its own session; catches
+queries that accidentally depend on our session configuration.
 """
 
 from __future__ import annotations
@@ -71,13 +75,28 @@ def compare(name, sdf, con, osql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from dataux_spark import get_spark
 
-    spark = get_spark("check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    else:
+        from dataux_spark import get_spark
+
+        spark = get_spark("check")
     con = duck_connect(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
