@@ -58,6 +58,187 @@ def _map_code(sql: str, fn) -> str:
     return "".join(out)
 
 
+# ------------------------------------------------------- builtin macros
+# qlbridge builtins that are NOT pure renames of a Spark native: dotted
+# names Spark's parser rejects (hash.md5), argument reordering (join →
+# concat_ws puts the separator first), index-base shifts (array.index is
+# 0-based), or literal-unit branches (unixtrunc).  The reference loads this
+# library wholesale (frontends/mysqlfe/testmysql/runtestserver.go:74 —
+# builtins.LoadAllBuiltins), so these spellings are part of the accepted
+# dialect.  Expanded textually (balanced-paren, quote-aware, recursive) into
+# JVM-native Spark expressions so everything stays inside whole-stage
+# codegen — no Python in the hot path.
+
+
+def _m_join(args):
+    # qlbridge join(v1, v2, ..., sep): separator is the LAST argument.
+    if len(args) < 2:
+        return None
+    return f"concat_ws({args[-1]}, {', '.join(args[:-1])})"
+
+
+def _m_array_slice(args):
+    # qlbridge array.slice(a, start[, end]) — 0-based, end-exclusive.
+    if len(args) == 3:
+        a, s, e = args
+        return f"slice({a}, ({s})+1, greatest(({e})-({s}), 0))"
+    if len(args) == 2:
+        a, s = args
+        return f"slice({a}, ({s})+1, greatest(size({a})-({s}), 0))"
+    return None
+
+
+def _m_unixtrunc(args):
+    # qlbridge unixtrunc(t[, unit]): epoch as STRING; unit 'ms' → millis.
+    if not args:
+        return None
+    unit = args[1].strip().strip("'\"").lower() if len(args) > 1 else "s"
+    if unit == "ms":
+        return f"cast(unix_millis(cast({args[0]} AS TIMESTAMP)) AS STRING)"
+    return f"cast(unix_timestamp({args[0]}) AS STRING)"
+
+
+_MACROS = {
+    "hash.md5": lambda a: f"md5({a[0]})" if len(a) == 1 else None,
+    "hash.sha1": lambda a: f"sha1({a[0]})" if len(a) == 1 else None,
+    "hash.sha256": lambda a: f"sha2({a[0]}, 256)" if len(a) == 1 else None,
+    "hash.sha512": lambda a: f"sha2({a[0]}, 512)" if len(a) == 1 else None,
+    # sip-hash is not in the JVM; xxhash64 is the documented stand-in
+    # (same contract: fast deterministic 64-bit hash of the input string).
+    "hash.sip": lambda a: f"xxhash64({a[0]})" if len(a) == 1 else None,
+    "encoding.b64encode": lambda a: f"base64(cast({a[0]} AS BINARY))" if len(a) == 1 else None,
+    "encoding.b64decode": lambda a: f"cast(unbase64({a[0]}) AS STRING)" if len(a) == 1 else None,
+    # jmespath dot-path subset → JSONPath (covers the field/nested-field
+    # shapes qlbridge's own tests exercise)
+    "json.jmespath": lambda a: f"get_json_object({a[0]}, concat('$.', {a[1]}))" if len(a) == 2 else None,
+    "array.index": lambda a: f"element_at({a[0]}, ({a[1]})+1)" if len(a) == 2 else None,
+    "array.slice": _m_array_slice,
+    "join": _m_join,
+    "mapinvert": lambda a: f"map_from_arrays(map_values({a[0]}), map_keys({a[0]}))" if len(a) == 1 else None,
+    # Go time.Weekday() is 0=Sunday; Spark dayofweek() is 1=Sunday.
+    "hourofweek": lambda a: f"((dayofweek({a[0]})-1)*24 + hour({a[0]}))" if len(a) == 1 else None,
+    "unixtrunc": _m_unixtrunc,
+    # qlbridge extract(t, strftime-fmt); 1-arg form stays ANSI
+    # EXTRACT(field FROM source), which parses as a single argument here.
+    "extract": lambda a: f"qb_strftime({a[0]}, {a[1]})" if len(a) == 2 else None,
+}
+
+_MACRO_RE = re.compile(
+    r"(" + "|".join(re.escape(k) for k in sorted(_MACROS, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+# Words after which `join(` is a function call, not the JOIN keyword
+# followed by a parenthesized subquery/table-ref.
+_FUNC_CTX_KEYWORDS = {
+    "select", "where", "and", "or", "not", "when", "then", "else", "end",
+    "on", "having", "in", "by", "as", "distinct", "all", "like", "between",
+    "case", "coalesce", "concat", "if", "ifnull", "nullif", "return", "set",
+}
+
+_SUBQUERY_START_RE = re.compile(r"\s*(select|with|values|table)\b", re.IGNORECASE)
+
+
+def _skip_quoted(sql: str, i: int) -> int:
+    """Return index just past the quoted region starting at sql[i]."""
+    q = sql[i]
+    j = i + 1
+    n = len(sql)
+    while j < n:
+        if sql[j] == "\\" and q in "'\"" and j + 1 < n:
+            j += 2
+            continue
+        if sql[j] == q:
+            # '' / "" escape-by-doubling
+            if q in "'\"" and j + 1 < n and sql[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _parse_call_args(sql: str, open_paren: int):
+    """From the '(' at open_paren, return (args, end_index_past_close) with
+    args split on top-level commas, or (None, open_paren) if unbalanced."""
+    depth = 0
+    args, buf = [], []
+    j = open_paren
+    n = len(sql)
+    while j < n:
+        ch = sql[j]
+        if ch in "'\"`":
+            k = _skip_quoted(sql, j)
+            buf.append(sql[j:k])
+            j = k
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                j += 1
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, j + 1
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+            j += 1
+            continue
+        buf.append(ch)
+        j += 1
+    return None, open_paren
+
+
+def _join_is_function(prev_text: str, args) -> bool:
+    """Disambiguate `join(` the qlbridge builtin from the SQL JOIN keyword
+    followed by a parenthesized subquery or table reference."""
+    if args and _SUBQUERY_START_RE.match(args[0]):
+        return False
+    prev = prev_text.rstrip()
+    if not prev:
+        return True
+    if prev[-1] in "(,=<>+-*/%|!":
+        return True
+    m = re.search(r"([A-Za-z_][\w]*)$", prev)
+    return bool(m) and m.group(1).lower() in _FUNC_CTX_KEYWORDS
+
+
+def expand_macros(sql: str) -> str:
+    """Expand qlbridge builtin macro calls (quote-aware, recursive)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _MACRO_RE.match(sql, i)
+        if not m or (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_.`$")):
+            out.append(ch)
+            i += 1
+            continue
+        args, j = _parse_call_args(sql, m.end() - 1)
+        if args is None:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(1).lower()
+        if name == "join" and not _join_is_function("".join(out), args):
+            out.append(sql[i:j])
+            i = j
+            continue
+        args = [expand_macros(a) for a in args]
+        repl = _MACROS[name](args)
+        out.append(repl if repl is not None else sql[i:j])
+        i = j
+    return "".join(out)
+
+
 # ---------------------------------------------------------------- rewrites
 
 _DISTRIBUTED_HINT_RE = re.compile(
@@ -89,6 +270,7 @@ _FN_RENAMES = {
     "todatetime": "todate",           # same loose parser
     "mapkeys": "map_keys",
     "mapvalues": "map_values",
+    "len": "length",
 }
 _FN_RENAME_RE = re.compile(
     r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.IGNORECASE
@@ -175,6 +357,7 @@ def rewrite(
     ctx = ctx or SessionContext()
     sql = sql.strip().rstrip(";")
     sql = _DISTRIBUTED_HINT_RE.sub("", sql).strip()
+    sql = expand_macros(sql)
 
     def fix_code(code: str) -> str:
         code = _CAST_CHAR_RE.sub("AS STRING)", code)

@@ -36,8 +36,29 @@ def _todate(s: pd.Series) -> pd.Series:
         return out
 
 
+@F.pandas_udf(T.StringType())
+def _qb_strftime(ts: pd.Series, fmt: pd.Series) -> pd.Series:
+    """qlbridge extract(t, strftime-fmt) — C-style format codes, which
+    Spark's date_format (Java patterns) can't take directly.  Arrow-batched;
+    the format is almost always a literal, so the vectorized single-format
+    path is the hot one."""
+    t = pd.to_datetime(ts, errors="coerce")
+    if fmt.nunique(dropna=True) <= 1:
+        f = fmt.dropna().iloc[0] if fmt.notna().any() else None
+        if f is None:
+            return pd.Series([None] * len(ts), dtype=object)
+        out = t.dt.strftime(f)
+        return out.where(t.notna(), None)
+    return pd.Series(
+        [None if (pd.isna(a) or b is None) else a.strftime(b) for a, b in zip(t, fmt)],
+        dtype=object,
+    )
+
+
 def register_all(spark: SparkSession) -> None:
     spark.udf.register("todate", _todate)
+    spark.udf.register("qb_strftime", _qb_strftime)
+    spark.udf.register("seconds", _seconds, T.DoubleType())
 
     # qlbridge-builtin spellings Spark lacks (qlbridge builtins loaded
     # wholesale at runtestserver.go:74; usage shapes in SURVEY §2.8).
@@ -63,6 +84,10 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("domain", _domain, T.StringType())
     spark.udf.register("urlpath", _urlpath, T.StringType())
     spark.udf.register("qs", _qs, T.StringType())
+    spark.udf.register("urldecode", _urldecode, T.StringType())
+    spark.udf.register("urlmain", _urlmain, T.StringType())
+    spark.udf.register("urlminusqs", _urlminusqs, T.StringType())
+    spark.udf.register("useragent", _useragent, T.StringType())
 
 
 def _toint(s):
@@ -132,3 +157,78 @@ def _qs(s, param):
         return None
     vals = parse_qs(u.query).get(param)
     return vals[0] if vals else None
+
+
+def _seconds(v):
+    """qlbridge seconds(): '[[hh:]mm:]ss' or plain number → float seconds."""
+    if v is None:
+        return None
+    s = str(v).strip()
+    if ":" in s:
+        try:
+            nums = [float(p) for p in s.split(":")]
+        except ValueError:
+            return None
+        sec = 0.0
+        for p in nums:
+            sec = sec * 60 + p
+        return sec
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _urldecode(s):
+    from urllib.parse import unquote_plus
+
+    return unquote_plus(s) if isinstance(s, str) else None
+
+
+def _urlmain(s):
+    """qlbridge urlmain(): host + path, scheme and query stripped."""
+    u = _parse_url(s)
+    if not u or not u.hostname:
+        return None
+    return u.hostname + (u.path or "")
+
+
+def _urlminusqs(s, param):
+    """qlbridge urlminusqs(url, qskey): url with that one qs param removed."""
+    from urllib.parse import parse_qsl, urlencode, urlunparse
+
+    if not isinstance(s, str) or param is None:
+        return None
+    u = _parse_url(s)
+    if not u:
+        return None
+    pairs = [(k, v) for k, v in parse_qsl(u.query, keep_blank_values=True) if k != param]
+    rebuilt = urlunparse((u.scheme, u.netloc, u.path, u.params, urlencode(pairs), u.fragment))
+    return rebuilt
+
+
+_UA_BOTS = ("bot", "crawler", "spider", "slurp", "archiver")
+_UA_BROWSERS = ("edge", "opr", "opera", "chrome", "firefox", "safari", "msie", "trident")
+_UA_OSES = ("windows", "android", "iphone", "ipad", "mac os", "macintosh", "linux", "cros")
+
+
+def _useragent(s, attr):
+    """qlbridge useragent(ua, attr) — reference uses a UA-parser library;
+    that isn't in this container, so this is a deterministic heuristic
+    covering the attrs qlbridge exposes (bot/browser/os)."""
+    if not isinstance(s, str) or attr is None:
+        return None
+    ua, attr = s.lower(), str(attr).lower()
+    if attr == "bot":
+        return "true" if any(b in ua for b in _UA_BOTS) else "false"
+    if attr == "browser":
+        for name in _UA_BROWSERS:
+            if name in ua:
+                return {"opr": "opera", "trident": "msie"}.get(name, name)
+        return "unknown"
+    if attr == "os":
+        for name in _UA_OSES:
+            if name in ua:
+                return {"macintosh": "mac os", "cros": "chrome os"}.get(name, name)
+        return "unknown"
+    return None

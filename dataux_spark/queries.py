@@ -624,6 +624,60 @@ def case_string_math(spark, sf_dir):
 
 
 @_q(
+    "qlbridge_builtins",
+    "SELECT c_custkey, "
+    "md5(c_name) AS name_md5, "
+    "sha256(c_name) AS name_sha256, "
+    "base64(encode(c_name)) AS name_b64, "
+    "length(c_name) AS name_len, "
+    "concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat "
+    "FROM customer WHERE c_custkey <= 200",
+)
+def qlbridge_builtins(spark, sf_dir):
+    """qlbridge builtin spellings through the dialect macro expander —
+    hash.*, encoding.b64encode, len, join(args.., sep) (reference loads the
+    library wholesale: frontends/mysqlfe/testmysql/runtestserver.go:74).
+    Everything expands to JVM-native expressions (md5/sha2/base64/length/
+    concat_ws) — no Python in the plan."""
+    from dataux_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir("tpch", sf_dir)
+    return eng.sql(
+        "SELECT c_custkey, "
+        "hash.md5(c_name) AS name_md5, "
+        "hash.sha256(c_name) AS name_sha256, "
+        "encoding.b64encode(c_name) AS name_b64, "
+        "len(c_name) AS name_len, "
+        "join(c_mktsegment, CAST(c_nationkey AS CHAR), '-') AS seg_nat "
+        "FROM customer WHERE c_custkey <= 200"
+    )
+
+
+@_q(
+    "qlbridge_datefuncs",
+    "SELECT strftime(o_orderdate, '%Y-%m') AS ym, "
+    "(dayofweek(o_orderdate))*24 AS how, "
+    "count(*) AS ct "
+    "FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2",
+)
+def qlbridge_datefuncs(spark, sf_dir):
+    """qlbridge date builtins: extract(t, strftime-fmt) via Arrow-batched
+    qb_strftime, hourofweek via native dayofweek/hour arithmetic (Go
+    weekday is 0=Sunday — dialect shifts Spark's 1-based).  Oracle twin uses
+    DuckDB strftime/dayofweek (also 0=Sunday)."""
+    from dataux_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir("tpch", sf_dir)
+    return eng.sql(
+        "SELECT extract(o_orderdate, '%Y-%m') AS ym, "
+        "hourofweek(o_orderdate) AS how, count(*) AS ct "
+        "FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2"
+    )
+
+
+@_q(
     "date_extract",
     "SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, "
     "count(*) AS ct FROM orders GROUP BY 1, 2",

@@ -1,0 +1,106 @@
+"""qlbridge builtin-library surface through Engine.sql().
+
+The reference loads qlbridge's entire builtin function library
+(frontends/mysqlfe/testmysql/runtestserver.go:74 — builtins.LoadAllBuiltins),
+so its dialect accepts these spellings.  Dialect macros expand them to
+JVM-native Spark expressions (dialect.expand_macros); only the strftime
+formatter and the url/ua helpers are Python UDFs.
+"""
+
+import hashlib
+
+import pytest
+
+
+def one(eng, expr, alias="v"):
+    return eng.sql(f"SELECT {expr} AS {alias}").collect()[0][alias]
+
+
+def test_hash_family(engine):
+    assert one(engine, "hash.md5('a')") == hashlib.md5(b"a").hexdigest()
+    assert one(engine, "hash.sha1('a')") == hashlib.sha1(b"a").hexdigest()
+    assert one(engine, "hash.sha256('a')") == hashlib.sha256(b"a").hexdigest()
+    assert one(engine, "hash.sha512('a')") == hashlib.sha512(b"a").hexdigest()
+    # sip-hash stand-in: deterministic 64-bit
+    v1, v2 = one(engine, "hash.sip('abc')"), one(engine, "hash.sip('abc')")
+    assert isinstance(v1, int) and v1 == v2
+    assert one(engine, "hash.sip('abc')") != one(engine, "hash.sip('abd')")
+
+
+def test_encoding_roundtrip(engine):
+    assert one(engine, "encoding.b64encode('hello')") == "aGVsbG8="
+    assert one(engine, "encoding.b64decode(encoding.b64encode('hello'))") == "hello"
+
+
+def test_json_jmespath(engine):
+    assert one(engine, "json.jmespath('{\"a\": {\"b\": 3}}', 'a.b')") == "3"
+    assert one(engine, "json.jmespath('{\"name\": \"x\"}', 'name')") == "x"
+
+
+def test_array_index_slice(engine):
+    # qlbridge arrays are 0-based
+    assert one(engine, "array.index(array(10, 20, 30), 1)") == 20
+    assert one(engine, "array.slice(array(1, 2, 3, 4), 1, 3)") == [2, 3]
+    assert one(engine, "array.slice(array(1, 2, 3, 4), 2)") == [3, 4]
+
+
+def test_join_builtin_vs_join_keyword(engine):
+    # function form: separator last (qlbridge) → concat_ws (separator first)
+    assert one(engine, "join('a', 'b', 'c', '-')") == "a-b-c"
+    # JOIN keyword followed by a subquery must NOT be treated as the builtin
+    rows = engine.sql(
+        "SELECT n.n_name FROM nation n JOIN (SELECT 0 AS rk) r ON n.n_regionkey = r.rk"
+    ).collect()
+    assert len(rows) > 0
+
+
+def test_len_mapinvert(engine):
+    assert one(engine, "len('abcd')") == 4
+    assert one(engine, "mapinvert(map('a', '1', 'b', '2'))") == {"1": "a", "2": "b"}
+
+
+def test_extract_strftime(engine):
+    assert one(engine, "extract(todate('2020-02-03'), '%Y/%m')") == "2020/02"
+    # ANSI EXTRACT must survive untouched
+    assert one(engine, "EXTRACT(YEAR FROM DATE '2020-02-03')") == 2020
+
+
+def test_unixtrunc_utc(engine):
+    assert one(engine, "unixtrunc(timestamp'2020-01-01 00:00:00Z')") == "1577836800"
+    assert one(engine, "unixtrunc(timestamp'2020-01-01 00:00:00Z', 'ms')") == "1577836800000"
+
+
+def test_hourofweek(engine):
+    # 2020-02-03 is a Monday; Go weekday Monday=1 → 1*24 + 5
+    assert one(engine, "hourofweek(timestamp'2020-02-03 05:00:00')") == 29
+
+
+def test_seconds(engine):
+    assert one(engine, "seconds('1:30')") == 90.0
+    assert one(engine, "seconds('01:01:01')") == 3661.0
+    assert one(engine, "seconds('2.5')") == 2.5
+    assert one(engine, "seconds('junk')") is None
+
+
+def test_url_family(engine):
+    u = "'http://www.example.io/blog/x?utm=1&k=2'"
+    assert one(engine, f"urlmain({u})") == "www.example.io/blog/x"
+    assert one(engine, f"urlminusqs({u}, 'utm')") == "http://www.example.io/blog/x?k=2"
+    assert one(engine, "urldecode('a%20b+c')") == "a b c"
+
+
+def test_useragent_heuristic(engine):
+    bot = "'Mozilla/5.0 (compatible; Googlebot/2.1)'"
+    chrome = "'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0'"
+    assert one(engine, f"useragent({bot}, 'bot')") == "true"
+    assert one(engine, f"useragent({chrome}, 'bot')") == "false"
+    assert one(engine, f"useragent({chrome}, 'browser')") == "chrome"
+    assert one(engine, f"useragent({chrome}, 'os')") == "windows"
+
+
+def test_macros_inside_where(engine):
+    rows = engine.sql(
+        "SELECT c_custkey FROM customer "
+        "WHERE len(c_name) > 0 AND hash.md5(c_name) IS NOT NULL LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
