@@ -67,6 +67,10 @@ def main() -> None:
             fn(spark, sf_dir).count()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
+        # Operator-internal persist()s (e.g. minhash signatures) pin a NEW
+        # cache entry per invocation — without this, storage grows across
+        # the run and later queries pay the GC bill.
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 4)
     print(

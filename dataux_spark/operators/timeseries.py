@@ -88,13 +88,21 @@ def range_join(
     right_hi: str,
     bucket_width: float,
     how: str = "inner",
+    broadcast_ranges: bool = True,
 ) -> DataFrame:
     """Join left rows to right ranges [lo, hi) containing left_val.
 
     Plan: explode each right range into the buckets it overlaps, bucket the
     left value, equi-join on bucket, exact residual filter. The shuffle key
     is the bucket id — pick bucket_width ≈ typical range width so each
-    range lands in O(1) buckets."""
+    range lands in O(1) buckets.
+
+    broadcast_ranges pins the build side to the (exploded) range table —
+    range lists are dimension-like at any scale, and without the hint
+    Catalyst may broadcast the FACT side instead when the range side has
+    unknown stats (e.g. a local-relation VALUES list) while the fact scan
+    happens to sit under the size threshold at test scale. Set False when
+    both sides are large; the bucket equi-join then shuffles on _bkt."""
     lb = left.withColumn("_bkt", F.floor(F.col(left_val) / bucket_width).cast("long"))
     rb = right.withColumn(
         "_bkt",
@@ -110,6 +118,8 @@ def range_join(
         & (lb[left_val] >= rb[right_lo])
         & (lb[left_val] < rb[right_hi])
     )
+    if broadcast_ranges:
+        rb = F.broadcast(rb)
     return lb.join(rb, cond, how).drop("_bkt")
 
 

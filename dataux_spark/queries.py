@@ -1141,10 +1141,12 @@ def range_join_price_bands(spark, sf_dir):
     from dataux_spark.operators.timeseries import range_join
 
     part = read_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
-         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
-        "band string, lo double, hi double",
+    # VALUES via spark.sql stays a JVM LocalRelation — createDataFrame on
+    # Python rows plans as a Python-backed ExistingRDD scan (slow first
+    # touch, no stats).
+    bands = spark.sql(
+        "SELECT * FROM VALUES ('b900', 900.0D, 925.0D), ('b925', 925.0D, 950.0D), "
+        "('b950', 950.0D, 975.0D), ('b975', 975.0D, 1000.0D) AS b(band, lo, hi)"
     )
     joined = range_join(part, bands, "p_retailprice", "lo", "hi", bucket_width=25.0)
     return joined.groupBy("band").agg(
