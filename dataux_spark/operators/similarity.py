@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two tiers:
+Three tiers:
   brute_force_topk — exact cosine top-k, query set × corpus. The baseline
       and the rerank stage. Cosine in double precision via built-in
       higher-order functions (zip_with/aggregate) — JVM-side, no UDF, no
@@ -9,6 +9,13 @@ Two tiers:
       signature-band equality, exact rerank inside buckets. The 100 TB
       path: candidate generation is a broadcast-join on band values,
       linear in corpus size.
+  ivf_topk — inverted-file index: a spherical-k-means coarse quantizer
+      trained driver-side on a deterministic sample, corpus partitioned
+      into centroid cells, queries probe their nprobe nearest cells and
+      rerank exactly within them. The other standard ANN scale path:
+      candidate count ≈ corpus·nprobe/n_centroids per query regardless of
+      similarity distribution (sign-LSH recall degrades on low-similarity
+      corpora; IVF's doesn't).
 
 The hyperplanes are generated from a fixed seed driver-side (numpy) and
 inlined as literal arrays — deterministic across runs, no state to ship.
@@ -17,6 +24,7 @@ inlined as literal arrays — deterministic across runs, no state to ship.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -135,6 +143,114 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    deterministic sample (first sample_size rows by id — at production
+    scale use a seeded TABLESAMPLE; a coarse quantizer only needs a sketch
+    of the density, not the full corpus). Returns an L2-normalized
+    (n_centroids, dim) matrix. The orderBy(id).limit(n) sample plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    rows = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):  # empty cells keep their previous centroid
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _cell_assign_udf(cents: np.ndarray, nprobe: int):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per
+    batch against the broadcast (small) centroid matrix — the only Python
+    in the IVF plan, O(batch·k·dim) vectorized."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c_t = cents.T.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        scores = x @ c_t
+        if nprobe == 1:
+            top = np.argmax(scores, axis=1)[:, None]
+        else:
+            p = min(nprobe, scores.shape[1])
+            part = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+            order = np.argsort(-np.take_along_axis(scores, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index: corpus rows live in their
+    nearest-centroid cell (one int per row), each query probes its nprobe
+    nearest cells, exact rerank within the probed cells.
+
+    Scale: the corpus is assigned in the scan projection (one Arrow-batched
+    matmul, no shuffle) and joined cell=cell against the broadcast query
+    side — for corpus-scale query sets, shuffle both sides on cell instead
+    and the plan stays linear. Recall is tuned by nprobe/n_centroids.
+    Returns (query_id, neighbor_id, cos, rank)."""
+    cents = train_centroids(
+        corpus, vec_col, id_col, n_centroids, sample_size, iters, seed
+    )
+    c_assign = _cell_assign_udf(cents, 1)
+    q_assign = _cell_assign_udf(cents, nprobe)
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cnorm", _norm("cv"))
+        .withColumn("cell", c_assign("cv")[0])
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qnorm", _norm("qv"))
+        .withColumn("cell", F.explode(q_assign("qv")))
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
     cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

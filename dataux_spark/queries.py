@@ -588,6 +588,23 @@ def rollup_counts(spark, sf_dir):
 
 
 @_q(
+    "grouping_sets_counts",
+    "SELECT l_returnflag, l_linestatus, count(*) AS ct, round(sum(l_extendedprice), 2) AS rev "
+    "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))",
+)
+def grouping_sets_counts(spark, sf_dir):
+    """Explicit GROUPING SETS (extension; reference has none — SURVEY
+    §2.4). One shuffle: Spark expands the sets map-side, partial+final
+    aggregates over the expanded keys."""
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS ct, "
+        "round(sum(l_extendedprice), 2) AS rev FROM {li} "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))",
+        li=read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@_q(
     "cube_counts",
     "SELECT o_orderstatus, o_orderpriority, count(*) AS ct "
     "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
@@ -901,6 +918,20 @@ def ann_lsh_topk(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
+
+
+@_q("ann_ivf_topk")  # rows-only: k-means quantizer isn't plain-SQL
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: spherical-k-means coarse quantizer, nprobe
+    cell probing, exact rerank within cells (operators/similarity.py).
+    Recall vs brute force asserted in tests."""
+    from dataux_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+        k=5, n_centroids=16, nprobe=4,
+    )
 
 
 @_q(

@@ -62,3 +62,29 @@ def test_lsh_deterministic(emb):
     a = similarity.lsh_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
     b = similarity.lsh_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    """IVF with 16 cells / nprobe=4 probes ~25% of the corpus per query;
+    recall@5 ≥ 0.6 on random-ish embeddings (worst case: true neighbors
+    are barely above the similarity floor, so cell boundaries cut them)."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_map(similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=K))
+    approx = _topk_map(
+        similarity.ivf_topk(emb, q, "embedding", "vec_id", k=K, n_centroids=16, nprobe=4)
+    )
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        total += len(nbrs)
+        hits += len(nbrs & approx.get(qid, set()))
+    assert total == N_QUERIES * K
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_ivf_deterministic_and_shape(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    a = similarity.ivf_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
+    b = similarity.ivf_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r.neighbor_id != r.query_id and 1 <= r.rank <= 3
