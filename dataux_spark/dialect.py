@@ -121,6 +121,15 @@ _MACROS = {
     # qlbridge extract(t, strftime-fmt); 1-arg form stays ANSI
     # EXTRACT(field FROM source), which parses as a single argument here.
     "extract": lambda a: f"qb_strftime({a[0]}, {a[1]})" if len(a) == 2 else None,
+    # function-form comparisons (qlbridge expr/builtins: eq/ne/gt/ge/lt/le)
+    # → infix operators; SQL implicit casts cover qlbridge's numeric
+    # coercion, and not(x) already parses natively.
+    "eq": lambda a: f"(({a[0]}) = ({a[1]}))" if len(a) == 2 else None,
+    "ne": lambda a: f"(({a[0]}) <> ({a[1]}))" if len(a) == 2 else None,
+    "gt": lambda a: f"(({a[0]}) > ({a[1]}))" if len(a) == 2 else None,
+    "ge": lambda a: f"(({a[0]}) >= ({a[1]}))" if len(a) == 2 else None,
+    "lt": lambda a: f"(({a[0]}) < ({a[1]}))" if len(a) == 2 else None,
+    "le": lambda a: f"(({a[0]}) <= ({a[1]}))" if len(a) == 2 else None,
 }
 
 _MACRO_RE = re.compile(

@@ -104,3 +104,23 @@ def test_macros_inside_where(engine):
         "WHERE len(c_name) > 0 AND hash.md5(c_name) IS NOT NULL LIMIT 5"
     ).collect()
     assert len(rows) == 5
+
+
+def test_function_form_comparisons(engine):
+    r = engine.sql(
+        "SELECT eq(1, 1) AS a, ne('x', 'y') AS b, gt(2, 1) AS c, "
+        "ge(2, 2) AS d, lt(1, 2) AS e, le(3, 2) AS f, not(eq(1, 2)) AS g"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e, r.f, r.g) == (
+        True, True, True, True, True, False, True,
+    )
+
+
+def test_function_form_comparisons_in_where(engine):
+    # numeric coercion like qlbridge: eq("5", 5) is true via implicit cast
+    rows = engine.sql(
+        "SELECT c_custkey FROM customer WHERE gt(c_custkey, 10) "
+        "AND ne(c_mktsegment, 'BUILDING') AND le(c_custkey, 50)"
+    ).collect()
+    assert rows and all(10 < r.c_custkey <= 50 for r in rows)
+    assert engine.sql("SELECT eq('5', 5) AS x").collect()[0].x is True
