@@ -35,8 +35,10 @@ from dataux_spark.sources import (
     JsonDirSource,
     MemorySource,
     ParquetDirSource,
+    PushdownTier,
     Source,
 )
+from dataux_spark.sources.passthrough import DuckDBPassthroughSource
 
 
 class QueryError(Exception):
@@ -64,6 +66,7 @@ _CREATE_SOURCE_RE = re.compile(
 )
 _DROP_SOURCE_RE = re.compile(r"^\s*DROP\s+SOURCE\s+`?(\w+)`?\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+`?(\w+)`?\s*$", re.IGNORECASE)
+_TABLE_REF_RE = re.compile(r"(?:\bFROM|\bJOIN)\s+(`?[\w.]+`?)", re.IGNORECASE)
 _UNRESOLVED_COL_RE = re.compile(
     r"with name `([\w.]+)` cannot be resolved"
     r"|cannot resolve '`?([\w.]+)`?'"
@@ -126,8 +129,22 @@ class Engine:
             src = JsonDirSource(name, path)
         elif kind in ("memory", "memdb"):
             src = MemorySource(name)
+        elif kind in ("passthrough", "duckdb", "bigquery"):
+            # FULL-tier remote engine (reference BigQuery backend)
+            src = DuckDBPassthroughSource(
+                name, conf.get("tables") or conf.get("settings", {}).get("tables") or {}
+            )
         else:
             raise QueryError(f"unknown source type {kind!r}")
+        self.register_source(src)
+        return src
+
+    def register_passthrough(
+        self, name: str, table_paths: dict[str, str]
+    ) -> DuckDBPassthroughSource:
+        """Register a FULL-pushdown source (whole-query passthrough —
+        reference BigQuery backend, backends/bigquery/sql_to_bq.go:99-104)."""
+        src = DuckDBPassthroughSource(name, table_paths)
         self.register_source(src)
         return src
 
@@ -284,7 +301,31 @@ class Engine:
             return self._terms(m)
         sql = dialect.rewrite(stmt, self.ctx, literal_dotted=self._literal_dotted_columns())
         sql = self._rewrite_array_in(sql)
+        df = self._try_full_pushdown(sql)
+        if df is not None:
+            return df
         return self._run_with_null_fallback(sql)
+
+    def _try_full_pushdown(self, sql: str) -> DataFrame | None:
+        """FULL-tier negotiation (reference: BigQuery whole-query pushdown,
+        backends/bigquery/sql_to_bq.go:99-104): if every table the query
+        references belongs to one FULL source, offer it the whole statement;
+        a decline (unsupported syntax/function) falls through to the Spark
+        plan — the polyfill path, exactly the reference's needsPolyFill
+        contract."""
+        full = [s for s in self.sources.values() if s.tier is PushdownTier.FULL]
+        if not full:
+            return None
+        refs = {
+            t.strip("`").lower()
+            for t in _TABLE_REF_RE.findall(sql)
+        }
+        if not refs:
+            return None
+        for src in full:
+            if refs <= {t.lower() for t in src.tables()}:
+                return src.execute_full(self.spark, sql)
+        return None
 
     def _literal_dotted_columns(self) -> set[str]:
         """Columns whose names literally contain dots (flattened sources —

@@ -1,0 +1,92 @@
+"""FULL-tier whole-query passthrough (reference: BigQuery backend rewrites
+the entire SELECT in the target dialect and runs it remotely,
+backends/bigquery/sql_to_bq.go:99-104; dialect writer quote-swap at
+backends/bigquery/resultreader.go:134).
+
+The core property is polyfill equivalence: the same SQL must return the same
+rows whether the FULL source executed it natively or declined and the engine
+planned it in Spark — the reference's needsPolyFill contract.
+"""
+
+import pytest
+
+from dataux_spark import Engine
+from tests.conftest import SF_DIR
+
+TABLES = {
+    "customer": f"{SF_DIR}/customer.parquet",
+    "orders": f"{SF_DIR}/orders.parquet",
+}
+
+SQL = (
+    "SELECT c_mktsegment, count(*) AS ct, round(sum(o_totalprice), 2) AS rev "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment"
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def full_engine(spark):
+    eng = Engine(spark)
+    eng.register_passthrough("bq", TABLES)
+    return eng
+
+
+def test_full_pushdown_executes_natively(full_engine, monkeypatch):
+    src = full_engine.sources["bq"]
+    calls = []
+    orig = src.execute_full
+    monkeypatch.setattr(
+        src, "execute_full", lambda spark, sql: calls.append(sql) or orig(spark, sql)
+    )
+    rows = _rows(full_engine.sql(SQL))
+    assert calls, "FULL source was never offered the query"
+    assert len(rows) == 5  # one per mktsegment
+
+
+def test_polyfill_equivalence(full_engine, spark, monkeypatch):
+    """Native passthrough rows == Spark-planned rows for the same SQL."""
+    native = _rows(full_engine.sql(SQL))
+
+    src = full_engine.sources["bq"]
+    monkeypatch.setattr(src, "execute_full", lambda spark, sql: None)  # decline
+    polyfilled = _rows(full_engine.sql(SQL))
+    assert native == polyfilled
+
+
+def test_decline_on_unsupported_function_falls_back(full_engine):
+    """A query using an engine UDF the remote can't run is polyfilled
+    transparently (reference: needsPolyFill on unsupported nodes)."""
+    df = full_engine.sql(
+        "SELECT hasprefix(c_name, 'Customer#0000001') AS p, count(*) AS ct "
+        "FROM customer GROUP BY hasprefix(c_name, 'Customer#0000001')"
+    )
+    rows = _rows(df)
+    assert len(rows) == 2 and {r[0] for r in rows} == {True, False}
+
+
+def test_mixed_source_query_not_offered(spark):
+    """Tables spanning sources → engine plan, not passthrough."""
+    eng = Engine(spark)
+    eng.register_passthrough("bq", {"customer": TABLES["customer"]})
+    eng.register_parquet_dir("tpch", SF_DIR)
+    rows = _rows(
+        eng.sql(
+            "SELECT count(*) AS ct FROM orders JOIN customer ON o_custkey = c_custkey"
+        )
+    )
+    assert rows[0][0] > 0
+
+
+def test_create_source_ddl_passthrough(spark):
+    import json
+
+    eng = Engine(spark)
+    conf = json.dumps({"type": "passthrough", "tables": TABLES})
+    eng.sql(f"CREATE SOURCE bq WITH {conf}")
+    assert eng.sources["bq"].tier.value == "full"
+    assert _rows(eng.sql("SELECT count(*) AS ct FROM customer"))[0][0] > 0
