@@ -98,6 +98,40 @@ def _m_unixtrunc(args):
     return f"cast(unix_timestamp({args[0]}) AS STRING)"
 
 
+def _m_split(args):
+    # qlbridge split(s, sep): plain-string split (strings.Split); Spark's
+    # split() is regex — \Q..\E quotes the separator so '.' or '|' work.
+    if len(args) != 2:
+        return None
+    return f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+
+
+def _qb_truthy(x: str) -> str:
+    # qlbridge truthiness: nil, boolean false, '' and 0 are falsy.
+    return f"(coalesce(cast(({x}) AS STRING), '') NOT IN ('', 'false', '0'))"
+
+
+def _m_maptime(args):
+    # qlbridge maptime(k[, t]) → map<string,timestamp> {k: t-or-now}.
+    if len(args) == 1:
+        return f"map({args[0]}, current_timestamp())"
+    if len(args) == 2:
+        return f"map({args[0]}, todate({args[1]}))"
+    return None
+
+
+def _m_url_plural(fn):
+    # qlbridge domains(u1, u2, ...) / hosts(...): distinct non-null results
+    # of the singular extractor across the varargs.
+    def expand(args):
+        if not args:
+            return None
+        calls = ", ".join(f"{fn}({x})" for x in args)
+        return f"filter(array_distinct(array({calls})), x -> x IS NOT NULL)"
+
+    return expand
+
+
 _MACROS = {
     "hash.md5": lambda a: f"md5({a[0]})" if len(a) == 1 else None,
     "hash.sha1": lambda a: f"sha1({a[0]})" if len(a) == 1 else None,
@@ -130,6 +164,15 @@ _MACROS = {
     "ge": lambda a: f"(({a[0]}) >= ({a[1]}))" if len(a) == 2 else None,
     "lt": lambda a: f"(({a[0]}) < ({a[1]}))" if len(a) == 2 else None,
     "le": lambda a: f"(({a[0]}) <= ({a[1]}))" if len(a) == 2 else None,
+    "split": _m_split,
+    # any(a, b, ..) = any value exists (non-nil); all(..) = all truthy
+    # (qlbridge expr/builtins Any/All).  ANY/ALL before a subquery are SQL
+    # keywords — expand_macros guards those (same as join-vs-JOIN).
+    "any": lambda a: "(" + " OR ".join(f"(({x}) IS NOT NULL)" for x in a) + ")" if a else None,
+    "all": lambda a: "(" + " AND ".join(_qb_truthy(x) for x in a) + ")" if a else None,
+    "maptime": _m_maptime,
+    "domains": _m_url_plural("domain"),
+    "hosts": _m_url_plural("host"),
 }
 
 _MACRO_RE = re.compile(
@@ -238,6 +281,11 @@ def expand_macros(sql: str) -> str:
             continue
         name = m.group(1).lower()
         if name == "join" and not _join_is_function("".join(out), args):
+            out.append(sql[i:j])
+            i = j
+            continue
+        # `UNION ALL (SELECT..)`, `> ANY (SELECT..)`: keyword, not builtin
+        if name in ("any", "all") and args and _SUBQUERY_START_RE.match(args[0]):
             out.append(sql[i:j])
             i = j
             continue

@@ -672,6 +672,42 @@ def qlbridge_builtins(spark, sf_dir):
 
 
 @_q(
+    "qlbridge_strfuncs",
+    "SELECT c_custkey, "
+    "string_split(c_name, '#') AS name_parts, "
+    "contains(c_name, '5') AS has5, "
+    "replace(c_name, 'Customer#', 'C') AS short_name, "
+    "(c_name IS NOT NULL OR c_mktsegment IS NOT NULL) AS any_present, "
+    "(coalesce(CAST(c_mktsegment AS VARCHAR), '') NOT IN ('', 'false', '0') "
+    " AND coalesce(CAST(c_custkey AS VARCHAR), '') NOT IN ('', 'false', '0')) AS all_truthy, "
+    "round(pow(c_acctbal, 2), 2) AS bal_sq, "
+    "round(sqrt(abs(c_acctbal)), 4) AS bal_sqrt "
+    "FROM customer WHERE c_custkey <= 200",
+)
+def qlbridge_strfuncs(spark, sf_dir):
+    """qlbridge string/logic builtins through the dialect: split (plain-
+    string, regex-quoted), any/all (existence/truthiness), plus natives that
+    share qlbridge's spelling (contains/replace/pow/sqrt).  Library loaded
+    wholesale in the reference (runtestserver.go:74); everything expands
+    JVM-native — no Python in the plan."""
+    from dataux_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir("tpch", sf_dir)
+    return eng.sql(
+        "SELECT c_custkey, "
+        "split(c_name, '#') AS name_parts, "
+        "contains(c_name, '5') AS has5, "
+        "replace(c_name, 'Customer#', 'C') AS short_name, "
+        "any(c_name, c_mktsegment) AS any_present, "
+        "all(c_mktsegment, c_custkey) AS all_truthy, "
+        "round(pow(c_acctbal, 2), 2) AS bal_sq, "
+        "round(sqrt(abs(c_acctbal)), 4) AS bal_sqrt "
+        "FROM customer WHERE c_custkey <= 200"
+    )
+
+
+@_q(
     "qlbridge_datefuncs",
     "SELECT strftime(o_orderdate, '%Y-%m') AS ym, "
     "(dayofweek(o_orderdate))*24 AS how, "

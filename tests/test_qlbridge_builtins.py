@@ -116,6 +116,53 @@ def test_function_form_comparisons(engine):
     )
 
 
+def test_split_plain_string_not_regex(engine):
+    # qlbridge split is strings.Split — '.' and '|' are literal separators
+    assert one(engine, "split('a.b.c', '.')") == ["a", "b", "c"]
+    assert one(engine, "split('x|y', '|')") == ["x", "y"]
+    assert one(engine, "split('25-989-741', '-')") == ["25", "989", "741"]
+
+
+def test_any_all_builtins(engine):
+    # any = at least one value exists; all = all truthy (qlbridge Any/All)
+    assert one(engine, "any(NULL, 'x')") is True
+    assert one(engine, "any(NULL, NULL)") is False
+    assert one(engine, "all('x', 1)") is True
+    assert one(engine, "all('', 'x')") is False
+    assert one(engine, "all('x', false)") is False
+    assert one(engine, "all('x', 0)") is False
+
+
+def test_any_all_keyword_guard(engine):
+    # UNION/EXCEPT ALL (SELECT..) keep ALL as the SQL keyword, untouched
+    # (Spark has no quantified `> ANY (subq)` predicate to guard for)
+    assert engine.sql("SELECT 1 AS x UNION ALL (SELECT 2 AS x)").count() == 2
+    assert engine.sql("SELECT 1 AS x EXCEPT ALL (SELECT 2 AS x)").count() == 1
+
+
+def test_maptime(engine):
+    m = one(engine, "maptime('k', '2020-01-01')")
+    assert list(m) == ["k"] and m["k"].year == 2020
+    m1 = one(engine, "maptime('k')")  # 1-arg: now()
+    assert list(m1) == ["k"] and m1["k"].year >= 2026
+
+
+def test_domains_hosts_plural(engine):
+    assert one(
+        engine, "domains('http://www.a.com/x', 'http://sub.b.org/y', NULL)"
+    ) == ["a.com", "b.org"]
+    assert one(engine, "hosts('http://www.a.com/x')") == ["www.a.com"]
+
+
+def test_native_passthrough_builtins(engine):
+    # qlbridge names that coincide with Spark natives need no macro
+    assert one(engine, "contains('abc', 'b')") is True
+    assert one(engine, "replace('a-b', '-', '.')") == "a.b"
+    assert one(engine, "pow(2, 10)") == 1024.0
+    assert one(engine, "sqrt(9)") == 3.0
+    assert len(one(engine, "uuid()")) == 36
+
+
 def test_function_form_comparisons_in_where(engine):
     # numeric coercion like qlbridge: eq("5", 5) is true via implicit cast
     rows = engine.sql(
