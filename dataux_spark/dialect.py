@@ -173,6 +173,11 @@ _MACROS = {
     "maptime": _m_maptime,
     "domains": _m_url_plural("domain"),
     "hosts": _m_url_plural("host"),
+    # exists(f)/missing(f) field-presence predicates (sqltoes.go:557-586,
+    # sql_to_mgo.go:612-635) — expanded here (not regex) so backticked
+    # dotted args work; EXISTS (subquery) is keyword-guarded below.
+    "exists": lambda a: f"(({a[0]}) IS NOT NULL)" if len(a) == 1 else None,
+    "missing": lambda a: f"(({a[0]}) IS NULL)" if len(a) == 1 else None,
 }
 
 _MACRO_RE = re.compile(
@@ -284,8 +289,8 @@ def expand_macros(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
-        # `UNION ALL (SELECT..)`, `> ANY (SELECT..)`: keyword, not builtin
-        if name in ("any", "all") and args and _SUBQUERY_START_RE.match(args[0]):
+        # `UNION ALL (SELECT..)`, `EXISTS (SELECT..)`: keyword, not builtin
+        if name in ("any", "all", "exists") and args and _SUBQUERY_START_RE.match(args[0]):
             out.append(sql[i:j])
             i = j
             continue
@@ -305,8 +310,6 @@ _DISTRIBUTED_HINT_RE = re.compile(
 
 _CAST_CHAR_RE = re.compile(r"\bAS\s+CHAR\s*\)", re.IGNORECASE)
 _CARDINALITY_RE = re.compile(r"\bcardinality\s*\(", re.IGNORECASE)
-_EXISTS_RE = re.compile(r"\bexists\s*\(\s*([A-Za-z_][\w.]*|`[^`]+`)\s*\)", re.IGNORECASE)
-_MISSING_RE = re.compile(r"\bmissing\s*\(\s*([A-Za-z_][\w.]*|`[^`]+`)\s*\)", re.IGNORECASE)
 _SESSION_FN_RE = re.compile(r"\b(current_user|connection_id|database)\s*\(\s*\)", re.IGNORECASE)
 
 # qlbridge-builtin spellings that are pure renames of Spark natives
@@ -419,8 +422,6 @@ def rewrite(
     def fix_code(code: str) -> str:
         code = _CAST_CHAR_RE.sub("AS STRING)", code)
         code = _CARDINALITY_RE.sub("approx_count_distinct(", code)
-        code = _EXISTS_RE.sub(lambda m: f"({m.group(1)} IS NOT NULL)", code)
-        code = _MISSING_RE.sub(lambda m: f"({m.group(1)} IS NULL)", code)
         code = _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).lower()] + "(", code)
 
         def session_fn(m):

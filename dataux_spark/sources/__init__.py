@@ -1,4 +1,5 @@
 from dataux_spark.sources.base import PushdownTier, Source
+from dataux_spark.sources.es_style import EsStyleRestSource
 from dataux_spark.sources.file_source import CsvDirSource, JsonDirSource, ParquetDirSource
 from dataux_spark.sources.memory import MemorySource
 
@@ -9,4 +10,5 @@ __all__ = [
     "CsvDirSource",
     "JsonDirSource",
     "MemorySource",
+    "EsStyleRestSource",
 ]

@@ -1,0 +1,130 @@
+"""ES-style filter pushdown through the Spark Python DataSource API.
+
+The reference's ES backend accepts term/range/terms/exists/prefix filters
+natively and flags the rest needsWherePolyFill
+(/root/reference/backends/elasticsearch/sqltoes.go:403-586). Here Catalyst
+plays the engine half: pushFilters() keeps the ES subset, returns residuals,
+and Catalyst plans the residual Filter node — so the polyfill contract is
+exercised by the real optimizer, not a shim.
+"""
+
+import json
+
+import pytest
+
+from dataux_spark import Engine
+from dataux_spark.sources.es_style import EsStyleRestSource, read_push_log
+from dataux_spark.sources.rest import RestJsonSource
+
+PODS = [
+    {"metadata": {"name": "web-1", "namespace": "prod"},
+     "status": {"phase": "Running", "restarts": 0}},
+    {"metadata": {"name": "web-2", "namespace": "prod"},
+     "status": {"phase": "Pending", "restarts": 3}},
+    {"metadata": {"name": "job-1", "namespace": "batch"},
+     "status": {"phase": "Running", "restarts": 1}},
+    {"metadata": {"name": "job-2", "namespace": "batch"},
+     "status": {"phase": "Running"}},  # restarts missing → NULL
+]
+
+
+LOG_DIR = None
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    global LOG_DIR
+    d = tmp_path_factory.mktemp("es")
+    LOG_DIR = str(d)
+    (d / "pods.json").write_text(json.dumps(PODS))
+    e = Engine(spark)
+    e.register_source(
+        EsStyleRestSource(
+            "es", {"espods": f"file://{d}/pods.json"}, push_log_dir=str(d)
+        )
+    )
+    # scan-only twin of the same endpoint for polyfill equivalence
+    e.register_source(
+        RestJsonSource("kubetwin", {"twinpods": f"file://{d}/pods.json"})
+    )
+    return e
+
+
+def _names(rows):
+    return sorted(r[0] for r in rows)
+
+
+def test_es_subset_pushed_no_residual(eng):
+    out = eng.sql(
+        "SELECT `metadata.name` FROM espods "
+        "WHERE `status.phase` = 'Running' AND `status.restarts` > 0"
+    ).collect()
+    assert _names(out) == ["job-1"]
+    log = read_push_log(LOG_DIR, "es.espods")
+    pushed = " ".join(log["pushed"])
+    # term + range (plus any IsNotNulls Catalyst infers from them)
+    assert "EqualTo" in pushed and "GreaterThan" in pushed
+    assert log["residual"] == []
+
+
+def test_unsupported_filter_becomes_residual(eng):
+    # contains() → StringContains: not in the ES walker subset → declined,
+    # Catalyst applies it as a residual Filter (the polyfill) — rows still
+    # correct.
+    out = eng.sql(
+        "SELECT `metadata.name` FROM espods "
+        "WHERE `status.phase` = 'Running' AND contains(`metadata.name`, 'ob')"
+    ).collect()
+    assert _names(out) == ["job-1", "job-2"]
+    log = read_push_log(LOG_DIR, "es.espods")
+    assert any("EqualTo" in f for f in log["pushed"])
+    assert any("StringContains" in f for f in log["residual"])
+
+
+def test_prefix_in_exists_pushed(eng):
+    out = eng.sql(
+        "SELECT `metadata.name` FROM espods "
+        "WHERE hasprefix(`metadata.name`, 'web') "
+        "AND `metadata.namespace` IN ('prod', 'dev') "
+        "AND exists(`status.restarts`)"
+    ).collect()
+    assert _names(out) == ["web-1", "web-2"]
+    pushed = " ".join(read_push_log(LOG_DIR, "es.espods")["pushed"])
+    assert "In(" in pushed and "IsNotNull" in pushed
+    # hasprefix is a Python UDF — stays engine-side, never offered/needed
+
+
+def test_null_semantics_match_sql(eng):
+    # job-2 has no restarts: `> 0` must not match NULL (three-valued eval
+    # inside the "remote" read matches SQL), missing() must match it.
+    gt = eng.sql(
+        "SELECT `metadata.name` FROM espods WHERE `status.restarts` >= 0"
+    ).collect()
+    assert _names(gt) == ["job-1", "web-1", "web-2"]
+    miss = eng.sql(
+        "SELECT `metadata.name` FROM espods WHERE missing(`status.restarts`)"
+    ).collect()
+    assert _names(miss) == ["job-2"]
+
+
+def test_polyfill_equivalence_vs_scan_only(eng):
+    # The federation correctness property: identical rows whether the
+    # source executed the filters natively (es tier) or the engine
+    # recomputed everything (scan-only twin).
+    cond = (
+        "WHERE `status.phase` = 'Running' AND `status.restarts` <= 1 "
+        "ORDER BY `metadata.name`"
+    )
+    es = eng.sql(f"SELECT `metadata.name` AS n FROM espods {cond}").collect()
+    twin = eng.sql(f"SELECT `metadata.name` AS n FROM twinpods {cond}").collect()
+    assert [tuple(r) for r in es] == [tuple(r) for r in twin]
+    assert len(es) == 2
+
+
+def test_aggregate_polyfilled_over_pushed_scan(eng):
+    out = eng.sql(
+        "SELECT `metadata.namespace` AS ns, count(*) AS ct FROM espods "
+        "WHERE `status.phase` = 'Running' GROUP BY `metadata.namespace` "
+        "ORDER BY ns"
+    ).collect()
+    assert [tuple(r) for r in out] == [("batch", 2), ("prod", 1)]
