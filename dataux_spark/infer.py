@@ -155,6 +155,39 @@ def flatten_mapping(properties: dict, inject_meta: bool = True) -> list[tuple[st
     return out
 
 
+# ----------------------------------------------- BigTable family discovery
+
+BT_SAMPLE_N = 10  # the reference reads ~10 rows per family (source.go:186-274)
+
+
+def infer_family_tables(
+    docs: list[dict], rowkey: str = "rowkey", sep: str = ":", sample_n: int = BT_SAMPLE_N
+) -> dict[str, T.StructType]:
+    """BigTable-style discovery: each column family becomes its OWN table
+    whose Parent is the physical bigtable; columns are inferred by reading
+    ~10 rows (/root/reference/backends/bigtable/source.go:186-274).
+
+    Cells are keyed `family:qualifier`; the returned table schema per family
+    is (rowkey, *qualifiers) with qualifier types widened across samples."""
+    fams: dict[str, dict[str, T.DataType | None]] = {}
+    key_ty: T.DataType | None = None
+    for doc in docs[:sample_n]:
+        key_ty = _widen(key_ty, _type_of(doc.get(rowkey)))
+        for k, v in doc.items():
+            if k == rowkey or sep not in k:
+                continue
+            fam, qual = k.split(sep, 1)
+            quals = fams.setdefault(fam, {})
+            quals[qual] = _widen(quals.get(qual), _type_of(v))
+    return {
+        fam: T.StructType(
+            [T.StructField(rowkey, key_ty or T.StringType(), True)]
+            + [T.StructField(q, ty or T.StringType(), True) for q, ty in quals.items()]
+        )
+        for fam, quals in fams.items()
+    }
+
+
 # ------------------------------------------------------------ key metadata
 
 @dataclass

@@ -1,0 +1,72 @@
+"""BigTable-style family→table discovery (reference: each column family is
+a table whose Parent is the physical bigtable, columns inferred from ~10
+rows, scanned with a FamilyFilter —
+/root/reference/backends/bigtable/source.go:186-274)."""
+
+import json
+
+import pytest
+
+from dataux_spark import Engine
+from dataux_spark.infer import infer_family_tables
+from dataux_spark.sources.bigtable_style import FamilyTableSource
+
+# physical bigtable `events_bt`: cells keyed family:qualifier, sparse
+ROWS = [
+    {"rowkey": "u1", "profile:name": "Ann", "profile:age": 34,
+     "activity:last_login": "2026-01-01", "activity:logins": 12},
+    {"rowkey": "u2", "profile:name": "Bob",
+     "activity:last_login": "2026-02-02", "activity:logins": 3},
+    {"rowkey": "u3", "profile:name": "Cid", "profile:age": 51},  # no activity
+]
+# row 11+ would introduce a qualifier discovery must NOT see (sample cap)
+LATE = [{"rowkey": f"x{i}", "profile:name": f"N{i}"} for i in range(7)] + [
+    {"rowkey": "x99", "profile:ghost_qual": "late", "profile:name": "Zed"}
+]
+
+
+def test_sampled_family_discovery_caps_at_n():
+    tables = infer_family_tables(ROWS + LATE, sample_n=10)
+    assert set(tables) == {"profile", "activity"}
+    assert [f.name for f in tables["profile"].fields] == ["rowkey", "name", "age"]
+    # 11th row's ghost_qual is beyond the sample window — not discovered
+    assert "ghost_qual" not in [f.name for f in tables["profile"].fields]
+    assert [f.name for f in tables["activity"].fields] == [
+        "rowkey", "last_login", "logins",
+    ]
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bt")
+    (d / "events_bt.json").write_text(json.dumps(ROWS))
+    e = Engine(spark)
+    e.register_source(
+        FamilyTableSource("bt", {"events_bt": f"file://{d}/events_bt.json"})
+    )
+    return e
+
+
+def test_each_family_is_a_table_with_parent(eng):
+    src = eng.sources["bt"]
+    assert sorted(src.tables()) == ["activity", "profile"]
+    assert src.parent == {"activity": "events_bt", "profile": "events_bt"}
+
+
+def test_family_filter_drops_cell_less_rows(eng):
+    # u3 has no activity cells → FamilyFilter semantics exclude it
+    rows = eng.sql("SELECT rowkey FROM activity ORDER BY rowkey").collect()
+    assert [r[0] for r in rows] == ["u1", "u2"]
+    prof = eng.sql("SELECT rowkey, name, age FROM profile ORDER BY rowkey").collect()
+    assert [tuple(r) for r in prof] == [
+        ("u1", "Ann", 34), ("u2", "Bob", None), ("u3", "Cid", 51),
+    ]
+
+
+def test_families_recompose_via_rowkey_join(eng):
+    out = eng.sql(
+        "SELECT p.name, a.logins FROM profile p "
+        "JOIN activity a ON p.rowkey = a.rowkey "
+        "WHERE a.logins > 5"
+    ).collect()
+    assert [tuple(r) for r in out] == [("Ann", 12)]
