@@ -65,6 +65,42 @@ def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, content_col: str, id_col: str, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints — the rolling-hash fingerprinting
+    scheme (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003).
+
+    k-gram hashes over the token stream; each sliding window of `window`
+    consecutive hashes contributes its minimum to the fingerprint set.
+    Guarantee: two docs sharing a token run of ≥ k+window-1 tokens share at
+    least one fingerprint; expected density ≈ 2/(window+1) of the grams.
+
+    All JVM-native higher-order functions — hashing is a 16-hex-char md5
+    prefix compared lexicographically (uniform, so lexicographic min ==
+    numeric rolling min) — and NO shuffle happens here at all: fingerprints
+    are computed per-row inside the scan; only the caller's groupBy(fp)
+    shuffles, on uniformly distributed keys. Returns distinct (id, fp).
+    """
+    d = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_toks")
+    )
+    d = d.select("_id", shingles("_toks", k).alias("_grams"))
+    d = d.select(
+        "_id", F.expr("transform(_grams, g -> substring(md5(g), 1, 16))").alias("_h")
+    )
+    wins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_h) - {window - 1}, 1)), "
+        f"i -> array_min(slice(_h, i, {window}))))"
+    )
+    return (
+        d.select("_id", F.explode(wins).alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(

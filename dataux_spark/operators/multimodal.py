@@ -96,6 +96,49 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, ts_ms bigint, frame binary"
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Frame-sampling stage: one (payload, meta) row → `n_frames` rows at
+    evenly spaced timestamps — the video/audio analog of explode, run as an
+    Arrow-batched mapInPandas so payload bytes stay executor-side.
+
+    A real deployment's `decoder` seeks the container per timestamp
+    (ffmpeg-style) and returns the decoded frame; the default stub emits a
+    deterministic 16-byte md5-derived fake frame (codec libs are not in
+    this container — the Spark plumbing, schema, and batch shape are real).
+    `duration_ms` falls back to payload length (1 byte ≈ 1 ms) when the
+    metadata lacks it, so ts_ms = frame_idx * duration // n_frames is
+    deterministic and oracle-checkable."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for _id, payload, meta in zip(pdf[id_col], pdf["payload"], pdf["meta"]):
+                b = bytes(payload) if payload is not None else b""
+                dur = None if meta is None else meta.get("duration_ms")
+                if dur is None:
+                    dur = len(b)
+                for i in range(n_frames):
+                    out["doc_id"].append(_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * int(dur) // n_frames)
+                    out["frame"].append(
+                        decoder(b, i) if decoder is not None
+                        else hashlib.md5(b + bytes([i % 256])).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage placeholder: real impl maps payload→payload with a
     codec inside mapInPandas (identical plumbing to extract_features).

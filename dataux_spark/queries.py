@@ -861,6 +861,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_winnow_fingerprints",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')),
+               g -> substr(md5(g), 1, 16)) AS hs
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id <= 300)
+    ),
+    w AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 3, 1)),
+               i -> list_min(hs[i:i+3]))) AS fps
+      FROM h
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def dedup_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD 2003):
+    3-gram md5-prefix hashes, window-4 sliding min (operators/dedup.py
+    winnow_fingerprints — all JVM higher-order functions, zero shuffle)."""
+    from dataux_spark.operators.dedup import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    out = winnow_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    return out.select(F.col("_id").alias("doc_id"), "fp")
+
+
 @_q("dedup_minhash_lsh")  # rows-only: banded-LSH bucketing isn't plain-SQL
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥0.5
@@ -1079,6 +1112,26 @@ def multimodal_features(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     feats = extract_features(attach_binary_payload(docs, "text", "doc_id"))
     return feats.select("doc_id", "mime", "n_bytes", "digest")
+
+
+@_q(
+    "multimodal_frame_sample",
+    "SELECT d.doc_id, CAST(t.i AS INTEGER) AS frame_idx, "
+    "CAST((t.i * octet_length(d.text::BLOB)) // 4 AS BIGINT) AS ts_ms "
+    "FROM documents d, (SELECT unnest(generate_series(0, 3)) AS i) t "
+    "WHERE d.doc_id <= 500",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one payload row → n evenly spaced frame
+    rows via Arrow-batched mapInPandas (operators/multimodal.frame_sample).
+    The oracle checks the SQL-expressible outputs (row fan-out, timestamp
+    spacing from the byte-length duration fallback); the stubbed frame
+    bytes are covered by tests."""
+    from dataux_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
+    frames = frame_sample(attach_binary_payload(docs, "text", "doc_id"), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "ts_ms")
 
 
 # --- subqueries / CTE / cross-source / lateral / array ops ----------------

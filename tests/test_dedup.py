@@ -99,3 +99,34 @@ def test_embedding_neardup_self_similarity(spark, sf_dir):
     found = _pairset(pairs)
     for r in emb.collect():
         assert (r.vec_id, r.vec_id + 100000) in found
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # Winnowing guarantee (SIGMOD'03): docs sharing a token run of
+    # >= k+window-1 (= 6 here) tokens share at least one fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"intro words {shared} tail one"),
+        (2, f"other prefix {shared} different ending"),
+        (3, "completely disjoint vocabulary nothing matches here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = dedup.winnow_fingerprints(df, "text", "doc_id", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r._id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_and_subset(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    fps = dedup.winnow_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    n_grams = (
+        docs.select(dedup.tokens(F.col("text")).alias("_toks"))
+        .select(F.explode(dedup.shingles("_toks", 3)).alias("g"))
+        .count()
+    )
+    n_fps = fps.count()
+    # density ~ 2/(w+1) = 0.4 of grams; distinct-ing pushes it lower
+    assert 0 < n_fps < n_grams

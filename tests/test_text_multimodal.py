@@ -65,3 +65,30 @@ def test_resize_stub_rewrites_metadata(spark, docs):
     resized = multimodal.resize_stub(wrapped, 224, 224)
     for r in resized.select("meta.width", "meta.height").collect():
         assert (r.width, r.height) == (224, 224)
+
+
+def test_frame_sample_fanout_and_timestamps(spark, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(10), "text", "doc_id")
+    frames = multimodal.frame_sample(wrapped, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # one row per (doc, frame)
+    src = {r.doc_id: len(r.text.encode()) for r in docs.limit(10).collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(r.frame) == 16  # stub md5 frame
+    for did, fr in by_doc.items():
+        fr.sort(key=lambda r: r.frame_idx)
+        dur = src[did]  # duration fallback = payload bytes
+        assert [r.ts_ms for r in fr] == [i * dur // 4 for i in range(4)]
+        # frames differ per index (deterministic but index-salted)
+        assert len({bytes(r.frame) for r in fr}) == 4
+
+
+def test_frame_sample_decoder_injection(spark, docs):
+    wrapped = multimodal.attach_binary_payload(docs.limit(3), "text", "doc_id")
+    frames = multimodal.frame_sample(
+        wrapped, n_frames=2, decoder=lambda b, i: b[:4] + bytes([i])
+    )
+    for r in frames.collect():
+        assert len(r.frame) == 5
