@@ -24,9 +24,22 @@ LANG_MARKERS = {
 }
 
 
+# GPT-2-style pre-tokenizer regex, restricted to a lookahead-free subset
+# (RE2-compatible, so the DuckDB oracle can run the IDENTICAL pattern):
+# contractions | space+letters | space+digits | space+punct-run | whitespace.
+# Real BPE merges would then split each piece against a merges table; piece
+# count is the standard pre-merge token estimate.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_pieces(col):
+    """BPE-ish pre-tokenization via native regexp_extract_all (JVM-side)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
 def token_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, chars, and a
-    BPE-ish subword estimate (4 chars/token heuristic on non-space mass).
+    """Token counting: whitespace tokens, distinct tokens, chars, a BPE-ish
+    regex pre-token count, and a chars/4 subword estimate.
     Returns one row per doc."""
     toks = tokens(F.col(content_col))
     nonspace = F.length(F.regexp_replace(F.col(content_col), r"\s+", ""))
@@ -35,6 +48,7 @@ def token_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length(F.col(content_col)).alias("n_chars_measured"),
+        F.size(bpe_pieces(F.col(content_col))).alias("n_bpe_pieces"),
         F.ceil(nonspace / F.lit(4)).cast("bigint").alias("n_subwords_est"),
     )
 

@@ -1025,6 +1025,9 @@ def ann_ivf_topk(spark, sf_dir):
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens, "
     "CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS INT) AS n_distinct_tokens, "
     "CAST(length(text) AS INT) AS n_chars_measured, "
+    "CAST(len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+', 0)) AS INT) "
+    "AS n_bpe_pieces, "
     "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est "
     "FROM documents",
 )

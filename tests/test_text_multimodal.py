@@ -92,3 +92,17 @@ def test_frame_sample_decoder_injection(spark, docs):
     )
     for r in frames.collect():
         assert len(r.frame) == 5
+
+
+def test_bpe_pretokenizer_pieces(spark):
+    from dataux_spark.operators.text import bpe_pieces, token_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "it's 42 words, isn't it?")], ["doc_id", "text"]
+    )
+    pieces = df.select(bpe_pieces(F.col("text")).alias("p")).collect()[0].p
+    # contractions split off, numbers and punct-runs are their own pieces
+    assert pieces == ["it", "'s", " 42", " words", ",", " isn", "'t", " it", "?"]
+    stats = token_stats(df, "text", "doc_id").collect()[0]
+    assert stats.n_bpe_pieces == 9 and stats.n_tokens == 5
