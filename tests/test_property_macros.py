@@ -1,0 +1,89 @@
+"""Property-based fuzzing of the dialect macro expander.
+
+The expander (dialect.expand_macros) does textual surgery on SQL — the
+invariants that must NEVER break, under arbitrary nesting/quoting:
+
+  1. string literals pass through byte-identical (macro names inside
+     quotes are data, not calls);
+  2. SQL containing no macro spellings is returned unchanged;
+  3. expansion output still parses and evaluates in Spark for random
+     macro compositions (balanced parens survive nesting).
+
+These are pure-python properties (no Spark for 1-2) so hypothesis can run
+hundreds of cases per second.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataux_spark.dialect import expand_macros
+
+# text fragments that LOOK like macros and must survive inside quotes
+TRAPS = ["hash.md5(x)", "join(a,b)", "all(", "any(q)", "split(a,b)",
+         "exists(x)", "len('s')", "eq(1,2)", "maptime('k')"]
+
+
+@st.composite
+def quoted_literal(draw):
+    inner = draw(st.text(alphabet="abc ,()'`\"xyz.", max_size=20))
+    trap = draw(st.sampled_from(TRAPS + [""]))
+    body = (inner + trap).replace("'", "''")
+    return f"'{body}'"
+
+
+@given(lit=quoted_literal())
+@settings(max_examples=300, deadline=None)
+def test_literals_pass_through_untouched(lit):
+    sql = f"SELECT {lit} AS v"
+    out = expand_macros(sql)
+    assert lit in out, f"literal mutated: {sql!r} -> {out!r}"
+
+
+@given(
+    cols=st.lists(
+        st.sampled_from(["o_orderkey", "tbl.col", "`a.b`", "x_1"]),
+        min_size=1, max_size=4,
+    ),
+    op=st.sampled_from(["=", "<", ">=", "<>"]),
+    n=st.integers(min_value=-99, max_value=99),
+)
+@settings(max_examples=200, deadline=None)
+def test_macro_free_sql_unchanged(cols, op, n):
+    sql = f"SELECT {', '.join(cols)} FROM t WHERE {cols[0]} {op} {n}"
+    assert expand_macros(sql) == sql
+
+
+MACRO_EXPRS = [
+    "hash.md5('a')",
+    "len('abcd')",
+    "split('a.b', '.')",
+    "any(NULL, 'x')",
+    "all('x', 1)",
+    "join('a', 'b', '-')",
+    "eq(1, 1)",
+    "array.index(array(1, 2), 1)",
+    "encoding.b64encode('q')",
+]
+
+
+@st.composite
+def nested_macro(draw, depth=0):
+    base = draw(st.sampled_from(MACRO_EXPRS))
+    if depth < 2 and draw(st.booleans()):
+        inner = draw(nested_macro(depth=depth + 1))
+        # nest by wrapping in further calls that accept any value
+        wrap = draw(st.sampled_from(["hash.md5(cast({} AS STRING))",
+                                     "len(cast({} AS STRING))",
+                                     "coalesce({}, NULL)"]))
+        return wrap.format(inner)
+    return base
+
+
+@given(exprs=st.lists(nested_macro(), min_size=1, max_size=3))
+@settings(max_examples=25, deadline=None)
+def test_random_macro_compositions_evaluate(spark, exprs):
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    out = expand_macros(f"SELECT {sel}")
+    assert out.count("(") == out.count(")")
+    row = spark.sql(out).collect()[0]  # must parse + run
+    assert len(row) == len(exprs)
