@@ -30,6 +30,8 @@ HEADLINE = [
     "count_distinct",
     "join_inner",
     "join_5way_regional_revenue",
+    "q3_shipping_priority",
+    "q18_large_volume_customer",
     "topk_order_limit",
     "window_topk_per_group",
     "events_hourly_agg",

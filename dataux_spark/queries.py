@@ -463,6 +463,103 @@ def join_5way_regional_revenue(spark, sf_dir):
 
 
 @_q(
+    "q3_shipping_priority",
+    "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1997-06-30' AND l_shipdate > TIMESTAMP '1997-06-30' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment + two date filters, 3-way join, top-10 by
+    revenue. Filters applied per-table BEFORE the joins (pushdown to each
+    scan); the segment dim side broadcasts; deterministic tie-break on
+    l_orderkey keeps the LIMIT boundary oracle-stable."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-30")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    "SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer, orders, lineitem "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-items revenue per customer in a date
+    window, top-20. Both big-table filters (date window, returnflag) hit
+    the scans before the orderkey shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q18_large_volume_customer",
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+    "round(o_totalprice, 2) AS totalprice, round(sum(l_quantity), 2) AS qty_sum "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY totalprice DESC, o_orderkey LIMIT 100",
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers). The oracle keeps the
+    classic IN-subquery; the Spark plan computes the qty aggregate ONCE and
+    carries it through the join — no second lineitem pass, and the HAVING
+    filter lands before the orders join, so the expensive side is reduced
+    first (same rows: l_orderkey is unique after the groupBy)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _r2(F.col("o_totalprice")).alias("totalprice"),
+            _r2(F.col("_qty")).alias("qty_sum"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
     "join_left_outer",
     "SELECT n.n_name, count(c.c_custkey) AS ct FROM nation n "
     "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
