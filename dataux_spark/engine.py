@@ -65,6 +65,10 @@ _CREATE_SOURCE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_SOURCE_RE = re.compile(r"^\s*DROP\s+SOURCE\s+`?(\w+)`?\s*$", re.IGNORECASE)
+_ALTER_SOURCE_RE = re.compile(
+    r"^\s*ALTER\s+SOURCE\s+`?(\w+)`?\s+WITH\s+(\{.*\})\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _USE_RE = re.compile(r"^\s*USE\s+`?(\w+)`?\s*$", re.IGNORECASE)
 _TABLE_REF_RE = re.compile(r"(?:\bFROM|\bJOIN)\s+(`?[\w.]+`?)", re.IGNORECASE)
 _UNRESOLVED_COL_RE = re.compile(
@@ -148,6 +152,12 @@ class Engine:
         self.register_source(src)
         return src
 
+    def _drop_source(self, name: str) -> None:
+        src = self.sources.pop(name, None)
+        if src:
+            for t in src.tables():
+                self.spark.catalog.dropTempView(t)
+
     def add_function(self, name: str, fn, return_type=None) -> None:
         """Custom function registry (reference expr.FuncAdd,
         mysql_functions.go:53-78)."""
@@ -193,16 +203,19 @@ class Engine:
                     return None
             if head in ("SHOW", "DESCRIBE", "DESC"):
                 return self._show(stmt)
-            if head in ("CREATE", "DROP"):
+            if head in ("CREATE", "DROP", "ALTER"):
                 m = _CREATE_SOURCE_RE.match(stmt)
                 if m:
                     return self.create_source(m.group(1), json.loads(m.group(2)))
+                m = _ALTER_SOURCE_RE.match(stmt)
+                if m:
+                    # reference SqlAlter re-registers the schema at runtime
+                    # (mysql_handler.go:253-260): drop + re-create
+                    self._drop_source(m.group(1))
+                    return self.create_source(m.group(1), json.loads(m.group(2)))
                 m = _DROP_SOURCE_RE.match(stmt)
                 if m:
-                    src = self.sources.pop(m.group(1), None)
-                    if src:
-                        for t in src.tables():
-                            self.spark.catalog.dropTempView(t)
+                    self._drop_source(m.group(1))
                     return None
                 # fall through: let Spark SQL handle CREATE VIEW etc.
             if head in ("INSERT", "UPSERT", "UPDATE", "DELETE", "MERGE"):

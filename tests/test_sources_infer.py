@@ -116,6 +116,26 @@ def test_create_source_ddl(spark, sf_dir):
     assert "dyn" not in eng.sources
 
 
+def test_alter_source_ddl(spark, sf_dir, tmp_path):
+    """ALTER SOURCE re-registers the schema at runtime (reference SqlAlter,
+    mysql_handler.go:253-260) — here re-pointing a source at a different
+    path swaps every table it serves."""
+    import shutil
+
+    from dataux_spark import Engine
+
+    sub = tmp_path / "only_nation"
+    sub.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", sub / "nation.parquet")
+
+    eng = Engine(spark)
+    eng.sql('CREATE SOURCE dyn2 WITH {"type": "parquet", "path": "%s"}' % sf_dir)
+    assert "lineitem" in eng.sources["dyn2"].tables()
+    eng.sql('ALTER SOURCE dyn2 WITH {"type": "parquet", "path": "%s"}' % sub)
+    assert eng.sources["dyn2"].tables() == ["nation"]
+    assert eng.sql("SELECT count(*) AS ct FROM nation").collect()[0][0] == 25
+
+
 # -- distributed equivalence (SURVEY §3.2: partitioned == unpartitioned)
 
 def test_partitioned_equals_unpartitioned(spark, sf_dir):
