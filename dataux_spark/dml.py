@@ -119,12 +119,36 @@ class TableStore:
         return self._keys.get(table, [])
 
     def set_parquet_backing(self, table: str, workdir: str) -> None:
-        """Commits for `table` write versioned parquet under workdir."""
+        """Commits for `table` write versioned parquet under workdir.
+        Version 0 — the pre-mutation state — is materialized immediately so
+        time travel reaches the initial snapshot (Delta's convention: the
+        initial commit IS version 0)."""
         self._backing[table] = workdir
-        self._version.setdefault(table, 0)
+        if table not in self._version:
+            path = f"{workdir}/v000000"
+            self.spark.table(table).write.mode("overwrite").parquet(path)
+            self._version[table] = 0
 
     def current(self, table: str) -> DataFrame:
         return self.spark.table(table)
+
+    def version_of(self, table: str, v: int) -> DataFrame:
+        """Time travel: read table state as of commit `v` (VERSION AS OF).
+        Each version is a complete copy-on-write snapshot directory, so any
+        historical read is a plain parquet scan — no log replay."""
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        cur = self._version[table]
+        if not 0 <= v <= cur:
+            raise KeyError(f"version {v} out of range [0, {cur}] for {table!r}")
+        return self.spark.read.parquet(f"{self._backing[table]}/v{v:06d}")
+
+    def history(self, table: str) -> list[tuple[int, str]]:
+        """(version, path) per commit, oldest first (SHOW VERSIONS)."""
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        wd = self._backing[table]
+        return [(v, f"{wd}/v{v:06d}") for v in range(self._version[table] + 1)]
 
     def commit(self, table: str, df: DataFrame) -> None:
         if table in self._backing:

@@ -69,6 +69,9 @@ _ALTER_SOURCE_RE = re.compile(
     r"^\s*ALTER\s+SOURCE\s+`?(\w+)`?\s+WITH\s+(\{.*\})\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
 _USE_RE = re.compile(r"^\s*USE\s+`?(\w+)`?\s*$", re.IGNORECASE)
 _TABLE_REF_RE = re.compile(r"(?:\bFROM|\bJOIN)\s+(`?[\w.]+`?)", re.IGNORECASE)
 _UNRESOLVED_COL_RE = re.compile(
@@ -257,6 +260,10 @@ class Engine:
         m = self._SHOW_VARS_RE.match(s)
         if m:
             return show_plans.show_variables(self.spark, self.ctx, m.group(1))
+        m = re.match(r"^\s*SHOW\s+VERSIONS\s+(?:FROM|FOR)\s+`?(\w+)`?\s*$", s, re.I)
+        if m:
+            hist = self.store.history(m.group(1))
+            return self.spark.createDataFrame(hist, "version INT, path STRING")
         m = self._DESCRIBE_RE.match(s)
         if m:
             return show_plans.describe(self.spark, m.group(1), full=False)
@@ -312,12 +319,29 @@ class Engine:
         m = _TERMS_RE.match(stmt.rstrip(";"))
         if m:
             return self._terms(m)
+        stmt = self._resolve_time_travel(stmt)
         sql = dialect.rewrite(stmt, self.ctx, literal_dotted=self._literal_dotted_columns())
         sql = self._rewrite_array_in(sql)
         df = self._try_full_pushdown(sql)
         if df is not None:
             return df
         return self._run_with_null_fallback(sql)
+
+    def _resolve_time_travel(self, stmt: str) -> str:
+        """`FROM t VERSION AS OF n` → historical snapshot (extension; the
+        copy-on-write DML store keeps every version as a parquet dir, so a
+        historical read is a plain scan — Delta time-travel semantics
+        without the jars). The snapshot registers as `t__vN` and keeps the
+        original name as its alias so qualified columns still resolve."""
+
+        def repl(m):
+            kw, tbl, v = m.group(1), m.group(2), int(m.group(3))
+            df = self.store.version_of(tbl, v)
+            alias = f"{tbl}__v{v}"
+            df.createOrReplaceTempView(alias)
+            return f"{kw} {alias} AS {tbl}"
+
+        return _VERSION_AS_OF_RE.sub(repl, stmt)
 
     def _try_full_pushdown(self, sql: str) -> DataFrame | None:
         """FULL-tier negotiation (reference: BigQuery whole-query pushdown,

@@ -104,6 +104,40 @@ def test_parquet_backed_dml_roundtrip(spark, sf_dir, tmp_path):
     assert r.affected == 1
     assert eng.sql("SELECT count(*) AS ct FROM nation_rw").collect()[0][0] == n0
 
-    # versioned copy-on-write dirs exist (v000001..v000004)
+    # versioned copy-on-write dirs exist (v000000 initial + 4 commits)
     versions = sorted(p.name for p in (tmp_path / "nation_work").iterdir())
-    assert versions == [f"v{i:06d}" for i in range(1, 5)]
+    assert versions == [f"v{i:06d}" for i in range(5)]
+
+
+def test_time_travel_version_as_of(spark, sf_dir, tmp_path):
+    """VERSION AS OF reads a historical copy-on-write snapshot (extension;
+    Delta time-travel semantics over the versioned parquet store)."""
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_tt", f"{sf_dir}/nation.parquet", str(tmp_path / "tt_work"),
+        keys=["n_nationkey"],
+    )
+    n0 = eng.sql("SELECT count(*) AS ct FROM nation_tt").collect()[0][0]
+    eng.sql('INSERT INTO nation_tt (n_nationkey, n_name, n_regionkey) VALUES (777, "OZ", 0)')
+    eng.sql("DELETE FROM nation_tt WHERE n_nationkey = 777")
+
+    assert eng.sql("SELECT count(*) AS ct FROM nation_tt").collect()[0][0] == n0
+    assert eng.sql(
+        "SELECT count(*) AS ct FROM nation_tt VERSION AS OF 0"
+    ).collect()[0][0] == n0
+    assert eng.sql(
+        "SELECT count(*) AS ct FROM nation_tt VERSION AS OF 1"
+    ).collect()[0][0] == n0 + 1
+    # qualified columns resolve through the alias
+    assert eng.sql(
+        "SELECT nation_tt.n_name FROM nation_tt VERSION AS OF 1 "
+        "WHERE nation_tt.n_nationkey = 777"
+    ).collect()[0][0] == "OZ"
+    # history surface
+    hist = eng.sql("SHOW VERSIONS FROM nation_tt").collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    # out-of-range version is a graceful QueryError
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        eng.sql("SELECT count(*) AS ct FROM nation_tt VERSION AS OF 9")
