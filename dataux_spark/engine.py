@@ -333,6 +333,8 @@ class Engine:
         historical read is a plain scan — Delta time-travel semantics
         without the jars). The snapshot registers as `t__vN` and keeps the
         original name as its alias so qualified columns still resolve."""
+        if not self.store._backing:  # no versioned tables → leave SQL alone
+            return stmt
 
         def repl(m):
             kw, tbl, v = m.group(1), m.group(2), int(m.group(3))
