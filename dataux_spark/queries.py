@@ -1445,6 +1445,25 @@ def streaming_windowed_agg(spark, sf_dir):
     return out
 
 
+@_q(
+    "streaming_dedup",
+    "SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events",
+)
+def streaming_dedup_count(spark, sf_dir):
+    """Streaming exact dedup (streaming/ops.streaming_dedup): the event
+    stream unioned with itself (every row duplicated) → watermarked
+    dropDuplicates → memory sink; surviving-row count must equal the batch
+    DISTINCT count. State is bounded by the watermark horizon — the
+    ingest-time half of the corpus-dedup pipeline."""
+    from dataux_spark import streaming as S
+
+    doubled = S.stream_events(spark, sf_dir).union(S.stream_events(spark, sf_dir))
+    out = S.run_to_memory(
+        S.streaming_dedup(doubled, ["event_id"]), "q_stream_dedup", "append"
+    )
+    return out.agg(F.count("*").cast("bigint").alias("n_distinct"))
+
+
 # --- pivot / percentiles / dedup-keep-best --------------------------------
 
 @_q(

@@ -2,6 +2,7 @@ from dataux_spark.streaming.ops import (
     run_to_memory,
     session_window_agg,
     stateful_user_counter,
+    streaming_dedup,
     stream_events,
     stream_stream_join,
     windowed_agg,
@@ -12,6 +13,7 @@ __all__ = [
     "windowed_agg",
     "session_window_agg",
     "stateful_user_counter",
+    "streaming_dedup",
     "stream_stream_join",
     "run_to_memory",
 ]

@@ -129,6 +129,30 @@ STATE_SCHEMA = "n_events bigint, total double"
 COUNTER_OUT_SCHEMA = "user_id bigint, n_events bigint, total double"
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time half of the corpus
+    dedup story (batch half: operators/dedup.exact_dedup).
+
+    `dropDuplicates` keeps one row per key with state bounded by the
+    watermark: duplicate keys arriving inside the watermark horizon are
+    dropped; state for keys older than the horizon is evicted, so state
+    size is O(keys per horizon), independent of stream length.
+    `within_watermark=True` uses dropDuplicatesWithinWatermark (Spark 3.5+):
+    dedup among rows whose EVENT TIMES fall inside the watermark window —
+    the right semantics when the same document can legitimately reappear
+    much later (re-crawls) and only near-in-time duplicates are noise."""
+    keys = key_cols or ["event_id"]
+    s = stream.withWatermark("ts", watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
+
+
 def stateful_user_counter(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Arbitrary stateful op: running per-user event count + value total,
     emitting the updated state every micro-batch

@@ -122,3 +122,23 @@ def test_stateful_counter_totals(spark, stream, batch):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_dedup_removes_duplicates(spark, stream, batch):
+    """Self-union doubles every event; watermarked dropDuplicates restores
+    exactly the distinct set (state bounded by the watermark horizon)."""
+    doubled = stream.union(stream)
+    out = S.run_to_memory(
+        S.streaming_dedup(doubled, ["event_id"]), "dedup_sink", "append"
+    )
+    assert out.count() == batch.count()  # event_id is unique in the table
+    assert out.select("event_id").distinct().count() == batch.count()
+
+
+def test_streaming_dedup_within_watermark(spark, stream, batch):
+    out = S.run_to_memory(
+        S.streaming_dedup(stream.union(stream), ["event_id"], within_watermark=True),
+        "dedup_ww_sink",
+        "append",
+    )
+    assert out.select("event_id").distinct().count() == batch.count()
