@@ -121,6 +121,24 @@ def test_polyfill_equivalence_vs_scan_only(eng):
     assert len(es) == 2
 
 
+def test_cross_source_join_es_with_parquet(eng, sf_dir):
+    """Federation flagship: ES-tier scan (filters pushed into the source)
+    joined against a parquet source — each side keeps its own pushdown
+    path, the join itself is the engine's (Catalyst's) polyfill."""
+    from dataux_spark.sources import ParquetDirSource
+
+    eng.register_source(ParquetDirSource("tpch_es_x", sf_dir))
+    out = eng.sql(
+        "SELECT p.`metadata.name` AS pod, n.n_name AS nation "
+        "FROM espods p JOIN nation n ON p.`status.restarts` = n.n_nationkey "
+        "WHERE p.`status.phase` = 'Running' ORDER BY pod"
+    ).collect()
+    # running pods with restarts 0 and 1 → nations 0 and 1
+    assert [tuple(r) for r in out][:1] and len(out) == 2
+    pushed = " ".join(read_push_log(LOG_DIR, "es.espods")["pushed"])
+    assert "EqualTo" in pushed  # phase filter still reached the ES side
+
+
 def test_aggregate_polyfilled_over_pushed_scan(eng):
     out = eng.sql(
         "SELECT `metadata.namespace` AS ns, count(*) AS ct FROM espods "
