@@ -141,3 +141,19 @@ def test_time_travel_version_as_of(spark, sf_dir, tmp_path):
 
     with _pt.raises(Exception):
         eng.sql("SELECT count(*) AS ct FROM nation_tt VERSION AS OF 9")
+
+
+def test_repl_render_shapes(spark, sf_dir):
+    """tools/repl.py result formatting: resultset grid, DML summary, OK."""
+    import sys
+    sys.path.insert(0, "tools")
+    from repl import render
+
+    from dataux_spark.dml import DmlResult
+
+    eng = Engine(spark)
+    eng.register_parquet_dir("tpch_repl", sf_dir)
+    grid = render(eng.sql("SELECT n_name FROM nation WHERE n_nationkey = 0"))
+    assert "n_name" in grid and "NATION_0" in grid and grid.endswith("1 row")
+    assert render(DmlResult(3)) == "Query OK, 3 rows affected"
+    assert render(None) == "OK"
