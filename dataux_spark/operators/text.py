@@ -53,6 +53,57 @@ def token_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def lang_trigrams() -> list[tuple[str, str]]:
+    """Char-trigram profile per language, derived deterministically from the
+    marker words (space-padded, distinct). Production swaps in full corpus
+    profiles — identical plan shape, bigger broadcast table."""
+    out = []
+    for lang, words in LANG_MARKERS.items():
+        s = " " + " ".join(words) + " "
+        tris = {s[i : i + 3] for i in range(len(s) - 2)}
+        out.extend((lang, t) for t in sorted(tris))
+    return out
+
+
+def langid_ngram(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Character-n-gram language ID: explode each doc into char trigrams,
+    broadcast-join the per-language trigram profile, count matches per
+    (doc, lang), keep the best language per doc.
+
+    Scale: the profile is tiny (broadcast — no shuffle for the join); the
+    only shuffle is the (doc, lang) count, keyed by doc id (uniform). The
+    trigram explode is ~len(doc) rows but lives entirely inside one stage.
+    Deterministic tie-break: higher count, then lexicographically later
+    lang. Docs matching no profile trigram are absent (unknown language).
+    Returns (id, lang, matches)."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    prof = spark.createDataFrame(lang_trigrams(), "lang string, tri string")
+    padded = F.concat(F.lit(" "), F.lower(F.col(content_col)), F.lit(" "))
+    d = df.select(F.col(id_col).alias("_id"), padded.alias("_p"))
+    d = d.select(
+        "_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(_p) - 2, 1)), "
+                "i -> substring(_p, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    counts = (
+        d.join(F.broadcast(prof), "tri")
+        .groupBy("_id", "lang")
+        .agg(F.count("*").alias("matches"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("matches"), F.desc("lang"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "lang", "matches")
+    )
+
+
 def quality_score(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Quality scoring: length band, punctuation ratio, stopword ratio,
     mean token length, composite [0,1] score. The filter thresholds mirror

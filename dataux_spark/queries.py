@@ -1214,6 +1214,46 @@ def multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "mime", "n_bytes", "digest")
 
 
+def _lang_profile_values() -> str:
+    from dataux_spark.operators.text import lang_trigrams
+
+    return ", ".join(f"('{l}', '{t}')" for l, t in lang_trigrams())
+
+
+@_q(
+    "text_langid_ngram",
+    f"""
+    WITH prof(lang, tri) AS (VALUES {_lang_profile_values()}),
+    t AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(length(p) - 2, 1)),
+               i -> substr(p, i, 3))) AS tri
+      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p
+            FROM documents WHERE doc_id <= 400)
+    ),
+    c AS (
+      SELECT doc_id, lang, count(*) AS matches
+      FROM t JOIN prof USING (tri) GROUP BY doc_id, lang
+    ),
+    r AS (
+      SELECT doc_id, lang, matches, row_number() OVER (
+        PARTITION BY doc_id ORDER BY matches DESC, lang DESC) AS rn
+      FROM c
+    )
+    SELECT doc_id, lang, matches FROM r WHERE rn = 1
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    """Char-n-gram language ID (operators/text.langid_ngram): trigram
+    explode → broadcast profile join → per-doc argmax. The oracle shares
+    the SAME generated trigram profile literal."""
+    from dataux_spark.operators.text import langid_ngram
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    out = langid_ngram(docs, "text", "doc_id")
+    return out.select(F.col("_id").alias("doc_id"), "lang", "matches")
+
+
 @_q(
     "multimodal_frame_sample",
     "SELECT d.doc_id, CAST(t.i AS INTEGER) AS frame_idx, "

@@ -106,3 +106,18 @@ def test_bpe_pretokenizer_pieces(spark):
     assert pieces == ["it", "'s", " 42", " words", ",", " isn", "'t", " it", "?"]
     stats = token_stats(df, "text", "doc_id").collect()[0]
     assert stats.n_bpe_pieces == 9 and stats.n_tokens == 5
+
+
+def test_langid_ngram_prefers_doc_language(spark):
+    from dataux_spark.operators.text import langid_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in a box"),
+            (2, "der hund und die katze ist nicht ein vogel"),
+            (3, "le chat est dans la maison et les jardins"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r._id: r.lang for r in langid_ngram(df, "text", "doc_id").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
