@@ -1,0 +1,73 @@
+"""Table maintenance: compaction and clustered rewrite.
+
+A 100 TB ingest pipeline produces small files continuously (one per
+micro-batch per partition); scans then pay per-file open cost and lose
+row-group pruning. The two standard fixes, both plain Spark jobs:
+
+  compact()  — coalesce a table's files to a target size. The rewrite is
+      executor-side (read → repartition → write); the driver only counts
+      bytes. Pairs with the copy-on-write TableStore: a compaction is a
+      new version with identical rows.
+  compact(sort_cols=...) — additionally range-partitions and sorts within
+      partitions, so each output file covers a narrow key range and parquet
+      min/max statistics prune whole files for selective predicates (the
+      single-dimension form of what Delta OPTIMIZE ZORDER does).
+
+No reference counterpart (dataux mutates remote stores and never owns
+files) — this is the lakehouse-operations extension of SURVEY §3.3.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    """Local-path byte count. On a cluster this is a FileSystem.listFiles
+    call — same number, different API."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_file_count(path: str, target_mb: float = 128) -> int:
+    return max(1, math.ceil(_dir_bytes(path) / (target_mb * (1 << 20))))
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_mb: float = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite src parquet into ~target_mb files at dest; returns the file
+    count. With sort_cols, range-partition + sort-within so file-level
+    min/max stats prune selective scans."""
+    df = spark.read.parquet(src_path)
+    n = plan_file_count(src_path, target_mb)
+    if sort_cols:
+        out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dest_path)
+    return n
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(file, rows) per parquet file — the observability half of
+    compaction (a files-table analog for maintenance decisions)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .count()
+        .withColumnRenamed("count", "rows")
+    )
