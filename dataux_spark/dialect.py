@@ -176,6 +176,7 @@ _MACROS = {
     # exists(f)/missing(f) field-presence predicates (sqltoes.go:557-586,
     # sql_to_mgo.go:612-635) — expanded here (not regex) so backticked
     # dotted args work; EXISTS (subquery) is keyword-guarded below.
+    "useragent.map": lambda a: f"useragent_map({a[0]})" if len(a) == 1 else None,
     "exists": lambda a: f"(({a[0]}) IS NOT NULL)" if len(a) == 1 else None,
     "missing": lambda a: f"(({a[0]}) IS NULL)" if len(a) == 1 else None,
 }

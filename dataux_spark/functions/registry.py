@@ -88,6 +88,17 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("urlmain", _urlmain, T.StringType())
     spark.udf.register("urlminusqs", _urlminusqs, T.StringType())
     spark.udf.register("useragent", _useragent, T.StringType())
+    spark.udf.register(
+        "useragent_map", _useragent_map, T.MapType(T.StringType(), T.StringType())
+    )
+
+
+def _useragent_map(s):
+    """qlbridge useragent.map(ua) — every parsed attribute as one map
+    (dialect rewrites the dotted spelling to this name)."""
+    if not isinstance(s, str):
+        return None
+    return {a: _useragent(s, a) for a in ("bot", "browser", "os")}
 
 
 def _toint(s):

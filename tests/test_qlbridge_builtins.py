@@ -171,3 +171,8 @@ def test_function_form_comparisons_in_where(engine):
     ).collect()
     assert rows and all(10 < r.c_custkey <= 50 for r in rows)
     assert engine.sql("SELECT eq('5', 5) AS x").collect()[0].x is True
+
+
+def test_useragent_map(engine):
+    m = one(engine, "useragent.map('Mozilla/5.0 (Windows NT 10.0) Chrome/120.0')")
+    assert m == {"bot": "false", "browser": "chrome", "os": "windows"}
