@@ -31,7 +31,9 @@ HEADLINE = [
     "join_inner",
     "join_5way_regional_revenue",
     "q3_shipping_priority",
+    "q12_priority_lines",
     "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
     "topk_order_limit",
     "window_topk_per_group",
     "events_hourly_agg",

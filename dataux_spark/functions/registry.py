@@ -91,6 +91,32 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register(
         "useragent_map", _useragent_map, T.MapType(T.StringType(), T.StringType())
     )
+    spark.udf.register("typewriter", _typewriter, T.StringType())
+
+
+def _typewriter(s):
+    """mysqlfe typewriter(v) — sniff a string's value type, name the mysql
+    column type it maps to (frontends/mysqlfe/sql_writer.go:19-88; probe
+    order int → bool → float → time mirrors qlbridge value.ValueFromString).
+    Used by SHOW CREATE TABLE generation in the reference."""
+    if not isinstance(s, str):
+        return None
+    v = s.strip()
+    try:
+        int(v)
+        return "bigint"
+    except ValueError:
+        pass
+    if v in ("1", "t", "T", "TRUE", "true", "True", "0", "f", "F", "FALSE", "false", "False"):
+        return "tinyint"
+    try:
+        float(v)
+        return "double"
+    except ValueError:
+        pass
+    if v and not pd.isna(pd.to_datetime(pd.Series([v]), errors="coerce", format="mixed", utc=True).iloc[0]):
+        return "datetime"
+    return "varchar(255)"
 
 
 def _useragent_map(s):

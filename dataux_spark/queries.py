@@ -560,6 +560,167 @@ def q18_large_volume_customer(spark, sf_dir):
 
 
 @_q(
+    "q4_order_priority",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "            AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): EXISTS decorrelates to a
+    LEFT SEMI join with a non-equi residual (l_shipdate > o_orderdate) on
+    top of the orderkey equi-key — Spark keeps the hash join on the equi
+    part and applies the residual in the join, so lineitem is never
+    materialized per-order. Date window prunes orders at the scan."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q12_priority_lines",
+    "SELECT l_linestatus, "
+    "count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count, "
+    "count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY l_linestatus ORDER BY l_linestatus",
+)
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode→linestatus on the slimmed schema):
+    conditional aggregation via count(when(...)) — one pass, map-side
+    partial aggs, no second join. The lineitem date window is the selective
+    predicate and lands in PushedFilters; the orderkey shuffle join carries
+    only (l_orderkey, l_linestatus) against (o_orderkey, o_orderpriority)
+    after pruning."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    "SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+    "FROM lineitem, part WHERE l_partkey = p_partkey "
+    "AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): ratio of conditional to total
+    revenue in one aggregate pass. part broadcasts (dim side); the month
+    filter prunes lineitem at the scan so the broadcast join touches ~1/80
+    of the fact table."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem, part WHERE "
+    "(p_partkey = l_partkey AND p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) "
+    "OR (p_partkey = l_partkey AND p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) "
+    "OR (p_partkey = l_partkey AND p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunction of conjunctions).
+    The equi-key p_partkey = l_partkey is common to every disjunct, so the
+    plan is a single broadcast hash join on partkey with the OR-of-ANDs as
+    the join residual — NOT a cartesian product; Catalyst also derives the
+    per-side OR filters (brand-set on part, quantity envelope on lineitem)
+    and pushes them into the scans."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    clause = lambda brand, qlo, qhi, slo, shi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("p_size").between(slo, shi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            clause("Brand#12", 1, 11, 1, 5)
+            | clause("Brand#23", 10, 20, 1, 10)
+            | clause("Brand#34", 20, 30, 1, 15)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@_q(
+    "q22_dormant_customers",
+    "SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal "
+    "FROM customer "
+    "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "                AND o_orderdate >= TIMESTAMP '1999-01-01') "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity, adapted: segment replaces
+    phone prefix, dormancy = no order since 1999): scalar subquery computed
+    once and broadcast via crossJoin (one tiny row — no shuffle of
+    customer), then LEFT ANTI join against date-pruned orders. At scale the
+    anti join shuffles only (o_custkey) after the date filter."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
     "join_left_outer",
     "SELECT n.n_name, count(c.c_custkey) AS ct FROM nation n "
     "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "

@@ -173,6 +173,16 @@ def test_function_form_comparisons_in_where(engine):
     assert engine.sql("SELECT eq('5', 5) AS x").collect()[0].x is True
 
 
+def test_typewriter(engine):
+    row = engine.sql(
+        "SELECT typewriter('42') AS i, typewriter('3.14') AS n, typewriter('true') AS b, "
+        "typewriter('2016-01-02 15:04:05') AS t, typewriter('hello world') AS s"
+    ).collect()[0]
+    assert (row.i, row.n, row.b, row.t, row.s) == (
+        "bigint", "double", "tinyint", "datetime", "varchar(255)",
+    )
+
+
 def test_useragent_map(engine):
     m = one(engine, "useragent.map('Mozilla/5.0 (Windows NT 10.0) Chrome/120.0')")
     assert m == {"bot": "false", "browser": "chrome", "os": "windows"}
