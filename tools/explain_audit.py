@@ -61,6 +61,31 @@ CHECKS = {
     "ann_cosine_topk": [
         ("query side broadcast", lambda p: "BroadcastExchange" in p),
     ],
+    "q4_order_priority": [
+        ("EXISTS planned as semi join", lambda p: "LeftSemi" in p),
+        ("no nested loop", lambda p: "BroadcastNestedLoop" not in p and "CartesianProduct" not in p),
+        ("orders date window pushed", lambda p: "GreaterThanOrEqual(o_orderdate" in p),
+    ],
+    "q12_priority_lines": [
+        ("lineitem date window pushed", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("partial+final agg", lambda p: p.count("HashAggregate") >= 2),
+        ("join carries pruned columns only", lambda p: "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>" in p),
+    ],
+    "q14_promo_revenue": [
+        ("part dim broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("part pruned to 2 columns", lambda p: "ReadSchema: struct<p_partkey:bigint,p_type:string>" in p),
+    ],
+    "q19_disjunctive_revenue": [
+        ("single hash join, no cartesian", lambda p: "BroadcastHashJoin Inner" in p
+         and "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+         and "SortMergeJoin" not in p),
+        ("brand OR-filter derived+pushed to part scan", lambda p: "EqualTo(p_brand,Brand#12)" in p.split("(4) Filter")[0]),
+        ("quantity OR-envelope pushed to lineitem scan", lambda p: "GreaterThanOrEqual(l_quantity,1.0)" in p),
+    ],
+    "q22_dormant_customers": [
+        ("NOT EXISTS planned as anti join", lambda p: "LeftAnti" in p),
+        ("orders date filter pushed", lambda p: "GreaterThanOrEqual(o_orderdate" in p),
+    ],
 }
 
 
