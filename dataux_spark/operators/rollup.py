@@ -1,0 +1,133 @@
+"""Continuous-aggregate rollups over event streams — beyond-reference
+extension (the reference has no time-series rollups; its closest surface is
+paged scans over time-keyed rows, e.g. the BigTable key-range scans at
+/root/reference/backends/bigtable/sql_to_bt.go).  Pattern follows published
+continuous-aggregate / materialized-rollup designs (TimescaleDB continuous
+aggregates, Druid rollup segments): precompute per-bucket ALGEBRAIC partial
+aggregates for closed time buckets, answer queries by merging the rollup
+with a re-aggregated raw tail.
+
+Scale design (the reason this exists at 100 TB):
+  - The rollup stores count/sum/min/max — algebraic partials that merge by
+    re-aggregation, so query-time work is proportional to bucket×key
+    cardinality, not raw row count. avg derives as sum/count; never store
+    it (it doesn't merge).
+  - Rollup files are partitioned by bucket DATE → range queries prune whole
+    partitions at the file-listing level before any scan.
+  - Incremental refresh recomputes only buckets newer than the rollup's
+    high-water mark, reading just the raw tail (at 100 TB the daily refresh
+    touches one day of raw data, not the table).
+  - The raw tail at query time is bounded by the refresh cadence (hours of
+    data), so the expensive side of the union stays small no matter how old
+    the table grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: algebraic partials kept per (bucket, key) — everything needed to answer
+#: count/sum/min/max/avg at query time by merging.
+_PARTIALS = ("n_events", "value_sum", "value_min", "value_max")
+
+
+def _bucket_agg(events: DataFrame, ts_col: str, key_col: str, bucket: str) -> DataFrame:
+    """One aggregation pass raw→partials. `bucket` is a date_trunc unit
+    (hour/day/...). Partial+final HashAggregate by construction; the
+    map-side combine bounds the exchange at bucket×key cardinality."""
+    return (
+        events.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+
+
+def build_rollup(
+    events: DataFrame,
+    out_path: str,
+    cutoff,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> None:
+    """Materialize the rollup for all buckets strictly before `cutoff`
+    (a bucket-aligned timestamp — the high-water mark). Partitioned by
+    bucket date so range queries prune at the listing level."""
+    (
+        _bucket_agg(events.filter(F.col(ts_col) < cutoff), ts_col, key_col, bucket)
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .repartition("bucket_date")
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(out_path)
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    new_cutoff,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> int:
+    """Incremental refresh: recompute only buckets in [old high-water mark,
+    new_cutoff) from the raw tail and append them. Returns the number of
+    bucket rows appended. Reading the mark is one min/max over the rollup's
+    partition column — no raw-table scan."""
+    existing = spark.read.parquet(rollup_path)
+    mark = existing.agg(F.max("bucket")).collect()[0][0]
+    fresh = _bucket_agg(
+        events.filter(
+            (F.col(ts_col) >= F.lit(mark) + F.expr(f"INTERVAL 1 {bucket}"))
+            & (F.col(ts_col) < new_cutoff)
+        ),
+        ts_col,
+        key_col,
+        bucket,
+    ).withColumn("bucket_date", F.to_date("bucket"))
+    ct = fresh.count()
+    if ct:
+        fresh.repartition("bucket_date").write.mode("append").partitionBy(
+            "bucket_date"
+        ).parquet(rollup_path)
+    return ct
+
+
+def rollup_plus_tail(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    cutoff,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Answer the full-range bucketed aggregate: closed buckets come from
+    the materialized rollup, the open tail (>= cutoff) is re-aggregated
+    from raw, and the union is merged by re-aggregating the algebraic
+    partials (sum of counts/sums, min of mins, max of maxes). Result is
+    IDENTICAL to aggregating raw end-to-end — pinned by the DuckDB oracle."""
+    rolled = spark.read.parquet(rollup_path).select("bucket", "key", *_PARTIALS)
+    tail = _bucket_agg(
+        events.filter(F.col(ts_col) >= cutoff), ts_col, key_col, bucket
+    ).select("bucket", "key", *_PARTIALS)
+    return (
+        rolled.unionByName(tail)
+        .groupBy("bucket", "key")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )

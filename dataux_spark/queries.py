@@ -1044,6 +1044,44 @@ def events_hourly_agg(spark, sf_dir):
 
 
 @_q(
+    "rollup_hourly_merge",
+    "SELECT date_trunc('hour', ts) AS bucket, event_type AS \"key\", count(*) AS n_events, "
+    "round(sum(value), 2) AS value_sum, min(value) AS value_min, max(value) AS value_max "
+    "FROM events GROUP BY 1, 2",
+)
+def rollup_hourly_merge(spark, sf_dir):
+    """Continuous-aggregate rollup (extension; TimescaleDB/Druid-style):
+    materialize hourly algebraic partials for closed buckets (older than
+    24h before the table's max ts), partitioned by bucket date, then answer
+    the full-range hourly aggregate as rollup ∪ re-aggregated raw tail.
+    The oracle aggregates raw events end-to-end — passing proves the
+    materialize-and-merge path is lossless. At 100 TB the rollup answer
+    reads bucket×key rows plus one refresh-interval of raw data instead of
+    the whole table."""
+    import os
+    import tempfile
+
+    from dataux_spark.operators.rollup import build_rollup, rollup_plus_tail
+
+    e = read_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.date_trunc("hour", F.max("ts")).alias("m")).collect()[0].m
+    cutoff = max_ts - __import__("datetime").timedelta(hours=24)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dataux_rollup_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    build_rollup(e, path, cutoff)
+    return rollup_plus_tail(spark, e, path, cutoff).select(
+        "bucket",
+        "key",
+        "n_events",
+        _r2(F.col("value_sum")).alias("value_sum"),
+        "value_min",
+        "value_max",
+    )
+
+
+@_q(
     "events_json_extract",
     "SELECT event_type, round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k "
     "FROM events GROUP BY event_type",
