@@ -206,6 +206,8 @@ class Engine:
                     return None
             if head in ("SHOW", "DESCRIBE", "DESC"):
                 return self._show(stmt)
+            if head == "EXPLAIN":
+                return self._explain(stmt)
             if head in ("CREATE", "DROP", "ALTER"):
                 m = _CREATE_SOURCE_RE.match(stmt)
                 if m:
@@ -311,6 +313,32 @@ class Engine:
         name, value = parsed
         self.ctx.set(name, value)
         return None
+
+    _EXPLAIN_RE = re.compile(
+        r"^\s*EXPLAIN\s+(?:(FORMATTED|EXTENDED)\s+)?(SELECT\b.*)$", re.I | re.S
+    )
+
+    def _explain(self, stmt: str):
+        """EXPLAIN [FORMATTED|EXTENDED] SELECT ... (extension; the reference
+        has no EXPLAIN). Explains the plan THIS engine would run — the inner
+        statement goes through the full dialect rewrite and pushdown
+        negotiation, so polyfilled/rewritten queries show their real Spark
+        plan, not the pre-rewrite SQL's."""
+        m = self._EXPLAIN_RE.match(stmt.rstrip().rstrip(";"))
+        if not m:
+            raise QueryError("EXPLAIN supports SELECT statements")
+        import contextlib
+        import io
+
+        df = self._select(m.group(2))
+        mode = (m.group(1) or "simple").lower()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return self.spark.createDataFrame(
+            [(line,) for line in buf.getvalue().rstrip("\n").split("\n")],
+            "plan: string",
+        )
 
     def _select(self, stmt: str) -> DataFrame:
         m = _SELECT_VARS_RE.match(stmt.rstrip(";"))

@@ -247,6 +247,19 @@ def test_polyfill_equivalence(eng, spark):
         assert a == b, q
 
 
+# -- EXPLAIN (extension; explains the post-rewrite plan the engine runs)
+
+def test_explain_select(eng):
+    out = eng.sql("EXPLAIN SELECT title FROM article WHERE count > 10")
+    assert out.columns == ["plan"]
+    txt = "\n".join(r[0] for r in rows(out))
+    assert "Physical Plan" in txt
+    # FORMATTED mode shows the scan nodes; dialect rewrites still apply
+    out = eng.sql("EXPLAIN FORMATTED SELECT exists(author) AS a FROM article")
+    txt = "\n".join(r[0] for r in rows(out))
+    assert "Scan" in txt
+
+
 # -- terms() result shape (esresults.go:84-92,183-219)
 
 def test_terms_shape(eng):
