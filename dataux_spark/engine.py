@@ -351,9 +351,35 @@ class Engine:
         sql = dialect.rewrite(stmt, self.ctx, literal_dotted=self._literal_dotted_columns())
         sql = self._rewrite_array_in(sql)
         df = self._try_full_pushdown(sql)
-        if df is not None:
+        if df is None:
+            df = self._run_with_null_fallback(sql)
+        return self._apply_default_limit(sql, df)
+
+    _HAS_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+", re.I)
+    _NON_FINAL_RE = re.compile(
+        r"\bGROUP\s+BY\b|\bJOIN\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
+        r"|\b(?:count|sum|avg|min|max|approx_count_distinct|cardinality|terms)\s*\(",
+        re.I,
+    )
+
+    def _apply_default_limit(self, sql: str, df: DataFrame) -> DataFrame:
+        """Reference parity (SURVEY §2.5): un-LIMITed plain reads against a
+        backend get that backend's default page size (ES 1000, Kube/BT/BQ
+        5000...). The cap is lifted whenever anything downstream consumes
+        the scan (aggregation/join/set-op) — the reference's p.Final
+        contract (sql_to_mgo.go:99-105) — so engine-side polyfills never
+        see a truncated input."""
+        if self._HAS_LIMIT_RE.search(sql) or self._NON_FINAL_RE.search(sql):
             return df
-        return self._run_with_null_fallback(sql)
+        refs = {t.strip("`").lower() for t in _TABLE_REF_RE.findall(sql)}
+        if len(refs) != 1:
+            return df
+        (table,) = refs
+        for src in self.sources.values():
+            lim = getattr(src, "default_limit", None)
+            if lim and table in {t.lower() for t in src.tables()}:
+                return df.limit(lim)
+        return df
 
     def _resolve_time_travel(self, stmt: str) -> str:
         """`FROM t VERSION AS OF n` → historical snapshot (extension; the

@@ -43,6 +43,13 @@ class Source(ABC):
 
     name: str
     tier: PushdownTier = PushdownTier.SCAN_ONLY
+    #: Reference parity (SURVEY §2.5): each backend caps un-LIMITed reads at
+    #: a default page size (ES 1000 sqltoes.go:22, Mongo 20 sql_to_mgo.go:25,
+    #: Cass/BT/BQ/Kube 5000, Datastore 1000). Applied by the engine ONLY when
+    #: the source result is final (plain single-table SELECT, no aggregation
+    #: — the reference lifts the cap when a polyfill stage follows,
+    #: sql_to_mgo.go:103-105). None = unlimited (file/memory sources).
+    default_limit: int | None = None
 
     @abstractmethod
     def tables(self) -> list[str]:

@@ -36,6 +36,7 @@ class FamilyTableSource(Source):
     """
 
     tier = PushdownTier.SCAN_ONLY
+    default_limit = 5000
 
     def __init__(
         self,

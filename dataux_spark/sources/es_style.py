@@ -171,6 +171,7 @@ class EsStyleRestSource(Source):
     """name → {table: url}; each table scans through the pushdown reader."""
 
     tier = PushdownTier.FILTERS_LIMIT_AGGS
+    default_limit = 1000
     _registered_sessions: set[int] = set()
 
     def __init__(self, name: str, endpoints: dict[str, str], push_log_dir: str | None = None):

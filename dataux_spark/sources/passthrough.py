@@ -32,6 +32,7 @@ class DuckDBPassthroughSource(Source):
     """A FULL-tier source backed by DuckDB over parquet files."""
 
     tier = PushdownTier.FULL
+    default_limit = 5000  # BigQuery-style cap (sql_to_bq.go default)
 
     def __init__(self, name: str, table_paths: dict[str, str]):
         self.name = name

@@ -54,6 +54,7 @@ class RestJsonSource(Source):
     """name → {table: url} endpoints, each a JSON list (or {items: [...]})."""
 
     tier = PushdownTier.SCAN_ONLY
+    default_limit = 5000
 
     def __init__(self, name: str, endpoints: dict[str, str], flatten: bool = True):
         self.name = name

@@ -150,3 +150,27 @@ def test_partitioned_equals_unpartitioned(spark, sf_dir):
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("s"), F.count("*").alias("n"))
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, repart.collect()))
+
+
+def test_default_limit_final_vs_polyfill(spark):
+    """Reference §2.5: un-LIMITed plain reads get the backend's default page
+    size; the cap is lifted when a polyfill stage consumes the scan
+    (sql_to_mgo.go:99-105 p.Final contract)."""
+    from dataux_spark import Engine
+    from dataux_spark.sources.memory import MemorySource
+
+    eng = Engine(spark)
+    rows = [(i, f"u{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id: long, grp: string")
+    src = MemorySource("capped", {"capped_tbl": df})
+    df.createOrReplaceTempView("capped_tbl")
+    src.default_limit = 5  # pretend mongo-style backend
+    eng.register_source(src)
+
+    assert eng.sql("SELECT id FROM capped_tbl").count() == 5          # capped
+    assert eng.sql("SELECT id FROM capped_tbl LIMIT 2").count() == 2  # explicit wins
+    # aggregation/join = non-final scan: cap lifted, full 40 rows seen
+    assert eng.sql("SELECT count(*) AS ct FROM capped_tbl").collect()[0].ct == 40
+    assert (
+        eng.sql("SELECT grp, count(*) AS ct FROM capped_tbl GROUP BY grp").count() == 3
+    )
