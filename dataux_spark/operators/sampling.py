@@ -1,0 +1,96 @@
+"""Deterministic sampling & mixture operators for training-data pipelines —
+beyond-reference extensions (the reference has no sampling surface).
+
+Everything here is HASH-based, not RNG-based, on purpose:
+  - Reproducible: the same (id, seed) always lands in the same split/sample
+    on any cluster size, executor count, or retry — rand() cannot promise
+    that across task re-execution.
+  - Stable under data growth: adding documents never reassigns existing
+    ones (the property training pipelines need for incremental ingest).
+  - Zero shuffle: split/sample assignment is a pure map over the scan; the
+    only exchange in temperature resampling is one tiny per-group count.
+
+The bucket function is the first 8 hex chars of md5(id || ':' || seed)
+scaled to [0,1) — exactly expressible in DuckDB for the oracle gate
+(Spark `conv(substr(md5(..)...),16,10)` == DuckDB `('0x'||substr(..))::UBIGINT`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = float(2**32)
+
+
+def hash_frac(id_col: str | Column, seed: int | str = 42) -> Column:
+    """Uniform [0,1) fraction from a stable md5 bucket of (id, seed).
+    md5 needs an explicit string cast (Spark won't coerce non-strings)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(_BUCKETS)
+
+
+def hash_frac_sql(id_expr: str, seed: int | str = 42) -> str:
+    """The DuckDB spelling of hash_frac — kept adjacent so the two can
+    never drift apart silently."""
+    return (
+        f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || ':{seed}'), 1, 8))::UBIGINT"
+        f" / {_BUCKETS:.1f})"
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, seed: int | str = 42) -> DataFrame:
+    """Keep ~rate of rows, deterministically. Pure map — no shuffle, and
+    the parquet scan's pushed filters/pruning are untouched."""
+    return df.filter(hash_frac(id_col, seed) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int | str = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative weight bands over the
+    hash fraction (train/val/test by default). Weights must sum to 1."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    frac = hash_frac(id_col, seed)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        expr = F.when(frac < hi, name) if expr is None else expr.when(frac < hi, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tau: float = 0.5,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Downsample toward a temperature-flattened group mixture (the
+    multilingual-corpus balancing move: target share ∝ count^τ, τ<1 lifts
+    low-resource groups). Per-group keep probability is count^(τ-1)
+    normalized so the rarest group keeps everything — downsampling only,
+    never duplication. Selection is hash-deterministic per id.
+
+    Plan shape: one tiny groupBy for counts (group cardinality rows),
+    broadcast back; the fact scan is filtered in place — no fact shuffle."""
+    c = df.groupBy(group_col).agg(F.count("*").alias("_c"))
+    c = c.withColumn("_r", F.pow(F.col("_c").cast("double"), F.lit(tau - 1.0)))
+    rmax = c.agg(F.max("_r").alias("_rmax"))
+    probs = (
+        c.crossJoin(F.broadcast(rmax))
+        .select(group_col, (F.col("_r") / F.col("_rmax")).alias("_keep_p"))
+    )
+    return (
+        df.join(F.broadcast(probs), group_col)
+        .filter(hash_frac(id_col, seed) < F.col("_keep_p"))
+        .drop("_keep_p")
+    )

@@ -1043,6 +1043,56 @@ def events_hourly_agg(spark, sf_dir):
     )
 
 
+def _sampling_oracles():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id")
+    split = (
+        f"SELECT CASE WHEN {f} < 0.9 THEN 'train' WHEN {f} < 0.95 THEN 'val' "
+        f"ELSE 'test' END AS split, count(*) AS ct FROM documents GROUP BY 1"
+    )
+    fd = hash_frac_sql("d.doc_id")
+    temp = (
+        "WITH c AS (SELECT lang, pow(count(*), -0.5) AS r FROM documents GROUP BY lang), "
+        "p AS (SELECT lang, r / (SELECT max(r) FROM c) AS keep_p FROM c) "
+        "SELECT d.lang, count(*) AS kept FROM documents d JOIN p USING (lang) "
+        f"WHERE {fd} < p.keep_p GROUP BY d.lang"
+    )
+    return split, temp
+
+
+_SPLIT_ORACLE, _TEMP_ORACLE = _sampling_oracles()
+
+
+@_q("split_hash_counts", _SPLIT_ORACLE)
+def split_hash_counts(spark, sf_dir):
+    """Deterministic train/val/test split by md5-bucket bands (extension —
+    the reproducible-split op every training pipeline needs; rand() can't
+    survive task retries). Pure map over the scan; the oracle recomputes
+    the identical bucket function in DuckDB, so assignment parity is pinned
+    bit-for-bit, not statistically."""
+    from dataux_spark.operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").groupBy("split").agg(F.count("*").alias("ct"))
+
+
+@_q("sample_temperature_mix", _TEMP_ORACLE)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened language mixture (τ=0.5): per-group keep
+    probability ∝ count^(τ-1), normalized so the rarest language keeps
+    everything; selection is hash-deterministic per doc. One tiny counts
+    aggregate broadcast back over the fact scan — no fact shuffle."""
+    from dataux_spark.operators.sampling import temperature_resample
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        temperature_resample(d, "doc_id", "lang", tau=0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+    )
+
+
 @_q(
     "rollup_hourly_merge",
     "SELECT date_trunc('hour', ts) AS bucket, event_type AS \"key\", count(*) AS n_events, "

@@ -1,0 +1,83 @@
+"""Deterministic sampling: the properties training pipelines rely on —
+reproducibility, stability under data growth, downsample-only mixtures."""
+
+from pyspark.sql import functions as F
+
+from dataux_spark.operators.sampling import (
+    hash_frac,
+    hash_sample,
+    hash_split,
+    temperature_resample,
+)
+from dataux_spark.queries import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+def test_split_deterministic_and_exhaustive(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    assert a == b  # same seed → identical assignment
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == d.count()  # every row assigned exactly once
+
+
+def test_split_stable_under_growth(spark):
+    """Adding rows never reassigns existing ones — the hash property rand()
+    lacks."""
+    d = _docs(spark)
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    full_assign = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    half_assign = {r.doc_id: r.split for r in hash_split(half, "doc_id").collect()}
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_seed_changes_assignment(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in hash_split(d, "doc_id", seed=1).collect()}
+    b = {r.doc_id: r.split for r in hash_split(d, "doc_id", seed=2).collect()}
+    assert a != b
+
+
+def test_hash_sample_rate_and_subset(spark):
+    d = _docs(spark)
+    n = d.count()
+    s10 = hash_sample(d, "doc_id", 0.10)
+    s50 = hash_sample(d, "doc_id", 0.50)
+    assert 0 < s10.count() < s50.count() < n
+    # nested rates: the 10% sample is a strict subset of the 50% sample
+    ids10 = {r.doc_id for r in s10.select("doc_id").collect()}
+    ids50 = {r.doc_id for r in s50.select("doc_id").collect()}
+    assert ids10 <= ids50
+
+
+def test_temperature_downsamples_toward_flat(spark):
+    d = _docs(spark)
+    before = {r.lang: r.ct for r in d.groupBy("lang").agg(F.count("*").alias("ct")).collect()}
+    after = {
+        r.lang: r.ct
+        for r in temperature_resample(d, "doc_id", "lang", tau=0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    }
+    assert set(after) == set(before)
+    assert all(after[g] <= before[g] for g in before)  # never upsamples
+    rare = min(before, key=before.get)
+    assert after[rare] == before[rare]  # rarest group keeps everything
+    # imbalance strictly shrinks
+    ratio = lambda c: max(c.values()) / min(c.values())  # noqa: E731
+    assert ratio(after) < ratio(before)
+
+
+def test_hash_frac_in_unit_interval(spark):
+    d = _docs(spark)
+    row = d.select(
+        F.min(hash_frac("doc_id")).alias("lo"), F.max(hash_frac("doc_id")).alias("hi")
+    ).collect()[0]
+    assert 0.0 <= row.lo and row.hi < 1.0
