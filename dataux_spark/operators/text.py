@@ -53,6 +53,36 @@ def token_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    part_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Sequence packing (training-data prep): concatenate each partition's
+    documents in stable id order and cut the stream every `budget` tokens;
+    a doc's chunk is where it STARTS (floor((cum - n_tokens)/budget)).
+
+    Scale shape: ONE window per part_col partition — the packing order is
+    per-partition (source/shard), never global, so there is no single-task
+    global sort; each shard packs independently, which is also the right
+    semantics (training shards are independent streams). Deterministic:
+    same data → same chunks, on any cluster."""
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens(F.col(content_col)))
+    w = W.partitionBy(part_col).orderBy(id_col)
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(part_col),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        cum.alias("cum_tokens"),
+        F.floor((cum - n_tok) / F.lit(float(budget))).alias("chunk_id"),
+    )
+
+
 def lang_trigrams() -> list[tuple[str, str]]:
     """Char-trigram profile per language, derived deterministically from the
     marker words (space-padded, distinct). Production swaps in full corpus

@@ -1043,6 +1043,56 @@ def events_hourly_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "pack_sequences",
+    "WITH t AS (SELECT source, doc_id, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents), "
+    "c AS (SELECT source, doc_id, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t) "
+    "SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id, "
+    "count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens "
+    "FROM c GROUP BY source, chunk_id",
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing (extension): per-source token stream cut every 512
+    tokens; reports docs and token mass per chunk. Per-shard windows — no
+    global sort — so packing scales with the number of shards."""
+    from dataux_spark.operators.text import pack_chunks
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        pack_chunks(d, "text", "doc_id", "source", budget=512)
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+        )
+    )
+
+
+@_q(
+    "quality_quantile_filter",
+    "WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang) "
+    "SELECT d.lang, count(*) AS kept, CAST(min(d.n_chars) AS BIGINT) AS min_chars "
+    "FROM documents d JOIN med USING (lang) WHERE d.n_chars >= med.med "
+    "GROUP BY d.lang",
+)
+def quality_quantile_filter(spark, sf_dir):
+    """Per-group quantile thresholding (extension — the standard per-language
+    length/quality pruning move): keep docs at or above their language's
+    median length. The per-lang medians are a tiny aggregate broadcast back
+    over the scan; Spark percentile == DuckDB quantile_cont (both linear
+    interpolation)."""
+    d = read_table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    return (
+        d.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") >= F.col("med"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"), F.min("n_chars").alias("min_chars"))
+    )
+
+
 def _sampling_oracles():
     from dataux_spark.operators.sampling import hash_frac_sql
 

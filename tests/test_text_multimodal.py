@@ -121,3 +121,28 @@ def test_langid_ngram_prefers_doc_language(spark):
     )
     out = {r._id: r.lang for r in langid_ngram(df, "text", "doc_id").collect()}
     assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+
+
+def test_pack_chunks_boundaries(spark):
+    """Greedy-chunk invariants: cum ordering per source, chunk = where the
+    doc starts, chunk token mass stays near budget (never more than one doc
+    overshoot)."""
+    from dataux_spark.operators.text import pack_chunks
+    from dataux_spark.queries import read_table
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = pack_chunks(d, "text", "doc_id", "source", budget=256)
+    rows = out.orderBy("source", "doc_id").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        cum = 0
+        for r in rs:
+            assert r.chunk_id == cum // 256  # starts-in chunk
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        assert sorted(r.chunk_id for r in rs) == [r.chunk_id for r in rs]
+    # at least one source crosses a boundary at this SF
+    assert out.agg(F.max("chunk_id")).collect()[0][0] >= 1
