@@ -166,6 +166,19 @@ class Engine:
         mysql_functions.go:53-78)."""
         self.spark.udf.register(name, fn, return_type)
 
+    def add_table_function(self, name: str, udtf_cls, return_type: str | None = None) -> None:
+        """Custom TABLE function (completes the §2.9 surface — the reference
+        has no UDTFs; its only multi-row function is the engine-internal
+        terms() decode, esresults.go:183-219). A Python class with
+        eval(...) -> Iterator[tuple], usable as
+        `SELECT f.* FROM t, LATERAL name(col) f` — Catalyst plans the
+        lateral correlation; rows stream out Arrow-batched per input
+        partition, no driver materialization."""
+        from pyspark.sql.functions import udtf
+
+        wrapped = udtf(udtf_cls, returnType=return_type) if return_type else udtf_cls
+        self.spark.udtf.register(name, wrapped)
+
     def _all_tables(self) -> list[str]:
         out = []
         for s in self.sources.values():

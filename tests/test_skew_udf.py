@@ -73,3 +73,24 @@ def test_custom_pandas_udaf(spark, sf_dir):
     assert len(out) == 3
     for r in out:
         assert 1.0 < r.g < 50.0
+
+
+def test_custom_table_function_lateral(spark, sf_dir):
+    """Python UDTF through the engine registry, consumed via LATERAL —
+    the table-function completion of §2.9 (reference's only multi-row fn
+    is the engine-internal terms() decode)."""
+    eng = Engine(spark)
+
+    class WordLens:
+        def eval(self, text: str):
+            if text:
+                for w in sorted(set(text.lower().split()))[:3]:
+                    yield w, len(w)
+
+    eng.add_table_function("word_lens", WordLens, "word: string, wlen: int")
+    read_table(spark, sf_dir, "documents").limit(5).createOrReplaceTempView("docs_udtf")
+    out = eng.sql(
+        "SELECT d.doc_id, w.word, w.wlen FROM docs_udtf d, LATERAL word_lens(d.text) w"
+    ).collect()
+    assert len(out) == 15  # 5 docs × 3 words
+    assert all(r.wlen == len(r.word) for r in out)
