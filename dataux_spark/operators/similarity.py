@@ -258,3 +258,77 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------- persisted IVF index
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index on disk: vectors (+ precomputed norms)
+    partitioned by centroid cell, centroids stored alongside. Build once,
+    query many — the batch-ANN serving layout.
+
+    Scale: cell is a parquet PARTITION column, so a probe reads only its
+    cells' files via partition pruning; the assignment matmul happens once
+    at build, never again at query time."""
+    cents = train_centroids(corpus, vec_col, id_col, n_centroids, sample_size, iters, seed)
+    assign = _cell_assign_udf(cents, 1)
+    (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cnorm", _norm("cv"))
+        .withColumn("cell", assign("cv")[0])
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell: int, centroid: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query its nprobe nearest
+    cells (tiny centroid table, driver-side), join cell=cell against the
+    index scan, exact rerank inside probed cells.
+
+    The broadcast query side drives Spark's dynamic partition pruning on
+    the index's cell partition column — un-probed cells are skipped at the
+    FILE level, so query cost scales with nprobe/n_centroids of the index,
+    not its total size."""
+    cents = np.array(
+        [r.centroid for r in spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()]
+    )
+    q_assign = _cell_assign_udf(cents, nprobe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qnorm", _norm("qv"))
+        .withColumn("cell", F.explode(q_assign("qv")))
+    )
+    cells = spark.read.parquet(f"{index_path}/cells")
+    cand = cells.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

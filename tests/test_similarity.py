@@ -88,3 +88,27 @@ def test_ivf_deterministic_and_shape(emb):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     for r in a:
         assert r.neighbor_id != r.query_id and 1 <= r.rank <= 3
+
+
+def test_persisted_ivf_index_matches_inmemory(emb, spark, tmp_path):
+    """build_ivf_index + ivf_index_topk returns the same top-k as the
+    one-shot ivf_topk with identical hyperparameters — the on-disk cell
+    layout must be a pure materialization of the in-memory plan."""
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(
+        emb, "embedding", "vec_id", path, n_centroids=16, seed=7
+    )
+    # index layout: cell is a parquet partition column
+    cells = spark.read.parquet(f"{path}/cells")
+    assert "cell" in cells.columns and "cnorm" in cells.columns
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    assert n_cells == 16
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    from_index = similarity.ivf_index_topk(
+        spark, path, q, "embedding", "vec_id", k=K, nprobe=4
+    ).collect()
+    in_memory = similarity.ivf_topk(
+        emb, q, "embedding", "vec_id", k=K, n_centroids=16, nprobe=4, seed=7
+    ).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, in_memory))
