@@ -721,6 +721,277 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @_q(
+    "q7_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM ("
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    ") GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations). Plan: the two
+    single-nation dims broadcast into supplier and customer→orders, cutting
+    both fact sides to ~1/12.5 of rows BEFORE the only real shuffle (the
+    lineitem⋈orders orderkey join); the nation-pair disjunction is a join
+    residual, not a cross join. Reference: INNER equi-join chain is the one
+    join strategy dataux has (planner/executor.go:84-96)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    supp = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    ord_n = o.join(cust, o.o_custkey == cust.c_custkey).select("o_orderkey", "cust_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(ord_n, li.l_orderkey == ord_n.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r2(F.sum("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_q(
+    "q8_market_share",
+    "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) "
+    "/ sum(volume), 4) AS mkt_share FROM ("
+    "SELECT year(o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume, "
+    "n2.n_name AS nation "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "JOIN region ON n1.n_regionkey = r_regionkey "
+    "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'"
+    ") GROUP BY o_year ORDER BY o_year",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): 8-table join tree. Every dim
+    (part-by-type, region→nation→customer, supplier→nation) broadcasts; the
+    only shuffle is lineitem⋈orders on orderkey. The share ratio is a
+    conditional-sum over the same aggregate pass — no second scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = (
+        c.join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            c.c_nationkey == n.n_nationkey,
+        ).select("c_custkey")
+    )
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    ord_c = o.join(cust_nat, o.o_custkey == cust_nat.c_custkey).select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(ord_c, li.l_orderkey == ord_c.o_orderkey)
+        .select("o_year", "nation", vol.alias("volume"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "SELECT c_custkey, count(o_orderkey) AS c_count "
+    "FROM customer LEFT OUTER JOIN orders "
+    "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+    "GROUP BY c_custkey) c_orders "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    with an ON-clause filter on the null-producing side (semantically
+    different from a WHERE — customers whose every order is urgent still
+    appear with c_count=0), then a two-level aggregation. Both aggs are
+    partial+final; the second groupBy keys on the tiny c_count domain, so
+    its exchange is bounded by the distribution's support, not row count."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN revenue "
+    "ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) "
+    "ORDER BY s_suppkey",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier via the revenue view): the quarter's
+    per-supplier revenue is computed ONCE (cached view in spirit; Spark
+    reuses the exchange under AQE), the max is a 1-row broadcast back onto
+    it — no re-scan of lineitem for the scalar subquery. Rounded to 2dp
+    before the max comparison on both sides so float ties are exact."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#23' "
+    "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 "
+    "                  WHERE l2.l_partkey = p_partkey)",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated avg
+    decorrelates to a per-partkey aggregate joined back. The brand filter
+    broadcasts into lineitem FIRST, so the per-part avg is computed only
+    over the brand's partkeys (semi-joined scan), not all of lineitem —
+    the decorrelated aggregate inherits the outer filter's pruning."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    part_avg = brand_li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        brand_li.join(F.broadcast(part_avg), brand_li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(_r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    "SELECT s_name, count(*) AS numwait "
+    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "WHERE o_orderstatus = 'F' "
+    "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "            AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "                AND l3.l_suppkey <> l1.l_suppkey "
+    "                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    schema: "late" = shipped >60 days after the order date (no
+    commit/receipt dates in the testdata). EXISTS → LEFT SEMI on orderkey
+    with a suppkey<>suppkey residual; NOT EXISTS → LEFT ANTI with the same
+    residual plus the lateness predicate. Both joins reuse the orderkey
+    hash partitioning of the main join — three shuffles on the same key,
+    which AQE coalesces; nothing is materialized per-order."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"))
+    exists_other = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("x_orderkey")) & (l1.l_suppkey != F.col("x_suppkey")),
+        "left_semi",
+    )
+    l3 = li.join(fo, li.l_orderkey == fo.o_orderkey).filter(F.col("l_shipdate") > late_cut)
+    l3 = l3.select(F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey"))
+    only_late = exists_other.join(
+        l3,
+        (exists_other.l_orderkey == F.col("y_orderkey"))
+        & (exists_other.l_suppkey != F.col("y_suppkey")),
+        "left_anti",
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@_q(
     "join_left_outer",
     "SELECT n.n_name, count(c.c_custkey) AS ct FROM nation n "
     "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
