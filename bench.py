@@ -31,9 +31,12 @@ HEADLINE = [
     "join_inner",
     "join_5way_regional_revenue",
     "q3_shipping_priority",
+    "q7_volume_shipping",
     "q12_priority_lines",
+    "q13_customer_distribution",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "topk_order_limit",
     "window_topk_per_group",
     "events_hourly_agg",

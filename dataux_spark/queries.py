@@ -950,11 +950,17 @@ def q17_small_quantity_revenue(spark, sf_dir):
 def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
     schema: "late" = shipped >60 days after the order date (no
-    commit/receipt dates in the testdata). EXISTS → LEFT SEMI on orderkey
-    with a suppkey<>suppkey residual; NOT EXISTS → LEFT ANTI with the same
-    residual plus the lateness predicate. Both joins reuse the orderkey
-    hash partitioning of the main join — three shuffles on the same key,
-    which AQE coalesces; nothing is materialized per-order."""
+    commit/receipt dates in the testdata).
+
+    Shape notes: both correlated subqueries are per-order facts about the
+    SAME partition key — "some other supplier on the order" (EXISTS) is
+    n_distinct_suppliers ≥ 2, "no other late supplier" (NOT EXISTS) is
+    n_distinct_late_suppliers = 1 — so the whole query is ONE shuffle of
+    F-order lines on orderkey with two windowed collect_sets, instead of
+    the literal semi + anti self-joins (which re-scan and re-broadcast
+    lineitem; Catalyst also hoists the selective late filter above them).
+    q4_order_priority keeps the pure semi-join demonstration; this one
+    shows the scale-correct plan."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     fo = (
         read_table(spark, sf_dir, "orders")
@@ -962,28 +968,21 @@ def q21_waiting_suppliers(spark, sf_dir):
         .select("o_orderkey", "o_orderdate")
     )
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    l1 = (
-        li.join(fo, li.l_orderkey == fo.o_orderkey)
-        .filter(F.col("l_shipdate") > late_cut)
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
-    )
-    l2 = li.select(F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"))
-    exists_other = l1.join(
-        l2,
-        (l1.l_orderkey == F.col("x_orderkey")) & (l1.l_suppkey != F.col("x_suppkey")),
-        "left_semi",
-    )
-    l3 = li.join(fo, li.l_orderkey == fo.o_orderkey).filter(F.col("l_shipdate") > late_cut)
-    l3 = l3.select(F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey"))
-    only_late = exists_other.join(
-        l3,
-        (exists_other.l_orderkey == F.col("y_orderkey"))
-        & (exists_other.l_suppkey != F.col("y_suppkey")),
-        "left_anti",
+    w = W.partitionBy("l_orderkey")
+    waiting = (
+        li.join(F.broadcast(fo), li.l_orderkey == fo.o_orderkey)
+        .withColumn("is_late", F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "is_late")
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     s = read_table(spark, sf_dir, "supplier")
     return (
-        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
