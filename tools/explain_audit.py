@@ -86,6 +86,40 @@ CHECKS = {
         ("NOT EXISTS planned as anti join", lambda p: "LeftAnti" in p),
         ("orders date filter pushed", lambda p: "GreaterThanOrEqual(o_orderdate" in p),
     ],
+    "q7_volume_shipping": [
+        ("nation-pair filter pushed to nation scan", lambda p: "In(n_name, [NATION_1,NATION_2])" in p),
+        ("ship-date window pushed to lineitem", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("no cartesian from the pair disjunction", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+    ],
+    "q8_market_share": [
+        ("part type filter pushed", lambda p: "EqualTo(p_type,ECONOMY)" in p),
+        ("region filter pushed", lambda p: "EqualTo(r_name,AMERICA)" in p),
+        # formatted explain lists each node twice (tree + details) — count tree entries only
+        ("one shuffle join at most (all dims broadcast)", lambda p: p.count("SortMergeJoin Inner (") + p.count("ShuffledHashJoin Inner (") <= 1),
+        ("no nested loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+    ],
+    "q13_customer_distribution": [
+        ("outer join preserved (ON-clause filter not pushed as WHERE)", lambda p: "LeftOuter" in p),
+        ("both aggs partial+final", lambda p: p.count("HashAggregate") >= 4),
+        ("orders pruned to 3 columns", lambda p: "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderpriority:string>" in p),
+    ],
+    "q15_top_supplier": [
+        ("quarter filter pushed to lineitem", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("scalar max joined without shuffle of revenue", lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("partial+final agg", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "q17_small_quantity_revenue": [
+        ("brand filter pushed to part scan", lambda p: "EqualTo(p_brand,Brand#23)" in p),
+        ("brand semi-reduction broadcast into lineitem", lambda p: "BroadcastHashJoin" in p),
+        ("no nested loop", lambda p: "CartesianProduct" not in p),
+    ],
+    "q21_waiting_suppliers": [
+        ("orders status filter pushed", lambda p: "EqualTo(o_orderstatus,F)" in p),
+        ("single orderkey shuffle feeds the windows", lambda p: p.count("hashpartitioning(l_orderkey") == 1),
+        ("orders broadcast into lineitem scan stage", lambda p: "BroadcastHashJoin" in p),
+        ("no self semi/anti rescan of lineitem", lambda p: p.count("lineitem.parquet") == 1),
+    ],
 }
 
 
