@@ -180,3 +180,52 @@ def lang_scores(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     for lang, c in reversed(score_cols):  # earlier langs win ties
         pred = F.when(F.col(c) == best, F.lit(lang)).otherwise(pred)
     return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def repetition_profile(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style repetition filters,
+    Rae et al. 2021 §A1.1): type-token ratio, duplicate-bigram fraction,
+    and the document's most frequent bigram with its count. Documents with
+    fewer than 2 words have no bigrams and are dropped (nothing to score).
+
+    Plan: bigrams are built in the scan projection (zip_with over the token
+    array, JVM-side), then one explode + groupBy(doc, bigram) shuffle
+    computes the counts — its volume is bounded by total token count and
+    the doc_id key is uniform by construction. The per-doc top-1 and the
+    final roll-up run on a second, much smaller exchange keyed by doc_id
+    alone (input = one row per DISTINCT bigram per doc, already partially
+    aggregated); the roll-up reuses the window's partitioning.
+
+    Returns (id, n_words, word_ttr, n_bigrams, dup_bigram_frac, top_bigram,
+    top_bigram_ct)."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col(content_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_ws"),
+    ).select(
+        id_col,
+        F.size("_ws").alias("n_words"),
+        F.round(F.size(F.array_distinct("_ws")) / F.size("_ws"), 6).alias("word_ttr"),
+        F.expr(
+            "zip_with(slice(_ws, 1, size(_ws) - 1), slice(_ws, 2, size(_ws) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ).alias("_bgs"),
+    )
+    counts = (
+        base.select(id_col, "n_words", "word_ttr", F.explode("_bgs").alias("bigram"))
+        .groupBy(id_col, "n_words", "word_ttr", "bigram")
+        .agg(F.count("*").alias("ct"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("ct").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .groupBy(id_col, "n_words", "word_ttr")
+        .agg(
+            F.sum("ct").alias("n_bigrams"),
+            F.round(1.0 - F.count("*") / F.sum("ct"), 6).alias("dup_bigram_frac"),
+            F.max(F.when(F.col("_rn") == 1, F.col("bigram"))).alias("top_bigram"),
+            F.max(F.when(F.col("_rn") == 1, F.col("ct"))).alias("top_bigram_ct"),
+        )
+    )

@@ -1766,6 +1766,43 @@ def text_lang_scores(spark, sf_dir):
 
 
 @_q(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+             round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS word_ttr,
+             unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS bigram
+      FROM w
+    ),
+    counts AS (
+      SELECT doc_id, n_words, word_ttr, bigram, count(*) AS ct
+      FROM bg GROUP BY doc_id, n_words, word_ttr, bigram
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ct DESC, bigram) AS rn
+      FROM counts
+    )
+    SELECT doc_id, n_words, word_ttr,
+           CAST(sum(ct) AS BIGINT) AS n_bigrams,
+           round(1.0 - count(*)::DOUBLE / sum(ct), 6) AS dup_bigram_frac,
+           max(CASE WHEN rn = 1 THEN bigram END) AS top_bigram,
+           CAST(max(CASE WHEN rn = 1 THEN ct END) AS BIGINT) AS top_bigram_ct
+    FROM ranked GROUP BY doc_id, n_words, word_ttr
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition metrics: type-token ratio,
+    duplicate-bigram fraction, most-frequent bigram
+    (operators/text.py repetition_profile)."""
+    from dataux_spark.operators.text import repetition_profile
+
+    return repetition_profile(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
     "multimodal_features",
     "SELECT doc_id, 'image/fake' AS mime, "
     "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest "

@@ -146,3 +146,34 @@ def test_pack_chunks_boundaries(spark):
         assert sorted(r.chunk_id for r in rs) == [r.chunk_id for r in rs]
     # at least one source crosses a boundary at this SF
     assert out.agg(F.max("chunk_id")).collect()[0][0] >= 1
+
+
+def test_repetition_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> 2 distinct / 4, top 'a b' x2
+            (2, "x y z"),       # bigrams: xy yz -> all unique
+            (3, "solo"),        # <2 words -> dropped
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in text.repetition_profile(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1.n_words == 5 and r1.n_bigrams == 4
+    assert r1.word_ttr == 0.4  # {a,b}/5
+    assert r1.dup_bigram_frac == 0.5  # 2 distinct of 4
+    assert r1.top_bigram == "a b" and r1.top_bigram_ct == 2
+    r2 = out[2]
+    assert r2.dup_bigram_frac == 0.0 and r2.top_bigram == "x y" and r2.top_bigram_ct == 1
+
+
+def test_repetition_profile_full_table(docs):
+    out = text.repetition_profile(docs, "text", "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2).count()
+    for r in rows:
+        assert 0.0 <= r.dup_bigram_frac < 1.0
+        assert 0.0 < r.word_ttr <= 1.0
+        assert r.n_bigrams == r.n_words - 1
+        assert 1 <= r.top_bigram_ct <= r.n_bigrams
