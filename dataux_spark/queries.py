@@ -1685,6 +1685,27 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@_q("ann_ivf_index_topk")  # rows-only: persisted k-means index isn't plain-SQL
+def ann_ivf_index_topk(spark, sf_dir):
+    """Persisted-IVF-index lifecycle: build the on-disk index (parquet
+    cells partitioned by centroid, build-once serving layout), then probe
+    it (operators/similarity.py build_ivf_index/ivf_index_topk). Matches
+    the in-memory ivf_topk result exactly — asserted in
+    tests/test_similarity.py; the probe reads only nprobe/n_centroids of
+    the index files via partition pruning."""
+    import tempfile
+
+    from dataux_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    slug = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    path = f"{tempfile.gettempdir()}/dataux_ivf_index_{slug}"
+    build_ivf_index(emb, "embedding", "vec_id", path, n_centroids=16)
+    return ivf_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5, nprobe=4
+    )
+
+
 @_q(
     "text_token_stats",
     "SELECT doc_id, "
