@@ -65,32 +65,39 @@ def main() -> None:
     Q.read_table(spark, sf_dir, "lineitem").count()
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name]
-        fn(spark, sf_dir).count()  # warm-up (plans + shuffles primed)
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
+        # One broken query must not zero out the whole bench run — record
+        # the error and keep timing the rest (rounds 1 and 2 both lost ALL
+        # timings to a single query's AnalysisException).
+        try:
+            fn(spark, sf_dir).count()  # warm-up (plans + shuffles primed)
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
         # Operator-internal persist()s (e.g. minhash signatures) pin a NEW
         # cache entry per invocation — without this, storage grows across
         # the run and later queries pay the GC bill.
         spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_set_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

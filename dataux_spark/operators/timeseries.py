@@ -20,8 +20,19 @@ exactly one keyed shuffle (never a cross join, never applyInPandas):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def _us(c: Column | str) -> Column:
+    """Epoch micros of a timestamp column, tolerant of TIMESTAMP_NTZ.
+
+    Parquet tz-less timestamps load as TIMESTAMP_NTZ under Spark 4's
+    inferTimestampNTZ default, and unix_micros() rejects NTZ input; the
+    cast is a no-op for plain TIMESTAMP and a UTC-session reinterpretation
+    for NTZ (session tz is pinned to UTC in get_spark)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -71,7 +82,7 @@ def asof_join(
     within = (
         F.lit(True)
         if tolerance_sec is None
-        else (F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_c_rts")))
+        else (_us(ts) - _us("_c_rts"))
         <= int(tolerance_sec * 1_000_000)
     )
     for c in right_cols:
@@ -139,7 +150,7 @@ def sessionize(
     gap_us = int(gap_minutes * 60 * 1_000_000)
     prev = F.lag(F.col(ts)).over(w)
     new_flag = F.when(
-        prev.isNull() | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > gap_us), 1
+        prev.isNull() | ((_us(ts) - _us(prev)) > gap_us), 1
     ).otherwise(0)
     return df.withColumn("_new", new_flag).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -154,7 +165,7 @@ def session_stats(
     s = sessionize(df, key, ts, gap_minutes)
     per_session = s.groupBy(key, "session_id").agg(
         F.count("*").alias("n_events"),
-        (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("dur_us"),
+        (_us(F.max(ts)) - _us(F.min(ts))).alias("dur_us"),
     )
     return per_session.groupBy(key).agg(
         F.count("*").cast("long").alias("n_sessions"),

@@ -1218,7 +1218,7 @@ def qlbridge_builtins(spark, sf_dir):
 @_q(
     "qlbridge_strfuncs",
     "SELECT c_custkey, "
-    "string_split(c_name, '#') AS name_parts, "
+    "array_to_string(string_split(c_name, '#'), '|') AS name_parts, "
     "contains(c_name, '5') AS has5, "
     "replace(c_name, 'Customer#', 'C') AS short_name, "
     "(c_name IS NOT NULL OR c_mktsegment IS NOT NULL) AS any_present, "
@@ -1238,9 +1238,12 @@ def qlbridge_strfuncs(spark, sf_dir):
 
     eng = Engine(spark)
     eng.register_parquet_dir("tpch", sf_dir)
+    # name_parts is flattened to a '|'-joined string: the correctness
+    # driver's canonicalizer sorts cell values and arrays are unhashable
+    # there, so both sides emit a scalar.
     return eng.sql(
         "SELECT c_custkey, "
-        "split(c_name, '#') AS name_parts, "
+        "join(split(c_name, '#'), '|') AS name_parts, "
         "contains(c_name, '5') AS has5, "
         "replace(c_name, 'Customer#', 'C') AS short_name, "
         "any(c_name, c_mktsegment) AS any_present, "
