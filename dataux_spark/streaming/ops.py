@@ -23,32 +23,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns epoch (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source = the local stand-in
-    for Kafka; one file becomes one micro-batch). ns→µs conversion matches
-    the batch reader."""
+    for Kafka; one file becomes one micro-batch).
+
+    Structured Streaming requires an explicit schema, but hardcoding one is
+    how rounds 1-3 shipped a wrong-era bug (testdata moved from
+    TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and a fixed LongType + DIV 1000
+    put every event in January 1970). Instead: take the schema from a batch
+    read of the same file — a one-file footer read, not a data scan — and
+    apply the nanos→µs conversion ONLY when the column actually loaded as
+    bigint, mirroring the batch reader (queries.read_table)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (ltz). Session tz is pinned UTC, so
+        # this cast preserves the wall-clock instant exactly.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_agg(
