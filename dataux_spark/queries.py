@@ -2255,9 +2255,80 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 # ------------------------------------------------------------------ export
 
+# The external driver oracle-checks only the FIRST 50 entries of queries()
+# in insertion order. Rounds 1-3 burned that entire window on the relational
+# surface, so none of the LLM-pipeline operators (dedup / ANN / text /
+# time-series / streaming) ever got a driver verdict. Export order is
+# therefore decoupled from definition order: the never-driver-verified
+# entries come first, padded to exactly 50 with a handful of relational
+# regression canaries; everything that already has green CORRECTNESS_r03
+# rows follows after the window.
+_DRIVER_WINDOW: list[str] = [
+    # never driver-verified (registry positions 51-92 in rounds 1-3)
+    "qlbridge_datefuncs",
+    "date_extract",
+    "events_hourly_agg",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "split_hash_counts",
+    "sample_temperature_mix",
+    "rollup_hourly_merge",
+    "events_json_extract",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_winnow_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_neardup",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_index_topk",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_scores",
+    "text_repetition",
+    "multimodal_features",
+    "text_langid_ngram",
+    "multimodal_frame_sample",
+    "cross_source_join",
+    "correlated_subquery",
+    "cte_scalar_subquery",
+    "explode_top_tokens",
+    "array_functions",
+    "asof_join_events",
+    "range_join_price_bands",
+    "sessionize_stats",
+    "streaming_windowed_agg",
+    "streaming_dedup",
+    "pivot_status_priority",
+    "percentiles",
+    "dedup_keep_best",
+    "corpus_clean_pipeline",
+    # relational regression canaries (already green in CORRECTNESS_r03)
+    "point_filter",
+    "pricing_summary",
+    "join_5way_regional_revenue",
+    "q21_waiting_suppliers",
+    "window_topk_per_group",
+    "set_union",
+    "grouping_sets_counts",
+    "qlbridge_builtins",
+]
+
+
+def _export_order() -> list[str]:
+    missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]
+    assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
+    rest = [n for n in _REGISTRY if n not in set(_DRIVER_WINDOW)]
+    return _DRIVER_WINDOW + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_REGISTRY)
+    return {n: _REGISTRY[n] for n in _export_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return {n: ORACLE[n] for n in _export_order() if n in ORACLE}
