@@ -110,25 +110,47 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     n: int = 3,
     threshold: float = 0.5,
+    length_bucket: bool = True,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard over pairs sharing a blocking key.
 
     Blocking keeps the join linear-ish: pairs are generated only within a
-    block (e.g. same lang + length bucket), which at 100 TB must be chosen
-    so blocks stay ~10³-10⁴ docs. Self-join is a shuffle on the block key.
-    Returns (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    block, which at 100 TB must stay ~10³-10⁴ docs. With `length_bucket`
+    (default) a log2 bucket of the distinct-gram count is ADDED to the
+    user blocks, so a lang-only blocking over a web corpus cannot
+    degenerate into all-pairs-within-language.
+
+    The length blocking is LOSSLESS for the result set: jaccard(A,B) ≥ t
+    bounds the set-size ratio |B|/|A| ≤ 1/t, hence the floor(log2) buckets
+    differ by ≤ spread = ceil(log2(1/t)); each doc is exploded to buckets
+    lb..lb+spread so every qualifying pair still meets in ≥1 bucket (pairs
+    meeting twice are dropDuplicates'd). At t ≥ 0.5 the spread is 1 — a 2×
+    row fan-out for a quadratic→linear-ish blocking win.
+
+    Self-join is a shuffle on (block key, bucket). Returns
+    (id_a, id_b, jaccard) for pairs ≥ threshold — identical to the
+    unblocked quadratic answer by the bound above."""
+    import math
+
     g = (
         df.select(F.col(id_col).alias("_id"), *block_cols, tokens(F.col(content_col)).alias("_toks"))
         .select("_id", *block_cols, F.array_distinct(shingles("_toks", n)).alias("_grams"))
     )
-    a = g.alias("a")
-    b = g.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_bucket:
+        spread = max(1, math.ceil(math.log2(1.0 / threshold))) if threshold < 1 else 1
+        lb = F.floor(F.log2(F.greatest(F.size("_grams"), F.lit(1))))
+        g = g.withColumn(
+            "_lbk", F.explode(F.array(*[lb + F.lit(i) for i in range(spread + 1)]))
+        )
+        cond = cond & (F.col("a._lbk") == F.col("b._lbk"))
+    a = g.alias("a")
+    b = g.alias("b")
     inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
     union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
-    return (
+    out = (
         a.join(b, cond)
         .select(
             F.col("a._id").alias("id_a"),
@@ -137,6 +159,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if length_bucket:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # -------------------------------------------------------------- minhash LSH
@@ -355,6 +380,76 @@ def connected_components(
 
 
 # -------------------------------------------------- embedding cosine dedup
+
+def embedding_signband_neardup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via deterministic sign-band candidate
+    generation + exact cosine verify — the scale path for the all-pairs
+    operator below.
+
+    Candidate generation is bit-sampling LSH with AXIS-ALIGNED hyperplanes:
+    bit i = (v[i] > 0), grouped into dim/band_bits bands; a pair is a
+    candidate iff it agrees on at least one whole band (the same banding
+    scheme as minhash_lsh_pairs / simhash_pairs). Axis signs need no
+    random-plane literals, so the scheme is reproducible in plain SQL —
+    the DuckDB oracle replicates candidate generation bit-for-bit rather
+    than settling for a rows-only check.
+
+    Scale: bands explode to dim/band_bits slim (id, band, value) rows; the
+    self-join shuffles on the band value — linear, never all-pairs. The
+    verify stage re-attaches vectors to the (much smaller) candidate set.
+    Like all LSH, recall < 1 vs the exact quadratic twin for weakly-similar
+    pairs; truly-near duplicates (cos ≥ ~0.9) agree on most signs and are
+    caught w.h.p. (recall asserted on planted duplicates in tests).
+    Returns (id_a, id_b, cos ≥ threshold) over candidates."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
+    )
+    dim = len(df.select(vec_col).first()[0])
+    n_bands = dim // band_bits
+    bands = []
+    for b in range(n_bands):
+        val = None
+        for j in range(band_bits):
+            bit = F.when(F.col("v")[b * band_bits + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        bands.append(F.struct(F.lit(b).alias("band"), val.alias("bv")))
+    banded = v.select(
+        "_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(
+            v.select(F.col("_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")),
+            "id_a",
+        ).join(
+            v.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")),
+            "id_b",
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return cand.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, block_col: str | None = None

@@ -1626,18 +1626,41 @@ def dedup_clusters(spark, sf_dir):
 
 @_q(
     "embedding_neardup",
-    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-    "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos "
-    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4",
+    """
+    WITH v AS (
+      SELECT vec_id AS _id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bands AS (
+      SELECT _id, t.b AS band,
+             (CASE WHEN v[4*t.b+1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[4*t.b+2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[4*t.b+3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4*t.b+4] > 0 THEN 8 ELSE 0 END) AS bv
+      FROM v, generate_series(0, 15) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x._id AS id_a, y._id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bv = y.bv AND x._id < y._id
+    )
+    SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM cand c JOIN v a ON c.id_a = a._id JOIN v b ON c.id_b = b._id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
 )
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥0.4, exact pairwise (the verify
-    stage; LSH candidates at scale — operators/dedup.py)."""
-    from dataux_spark.operators.dedup import embedding_neardup_pairs
+    """Embedding near-dup: deterministic axis-sign-band LSH candidates +
+    exact cosine verify ≥0.4 (operators/dedup.embedding_signband_neardup).
+    The former all-pairs form is the scale-killer this replaces; the oracle
+    replicates the 16×4-bit banding bit-for-bit in SQL, so the full
+    candidates→verify pipeline is value-checked, not just row-counted.
+    Exact all-pairs remains available as embedding_neardup_pairs (the
+    verify-stage primitive)."""
+    from dataux_spark.operators.dedup import embedding_signband_neardup
 
-    return embedding_neardup_pairs(
-        read_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.4
+    return embedding_signband_neardup(
+        read_table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.4, band_bits=4,
     )
 
 

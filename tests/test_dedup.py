@@ -130,3 +130,36 @@ def test_winnow_density_and_subset(spark, sf_dir):
     n_fps = fps.count()
     # density ~ 2/(w+1) = 0.4 of grams; distinct-ing pushes it lower
     assert 0 < n_fps < n_grams
+
+
+def test_length_bucket_blocking_is_lossless(docs):
+    """jaccard >= t bounds the gram-set size ratio by 1/t, so adding the
+    log2 length-bucket blocking (the quadratic-killer at scale) must not
+    change the result set vs the unblocked quadratic answer."""
+    blocked = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang"], n=3, threshold=0.5, length_bucket=True
+    )
+    unblocked = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang"], n=3, threshold=0.5, length_bucket=False
+    )
+    assert _pairset(blocked) == _pairset(unblocked)
+
+
+def test_signband_neardup_recall_on_planted_dups(spark, sf_dir):
+    """Planted near-duplicates (tiny perturbation, cos ~0.999) must all be
+    caught by the axis-sign-band candidate stage; every reported pair must
+    also appear in the exact all-pairs computation at the same threshold."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CASE WHEN i = 0 THEN 1e-4 ELSE 0.0 END)"
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    got = dedup.embedding_signband_neardup(both, "embedding", "vec_id", threshold=0.99)
+    pairs = _pairset(got)
+    for vid in [r.vec_id for r in emb.select("vec_id").collect()]:
+        assert (vid, vid + 100000) in pairs
+    exact = dedup.embedding_neardup_pairs(both, "embedding", "vec_id", threshold=0.99)
+    assert pairs <= _pairset(exact)
