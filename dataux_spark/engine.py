@@ -136,6 +136,18 @@ class Engine:
             src = JsonDirSource(name, path)
         elif kind in ("memory", "memdb"):
             src = MemorySource(name)
+        elif kind in ("mongo", "mongodb"):
+            from dataux_spark.sources.mongo_style import MongoStyleSource
+
+            src = MongoStyleSource(
+                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+            )
+        elif kind in ("elasticsearch", "es"):
+            from dataux_spark.sources.es_style import EsStyleRestSource
+
+            src = EsStyleRestSource(
+                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+            )
         elif kind in ("passthrough", "duckdb", "bigquery"):
             # FULL-tier remote engine (reference BigQuery backend)
             src = DuckDBPassthroughSource(

@@ -1937,12 +1937,16 @@ def multimodal_frame_sample(spark, sf_dir):
 def cross_source_join(spark, sf_dir):
     """Cross-source join — the reference's flagship federation feature
     (backends/tests/multi_backend_test.go:168-200): one side comes from a
-    different 'backend' (materialized in-memory, as a Mongo/ES scan would
-    be), joined against the parquet source. Catalyst broadcasts the
-    materialized side; same plan as a single-source join."""
+    different registered backend (a MemorySource, as a Mongo/ES source
+    would be), joined against the parquet source THROUGH the source
+    registry — lazy on both sides, no driver-side collect. Catalyst
+    broadcasts the dim side; same plan as a single-source join."""
+    from dataux_spark.sources.memory import MemorySource
+
+    other = MemorySource("other_backend")
+    other.add("xsrc_nation", read_table(spark, sf_dir, "nation"))
     sup = read_table(spark, sf_dir, "supplier")
-    nation_rows = read_table(spark, sf_dir, "nation").collect()  # other-backend scan
-    nation = spark.createDataFrame(nation_rows)
+    nation = other.load(spark, "xsrc_nation")
     return (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")

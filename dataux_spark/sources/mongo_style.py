@@ -1,0 +1,216 @@
+"""Mongo-style source — the FILTERS_LIMIT pushdown tier.
+
+Reference: the MongoDB backend translates the WHERE tree into a native
+`db.C.Find(filter).Sort(...).Limit(n)` query. Its walker accepts binary
+compares (=, !=, <, <=, >, >=), LIKE (→ $regex — so substring/suffix
+wildcards ARE native, unlike Elasticsearch), IN (→ $in), BETWEEN
+(→ $gte/$lte), and exists(); a unary NOT is "not implemented" and errors
+into the engine polyfill
+(/root/reference/backends/mongo/sql_to_mgo.go:395-664; LIKE at :520-530,
+BETWEEN at :433-460, unary at :406-414). Aggregations are NOT pushed (the
+$group pipeline is an intended-but-unfinished TODO, sql_to_mgo.go:319-356)
+— that is exactly what separates this tier from the ES FILTERS_LIMIT_AGGS
+tier. Default page size is 20 (sql_to_mgo.go:25). Schema is discovered by
+sampling 30 documents per collection (mgo_source.go:241-333).
+
+Mongo's document model matches scalar predicates against array fields by
+MEMBERSHIP (`category IN ("news")` matches docs whose category array
+contains "news", mgo_test.go:654-670). Engine half: the dialect rewrites
+=/IN on array-typed columns to arrays_overlap (engine._rewrite_array_in);
+source half: the pushed-filter evaluator below applies membership when a
+document value turns out to be a list (schemaless drift: the sampled
+schema said scalar, a later document holds an array).
+
+Spark-first: a Spark 4 Python DataSource; pushFilters() keeps the
+Mongo-expressible subset, Catalyst plans the returned residue as a Filter
+node — the polyfill. BETWEEN arrives as a GreaterThanOrEqual +
+LessThanOrEqual pair, LIKE 'x%'/'%x'/'%x%' as
+StringStartsWith/EndsWith/Contains, so accepting those four classes IS
+accepting the reference's LIKE/BETWEEN surface.
+
+Scale: accepted filters execute inside the source read (the Find() analog)
+— a 100 TB collection ships only matching documents. ``partitions()``
+would slice by shard-key ranges at cluster scale (the reference's
+partitionct/key-range config, sql_to_mgo.go:189-209); the fixtures here
+are control-plane-sized, one partition.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+from dataux_spark.infer import infer_from_documents
+from dataux_spark.sources.base import PushdownTier, Source
+from dataux_spark.sources.rest import _fetch_json, _flatten
+
+# The Find()-expressible subset (sql_to_mgo.go:395-664). Note the contrast
+# with es_style._ACCEPTED: StringContains/StringEndsWith are IN (Mongo
+# $regex does any wildcard) while Not is OUT (walker's unary branch errors
+# → polyfill).
+_ACCEPTED = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+    StringStartsWith,
+    StringEndsWith,
+    StringContains,
+)
+
+
+def _acceptable(f) -> bool:
+    if isinstance(f, Not):
+        return False  # sql_to_mgo.go:406-414: unary → not implemented
+    if not isinstance(f, _ACCEPTED):
+        return False
+    return len(f.attribute) == 1
+
+
+def _eval(f, doc):
+    """Three-valued evaluation of a pushed filter against a document — the
+    remote Find() execution analog. Scalar predicates on list values use
+    Mongo membership semantics."""
+    v = doc.get(f.attribute[0])
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return None
+    if isinstance(v, list):  # document-model membership (mgo_test.go:654-670)
+        if isinstance(f, EqualTo):
+            return f.value in v
+        if isinstance(f, In):
+            return any(x in f.value for x in v)
+        return None  # other ops on arrays: undefined here → treat as no-match
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return v >= f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    if isinstance(f, In):
+        return v in f.value
+    if isinstance(f, StringStartsWith):
+        return isinstance(v, str) and v.startswith(f.value)
+    if isinstance(f, StringEndsWith):
+        return isinstance(v, str) and v.endswith(f.value)
+    if isinstance(f, StringContains):
+        return isinstance(v, str) and f.value in v
+    return None
+
+
+class MongoStyleReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self._schema = schema
+        self._url = options["url"]
+        self._qid = options.get("qid", self._url)
+        self._log_dir = options.get("push_log_dir")
+        self._pushed = []
+
+    def pushFilters(self, filters):
+        accepted, residual = [], []
+        for f in filters:
+            (accepted if _acceptable(f) else residual).append(f)
+        self._pushed = accepted
+        if self._log_dir:
+            import os
+
+            with open(os.path.join(self._log_dir, f"{self._qid}.json"), "w") as fh:
+                json.dump(
+                    {"pushed": [repr(f) for f in accepted],
+                     "residual": [repr(f) for f in residual]},
+                    fh,
+                )
+        return residual
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        docs = _fetch_json(self._url)
+        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+        cols = [f.name for f in self._schema.fields]
+        for d in docs:
+            if all(_eval(f, d) is True for f in self._pushed):
+                yield tuple(d.get(c) for c in cols)
+
+
+class MongoStyleDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "dataux_mongo"
+
+    def schema(self):
+        # sample-30 discovery (mgo_source.go:241): constant cost at any size
+        docs = _fetch_json(self.options["url"])
+        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+        return infer_from_documents(docs, sample_n=30)
+
+    def reader(self, schema):
+        return MongoStyleReader(schema, self.options)
+
+
+class MongoStyleSource(Source):
+    """name → {collection: url}; each collection scans through the
+    FILTERS_LIMIT pushdown reader."""
+
+    tier = PushdownTier.FILTERS_LIMIT
+    default_limit = 20  # sql_to_mgo.go:25
+    _registered_sessions: set[int] = set()
+
+    def __init__(self, name: str, endpoints: dict[str, str], push_log_dir: str | None = None):
+        self.name = name
+        self.endpoints = dict(endpoints)
+        self.push_log_dir = push_log_dir
+
+    @classmethod
+    def _ensure_format(cls, spark: SparkSession) -> None:
+        key = id(spark)
+        if key not in cls._registered_sessions:
+            spark.dataSource.register(MongoStyleDataSource)
+            cls._registered_sessions.add(key)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    def tables(self) -> list[str]:
+        return list(self.endpoints)
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        if table not in self.endpoints:
+            raise KeyError(f"unknown table {table!r} in source {self.name!r}")
+        self._ensure_format(spark)
+        reader = (
+            spark.read.format("dataux_mongo")
+            .option("url", self.endpoints[table])
+            .option("qid", f"{self.name}.{table}")
+        )
+        if self.push_log_dir:
+            reader = reader.option("push_log_dir", self.push_log_dir)
+        return reader.load()

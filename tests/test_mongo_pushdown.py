@@ -1,0 +1,145 @@
+"""Mongo-style FILTERS_LIMIT pushdown through the Spark Python DataSource API.
+
+The reference's Mongo backend accepts term/range/IN/BETWEEN/LIKE filters as
+a native Find() query, errors unary NOT into the engine polyfill, pages at
+a default limit of 20, and matches scalar predicates against array fields
+by membership (/root/reference/backends/mongo/sql_to_mgo.go:25,395-664;
+array membership mgo_test.go:654-670). Catalyst plays the engine half:
+declined filters come back from pushFilters() and are planned as a residual
+Filter node.
+"""
+
+import json
+
+import pytest
+
+from dataux_spark import Engine
+from dataux_spark.sources.es_style import read_push_log
+from dataux_spark.sources.mongo_style import MongoStyleSource
+from dataux_spark.sources.rest import RestJsonSource
+
+# the reference's golden article fixture (testutil/testsetup.go:36-57),
+# as documents the way a Mongo collection would hold them
+ARTICLES = [
+    {"title": "article1", "author": "aaron", "count": 22, "deleted": False,
+     "category": ["news", "sports"], "created": "2010-10-01"},
+    {"title": "qarticle2", "author": "james", "count": 2, "deleted": True,
+     "category": ["news", "sports"], "created": "2011-10-01"},
+    {"title": "zarticle3", "author": "bjorn", "count": 55, "deleted": True,
+     "category": ["politics"], "created": "2012-10-01"},
+    {"title": "listicle1", "author": "bjorn", "count": 7, "deleted": True,
+     "category": ["world"], "created": "2013-10-01"},
+]
+
+LOG_DIR = None
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    global LOG_DIR
+    d = tmp_path_factory.mktemp("mongo")
+    LOG_DIR = str(d)
+    (d / "articles.json").write_text(json.dumps(ARTICLES))
+    # 30-doc collection to exercise the default page size of 20
+    (d / "big.json").write_text(
+        json.dumps([{"n": i, "grp": i % 3} for i in range(30)])
+    )
+    e = Engine(spark)
+    e.register_source(
+        MongoStyleSource(
+            "mgo",
+            {"mgoarticle": f"file://{d}/articles.json",
+             "mgobig": f"file://{d}/big.json"},
+            push_log_dir=str(d),
+        )
+    )
+    # scan-only twin of the same endpoint for polyfill equivalence
+    e.register_source(
+        RestJsonSource("mgotwin", {"mgotwinarticle": f"file://{d}/articles.json"})
+    )
+    return e
+
+
+def _titles(rows):
+    return sorted(r[0] for r in rows)
+
+
+def test_term_range_pushed_no_residual(eng):
+    out = eng.sql(
+        "SELECT title FROM mgoarticle WHERE author = 'bjorn' AND count > 10"
+    ).collect()
+    assert _titles(out) == ["zarticle3"]
+    log = read_push_log(LOG_DIR, "mgo.mgoarticle")
+    pushed = " ".join(log["pushed"])
+    assert "EqualTo" in pushed and "GreaterThan" in pushed
+    assert log["residual"] == []
+
+
+def test_like_contains_pushed_natively(eng):
+    """LIKE '%...%' → $regex is NATIVE in the mongo walker
+    (sql_to_mgo.go:520-530) — the differentiator vs the ES tier, where
+    StringContains is declined into a residual."""
+    out = eng.sql(
+        "SELECT title FROM mgoarticle WHERE title LIKE '%article%' AND deleted = true"
+    ).collect()
+    assert _titles(out) == ["qarticle2", "zarticle3"]
+    log = read_push_log(LOG_DIR, "mgo.mgoarticle")
+    assert any("StringContains" in f for f in log["pushed"])
+    assert not any("StringContains" in f for f in log["residual"])
+
+
+def test_not_declined_to_residual(eng):
+    """Unary NOT is 'not implemented' in the reference walker
+    (sql_to_mgo.go:406-414) → engine polyfill; rows still correct."""
+    out = eng.sql(
+        "SELECT title FROM mgoarticle WHERE NOT (title LIKE 'q%') AND deleted = true"
+    ).collect()
+    assert _titles(out) == ["listicle1", "zarticle3"]
+    log = read_push_log(LOG_DIR, "mgo.mgoarticle")
+    assert any("Not" in f for f in log["residual"])
+
+
+def test_between_pushed_as_range_pair(eng):
+    """BETWEEN → $gte/$lte (sql_to_mgo.go:433-460): Catalyst decomposes it
+    into a GreaterThanOrEqual + LessThanOrEqual pair, both accepted."""
+    out = eng.sql(
+        "SELECT title FROM mgoarticle WHERE count BETWEEN 5 AND 30"
+    ).collect()
+    assert _titles(out) == ["article1", "listicle1"]
+    pushed = " ".join(read_push_log(LOG_DIR, "mgo.mgoarticle")["pushed"])
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_array_membership_in(eng):
+    """category IN ("news") on an array field matches by MEMBERSHIP
+    (mgo_test.go:654-670 expects 2 rows)."""
+    out = eng.sql("SELECT title FROM mgoarticle WHERE category IN ('news')").collect()
+    assert _titles(out) == ["article1", "qarticle2"]
+
+
+def test_default_limit_20_final_vs_lifted_under_polyfill(eng):
+    """Plain scans page at the mongo default of 20 (sql_to_mgo.go:25); a
+    polyfill stage (aggregation) must lift the cap and see all 30 docs —
+    the reference strips the source limit when it must re-group
+    (sql_to_mgo.go:103-105)."""
+    assert len(eng.sql("SELECT n FROM mgobig").collect()) == 20
+    assert eng.sql("SELECT count(*) AS ct FROM mgobig").collect()[0][0] == 30
+    assert len(eng.sql("SELECT n FROM mgobig LIMIT 25").collect()) == 25
+
+
+def test_polyfill_equivalence_vs_scan_only(eng):
+    cond = "WHERE deleted = true AND count <= 55 ORDER BY title"
+    mgo = eng.sql(f"SELECT title, count FROM mgoarticle {cond}").collect()
+    twin = eng.sql(f"SELECT title, count FROM mgotwinarticle {cond}").collect()
+    assert [tuple(r) for r in mgo] == [tuple(r) for r in twin]
+    assert len(mgo) == 3
+
+
+def test_aggregate_polyfilled_over_pushed_scan(eng):
+    """No agg pushdown at this tier ($group TODO, sql_to_mgo.go:319-356) —
+    grouping runs engine-side over the filtered scan."""
+    out = eng.sql(
+        "SELECT author, count(*) AS ct FROM mgoarticle "
+        "WHERE deleted = true GROUP BY author ORDER BY author"
+    ).collect()
+    assert [tuple(r) for r in out] == [("bjorn", 2), ("james", 1)]
