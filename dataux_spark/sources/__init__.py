@@ -2,6 +2,7 @@ from dataux_spark.sources.base import PushdownTier, Source
 from dataux_spark.sources.es_style import EsStyleRestSource
 from dataux_spark.sources.file_source import CsvDirSource, JsonDirSource, ParquetDirSource
 from dataux_spark.sources.memory import MemorySource
+from dataux_spark.sources.cassandra_style import CassandraStyleSource
 from dataux_spark.sources.mongo_style import MongoStyleSource
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "MemorySource",
     "EsStyleRestSource",
     "MongoStyleSource",
+    "CassandraStyleSource",
 ]
