@@ -74,6 +74,8 @@ _VERSION_AS_OF_RE = re.compile(
 )
 _USE_RE = re.compile(r"^\s*USE\s+`?(\w+)`?\s*$", re.IGNORECASE)
 _TABLE_REF_RE = re.compile(r"(?:\bFROM|\bJOIN)\s+(`?[\w.]+`?)", re.IGNORECASE)
+
+_DECLINE = object()  # sentinel: un-expressible literal -> decline agg pushdown
 _UNRESOLVED_COL_RE = re.compile(
     r"with name `([\w.]+)` cannot be resolved"
     r"|cannot resolve '`?([\w.]+)`?'"
@@ -365,10 +367,29 @@ class Engine:
             "plan: string",
         )
 
+    def _refresh_pushdown_views(self, stmt: str) -> None:
+        """Re-register a FRESH relation for every referenced table of a
+        Python-DataSource-backed source. Spark caches a relation's first
+        built scan (reader + partitions with pushed filters baked in) and
+        reuses it for later filterless queries — without this refresh, a
+        plain scan issued after a filtered one silently replays the old
+        filters (see Source.fresh_scan_per_query). load() is lazy; the cost
+        is a temp-view registration."""
+        refs = {t.strip("`").lower() for t in _TABLE_REF_RE.findall(stmt)}
+        if not refs:
+            return
+        for s in self.sources.values():
+            if not getattr(s, "fresh_scan_per_query", False):
+                continue
+            for t in s.tables():
+                if t.lower() in refs:
+                    s.load(self.spark, t).createOrReplaceTempView(t)
+
     def _select(self, stmt: str) -> DataFrame:
         m = _SELECT_VARS_RE.match(stmt.rstrip(";"))
         if m:
             return self._select_session_vars(m.group(1))
+        self._refresh_pushdown_views(stmt)
         m = _TERMS_RE.match(stmt.rstrip(";"))
         if m:
             return self._terms(m)
@@ -376,6 +397,8 @@ class Engine:
         sql = dialect.rewrite(stmt, self.ctx, literal_dotted=self._literal_dotted_columns())
         sql = self._rewrite_array_in(sql)
         df = self._try_full_pushdown(sql)
+        if df is None:
+            df = self._try_agg_pushdown(sql)
         if df is None:
             df = self._run_with_null_fallback(sql)
         return self._apply_default_limit(sql, df)
@@ -445,6 +468,113 @@ class Engine:
                 return src.execute_full(self.spark, sql)
         return None
 
+    # --- aggregate pushdown (FILTERS_LIMIT_AGGS tier) ---------------------
+    # Shapes the ES walker can translate whole (sqltoes.go:285-365): a
+    # single-table SELECT of simple aggregates, optional fully-pushable
+    # conjunctive WHERE, optional single GROUP BY column (nested terms
+    # bucket, :334-365). Anything beyond → decline → Spark plans it.
+    _AGG_BLOCK_RE = re.compile(
+        r"\bJOIN\b|\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b|\bUNION\b"
+        r"|\bDISTINCT\b|\bOVER\b|\(\s*SELECT",
+        re.I,
+    )
+    _AGG_SHAPE_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+`?(?P<table>\w+)`?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?:\s+GROUP\s+BY\s+`?(?P<gb>[\w.]+)`?)?\s*;?\s*$",
+        re.I | re.S,
+    )
+    _AGG_ITEM_RE = re.compile(
+        r"^(count|sum|avg|min|max|approx_count_distinct)\s*\("
+        r"\s*(\*|1|`?[\w.]+`?)\s*\)(?:\s+AS\s+(\w+))?$",
+        re.I,
+    )
+    _AGG_CMP_RE = re.compile(r"^\s*`?([\w.]+)`?\s*(=|==|!=|<>|<=|>=|<|>)\s*(.+?)\s*$")
+
+    @staticmethod
+    def _agg_literal(tok: str):
+        tok = tok.strip()
+        if re.fullmatch(r"-?\d+", tok):
+            return int(tok)
+        if re.fullmatch(r"-?\d+\.\d*", tok):
+            return float(tok)
+        m = re.fullmatch(r"'([^']*)'", tok)
+        if m:
+            return m.group(1)
+        if tok.lower() in ("true", "false"):
+            return tok.lower() == "true"
+        return _DECLINE
+
+    def _try_agg_pushdown(self, sql: str) -> DataFrame | None:
+        """Offer a whole simple aggregation to an agg-capable source
+        (reference: ES executes count/min/max/avg/sum/cardinality and
+        grouped variants inside `_search`, sqltoes.go:285-365,599-647).
+        The contract is whole-translation-or-polyfill: if ANY part of the
+        statement (an agg item, a WHERE clause) isn't expressible, the
+        source never sees it and Catalyst plans everything."""
+        if self._AGG_BLOCK_RE.search(sql):
+            return None
+        m = self._AGG_SHAPE_RE.match(sql)
+        if not m:
+            return None
+        src = self._agg_capable_source(m.group("table"))
+        if src is None:
+            return None
+        table = m.group("table")
+        group_by = m.group("gb").strip("`") if m.group("gb") else None
+        items: list[tuple[str, str, str | None]] = []
+        saw_agg = False
+        for raw in m.group("items").split(","):
+            raw = raw.strip()
+            im = self._AGG_ITEM_RE.match(raw)
+            if im:
+                fn, arg = im.group(1).lower(), im.group(2).strip("`")
+                items.append((fn, "*" if arg in ("*", "1") else arg, im.group(3)))
+                saw_agg = True
+                continue
+            if group_by:
+                km = re.match(
+                    rf"^`?{re.escape(group_by)}`?(?:\s+AS\s+(\w+))?$", raw, re.I
+                )
+                if km:
+                    items.append(("key", group_by, km.group(1)))
+                    continue
+            return None
+        if not saw_agg:
+            return None
+        filters = self._parse_simple_where(m.group("where"))
+        if filters is None:
+            return None
+        return src.execute_agg(self.spark, table, items, filters, group_by)
+
+    def _parse_simple_where(self, where: str | None):
+        """Parse a WHERE into the fully-pushable conjunction [(col, op,
+        literal)], or None if ANY clause is beyond that shape — the
+        whole-translation-or-polyfill contract."""
+        if not where:
+            return []
+        if re.search(r"\bOR\b|\bNOT\b|\bIN\b|\bLIKE\b|\bBETWEEN\b|\bIS\b", where, re.I):
+            return None
+        filters: list[tuple[str, str, object]] = []
+        for clause in re.split(r"\bAND\b", where, flags=re.I):
+            cm = self._AGG_CMP_RE.match(clause)
+            if not cm:
+                return None
+            val = self._agg_literal(cm.group(3))
+            if val is _DECLINE:
+                return None
+            op = {"==": "=", "<>": "!="}.get(cm.group(2), cm.group(2))
+            filters.append((cm.group(1), op, val))
+        return filters
+
+    def _agg_capable_source(self, table: str):
+        for s in self.sources.values():
+            if s.tier is PushdownTier.FILTERS_LIMIT_AGGS and table.lower() in {
+                t.lower() for t in s.tables()
+            }:
+                return s
+        return None
+
     def _literal_dotted_columns(self) -> set[str]:
         """Columns whose names literally contain dots (flattened sources —
         e.g. an ES-style mapping walk); their backtick tokens must not be
@@ -477,6 +607,13 @@ class Engine:
         field = m.group(1).strip("`")
         size = int(m.group(2)) if m.group(2) else 10
         table, where = m.group(3).strip("`"), m.group(4)
+        src = self._agg_capable_source(table)
+        if src is not None:
+            filters = self._parse_simple_where(where)
+            if filters is not None:
+                pushed = src.execute_terms(self.spark, table, field, size, filters)
+                if pushed is not None:
+                    return pushed
         df = self.spark.table(table)
         if where:
             df = df.filter(

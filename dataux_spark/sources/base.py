@@ -43,6 +43,14 @@ class Source(ABC):
 
     name: str
     tier: PushdownTier = PushdownTier.SCAN_ONLY
+    #: Python-DataSource-backed sources must be re-loaded per query: Spark
+    #: caches a relation's FIRST built scan (reader + partitions, including
+    #: any pushed filters baked into them) and reuses it for later queries
+    #: that push no filters — a filterless scan after a filtered one would
+    #: silently replay the old filters. The engine re-registers these views
+    #: before each SELECT (Engine._refresh_pushdown_views); load() is lazy,
+    #: so the refresh costs a view registration, nothing more.
+    fresh_scan_per_query: bool = False
     #: Reference parity (SURVEY §2.5): each backend caps un-LIMITed reads at
     #: a default page size (ES 1000 sqltoes.go:22, Mongo 20 sql_to_mgo.go:25,
     #: Cass/BT/BQ/Kube 5000, Datastore 1000). Applied by the engine ONLY when
@@ -62,6 +70,27 @@ class Source(ABC):
 
     def writable(self) -> bool:
         return False
+
+    def execute_agg(self, spark, table, items, filters, group_by):
+        """Source-side aggregate execution hook (reference: the ES backend
+        translates whole aggregations — count/min/max/avg/sum/cardinality,
+        optionally under a terms bucket — into the native `_search` body,
+        /root/reference/backends/elasticsearch/sqltoes.go:285-365,599-647).
+
+        The engine offers a simple single-table aggregate query here BEFORE
+        planning it in Spark; return a DataFrame holding the (tiny) agg
+        result to accept, or None to decline into the Spark polyfill.
+        `items` = [(fn, arg, alias)], `filters` = [(col, op, value)] — the
+        engine only offers queries whose WHERE parsed fully into that
+        conjunction, mirroring the reference's whole-translation-or-polyfill
+        contract."""
+        return None
+
+    def execute_terms(self, spark, table, field, size, filters):
+        """Source-side terms(field, k) top-k execution (the ES terms agg,
+        sqltoes.go:612-634). Same accept-or-None contract as execute_agg;
+        result shape must be (key, count) ordered by count desc, key."""
+        return None
 
     def files_table(self, spark: SparkSession) -> DataFrame | None:
         """Optional `<source>_files` virtual table (reference:

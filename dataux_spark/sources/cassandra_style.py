@@ -113,14 +113,20 @@ class CassandraStyleReader(DataSourceReader):
         return residual
 
     def partitions(self):
-        return [InputPartition(0)]
+        # The reader lives across queries and pushFilters() only runs when
+        # the query has candidate filters — consume-and-clear here and ship
+        # the pushed set inside the partition so read() can never see a
+        # previous query's filters (see es_style.EsStyleReader.partitions).
+        pushed, self._pushed = self._pushed, []
+        return [InputPartition((0, pushed))]
 
     def read(self, partition):
+        _, pushed = partition.value
         docs = _fetch_json(self._url)
         docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
         cols = [f.name for f in self._schema.fields]
         for d in docs:
-            if all(_eval(f, d) is True for f in self._pushed):
+            if all(_eval(f, d) is True for f in pushed):
                 yield tuple(d.get(c) for c in cols)
 
 
@@ -143,6 +149,7 @@ class CassandraStyleSource(Source):
 
     tier = PushdownTier.KEY_FILTERS
     default_limit = 5000  # reference cassandra page size (SURVEY §2.5)
+    fresh_scan_per_query = True
     _registered_sessions: set[int] = set()
 
     def __init__(

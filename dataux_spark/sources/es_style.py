@@ -142,14 +142,25 @@ class EsStyleReader(DataSourceReader):
     def partitions(self):
         # One task for a control-plane-sized listing; a sharded index would
         # return one InputPartition per shard/scroll-slice here.
-        return [InputPartition(0)]
+        #
+        # CRITICAL lifecycle detail: the reader object LIVES ACROSS QUERIES
+        # (a registered view holds one relation), and Spark only calls
+        # pushFilters() when the query has candidate filters — so read()
+        # must never consult self._pushed (a filterless query after a
+        # filtered one would silently reuse the previous query's filters).
+        # partitions() runs during each query's planning, after any
+        # pushFilters(): consume the pushed set here, embed it in the
+        # InputPartition, and clear it.
+        pushed, self._pushed = self._pushed, []
+        return [InputPartition((0, pushed))]
 
     def read(self, partition):
+        _, pushed = partition.value
         docs = _fetch_json(self._url)
         docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
         cols = [f.name for f in self._schema.fields]
         for d in docs:
-            if all(_eval(f, d) is True for f in self._pushed):
+            if all(_eval(f, d) is True for f in pushed):
                 yield tuple(d.get(c) for c in cols)
 
 
@@ -172,6 +183,7 @@ class EsStyleRestSource(Source):
 
     tier = PushdownTier.FILTERS_LIMIT_AGGS
     default_limit = 1000
+    fresh_scan_per_query = True
     _registered_sessions: set[int] = set()
 
     def __init__(self, name: str, endpoints: dict[str, str], push_log_dir: str | None = None):
@@ -203,3 +215,149 @@ class EsStyleRestSource(Source):
         if self.push_log_dir:
             reader = reader.option("push_log_dir", self.push_log_dir)
         return reader.load()
+
+    # --------------------------------------------- aggregate pushdown (ES)
+
+    def _docs(self, table: str) -> list[dict]:
+        docs = _fetch_json(self.endpoints[table])
+        return [_flatten(d) if isinstance(d, dict) else d for d in docs]
+
+    @staticmethod
+    def _filter_docs(docs: list[dict], filters) -> list[dict]:
+        """The `_search` query half of an agg request: the engine only
+        offers fully-conjunctive (col, op, literal) filters, evaluated with
+        SQL three-valued semantics (NULL never matches)."""
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        out = []
+        for d in docs:
+            ok = True
+            for col, op, val in filters:
+                v = d.get(col)
+                if v is None or not ops[op](v, val):
+                    ok = False
+                    break
+            if ok:
+                out.append(d)
+        return out
+
+    def _log_agg(self, table: str, payload: dict) -> None:
+        if self.push_log_dir:
+            import os
+
+            with open(
+                os.path.join(self.push_log_dir, f"{self.name}.{table}.agg.json"), "w"
+            ) as fh:
+                json.dump(payload, fh)
+
+    def execute_agg(self, spark, table, items, filters, group_by):
+        """Whole-aggregation execution inside the source — the `_search`
+        aggs body analog (/root/reference/backends/elasticsearch/
+        sqltoes.go:285-365; stats aggs :599-612, count-as-exists :635-647;
+        GROUP BY as nested terms buckets :334-365).
+
+        The result is a handful of rows (that is the point of pushing an
+        agg: a 100 TB index returns one stats object, not 100 TB), built
+        driver-side exactly like the reference's resultreader decodes the
+        ES response (esresults.go:183-219). Differences from real ES kept
+        deliberately engine-faithful: cardinality is exact here (ES HLL is
+        approximate), and NULL group keys form a group (ES terms drops
+        missing) — the polyfill-equivalence contract wins over remote
+        quirks."""
+        if table not in self.endpoints:
+            return None
+        from pyspark.sql import types as T
+
+        docs = self._filter_docs(self._docs(table), filters)
+        schema = infer_from_documents(docs or self._docs(table))
+        ftypes = {f.name: f.dataType for f in schema.fields}
+
+        def agg_type(fn, arg):
+            if fn in ("count", "approx_count_distinct"):
+                return T.LongType()
+            if fn == "avg":
+                return T.DoubleType()
+            t = ftypes.get(arg, T.DoubleType())
+            if fn == "sum":
+                return t if isinstance(t, T.LongType) else T.DoubleType()
+            return t  # min/max keep the column type
+
+        def compute(group_docs):
+            row = []
+            for fn, arg, _alias in items:
+                if fn == "key":
+                    row.append(group_docs[0].get(arg) if group_docs else None)
+                    continue
+                vals = (
+                    [1] * len(group_docs)
+                    if arg == "*"
+                    else [d[arg] for d in group_docs if d.get(arg) is not None]
+                )
+                if fn == "count":
+                    row.append(len(vals))
+                elif fn == "approx_count_distinct":
+                    row.append(len(set(vals)))
+                elif not vals:
+                    row.append(None)
+                elif fn == "sum":
+                    s = sum(vals)
+                    row.append(float(s) if not isinstance(agg_type("sum", arg), T.LongType) else s)
+                elif fn == "avg":
+                    row.append(sum(vals) / len(vals))
+                elif fn == "min":
+                    row.append(min(vals))
+                elif fn == "max":
+                    row.append(max(vals))
+            return tuple(row)
+
+        if group_by:
+            groups: dict = {}
+            for d in docs:
+                groups.setdefault(d.get(group_by), []).append(d)
+            rows = [compute(g) for g in groups.values()]
+        else:
+            rows = [compute(docs)]
+        fields = []
+        for fn, arg, alias in items:
+            if fn == "key":
+                name = alias or arg
+                fields.append(T.StructField(name, ftypes.get(arg, T.StringType()), True))
+            else:
+                name = alias or (f"{fn}({arg})" if arg != "*" else f"{fn}(*)")
+                fields.append(T.StructField(name, agg_type(fn, arg), True))
+        self._log_agg(table, {
+            "aggs": [[fn, arg] for fn, arg, _ in items],
+            "filters": [[c, o, v] for c, o, v in filters],
+            "group_by": group_by,
+        })
+        return spark.createDataFrame(rows, T.StructType(fields))
+
+    def execute_terms(self, spark, table, field, size, filters):
+        """terms(field, k) inside the source (sqltoes.go:612-634): per-key
+        doc counts, top-k by count desc then key — the multi-row agg result
+        the reference decodes at esresults.go:183-219."""
+        if table not in self.endpoints:
+            return None
+        from pyspark.sql import types as T
+
+        docs = self._filter_docs(self._docs(table), filters)
+        counts: dict = {}
+        for d in docs:
+            k = d.get(field)
+            counts[k] = counts.get(k, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[:size]
+        ktype = infer_from_documents(self._docs(table)).fields
+        ktype = next((f.dataType for f in ktype if f.name == field), T.StringType())
+        self._log_agg(table, {"terms": [field, size],
+                              "filters": [[c, o, v] for c, o, v in filters]})
+        return spark.createDataFrame(
+            [(k, v) for k, v in top],
+            T.StructType([T.StructField("key", ktype, True),
+                          T.StructField("count", T.LongType(), False)]),
+        )

@@ -152,14 +152,20 @@ class MongoStyleReader(DataSourceReader):
         return residual
 
     def partitions(self):
-        return [InputPartition(0)]
+        # The reader lives across queries and pushFilters() only runs when
+        # the query has candidate filters — consume-and-clear here and ship
+        # the pushed set inside the partition so read() can never see a
+        # previous query's filters (see es_style.EsStyleReader.partitions).
+        pushed, self._pushed = self._pushed, []
+        return [InputPartition((0, pushed))]
 
     def read(self, partition):
+        _, pushed = partition.value
         docs = _fetch_json(self._url)
         docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
         cols = [f.name for f in self._schema.fields]
         for d in docs:
-            if all(_eval(f, d) is True for f in self._pushed):
+            if all(_eval(f, d) is True for f in pushed):
                 yield tuple(d.get(c) for c in cols)
 
 
@@ -184,6 +190,7 @@ class MongoStyleSource(Source):
 
     tier = PushdownTier.FILTERS_LIMIT
     default_limit = 20  # sql_to_mgo.go:25
+    fresh_scan_per_query = True
     _registered_sessions: set[int] = set()
 
     def __init__(self, name: str, endpoints: dict[str, str], push_log_dir: str | None = None):

@@ -126,3 +126,9 @@ def test_polyfill_equivalence_vs_scan_only(eng):
     twin = eng.sql(f"SELECT seq, kind FROM casstwinevents {cond}").collect()
     assert [tuple(r) for r in cass] == [tuple(r) for r in twin]
     assert len(cass) == 1
+
+
+def test_no_stale_pushed_filters_across_queries(eng):
+    """Regression twin of test_es_pushdown's stale-filter test."""
+    assert len(eng.sql("SELECT kind FROM cassevents WHERE device = 'dev-b'").collect()) == 2
+    assert len(eng.sql("SELECT kind FROM cassevents").collect()) == 5

@@ -146,3 +146,82 @@ def test_aggregate_polyfilled_over_pushed_scan(eng):
         "ORDER BY ns"
     ).collect()
     assert [tuple(r) for r in out] == [("batch", 2), ("prod", 1)]
+
+
+# ---------------------------------------------- aggregate pushdown (ES tier)
+
+def test_agg_pushed_into_source(eng):
+    """Whole-agg translation (sqltoes.go:285-365): simple aggregates over a
+    pushable WHERE execute inside the source; the engine receives the tiny
+    agg result, not rows. The agg log records what the source executed."""
+    out = eng.sql(
+        "SELECT count(*) AS ct, min(`status.restarts`) AS mn, "
+        "max(`status.restarts`) AS mx, avg(`status.restarts`) AS av "
+        "FROM espods WHERE `status.phase` = 'Running'"
+    ).collect()
+    assert [tuple(r) for r in out] == [(3, 0, 1, 0.5)]
+    log = json.load(open(f"{LOG_DIR}/es.espods.agg.json"))
+    assert ["count", "*"] in log["aggs"] and ["avg", "status.restarts"] in log["aggs"]
+    assert log["filters"] == [["status.phase", "=", "Running"]]
+
+
+def test_agg_grouped_pushed_as_terms_buckets(eng):
+    """GROUP BY → nested terms buckets (sqltoes.go:334-365)."""
+    out = eng.sql(
+        "SELECT `metadata.namespace` AS ns, count(*) AS ct, "
+        "sum(`status.restarts`) AS rs FROM espods GROUP BY `metadata.namespace`"
+    ).collect()
+    assert sorted(tuple(r) for r in out) == [("batch", 2, 1), ("prod", 2, 3)]
+    assert json.load(open(f"{LOG_DIR}/es.espods.agg.json"))["group_by"] == "metadata.namespace"
+
+
+def test_agg_pushed_equals_polyfill(eng):
+    """The federation equivalence contract for aggs: identical answers from
+    the pushed path (es tier) and the engine-computed path (scan-only twin,
+    where execute_agg is never offered)."""
+    q = ("SELECT count(*) AS ct, avg(`status.restarts`) AS av, "
+         "min(`metadata.name`) AS mn FROM {t} WHERE `status.restarts` >= 0")
+    pushed = eng.sql(q.format(t="espods")).collect()
+    polyfilled = eng.sql(q.format(t="twinpods")).collect()
+    assert [tuple(r) for r in pushed] == [tuple(r) for r in polyfilled]
+
+
+def test_agg_declined_on_complex_where(eng):
+    """whole-translation-or-polyfill: an OR in the WHERE declines the agg
+    pushdown entirely — Spark computes it; answer still correct."""
+    import os
+
+    marker = f"{LOG_DIR}/es.espods.agg.json"
+    if os.path.exists(marker):
+        os.remove(marker)
+    out = eng.sql(
+        "SELECT count(*) AS ct FROM espods "
+        "WHERE `status.phase` = 'Pending' OR `status.restarts` = 1"
+    ).collect()
+    assert out[0][0] == 2
+    assert not os.path.exists(marker)  # source never saw the agg
+
+
+def test_terms_pushed_into_source(eng):
+    """SELECT terms(f, k) executes as the source's terms agg
+    (sqltoes.go:612-634) — same (key, count) shape and ordering as the
+    engine polyfill."""
+    pushed = eng.sql("SELECT terms(`status.phase`, 2) FROM espods").collect()
+    assert [tuple(r) for r in pushed] == [("Running", 3), ("Pending", 1)]
+    log = json.load(open(f"{LOG_DIR}/es.espods.agg.json"))
+    assert log["terms"] == ["status.phase", 2]
+
+
+def test_no_stale_pushed_filters_across_queries(eng):
+    """Regression: the reader object lives across queries and pushFilters()
+    only runs when a query HAS candidate filters. A filterless (or
+    residual-only, e.g. top-level OR) scan right after a filtered one must
+    see ALL rows, not the previous query's pushed subset."""
+    assert len(eng.sql("SELECT `metadata.name` FROM espods "
+                       "WHERE `status.phase` = 'Pending'").collect()) == 1
+    assert len(eng.sql("SELECT `metadata.name` FROM espods").collect()) == 4
+    out = eng.sql(
+        "SELECT `metadata.name` FROM espods "
+        "WHERE `status.phase` = 'Pending' OR `status.restarts` = 1"
+    ).collect()
+    assert _names(out) == ["job-1", "web-2"]

@@ -143,3 +143,9 @@ def test_aggregate_polyfilled_over_pushed_scan(eng):
         "WHERE deleted = true GROUP BY author ORDER BY author"
     ).collect()
     assert [tuple(r) for r in out] == [("bjorn", 2), ("james", 1)]
+
+
+def test_no_stale_pushed_filters_across_queries(eng):
+    """Regression twin of test_es_pushdown's stale-filter test."""
+    assert len(eng.sql("SELECT title FROM mgoarticle WHERE author = 'bjorn'").collect()) == 2
+    assert len(eng.sql("SELECT title FROM mgoarticle").collect()) == 4
