@@ -144,6 +144,18 @@ class Engine:
             src = MongoStyleSource(
                 name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
             )
+        elif kind in ("datastore", "gcd"):
+            from dataux_spark.sources.datastore_style import DatastoreStyleSource
+
+            src = DatastoreStyleSource(
+                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+            )
+        elif kind == "lytics":
+            from dataux_spark.sources.lytics_style import LyticsStyleSource
+
+            src = LyticsStyleSource(
+                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+            )
         elif kind in ("elasticsearch", "es"):
             from dataux_spark.sources.es_style import EsStyleRestSource
 
