@@ -120,6 +120,24 @@ CHECKS = {
         ("orders broadcast into lineitem scan stage", lambda p: "BroadcastHashJoin" in p),
         ("no self semi/anti rescan of lineitem", lambda p: p.count("lineitem.parquet") == 1),
     ],
+    # --- round-4 dedup blocking: the quadratic-killer plans ---------------
+    "dedup_ngram_jaccard": [
+        # equality join keyed on (lang, length-bucket) — the blocking MUST
+        # plan hash-based, never a theta/cartesian pair generation
+        ("blocked self-join is hash-based", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("join keyed on the blocking columns", lambda p: "_lbk" in p),
+    ],
+    "dedup_clusters": [
+        ("pair generation stays hash-based", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
+    "embedding_neardup": [
+        # sign-band candidates join on (band, value) — linear, not all-pairs
+        ("candidate join hash-based on band values", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("verify stage joins candidates back by id", lambda p: "id_a" in p and "id_b" in p),
+    ],
 }
 
 
