@@ -580,10 +580,13 @@ class Engine:
         return filters
 
     def _agg_capable_source(self, table: str):
+        """The owning source gets the offer regardless of tier — each
+        backend decides per-shape (reference: even the filters-only Mongo
+        tier pushes count(*) natively via query.Count(),
+        backends/mongo/mgo_results.go:112-119). Source.execute_agg declines
+        by default, so scan-only sources simply fall through to Spark."""
         for s in self.sources.values():
-            if s.tier is PushdownTier.FILTERS_LIMIT_AGGS and table.lower() in {
-                t.lower() for t in s.tables()
-            }:
+            if table.lower() in {t.lower() for t in s.tables()}:
                 return s
         return None
 

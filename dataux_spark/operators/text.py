@@ -229,3 +229,58 @@ def repetition_profile(df: DataFrame, content_col: str, id_col: str) -> DataFram
             F.max(F.when(F.col("_rn") == 1, F.col("ct"))).alias("top_bigram_ct"),
         )
     )
+
+
+# ------------------------------------------------------------ PII redaction
+
+#: Default redaction patterns — (placeholder, regex). Deliberately limited
+#: to constructs whose semantics agree between Java regex (Spark) and RE2
+#: (DuckDB), so the oracle can replicate the scrub exactly: character
+#: classes, bounded repetition, alternation — no backrefs or lookaround.
+#: Order is load-bearing: emails first (so `u@1.2.3.4` is one [EMAIL], not
+#: a fragment plus an [IP]), IPs and SSNs before phones (the phone regex
+#: accepts dot separators, so a 3-digit IP octet like `0.254` would
+#: otherwise read as a phone).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[IP]", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("[SSN]", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("[PHONE]", r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}([- .][0-9]{3,4})?"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Scrub PII-shaped substrings from a text column — the standard
+    pre-training compliance pass (emails, phone numbers, IPs, SSNs →
+    typed placeholders).
+
+    Scale: a chain of JVM regexp_replace expressions in the scan
+    projection — whole-stage codegen, zero shuffle, no Python. Pattern
+    order matters (emails before IPs so `user@1.2.3.4` redacts as one
+    email, not an email fragment plus an IP); the chain applies them in
+    list order. Returns (id, text_redacted, n_redactions)."""
+    pats = patterns or PII_PATTERNS
+    redacted = F.col(content_col)
+    for placeholder, rx in pats:
+        redacted = F.regexp_replace(redacted, rx, placeholder.replace("$", r"\$"))
+    # redaction count = placeholder occurrences added by the scrub
+    out = df.select(
+        F.col(id_col), F.col(content_col).alias("_orig"), redacted.alias("text_redacted")
+    )
+    n = None
+    for placeholder, _rx in pats:
+        c = (
+            F.length("text_redacted")
+            - F.length(F.replace(F.col("text_redacted"), F.lit(placeholder), F.lit("")))
+        ) / F.length(F.lit(placeholder))
+        n = c if n is None else n + c
+    return out.select(
+        id_col,
+        "text_redacted",
+        n.cast("bigint").alias("n_redactions"),
+    )

@@ -1849,6 +1849,56 @@ def text_repetition(spark, sf_dir):
     return repetition_profile(read_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_PII_PLANT_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
+    "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"
+)
+_PII_PLANT_DUCK = (
+    "text || ' contact user' || doc_id || '@example.com or +1-555-0199 ip 10.0.0.' || "
+    "(doc_id % 255) || ' ssn 123-45-6789'"
+)
+_PII_RXS = [
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[IP]", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("[SSN]", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("[PHONE]", r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}([- .][0-9]{3,4})?"),
+]
+
+
+def _pii_oracle() -> str:
+    expr = _PII_PLANT_DUCK
+    for ph, rx in _PII_RXS:
+        rx_sql = rx.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, e'{rx_sql}', '{ph.replace('[', '$$').replace(']', '$$')}', 'g')"
+    # DuckDB regexp_replace treats [..] in the REPLACEMENT literally, but
+    # escape via placeholder swap above then restore:
+    expr = expr.replace("'$$EMAIL$$'", "'[EMAIL]'").replace("'$$IP$$'", "'[IP]'")
+    expr = expr.replace("'$$SSN$$'", "'[SSN]'").replace("'$$PHONE$$'", "'[PHONE]'")
+    counts = " + ".join(
+        f"(length(red) - length(replace(red, '{ph}', ''))) / {len(ph)}"
+        for ph, _ in _PII_RXS
+    )
+    return (
+        f"WITH r AS (SELECT doc_id, {expr} AS red FROM documents WHERE doc_id < 200) "
+        f"SELECT doc_id, red AS text_redacted, CAST({counts} AS BIGINT) AS n_redactions FROM r"
+    )
+
+
+@_q("text_redact_pii", _pii_oracle())
+def text_redact_pii(spark, sf_dir):
+    """PII scrub (operators/text.redact_pii): emails/IPs/SSNs/phones →
+    typed placeholders, as a chain of JVM regexp_replace in the scan
+    projection. Deterministic PII derived from doc_id is planted first so
+    the oracle meaningfully exercises every pattern — both engines run the
+    identical regex chain (Java regex vs RE2: the patterns avoid
+    constructs the two disagree on)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = docs.select("doc_id", F.expr(_PII_PLANT_SPARK).alias("text"))
+    from dataux_spark.operators.text import redact_pii
+
+    return redact_pii(planted, "text", "doc_id")
+
+
 @_q(
     "multimodal_features",
     "SELECT doc_id, 'image/fake' AS mime, "
@@ -2334,13 +2384,13 @@ _DRIVER_WINDOW: list[str] = [
     "percentiles",
     "dedup_keep_best",
     "corpus_clean_pipeline",
+    "text_redact_pii",  # new in round 4
     # relational regression canaries (already green in CORRECTNESS_r03)
     "point_filter",
     "pricing_summary",
     "join_5way_regional_revenue",
     "q21_waiting_suppliers",
     "window_topk_per_group",
-    "set_union",
     "grouping_sets_counts",
     "qlbridge_builtins",
 ]

@@ -28,6 +28,31 @@ from abc import ABC, abstractmethod
 from pyspark.sql import DataFrame, SparkSession
 
 
+def filter_documents(docs: list[dict], filters) -> list[dict]:
+    """Apply the engine's fully-conjunctive (col, op, literal) filters to a
+    document list with SQL three-valued semantics (NULL never matches) —
+    the remote-query half shared by every agg-pushdown implementation."""
+    ops = {
+        "=": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    out = []
+    for d in docs:
+        ok = True
+        for col, op, val in filters:
+            v = d.get(col)
+            if v is None or not ops[op](v, val):
+                ok = False
+                break
+        if ok:
+            out.append(d)
+    return out
+
+
 class PushdownTier(enum.Enum):
     """Mirrors the reference's per-backend capability levels (SURVEY §7.1)."""
 

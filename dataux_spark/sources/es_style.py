@@ -224,28 +224,9 @@ class EsStyleRestSource(Source):
 
     @staticmethod
     def _filter_docs(docs: list[dict], filters) -> list[dict]:
-        """The `_search` query half of an agg request: the engine only
-        offers fully-conjunctive (col, op, literal) filters, evaluated with
-        SQL three-valued semantics (NULL never matches)."""
-        ops = {
-            "=": lambda a, b: a == b,
-            "!=": lambda a, b: a != b,
-            "<": lambda a, b: a < b,
-            "<=": lambda a, b: a <= b,
-            ">": lambda a, b: a > b,
-            ">=": lambda a, b: a >= b,
-        }
-        out = []
-        for d in docs:
-            ok = True
-            for col, op, val in filters:
-                v = d.get(col)
-                if v is None or not ops[op](v, val):
-                    ok = False
-                    break
-            if ok:
-                out.append(d)
-        return out
+        from dataux_spark.sources.base import filter_documents
+
+        return filter_documents(docs, filters)
 
     def _log_agg(self, table: str, payload: dict) -> None:
         if self.push_log_dir:

@@ -221,3 +221,33 @@ class MongoStyleSource(Source):
         if self.push_log_dir:
             reader = reader.option("push_log_dir", self.push_log_dir)
         return reader.load()
+
+    def execute_agg(self, spark, table, items, filters, group_by):
+        """The ONE aggregate Mongo pushes natively: count(*) as
+        `query.Count()` (backends/mongo/mgo_results.go:112-119). Anything
+        else — field aggs, group by — declines into the Spark polyfill
+        (the $group pipeline is an unfinished TODO in the reference,
+        sql_to_mgo.go:319-356)."""
+        if table not in self.endpoints or group_by:
+            return None
+        if len(items) != 1 or items[0][0] != "count" or items[0][1] != "*":
+            return None
+        from pyspark.sql import types as T
+
+        from dataux_spark.sources.base import filter_documents
+
+        docs = _fetch_json(self.endpoints[table])
+        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+        n = len(filter_documents(docs, filters))
+        alias = items[0][2] or "count(*)"
+        if self.push_log_dir:
+            import os
+
+            with open(
+                os.path.join(self.push_log_dir, f"{self.name}.{table}.agg.json"), "w"
+            ) as fh:
+                json.dump({"count": True,
+                           "filters": [[c, o, v] for c, o, v in filters]}, fh)
+        return spark.createDataFrame(
+            [(n,)], T.StructType([T.StructField(alias, T.LongType(), False)])
+        )

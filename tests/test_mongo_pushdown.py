@@ -149,3 +149,22 @@ def test_no_stale_pushed_filters_across_queries(eng):
     """Regression twin of test_es_pushdown's stale-filter test."""
     assert len(eng.sql("SELECT title FROM mgoarticle WHERE author = 'bjorn'").collect()) == 2
     assert len(eng.sql("SELECT title FROM mgoarticle").collect()) == 4
+
+
+def test_count_star_pushed_as_query_count(eng):
+    """count(*) is the ONE aggregate mongo pushes natively — query.Count()
+    (mgo_results.go:112-119). Field aggs decline into the Spark polyfill."""
+    import os
+
+    marker = f"{LOG_DIR}/mgo.mgoarticle.agg.json"
+    if os.path.exists(marker):
+        os.remove(marker)
+    out = eng.sql("SELECT count(*) AS ct FROM mgoarticle WHERE author = 'bjorn'").collect()
+    assert out[0][0] == 2
+    log = json.load(open(marker))
+    assert log["count"] is True and log["filters"] == [["author", "=", "bjorn"]]
+    os.remove(marker)
+    # a field aggregate is NOT pushable at this tier → engine-side, no log
+    out = eng.sql("SELECT sum(count) AS s FROM mgoarticle WHERE deleted = true").collect()
+    assert out[0][0] == 64
+    assert not os.path.exists(marker)

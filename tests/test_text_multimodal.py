@@ -177,3 +177,25 @@ def test_repetition_profile_full_table(docs):
         assert 0.0 < r.word_ttr <= 1.0
         assert r.n_bigrams == r.n_words - 1
         assert 1 <= r.top_bigram_ct <= r.n_bigrams
+
+
+def test_redact_pii_patterns(spark):
+    """Each default pattern redacts; ordering keeps IPs/SSNs intact as
+    their own placeholders (phone regex must not eat dotted octets)."""
+    from dataux_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.user+x@sub.example.org now"),
+        (2, "call +1-555-0199 or 310 555 1234"),
+        (3, "host 192.168.0.254 down"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "clean text, nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.text_redacted, r.n_redactions) for r in
+           redact_pii(df, "text", "doc_id").collect()}
+    assert got[1] == ("mail [EMAIL] now", 1)
+    assert got[2] == ("call [PHONE] or [PHONE]", 2)
+    assert got[3] == ("host [IP] down", 1)
+    assert got[4] == ("ssn [SSN] leaked", 1)
+    assert got[5] == ("clean text, nothing here", 0)
