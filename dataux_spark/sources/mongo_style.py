@@ -133,6 +133,8 @@ class MongoStyleReader(DataSourceReader):
         self._url = options["url"]
         self._qid = options.get("qid", self._url)
         self._log_dir = options.get("push_log_dir")
+        self._part_col = options.get("partition_col")
+        self._part_bounds = json.loads(options.get("partition_bounds", "[]"))
         self._pushed = []
 
     def pushFilters(self, filters):
@@ -152,20 +154,43 @@ class MongoStyleReader(DataSourceReader):
         return residual
 
     def partitions(self):
-        # The reader lives across queries and pushFilters() only runs when
-        # the query has candidate filters — consume-and-clear here and ship
-        # the pushed set inside the partition so read() can never see a
-        # previous query's filters (see es_style.EsStyleReader.partitions).
+        # Consume-and-clear the pushed set and ship it inside each
+        # partition (see es_style.EsStyleReader.partitions for why).
+        #
+        # Partitioned parallel scan (reference: config-declared key ranges,
+        # one worker per partition, the partition id injected into each
+        # worker's native query as a range filter merged into the WHERE —
+        # sql_to_mgo.go:189-209, partition config mgo_test.go:66-87): with
+        # partition_col + bounds [b0..bn], emit n+1 InputPartitions, each
+        # read applying its own half-open key range alongside the pushed
+        # filters. Spark schedules one task per partition — the §2.12
+        # "partitioned parallel scan" semantics with zero engine code.
         pushed, self._pushed = self._pushed, []
-        return [InputPartition((0, pushed))]
+        if not self._part_col or not self._part_bounds:
+            return [InputPartition((None, pushed))]
+        bounds = [None, *self._part_bounds, None]
+        return [
+            InputPartition(((self._part_col, bounds[i], bounds[i + 1]), pushed))
+            for i in range(len(bounds) - 1)
+        ]
+
+    @staticmethod
+    def _in_range(doc, rng) -> bool:
+        if rng is None:
+            return True
+        col, lo, hi = rng
+        v = doc.get(col)
+        if v is None:
+            return lo is None  # NULL keys land in the first (open) range
+        return (lo is None or v >= lo) and (hi is None or v < hi)
 
     def read(self, partition):
-        _, pushed = partition.value
+        rng, pushed = partition.value
         docs = _fetch_json(self._url)
         docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
         cols = [f.name for f in self._schema.fields]
         for d in docs:
-            if all(_eval(f, d) is True for f in pushed):
+            if self._in_range(d, rng) and all(_eval(f, d) is True for f in pushed):
                 yield tuple(d.get(c) for c in cols)
 
 
@@ -193,10 +218,20 @@ class MongoStyleSource(Source):
     fresh_scan_per_query = True
     _registered_sessions: set[int] = set()
 
-    def __init__(self, name: str, endpoints: dict[str, str], push_log_dir: str | None = None):
+    def __init__(
+        self,
+        name: str,
+        endpoints: dict[str, str],
+        push_log_dir: str | None = None,
+        partitions: dict[str, tuple[str, list]] | None = None,
+    ):
+        """`partitions`: {table: (key_col, [boundary, ...])} — declares the
+        reference's config-level key-range partitioning (mgo_test.go:66-87);
+        n boundaries → n+1 parallel scan tasks, each range-filtered."""
         self.name = name
         self.endpoints = dict(endpoints)
         self.push_log_dir = push_log_dir
+        self.partitions = dict(partitions or {})
 
     @classmethod
     def _ensure_format(cls, spark: SparkSession) -> None:
@@ -220,6 +255,11 @@ class MongoStyleSource(Source):
         )
         if self.push_log_dir:
             reader = reader.option("push_log_dir", self.push_log_dir)
+        if table in self.partitions:
+            col, bounds = self.partitions[table]
+            reader = reader.option("partition_col", col).option(
+                "partition_bounds", json.dumps(bounds)
+            )
         return reader.load()
 
     def execute_agg(self, spark, table, items, filters, group_by):

@@ -168,3 +168,33 @@ def test_count_star_pushed_as_query_count(eng):
     out = eng.sql("SELECT sum(count) AS s FROM mgoarticle WHERE deleted = true").collect()
     assert out[0][0] == 64
     assert not os.path.exists(marker)
+
+
+def test_partitioned_parallel_scan_equivalence(spark, tmp_path):
+    """Config-declared key-range partitions → one Spark task per range,
+    each range-filtered inside the source (sql_to_mgo.go:189-209,
+    mgo_test.go:66-87). The §2.12 contract: partitioned == unpartitioned,
+    with the declared parallelism visible to Spark."""
+    import json as _json
+
+    docs = [{"k": i, "v": f"d{i}"} for i in range(40)]
+    p = tmp_path / "part.json"
+    p.write_text(_json.dumps(docs))
+    e = Engine(spark)
+    e.register_source(
+        MongoStyleSource("mgp", {"mgpflat": f"file://{p}"})
+    )
+    e.register_source(
+        MongoStyleSource(
+            "mgp2", {"mgppart": f"file://{p}"},
+            partitions={"mgppart": ("k", [10, 20, 30])},
+        )
+    )
+    part_df = e.sources["mgp2"].load(spark, "mgppart")
+    assert part_df.rdd.getNumPartitions() == 4
+    flat = {tuple(r) for r in e.sql("SELECT k, v FROM mgpflat LIMIT 40").collect()}
+    part = {tuple(r) for r in e.sql("SELECT k, v FROM mgppart LIMIT 40").collect()}
+    assert part == flat and len(part) == 40
+    # pushed filters compose with the range partitions
+    got = e.sql("SELECT k FROM mgppart WHERE v = 'd25'").collect()
+    assert [r[0] for r in got] == [25]
