@@ -410,6 +410,8 @@ class Engine:
         sql = self._rewrite_array_in(sql)
         df = self._try_full_pushdown(sql)
         if df is None:
+            df = self._try_topk_pushdown(sql)
+        if df is None:
             df = self._try_agg_pushdown(sql)
         if df is None:
             df = self._run_with_null_fallback(sql)
@@ -558,6 +560,52 @@ class Engine:
         if filters is None:
             return None
         return src.execute_agg(self.spark, table, items, filters, group_by)
+
+    # --- ORDER BY + LIMIT (top-k) pushdown --------------------------------
+    _TOPK_BLOCK_RE = re.compile(
+        r"\bJOIN\b|\bGROUP\s+BY\b|\bHAVING\b|\bUNION\b|\bDISTINCT\b|\bOVER\b"
+        r"|\(\s*SELECT|\b(?:count|sum|avg|min|max|approx_count_distinct)\s*\(",
+        re.I,
+    )
+    _TOPK_SHAPE_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>[\w.,`\s]+?)\s+FROM\s+`?(?P<table>\w+)`?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+ORDER\s+BY\s+(?P<order>[\w.,`\s]+?)"
+        r"\s+LIMIT\s+(?P<limit>\d+)\s*;?\s*$",
+        re.I | re.S,
+    )
+
+    def _try_topk_pushdown(self, sql: str) -> DataFrame | None:
+        """Offer a simple top-k (`SELECT cols … ORDER BY … LIMIT n`) to the
+        owning source (reference: sort+limit pushed per backend — Mongo
+        Find().Sort().Limit() sql_to_mgo.go:226-241, ES sort array
+        sqltoes.go:170-186, Cassandra only on clustering keys
+        sql_to_cql.go:570-600). At 100 TB this is the difference between
+        the backend returning n rows and returning the table. Decline →
+        Spark's TakeOrderedAndProject polyfill."""
+        if self._TOPK_BLOCK_RE.search(sql):
+            return None
+        m = self._TOPK_SHAPE_RE.match(sql)
+        if not m:
+            return None
+        src = self._agg_capable_source(m.group("table"))
+        if src is None:
+            return None
+        cols = [c.strip().strip("`") for c in m.group("items").split(",")]
+        if not all(re.fullmatch(r"[\w.]+", c) for c in cols):
+            return None
+        order: list[tuple[str, bool]] = []
+        for o in m.group("order").split(","):
+            om = re.fullmatch(r"\s*`?([\w.]+)`?(?:\s+(ASC|DESC))?\s*", o, re.I)
+            if not om:
+                return None
+            order.append((om.group(1), bool(om.group(2)) and om.group(2).upper() == "DESC"))
+        filters = self._parse_simple_where(m.group("where"))
+        if filters is None:
+            return None
+        return src.execute_topk(
+            self.spark, m.group("table"), cols, order, int(m.group("limit")), filters
+        )
 
     def _parse_simple_where(self, where: str | None):
         """Parse a WHERE into the fully-pushable conjunction [(col, op,

@@ -53,6 +53,34 @@ def filter_documents(docs: list[dict], filters) -> list[dict]:
     return out
 
 
+def topk_documents(spark, all_docs: list[dict], cols, order, limit, filters):
+    """Shared doc-side ORDER BY + LIMIT execution for the REST-shaped
+    sources (the remote Sort().Limit() analog). Implements SPARK's null
+    ordering (ASC → NULLS FIRST, DESC → NULLS LAST) so a pushed answer is
+    bit-identical to the engine polyfill. Returns a DataFrame of the top
+    `limit` rows with `cols` in requested order."""
+    from pyspark.sql import types as T
+
+    from dataux_spark.infer import infer_from_documents
+
+    schema = infer_from_documents(all_docs)
+    ftypes = {f.name: f.dataType for f in schema.fields}
+    docs = filter_documents(all_docs, filters)
+    # stable multi-pass sort, least-significant key first; None sorts as
+    # smallest, which under reverse=True lands last — Spark's defaults
+    for col, desc in reversed(order):
+        docs = sorted(
+            docs,
+            key=lambda d, c=col: ((0,) if d.get(c) is None else (1, d.get(c))),
+            reverse=desc,
+        )
+    docs = docs[:limit]
+    fields = [T.StructField(c, ftypes.get(c, T.StringType()), True) for c in cols]
+    return spark.createDataFrame(
+        [tuple(d.get(c) for c in cols) for d in docs], T.StructType(fields)
+    )
+
+
 class PushdownTier(enum.Enum):
     """Mirrors the reference's per-backend capability levels (SURVEY §7.1)."""
 
@@ -115,6 +143,20 @@ class Source(ABC):
         """Source-side terms(field, k) top-k execution (the ES terms agg,
         sqltoes.go:612-634). Same accept-or-None contract as execute_agg;
         result shape must be (key, count) ordered by count desc, key."""
+        return None
+
+    def execute_topk(self, spark, table, cols, order, limit, filters):
+        """Source-side ORDER BY + LIMIT execution (reference: sort is
+        pushed wherever the backend supports it — ES sort array
+        sqltoes.go:170-186, Mongo Find().Sort().Limit()
+        sql_to_mgo.go:226-241, Datastore .Order()
+        sql_to_datastore.go:107-119; Cassandra only on clustering keys,
+        sql_to_cql.go:570-600). The engine offers a simple single-table
+        `SELECT cols FROM t [WHERE conjunction] ORDER BY ... LIMIT n`;
+        accept by returning the top-n rows already ordered (a 100 TB
+        backend returns n rows, not the table), or None to decline into
+        Spark's TakeOrderedAndProject polyfill. `order` =
+        [(col, descending)], `filters` = [(col, op, literal)]."""
         return None
 
     def files_table(self, spark: SparkSession) -> DataFrame | None:

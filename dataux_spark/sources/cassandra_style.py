@@ -182,6 +182,38 @@ class CassandraStyleSource(Source):
         is the polyfill (needsOrderByPolyFill)."""
         return self.meta(table).can_push_order(cols)
 
+    def execute_topk(self, spark, table, cols, order, limit, filters):
+        """CQL ORDER BY … LIMIT is servable ONLY when every order column
+        is a clustering key AND every predicate is key-expressible
+        (sql_to_cql.go:396-408,500-600) — anything else declines into the
+        engine's TakeOrderedAndProject polyfill, the needsOrderByPolyFill
+        path made concrete."""
+        if table not in self._tables:
+            return None
+        meta = self.meta(table)
+        if not meta.can_push_order([c for c, _ in order]):
+            return None
+        keys = set(meta.partition_keys + meta.clustering_keys)
+        for col, op, val in filters:
+            if col not in keys:
+                return None
+            if op != "=" and not isinstance(val, (int, float)):
+                return None  # ranges only on numeric keys (:552-556)
+        from dataux_spark.sources.base import topk_documents
+
+        url, _ = self._tables[table]
+        docs = _fetch_json(url)
+        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+        if self.push_log_dir:
+            import os
+
+            with open(
+                os.path.join(self.push_log_dir, f"{self.name}.{table}.topk.json"), "w"
+            ) as fh:
+                json.dump({"sort": [[c, d] for c, d in order], "limit": limit,
+                           "filters": [[c, o, v] for c, o, v in filters]}, fh)
+        return topk_documents(spark, docs, cols, order, limit, filters)
+
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table not in self._tables:
             raise KeyError(f"unknown table {table!r} in source {self.name!r}")

@@ -319,6 +319,17 @@ class EsStyleRestSource(Source):
         })
         return spark.createDataFrame(rows, T.StructType(fields))
 
+    def execute_topk(self, spark, table, cols, order, limit, filters):
+        """Sort + size inside `_search` (sqltoes.go:170-186 sort array;
+        size at :22): the index returns the top n hits, not the index."""
+        if table not in self.endpoints:
+            return None
+        from dataux_spark.sources.base import topk_documents
+
+        self._log_agg(table, {"sort": [[c, d] for c, d in order], "limit": limit,
+                              "filters": [[c, o, v] for c, o, v in filters]})
+        return topk_documents(spark, self._docs(table), cols, order, limit, filters)
+
     def execute_terms(self, spark, table, field, size, filters):
         """terms(field, k) inside the source (sqltoes.go:612-634): per-key
         doc counts, top-k by count desc then key — the multi-row agg result

@@ -262,6 +262,26 @@ class MongoStyleSource(Source):
             )
         return reader.load()
 
+    def execute_topk(self, spark, table, cols, order, limit, filters):
+        """Find(filter).Sort(keys).Limit(n) — the reference's native sort
+        path (sql_to_mgo.go:226-241): the backend returns n ordered rows,
+        never the collection."""
+        if table not in self.endpoints:
+            return None
+        from dataux_spark.sources.base import topk_documents
+
+        docs = _fetch_json(self.endpoints[table])
+        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+        if self.push_log_dir:
+            import os
+
+            with open(
+                os.path.join(self.push_log_dir, f"{self.name}.{table}.topk.json"), "w"
+            ) as fh:
+                json.dump({"sort": [[c, d] for c, d in order], "limit": limit,
+                           "filters": [[c, o, v] for c, o, v in filters]}, fh)
+        return topk_documents(spark, docs, cols, order, limit, filters)
+
     def execute_agg(self, spark, table, items, filters, group_by):
         """The ONE aggregate Mongo pushes natively: count(*) as
         `query.Count()` (backends/mongo/mgo_results.go:112-119). Anything

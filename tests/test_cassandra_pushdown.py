@@ -132,3 +132,32 @@ def test_no_stale_pushed_filters_across_queries(eng):
     """Regression twin of test_es_pushdown's stale-filter test."""
     assert len(eng.sql("SELECT kind FROM cassevents WHERE device = 'dev-b'").collect()) == 2
     assert len(eng.sql("SELECT kind FROM cassevents").collect()) == 5
+
+
+def test_topk_pushed_only_on_clustering_keys(eng):
+    """CQL serves ORDER BY…LIMIT only on clustering keys with key-only
+    predicates (sql_to_cql.go:500-600); a non-clustering order declines —
+    the needsOrderByPolyFill path — and Spark sorts instead. Both answers
+    correct."""
+    import os
+
+    pushed = eng.sql(
+        "SELECT day, seq FROM cassevents WHERE device = 'dev-a' "
+        "ORDER BY day DESC, seq DESC LIMIT 2"
+    ).collect()
+    assert [tuple(r) for r in pushed] == [(2, 1), (1, 2)]
+    log = json.load(open(f"{LOG_DIR}/cass.cassevents.topk.json"))
+    assert log["sort"] == [["day", True], ["seq", True]]
+    os.remove(f"{LOG_DIR}/cass.cassevents.topk.json")
+    polyfilled = eng.sql(
+        "SELECT kind, temp FROM cassevents WHERE device = 'dev-a' "
+        "ORDER BY temp LIMIT 2"
+    ).collect()
+    assert [tuple(r) for r in polyfilled] == [("read", 19.5), ("boot", 20.5)]
+    assert not os.path.exists(f"{LOG_DIR}/cass.cassevents.topk.json")
+    # non-key predicate also declines the native top-k
+    out = eng.sql(
+        "SELECT seq FROM cassevents WHERE kind = 'read' ORDER BY day LIMIT 5"
+    ).collect()
+    assert len(out) == 2
+    assert not os.path.exists(f"{LOG_DIR}/cass.cassevents.topk.json")

@@ -198,3 +198,26 @@ def test_partitioned_parallel_scan_equivalence(spark, tmp_path):
     # pushed filters compose with the range partitions
     got = e.sql("SELECT k FROM mgppart WHERE v = 'd25'").collect()
     assert [r[0] for r in got] == [25]
+
+
+def test_topk_pushed_as_sort_limit(eng):
+    """ORDER BY + LIMIT pushes as Find().Sort().Limit()
+    (sql_to_mgo.go:226-241): the source returns n ordered rows. Answer
+    must equal the engine polyfill (scan-only twin)."""
+    import os
+
+    q = "SELECT title, count FROM {t} WHERE deleted = true ORDER BY count DESC LIMIT 2"
+    pushed = eng.sql(q.format(t="mgoarticle")).collect()
+    assert [tuple(r) for r in pushed] == [("zarticle3", 55), ("listicle1", 7)]
+    log = json.load(open(f"{LOG_DIR}/mgo.mgoarticle.topk.json"))
+    assert log["sort"] == [["count", True]] and log["limit"] == 2
+    twin = eng.sql(q.format(t="mgotwinarticle")).collect()
+    assert [tuple(r) for r in pushed] == [tuple(r) for r in twin]
+    os.remove(f"{LOG_DIR}/mgo.mgoarticle.topk.json")
+    # complex WHERE → whole top-k declined, polyfilled, still correct
+    out = eng.sql(
+        "SELECT title FROM mgoarticle WHERE deleted = true OR count > 20 "
+        "ORDER BY title LIMIT 2"
+    ).collect()
+    assert [r[0] for r in out] == ["article1", "listicle1"]
+    assert not os.path.exists(f"{LOG_DIR}/mgo.mgoarticle.topk.json")
