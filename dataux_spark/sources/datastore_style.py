@@ -170,3 +170,31 @@ class DatastoreStyleSource(Source):
         if self.push_log_dir:
             reader = reader.option("push_log_dir", self.push_log_dir)
         return reader.load()
+
+    def execute_topk(self, spark, table, cols, order, limit, filters):
+        """`.Order().Limit()` pushdown (sql_to_datastore.go:107-119) under
+        the native planner's composition rule: when the query has an
+        inequality filter, the FIRST sort property must be that same
+        property (Datastore rejects the query otherwise) — violations
+        decline into Spark's polyfill. Equality-only filters compose with
+        any sort."""
+        if table not in self.endpoints:
+            return None
+        ineq = [c for c, op, _ in filters if op not in ("=", "!=")]
+        if ineq and (not order or order[0][0] != ineq[0]):
+            return None
+        if any(op == "!=" for _, op, _ in filters):
+            return None  # a != is itself an inequality; keep the rule simple
+        from dataux_spark.sources.base import topk_documents
+
+        docs = _fetch_json(self.endpoints[table])
+        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+        if self.push_log_dir:
+            import os
+
+            with open(
+                os.path.join(self.push_log_dir, f"{self.name}.{table}.topk.json"), "w"
+            ) as fh:
+                json.dump({"sort": [[c, d] for c, d in order], "limit": limit,
+                           "filters": [[c, o, v] for c, o, v in filters]}, fh)
+        return topk_documents(spark, docs, cols, order, limit, filters)

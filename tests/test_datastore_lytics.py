@@ -92,3 +92,32 @@ def test_lytics_exists_and_like(eng):
     assert sorted(r[0] for r in out) == ["e1", "e4"]
     sq = read_push_log(LOG_DIR, "ly.lyents")["segmentql"]
     assert "EXISTS city" in sq or 'name LIKE "e%"' in sq
+
+
+def test_datastore_topk_sort_composition_rule(eng):
+    """`.Order()` pushes, but with an inequality filter the FIRST sort
+    property must be that property (the native planner rule) — otherwise
+    the whole top-k declines into Spark's polyfill."""
+    import os
+
+    marker = f"{LOG_DIR}/ds.dsents.topk.json"
+    if os.path.exists(marker):
+        os.remove(marker)
+    ok = eng.sql(
+        "SELECT name, score FROM dsents WHERE score > 15 ORDER BY score DESC LIMIT 2"
+    ).collect()
+    assert [tuple(r) for r in ok] == [("e4", 40), ("e3", 30)]
+    assert json.load(open(marker))["sort"] == [["score", True]]
+    os.remove(marker)
+    # inequality on score but sorted by name first → declined, still right
+    bad = eng.sql(
+        "SELECT name FROM dsents WHERE score > 15 ORDER BY name LIMIT 2"
+    ).collect()
+    assert [r[0] for r in bad] == ["e2", "e3"]
+    assert not os.path.exists(marker)
+    # equality-only filters compose with any sort
+    eq = eng.sql(
+        "SELECT name FROM dsents WHERE city = 'pdx' ORDER BY visits DESC LIMIT 1"
+    ).collect()
+    assert [r[0] for r in eq] == ["e2"]
+    assert json.load(open(marker))["sort"] == [["visits", True]]
