@@ -1,0 +1,113 @@
+"""Property-based pushdown fuzzing: hypothesis generates random predicate
+trees over a document collection served by the Mongo-tier pushdown source;
+the identical SQL against a scan-only twin of the same endpoint must
+return identical rows. This fuzzes the accept/decline negotiation itself —
+every generated shape exercises some split between source-pushed filters
+and Catalyst residuals (plus the agg/top-k whole-pushdown paths), and any
+divergence between the pushed execution and the pure-Spark polyfill is a
+federation-contract violation."""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataux_spark import Engine
+from dataux_spark.sources.mongo_style import MongoStyleSource
+from dataux_spark.sources.rest import RestJsonSource
+
+DOCS = [
+    {
+        "k": i,
+        "score": (i * 37) % 100,
+        "grp": ["red", "green", "blue", None][i % 4],
+        "name": f"doc-{i:03d}",
+        "flag": i % 3 == 0,
+    }
+    for i in range(60)
+]
+for d in DOCS:
+    if d["grp"] is None:
+        del d["grp"]  # truly missing field (schemaless), not JSON null
+
+STR_VALS = ["red", "green", "blue", "doc-005", "nope"]
+
+
+def num_pred():
+    return st.builds(
+        lambda c, op, v: f"{c} {op} {v}",
+        st.sampled_from(["k", "score"]),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.integers(min_value=-5, max_value=105),
+    )
+
+
+def str_pred():
+    return st.one_of(
+        st.builds(
+            lambda op, v: f"grp {op} '{v}'",
+            st.sampled_from(["=", "!="]),
+            st.sampled_from(STR_VALS),
+        ),
+        st.builds(
+            lambda vals: f"grp IN ({', '.join(repr(v) for v in vals)})",
+            st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3),
+        ),
+        st.builds(
+            lambda v: f"name LIKE '%{v}%'",
+            st.sampled_from(["doc", "00", "5", "zz"]),
+        ),
+        st.sampled_from(["exists(grp)", "missing(grp)", "flag = true"]),
+    )
+
+
+predicate = st.recursive(
+    st.one_of(num_pred(), str_pred()),
+    lambda children: st.one_of(
+        st.builds(lambda a, op, b: f"({a} {op} {b})", children,
+                  st.sampled_from(["AND", "OR"]), children),
+        st.builds(lambda a: f"NOT ({a})", children),
+    ),
+    max_leaves=4,
+)
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("prop_push")
+    (d / "docs.json").write_text(json.dumps(DOCS))
+    e = Engine(spark)
+    e.register_source(MongoStyleSource("pp", {"ppdocs": f"file://{d}/docs.json"}))
+    e.register_source(RestJsonSource("pptwin", {"pptwindocs": f"file://{d}/docs.json"}))
+    return e
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=predicate)
+def test_pushed_equals_polyfill_under_random_predicates(eng, pred):
+    q = "SELECT k, score FROM {t} WHERE " + pred + " ORDER BY k LIMIT 60"
+    pushed = [tuple(r) for r in eng.sql(q.format(t="ppdocs")).collect()]
+    twin = [tuple(r) for r in eng.sql(q.format(t="pptwindocs")).collect()]
+    assert pushed == twin
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=st.one_of(num_pred(), str_pred()),
+       desc=st.booleans(), lim=st.integers(min_value=1, max_value=10))
+def test_topk_and_count_pushdown_equivalence(eng, pred, desc, lim):
+    """The whole-pushdown paths (count(*) → query.Count(), sort+limit →
+    Find().Sort().Limit()) must match the polyfill for arbitrary simple
+    predicates too."""
+    order = "score DESC, k" if desc else "score, k"
+    q = f"SELECT k FROM {{t}} WHERE {pred} ORDER BY {order} LIMIT {lim}"
+    assert [r[0] for r in eng.sql(q.format(t="ppdocs")).collect()] == [
+        r[0] for r in eng.sql(q.format(t="pptwindocs")).collect()
+    ]
+    c = "SELECT count(*) AS ct FROM {t} WHERE " + pred
+    assert (
+        eng.sql(c.format(t="ppdocs")).collect()[0][0]
+        == eng.sql(c.format(t="pptwindocs")).collect()[0][0]
+    )
