@@ -495,7 +495,7 @@ class Engine:
     _AGG_SHAPE_RE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+`?(?P<table>\w+)`?"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
-        r"(?:\s+GROUP\s+BY\s+`?(?P<gb>[\w.]+)`?)?\s*;?\s*$",
+        r"(?:\s+GROUP\s+BY\s+(?P<gb>[\w.,`\s]+?))?\s*;?\s*$",
         re.I | re.S,
     )
     _AGG_ITEM_RE = re.compile(
@@ -535,7 +535,13 @@ class Engine:
         if src is None:
             return None
         table = m.group("table")
-        group_by = m.group("gb").strip("`") if m.group("gb") else None
+        # multi-column GROUP BY → the reference's NESTED terms buckets
+        # (sqltoes.go:334-365 recurses one bucket level per group column)
+        group_by: list[str] | None = None
+        if m.group("gb"):
+            group_by = [c.strip().strip("`") for c in m.group("gb").split(",")]
+            if not all(re.fullmatch(r"[\w.]+", c) for c in group_by):
+                return None
         items: list[tuple[str, str, str | None]] = []
         saw_agg = False
         for raw in m.group("items").split(","):
@@ -547,11 +553,9 @@ class Engine:
                 saw_agg = True
                 continue
             if group_by:
-                km = re.match(
-                    rf"^`?{re.escape(group_by)}`?(?:\s+AS\s+(\w+))?$", raw, re.I
-                )
-                if km:
-                    items.append(("key", group_by, km.group(1)))
+                km = re.match(r"^`?([\w.]+)`?(?:\s+AS\s+(\w+))?$", raw, re.I)
+                if km and km.group(1) in group_by:
+                    items.append(("key", km.group(1), km.group(2)))
                     continue
             return None
         if not saw_agg:

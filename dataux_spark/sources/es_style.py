@@ -298,9 +298,12 @@ class EsStyleRestSource(Source):
             return tuple(row)
 
         if group_by:
+            # nested terms buckets: one level per group column
+            # (sqltoes.go:334-365); a composite tuple key is the flattened
+            # equivalent of the recursion
             groups: dict = {}
             for d in docs:
-                groups.setdefault(d.get(group_by), []).append(d)
+                groups.setdefault(tuple(d.get(c) for c in group_by), []).append(d)
             rows = [compute(g) for g in groups.values()]
         else:
             rows = [compute(docs)]

@@ -172,7 +172,7 @@ def test_agg_grouped_pushed_as_terms_buckets(eng):
         "sum(`status.restarts`) AS rs FROM espods GROUP BY `metadata.namespace`"
     ).collect()
     assert sorted(tuple(r) for r in out) == [("batch", 2, 1), ("prod", 2, 3)]
-    assert json.load(open(f"{LOG_DIR}/es.espods.agg.json"))["group_by"] == "metadata.namespace"
+    assert json.load(open(f"{LOG_DIR}/es.espods.agg.json"))["group_by"] == ["metadata.namespace"]
 
 
 def test_agg_pushed_equals_polyfill(eng):
@@ -225,3 +225,16 @@ def test_no_stale_pushed_filters_across_queries(eng):
         "WHERE `status.phase` = 'Pending' OR `status.restarts` = 1"
     ).collect()
     assert _names(out) == ["job-1", "web-2"]
+
+
+def test_agg_multi_column_group_by_pushed(eng):
+    """Multi-column GROUP BY → nested terms buckets, one level per column
+    (sqltoes.go:334-365). Pushed answer equals the polyfill."""
+    q = ("SELECT `metadata.namespace` AS ns, `status.phase` AS ph, "
+         "count(*) AS ct FROM {t} GROUP BY `metadata.namespace`, `status.phase`")
+    pushed = sorted(tuple(r) for r in eng.sql(q.format(t="espods")).collect())
+    assert pushed == [("batch", "Running", 2), ("prod", "Pending", 1), ("prod", "Running", 1)]
+    assert json.load(open(f"{LOG_DIR}/es.espods.agg.json"))["group_by"] == [
+        "metadata.namespace", "status.phase"]
+    twin = sorted(tuple(r) for r in eng.sql(q.format(t="twinpods")).collect())
+    assert pushed == twin
