@@ -2211,6 +2211,77 @@ def streaming_dedup_count(spark, sf_dir):
     return out.agg(F.count("*").cast("bigint").alias("n_distinct"))
 
 
+@_q(
+    "streaming_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark, sf_dir):
+    """Structured Streaming data-driven session windows (30-min gap) to
+    completion in complete mode (streaming/ops.session_window_agg). The
+    oracle is batch gap-sessionization: Spark's session_window spans
+    first event → last event + gap, which the lag/cumsum SQL reproduces."""
+    from dataux_spark import streaming as S
+
+    return S.run_to_memory(
+        S.session_window_agg(S.stream_events(spark, sf_dir), gap="30 minutes"),
+        "q_stream_sess",
+        "complete",
+    )
+
+
+@_q(
+    "streaming_join",
+    """
+    SELECT l.user_id, l.event_id AS left_id, l.ts AS left_ts,
+           r.event_id AS right_id, r.ts AS right_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'error'
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    WHERE l.ts < (SELECT max(ts) FROM events) - INTERVAL 3 HOUR
+    """,
+)
+def streaming_join(spark, sf_dir):
+    """Stream-stream join (clicks × errors, 1h lookback) in append mode.
+    Append emission near the end of the stream depends on the final
+    watermark, so BOTH sides restrict to the provably-stable region
+    (left ts older than max ts - watermark - lookback): inside it the
+    streaming output is exactly the batch join, which the oracle computes
+    with the same cutoff."""
+    from dataux_spark import streaming as S
+
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_to_memory(
+        S.stream_stream_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "error"),
+            lookback="1 hour",
+        ),
+        "q_stream_join",
+    )
+    batch = read_table(spark, sf_dir, "events")
+    horizon = F.lit(batch.agg(F.max("ts")).first()[0]) - F.expr("INTERVAL 3 HOUR")
+    return out.filter(F.col("left_ts") < horizon)
+
+
 # --- pivot / percentiles / dedup-keep-best --------------------------------
 
 @_q(
@@ -2380,6 +2451,8 @@ _DRIVER_WINDOW: list[str] = [
     "sessionize_stats",
     "streaming_windowed_agg",
     "streaming_dedup",
+    "streaming_session_window",  # new in round 4
+    "streaming_join",  # new in round 4
     "pivot_status_priority",
     "percentiles",
     "dedup_keep_best",
@@ -2390,8 +2463,6 @@ _DRIVER_WINDOW: list[str] = [
     "pricing_summary",
     "join_5way_regional_revenue",
     "q21_waiting_suppliers",
-    "window_topk_per_group",
-    "grouping_sets_counts",
     "qlbridge_builtins",
 ]
 
