@@ -190,6 +190,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -201,7 +202,13 @@ def minhash_lsh_pairs(
          w.h.p. Bucket join is a shuffle on (band_idx, band_hash); hot
          buckets (boilerplate docs) are the skew risk — AQE skew-join
          handles moderate cases, extreme boilerplate should be pre-filtered
-         by exact dedup first.
+         by exact dedup first. `max_bucket` is the hard backstop: buckets
+         larger than it are dropped from candidate generation entirely (a
+         b-doc bucket contributes b² pairs — one pathological boilerplate
+         bucket can dominate the whole join). Docs sharing such a bucket
+         still pair through their other bands unless they collide on EVERY
+         hot band — i.e. near-exact boilerplate, which exact/fingerprint
+         dedup upstream removes for a fraction of the cost.
       3. exact Jaccard on candidate pairs only (verify stage).
     Returns (id_a, id_b, jaccard ≥ threshold)."""
     r = num_hashes // bands
@@ -223,6 +230,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket is not None:
+        # bucket-size census on the slim (band, bh) keys — one small
+        # map-side-combined shuffle; hot buckets never reach the self-join
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(F.broadcast(sizes.filter(F.col("_bsz") > max_bucket)),
+                        ["band", "bh"], "left_anti")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -163,3 +163,23 @@ def test_signband_neardup_recall_on_planted_dups(spark, sf_dir):
         assert (vid, vid + 100000) in pairs
     exact = dedup.embedding_neardup_pairs(both, "embedding", "vec_id", threshold=0.99)
     assert pairs <= _pairset(exact)
+
+
+def test_minhash_lsh_max_bucket_drops_boilerplate(spark):
+    """The hot-bucket backstop: a boilerplate clique larger than max_bucket
+    contributes zero candidate pairs (its b² blowup never reaches the
+    join), while normal near-dup pairs in small buckets still surface."""
+    boiler = [(i, "the same boilerplate footer text repeated on every page here") for i in range(30)]
+    near = [
+        (100, "unique interesting document about spark shuffles and joins today"),
+        (101, "unique interesting document about spark shuffles and joins tonight"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id: long, text: string")
+    capped = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.5, max_bucket=10
+    )
+    pairs = _pairset(capped)
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)  # no boilerplate pair survived
+    uncapped = dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5)
+    assert len(_pairset(uncapped)) >= 435  # the blowup the cap prevents
