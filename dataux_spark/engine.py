@@ -563,7 +563,13 @@ class Engine:
         filters = self._parse_simple_where(m.group("where"))
         if filters is None:
             return None
-        return src.execute_agg(self.spark, table, items, filters, group_by)
+        # a source that errors mid-translation/execution declines, it does
+        # not fail the query (the reference's WalkSourceSelect error →
+        # polyfill contract; e.g. mixed-type comparisons on schemaless docs)
+        try:
+            return src.execute_agg(self.spark, table, items, filters, group_by)
+        except Exception:
+            return None
 
     # --- ORDER BY + LIMIT (top-k) pushdown --------------------------------
     _TOPK_BLOCK_RE = re.compile(
@@ -607,9 +613,12 @@ class Engine:
         filters = self._parse_simple_where(m.group("where"))
         if filters is None:
             return None
-        return src.execute_topk(
-            self.spark, m.group("table"), cols, order, int(m.group("limit")), filters
-        )
+        try:
+            return src.execute_topk(
+                self.spark, m.group("table"), cols, order, int(m.group("limit")), filters
+            )
+        except Exception:
+            return None  # error → polyfill, never a failed query
 
     def _parse_simple_where(self, where: str | None):
         """Parse a WHERE into the fully-pushable conjunction [(col, op,
@@ -678,7 +687,10 @@ class Engine:
         if src is not None:
             filters = self._parse_simple_where(where)
             if filters is not None:
-                pushed = src.execute_terms(self.spark, table, field, size, filters)
+                try:
+                    pushed = src.execute_terms(self.spark, table, field, size, filters)
+                except Exception:
+                    pushed = None  # error → polyfill
                 if pushed is not None:
                     return pushed
         df = self.spark.table(table)

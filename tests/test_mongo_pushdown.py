@@ -221,3 +221,12 @@ def test_topk_pushed_as_sort_limit(eng):
     ).collect()
     assert [r[0] for r in out] == ["article1", "listicle1"]
     assert not os.path.exists(f"{LOG_DIR}/mgo.mgoarticle.topk.json")
+
+
+def test_source_error_declines_to_polyfill(eng):
+    """A source that raises during pushed execution must decline, not fail
+    the query (the reference's error → polyfill contract): `count < '5'`
+    crashes Python doc evaluation (int < str TypeError) but Spark casts
+    the literal and answers it."""
+    out = eng.sql("SELECT count(*) AS ct FROM mgoarticle WHERE count < '5'").collect()
+    assert out[0][0] == 1  # only qarticle2 (count=2)
