@@ -238,3 +238,18 @@ def test_agg_multi_column_group_by_pushed(eng):
         "metadata.namespace", "status.phase"]
     twin = sorted(tuple(r) for r in eng.sql(q.format(t="twinpods")).collect())
     assert pushed == twin
+
+
+def test_topk_pushed_with_null_ordering(eng):
+    """Sort+size inside `_search` (sqltoes.go:170-186). job-2 has no
+    restarts: pushed ordering must match Spark's null placement (ASC →
+    nulls first, DESC → nulls last) so the answer equals the polyfill."""
+    q = "SELECT `metadata.name`, `status.restarts` FROM {t} ORDER BY `status.restarts` LIMIT 4"
+    pushed = [tuple(r) for r in eng.sql(q.format(t="espods")).collect()]
+    twin = [tuple(r) for r in eng.sql(q.format(t="twinpods")).collect()]
+    assert pushed[0][0] == "job-2" and pushed[0][1] is None
+    assert pushed == twin
+    qd = "SELECT `metadata.name` FROM {t} ORDER BY `status.restarts` DESC LIMIT 4"
+    pd_ = [r[0] for r in eng.sql(qd.format(t="espods")).collect()]
+    td = [r[0] for r in eng.sql(qd.format(t="twinpods")).collect()]
+    assert pd_ == td and pd_[-1] == "job-2"
