@@ -172,3 +172,47 @@ def session_stats(
         F.max("n_events").alias("max_session_events"),
         F.round(F.avg(F.col("dur_us") / 1_000_000.0), 4).alias("avg_session_sec"),
     )
+
+
+def gap_fill_hourly(
+    df: DataFrame,
+    ts: str = "ts",
+    group: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Dense hourly series per group with zero-filled gaps — the
+    continuous-aggregate companion (TimescaleDB's time_bucket_gapfill
+    shape): hours in which a group has no events appear as (ct=0,
+    total=0.0) rows instead of being absent.
+
+    Spark-first plan: aggregate to sparse hourly buckets (one shuffle),
+    compute the GLOBAL hour span as a 1-row scalar, build the dense spine
+    with sequence()+explode of hour timestamps CROSS JOINED against the
+    distinct group keys (spine size = hours x groups, data-independent
+    and tiny relative to the events), then left-join sparse onto the
+    spine with coalesce-to-zero. The spine side is broadcast; the fact
+    table is shuffled once on (hour, group) — no per-row Python, no
+    driver loop. Returns (hour, <group>, ct, total)."""
+    hour = F.date_trunc("hour", F.col(ts))
+    sparse = (
+        df.groupBy(hour.alias("hour"), F.col(group))
+        .agg(F.count("*").alias("ct"), F.round(F.sum(value), 2).alias("total"))
+    )
+    span = df.agg(
+        F.date_trunc("hour", F.min(ts)).alias("lo"),
+        F.date_trunc("hour", F.max(ts)).alias("hi"),
+    )
+    spine_hours = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    groups = df.select(F.col(group)).distinct()
+    spine = spine_hours.crossJoin(groups)
+    return (
+        spine.join(sparse, ["hour", group], "left")
+        .select(
+            "hour",
+            group,
+            F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        )
+    )

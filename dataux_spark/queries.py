@@ -2171,6 +2171,32 @@ def sessionize_stats(spark, sf_dir):
 
 
 @_q(
+    "events_gap_fill_hourly",
+    """
+    WITH span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                         date_trunc('hour', max(ts)) AS hi FROM events),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span),
+    groups AS (SELECT DISTINCT event_type FROM events),
+    sparse AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                      count(*) AS ct, round(sum(value), 2) AS total
+               FROM events GROUP BY 1, 2)
+    SELECT h.hour, g.event_type, CAST(coalesce(s.ct, 0) AS BIGINT) AS ct,
+           coalesce(s.total, 0.0) AS total
+    FROM hours h CROSS JOIN groups g
+    LEFT JOIN sparse s ON s.hour = h.hour AND s.event_type = g.event_type
+    """,
+)
+def events_gap_fill_hourly(spark, sf_dir):
+    """Dense hourly per-type series with zero-filled gaps
+    (operators/timeseries.gap_fill_hourly — the time_bucket_gapfill shape):
+    spine = global hour sequence x distinct types, sparse hourly agg
+    left-joined on, absent buckets become (0, 0.0)."""
+    from dataux_spark.operators.timeseries import gap_fill_hourly
+
+    return gap_fill_hourly(read_table(spark, sf_dir, "events"))
+
+
+@_q(
     "streaming_windowed_agg",
     "SELECT date_trunc('hour', ts) AS win_start, "
     "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, "
@@ -2458,8 +2484,8 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_keep_best",
     "corpus_clean_pipeline",
     "text_redact_pii",  # new in round 4
+    "events_gap_fill_hourly",  # new in round 4
     # relational regression canaries (already green in CORRECTNESS_r03)
-    "point_filter",
     "pricing_summary",
     "join_5way_regional_revenue",
     "q21_waiting_suppliers",

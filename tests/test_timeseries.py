@@ -88,3 +88,23 @@ def test_session_stats(spark):
     r = out[0]
     assert (r.n_sessions, r.max_session_events) == (2, 2)
     assert r.avg_session_sec == 300.0  # sessions: 600s and 0s → avg 300
+
+
+def test_gap_fill_hourly_dense_and_lossless(spark, sf_dir):
+    """The filled series is dense (hours x types everywhere in the span)
+    and lossless (non-zero buckets equal the sparse aggregation; totals
+    sum to the raw total)."""
+    from dataux_spark.operators.timeseries import gap_fill_hourly
+    from dataux_spark.queries import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    filled = gap_fill_hourly(ev).cache()
+    n_hours = filled.select("hour").distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert filled.count() == n_hours * n_types
+    assert filled.groupBy("hour", "event_type").count().agg(
+        F.max("count")).first()[0] == 1
+    raw_ct = ev.count()
+    assert filled.agg(F.sum("ct")).first()[0] == raw_ct
+    assert filled.filter(F.col("ct") == 0).count() > 0  # gaps existed and were filled
