@@ -305,6 +305,24 @@ class Engine:
         if m:
             hist = self.store.history(m.group(1))
             return self.spark.createDataFrame(hist, "version INT, path STRING")
+        if re.match(r"^\s*SHOW\s+SOURCES\s*$", s, re.I):
+            # federation registry introspection (extension): one row per
+            # registered backend with its pushdown tier — the engine-level
+            # view of the reference's per-source schema registry
+            rows = [
+                (
+                    src.name,
+                    src.tier.value,
+                    len(src.tables()),
+                    src.writable(),
+                    getattr(src, "default_limit", None),
+                )
+                for src in self.sources.values()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "source STRING, tier STRING, n_tables INT, writable BOOLEAN, default_limit INT",
+            )
         m = self._DESCRIBE_RE.match(s)
         if m:
             return show_plans.describe(self.spark, m.group(1), full=False)

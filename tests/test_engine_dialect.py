@@ -266,3 +266,18 @@ def test_terms_shape(eng):
     out = eng.sql("SELECT terms(author, 2) FROM article")
     assert out.columns == ["key", "count"]
     assert rows(out) == [("bjorn", 2), ("aaron", 1)]
+
+
+def test_show_sources_registry(spark, sf_dir):
+    """SHOW SOURCES (extension): one row per registered backend with its
+    pushdown tier — the engine-level view of the source registry."""
+    from dataux_spark import Engine
+
+    e = Engine(spark)
+    e.register_parquet_dir("shsrc_tpch", sf_dir)
+    e.register_memory("shsrc_mem")
+    rows = {r.source: r for r in e.sql("SHOW SOURCES").collect()}
+    # parquet gets Catalyst's native filter/limit/agg pushdown → top tier
+    assert rows["shsrc_tpch"].tier == "filters_limit_aggs"
+    assert rows["shsrc_tpch"].n_tables >= 8
+    assert rows["shsrc_mem"].writable is True
