@@ -33,6 +33,10 @@ _INSERT_RE = re.compile(
     r"^\s*(INSERT|UPSERT)\s+INTO\s+`?(\w+)`?\s*\(([^)]*)\)\s*VALUES\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*(INSERT|UPSERT)\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -170,6 +174,9 @@ def execute_dml(spark: SparkSession, store: TableStore, sql: str) -> DmlResult:
     m = _INSERT_RE.match(sql)
     if m:
         return _insert(spark, store, m, upsert=m.group(1).upper() == "UPSERT")
+    m = _INSERT_SELECT_RE.match(sql)
+    if m:
+        return _insert_select(spark, store, m, upsert=m.group(1).upper() == "UPSERT")
     m = _UPDATE_RE.match(sql)
     if m:
         return _update(spark, store, m)
@@ -200,17 +207,42 @@ def _align(new: DataFrame, target: DataFrame) -> DataFrame:
     return new.select(*out_cols)
 
 
+def _commit_insert(store: TableStore, table: str, batch: DataFrame, upsert: bool,
+                   default_key: str) -> DmlResult:
+    target = store.current(table)
+    n = batch.count()
+    if upsert:
+        keys = store.keys(table) or [default_key]
+        target = target.join(batch.select(*keys), on=keys, how="left_anti")
+    store.commit(table, target.unionByName(batch))
+    return DmlResult(n)
+
+
 def _insert(spark, store: TableStore, m, upsert: bool) -> DmlResult:
     table = m.group(2)
     cols = [c.strip().strip("`") for c in m.group(3).split(",")]
     batch = _align(_values_df(spark, cols, m.group(4).strip()), store.current(table))
-    target = store.current(table)
-    n = batch.count()
-    if upsert:
-        keys = store.keys(table) or [cols[0]]
-        target = target.join(batch.select(*keys), on=keys, how="left_anti")
-    store.commit(table, target.unionByName(batch))
-    return DmlResult(n)
+    return _commit_insert(store, table, batch, upsert, cols[0])
+
+
+def _insert_select(spark, store: TableStore, m, upsert: bool) -> DmlResult:
+    """INSERT INTO t [(cols)] SELECT ... — the batch comes from a full
+    engine query instead of a VALUES list (classic ETL append; reference
+    DML semantics SURVEY §3.3 with the select-plan as the row source).
+    With an explicit column list the select's columns map positionally;
+    without one they map by name; either way the batch is schema-aligned
+    to the target (missing → NULL) like every other insert path."""
+    table = m.group(2)
+    sel = spark.sql(m.group(4))
+    if m.group(3):
+        cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        if len(cols) != len(sel.columns):
+            raise ValueError(
+                f"INSERT column count {len(cols)} != SELECT column count {len(sel.columns)}"
+            )
+        sel = sel.toDF(*cols)
+    batch = _align(sel, store.current(table))
+    return _commit_insert(store, table, batch, upsert, sel.columns[0])
 
 
 def _update(spark, store: TableStore, m) -> DmlResult:

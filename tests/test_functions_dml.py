@@ -157,3 +157,26 @@ def test_repl_render_shapes(spark, sf_dir):
     assert "n_name" in grid and "NATION_0" in grid and grid.endswith("1 row")
     assert render(DmlResult(3)) == "Query OK, 3 rows affected"
     assert render(None) == "OK"
+
+
+def test_insert_select_append(spark, sf_dir):
+    """INSERT INTO t SELECT ... appends a query result (positional with a
+    column list, by-name without), with affected-row counts and
+    read-your-writes."""
+    from dataux_spark import Engine
+
+    e = Engine(spark)
+    e.register_parquet_dir("insel_tpch", sf_dir)
+    empty = spark.createDataFrame([], "k long, name string")
+    e.register_memory("insel_mem", {"insel_target": empty})
+    r = e.sql(
+        "INSERT INTO insel_target (k, name) "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1"
+    )
+    assert r.affected == 5
+    assert e.sql("SELECT count(*) AS ct FROM insel_target").collect()[0][0] == 5
+    # by-name mapping, missing target col -> NULL via alignment
+    r2 = e.sql("INSERT INTO insel_target SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 2")
+    assert r2.affected == 5
+    rows = e.sql("SELECT k, name FROM insel_target ORDER BY k").collect()
+    assert len(rows) == 10 and sum(1 for r in rows if r.name is None) == 5
