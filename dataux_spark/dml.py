@@ -170,13 +170,21 @@ class TableStore:
         out.createOrReplaceTempView(table)
 
 
-def execute_dml(spark: SparkSession, store: TableStore, sql: str) -> DmlResult:
+def execute_dml(spark: SparkSession, store: TableStore, sql: str,
+                select_runner=None) -> DmlResult:
+    """select_runner: optional callable(str) -> DataFrame used to resolve
+    the embedded SELECT of INSERT INTO ... SELECT. The Engine passes its
+    _select so the row source goes through _refresh_pushdown_views and the
+    pushdown negotiation — raw spark.sql() would silently reuse a cached
+    relation with a previous query's pushed filters baked in when reading
+    a fresh_scan_per_query source (Mongo/ES/Cassandra/Datastore tiers)."""
     m = _INSERT_RE.match(sql)
     if m:
         return _insert(spark, store, m, upsert=m.group(1).upper() == "UPSERT")
     m = _INSERT_SELECT_RE.match(sql)
     if m:
-        return _insert_select(spark, store, m, upsert=m.group(1).upper() == "UPSERT")
+        return _insert_select(spark, store, m, upsert=m.group(1).upper() == "UPSERT",
+                              select_runner=select_runner)
     m = _UPDATE_RE.match(sql)
     if m:
         return _update(spark, store, m)
@@ -225,15 +233,19 @@ def _insert(spark, store: TableStore, m, upsert: bool) -> DmlResult:
     return _commit_insert(store, table, batch, upsert, cols[0])
 
 
-def _insert_select(spark, store: TableStore, m, upsert: bool) -> DmlResult:
+def _insert_select(spark, store: TableStore, m, upsert: bool,
+                   select_runner=None) -> DmlResult:
     """INSERT INTO t [(cols)] SELECT ... — the batch comes from a full
     engine query instead of a VALUES list (classic ETL append; reference
     DML semantics SURVEY §3.3 with the select-plan as the row source).
     With an explicit column list the select's columns map positionally;
     without one they map by name; either way the batch is schema-aligned
-    to the target (missing → NULL) like every other insert path."""
+    to the target (missing → NULL) like every other insert path. The
+    select runs through the engine's full SELECT path when a runner is
+    provided (stale-pushed-filter refresh, dialect macros, pushdown)."""
     table = m.group(2)
-    sel = spark.sql(m.group(4))
+    run = select_runner if select_runner is not None else spark.sql
+    sel = run(m.group(4))
     if m.group(3):
         cols = [c.strip().strip("`") for c in m.group(3).split(",")]
         if len(cols) != len(sel.columns):

@@ -263,7 +263,8 @@ class Engine:
                     return None
                 # fall through: let Spark SQL handle CREATE VIEW etc.
             if head in ("INSERT", "UPSERT", "UPDATE", "DELETE", "MERGE"):
-                return execute_dml(self.spark, self.store, dialect.rewrite(stmt, self.ctx))
+                return execute_dml(self.spark, self.store, dialect.rewrite(stmt, self.ctx),
+                                   select_runner=self._select)
             return self._select(stmt)
         except QueryError:
             raise

@@ -230,3 +230,17 @@ def test_source_error_declines_to_polyfill(eng):
     the literal and answers it."""
     out = eng.sql("SELECT count(*) AS ct FROM mgoarticle WHERE count < '5'").collect()
     assert out[0][0] == 1  # only qarticle2 (count=2)
+
+
+def test_insert_select_no_stale_filters_from_pushdown_source(eng, spark):
+    """INSERT INTO ... SELECT reading a fresh_scan_per_query source right
+    after a filtered query must NOT replay the cached pushed filters: the
+    embedded SELECT routes through Engine._select (refresh + negotiation),
+    not raw spark.sql(). Without that, this inserts 2 rows instead of 4."""
+    empty = spark.createDataFrame([], "title string, author string")
+    eng.register_memory("insmem", {"ins_tgt": empty})
+    # prime the relation cache with a pushed filter on mgoarticle
+    assert len(eng.sql("SELECT title FROM mgoarticle WHERE author = 'bjorn'").collect()) == 2
+    r = eng.sql("INSERT INTO ins_tgt SELECT title, author FROM mgoarticle")
+    assert r.affected == 4
+    assert eng.sql("SELECT count(*) AS ct FROM ins_tgt").collect()[0][0] == 4
