@@ -228,12 +228,12 @@ class EsStyleRestSource(Source):
 
         return filter_documents(docs, filters)
 
-    def _log_agg(self, table: str, payload: dict) -> None:
+    def _log_agg(self, table: str, payload: dict, kind: str = "agg") -> None:
         if self.push_log_dir:
             import os
 
             with open(
-                os.path.join(self.push_log_dir, f"{self.name}.{table}.agg.json"), "w"
+                os.path.join(self.push_log_dir, f"{self.name}.{table}.{kind}.json"), "w"
             ) as fh:
                 json.dump(payload, fh)
 
@@ -313,7 +313,10 @@ class EsStyleRestSource(Source):
                 name = alias or arg
                 fields.append(T.StructField(name, ftypes.get(arg, T.StringType()), True))
             else:
-                name = alias or (f"{fn}({arg})" if arg != "*" else f"{fn}(*)")
+                # mirror Catalyst's default output names (count(*) plans
+                # as count(1)) so the result schema is identical whether
+                # the source accepted the pushdown or the polyfill ran
+                name = alias or (f"{fn}({arg})" if arg != "*" else f"{fn}(1)")
                 fields.append(T.StructField(name, agg_type(fn, arg), True))
         self._log_agg(table, {
             "aggs": [[fn, arg] for fn, arg, _ in items],
@@ -329,8 +332,11 @@ class EsStyleRestSource(Source):
             return None
         from dataux_spark.sources.base import topk_documents
 
+        # top-k logs to its own file (.topk.json, matching the other
+        # tiers) so it never clobbers the last agg log entry
         self._log_agg(table, {"sort": [[c, d] for c, d in order], "limit": limit,
-                              "filters": [[c, o, v] for c, o, v in filters]})
+                              "filters": [[c, o, v] for c, o, v in filters]},
+                      kind="topk")
         return topk_documents(spark, self._docs(table), cols, order, limit, filters)
 
     def execute_terms(self, spark, table, field, size, filters):

@@ -83,7 +83,12 @@ _ACCEPTED = (
 
 def _acceptable(f) -> bool:
     if isinstance(f, Not):
-        return False  # sql_to_mgo.go:406-414: unary → not implemented
+        # Binary != / NOT IN arrive as Not(EqualTo)/Not(In) in the V2
+        # filter vocabulary and translate as $ne/$nin (the reference's
+        # binary walker, sql_to_mgo.go:416-470); only OTHER unary NOT
+        # shapes hit the not-implemented branch (sql_to_mgo.go:406-414)
+        # and decline into the polyfill.
+        return isinstance(f.child, (EqualTo, In)) and len(f.child.attribute) == 1
     if not isinstance(f, _ACCEPTED):
         return False
     return len(f.attribute) == 1
@@ -93,6 +98,11 @@ def _eval(f, doc):
     """Three-valued evaluation of a pushed filter against a document — the
     remote Find() execution analog. Scalar predicates on list values use
     Mongo membership semantics."""
+    if isinstance(f, Not):
+        # SQL three-valued negation: NULL stays NULL (no match), so a
+        # pushed $ne never resurrects NULL rows the residual would drop
+        inner = _eval(f.child, doc)
+        return None if inner is None else not inner
     v = doc.get(f.attribute[0])
     if isinstance(f, IsNull):
         return v is None

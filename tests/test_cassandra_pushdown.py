@@ -161,3 +161,38 @@ def test_topk_pushed_only_on_clustering_keys(eng):
     ).collect()
     assert len(out) == 2
     assert not os.path.exists(f"{LOG_DIR}/cass.cassevents.topk.json")
+
+
+def test_topk_range_gate_uses_column_type_not_literal(spark, tmp_path):
+    """A NUMERIC literal ranged against a STRING key column must decline
+    the top-k push — the reference's numeric-key rule is about the COLUMN
+    (sql_to_cql.go:552-556), not the literal. Polyfill still answers."""
+    import os
+
+    # sensor ids are STRINGS that happen to look numeric — the gate must
+    # consult the discovered column type, not the literal's Python type
+    rows = [
+        {"sensor": "099", "day": 1, "val": 10},
+        {"sensor": "101", "day": 2, "val": 20},
+        {"sensor": "205", "day": 3, "val": 30},
+    ]
+    (tmp_path / "sensors.json").write_text(json.dumps(rows))
+    meta = TableMeta(name="casssensors", schema=None,
+                     partition_keys=["sensor"], clustering_keys=["day"])
+    e = Engine(spark)
+    e.register_source(CassandraStyleSource(
+        "cass2", {"casssensors": (f"file://{tmp_path}/sensors.json", meta)},
+        push_log_dir=str(tmp_path)))
+    marker = f"{tmp_path}/cass2.casssensors.topk.json"
+    out = e.sql(
+        "SELECT val FROM casssensors WHERE sensor >= 100 ORDER BY day LIMIT 2"
+    ).collect()
+    assert [r[0] for r in out] == [20, 30]
+    assert not os.path.exists(marker)  # declined: string key column
+    # a numeric KEY column still pushes ranges
+    out = e.sql(
+        "SELECT val FROM casssensors WHERE sensor = '101' AND day >= 1 "
+        "ORDER BY day LIMIT 2"
+    ).collect()
+    assert [r[0] for r in out] == [20]
+    assert os.path.exists(marker)

@@ -253,3 +253,32 @@ def test_topk_pushed_with_null_ordering(eng):
     pd_ = [r[0] for r in eng.sql(qd.format(t="espods")).collect()]
     td = [r[0] for r in eng.sql(qd.format(t="twinpods")).collect()]
     assert pd_ == td and pd_[-1] == "job-2"
+
+
+def test_unaliased_pushed_agg_named_like_catalyst(eng):
+    """Unaliased count(*) must surface as count(1) — Catalyst's default
+    output name — so the schema is identical whether the source accepted
+    the whole-agg pushdown or the Spark polyfill computed it."""
+    import os
+
+    marker = f"{LOG_DIR}/es.espods.agg.json"
+    if os.path.exists(marker):
+        os.remove(marker)
+    pushed = eng.sql("SELECT count(*) FROM espods")
+    twin = eng.sql("SELECT count(*) FROM twinpods")
+    assert os.path.exists(marker)  # the pushed path actually ran
+    assert pushed.columns == twin.columns == ["count(1)"]
+    assert pushed.collect()[0][0] == twin.collect()[0][0]
+
+
+def test_topk_log_does_not_clobber_agg_log(eng):
+    """ES top-k pushes log to .topk.json like the other tiers; a top-k
+    query after an agg query must leave the agg log entry intact."""
+    import os
+
+    eng.sql("SELECT count(*) AS ct FROM espods").collect()
+    assert os.path.exists(f"{LOG_DIR}/es.espods.agg.json")
+    agg_before = json.load(open(f"{LOG_DIR}/es.espods.agg.json"))
+    eng.sql("SELECT `metadata.name` FROM espods ORDER BY `status.restarts` LIMIT 2").collect()
+    assert json.load(open(f"{LOG_DIR}/es.espods.agg.json")) == agg_before
+    assert json.load(open(f"{LOG_DIR}/es.espods.topk.json"))["limit"] == 2

@@ -244,3 +244,21 @@ def test_insert_select_no_stale_filters_from_pushdown_source(eng, spark):
     r = eng.sql("INSERT INTO ins_tgt SELECT title, author FROM mgoarticle")
     assert r.affected == 4
     assert eng.sql("SELECT count(*) AS ct FROM ins_tgt").collect()[0][0] == 4
+
+
+def test_binary_ne_pushed_as_dollar_ne(eng):
+    """Binary != arrives as Not(EqualTo) and pushes as $ne (the reference's
+    binary walker, sql_to_mgo.go:416-470) — only other unary NOT shapes
+    decline. NOT IN likewise pushes as $nin."""
+    out = eng.sql("SELECT title FROM mgoarticle WHERE author != 'bjorn'").collect()
+    assert _titles(out) == ["article1", "qarticle2"]
+    log = read_push_log(LOG_DIR, "mgo.mgoarticle")
+    assert any("Not" in f and "EqualTo" in f for f in log["pushed"])
+    assert not log["residual"]
+    out = eng.sql(
+        "SELECT title FROM mgoarticle WHERE author NOT IN ('bjorn', 'james')"
+    ).collect()
+    assert _titles(out) == ["article1"]
+    log = read_push_log(LOG_DIR, "mgo.mgoarticle")
+    assert any("Not" in f and "In" in f for f in log["pushed"])
+    assert not log["residual"]
