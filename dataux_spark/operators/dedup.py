@@ -402,6 +402,7 @@ def embedding_signband_neardup(
     id_col: str,
     threshold: float = 0.4,
     band_bits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via deterministic sign-band candidate
     generation + exact cosine verify — the scale path for the all-pairs
@@ -428,7 +429,8 @@ def embedding_signband_neardup(
     ).withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
     )
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:  # fallback probe — pass dim to keep the builder lazy
+        dim = len(df.select(vec_col).first()[0])
     n_bands = dim // band_bits
     bands = []
     for b in range(n_bands):

@@ -111,6 +111,7 @@ def lsh_topk(
     nbits: int = 64,
     band_bits: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus rows sharing ≥1
     signature band (8-bit) with the query, exact rerank on candidates.
@@ -119,7 +120,8 @@ def lsh_topk(
     explode×join is on small band values with the (small) query side
     broadcast, so the corpus is never shuffled. Recall is tuned by
     nbits/band count. Returns (query_id, neighbor_id, cos, rank)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:  # fallback probe — pass dim to keep the builder lazy
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, seed)
     sig = signature_expr("v", planes, band_bits)
 
@@ -140,6 +142,74 @@ def lsh_topk(
     )
     cand = (
         c.join(F.broadcast(q), "band")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def signband_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    band_bits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic ANN top-k: axis-sign-band LSH candidates + exact
+    cosine rerank. Bit i of the signature is (v[i] > 0), grouped into
+    dim/band_bits bands; a corpus row is a candidate for a query iff they
+    agree on at least one whole (band index, band value) pair — the same
+    scheme as dedup.embedding_signband_neardup, applied to top-k search.
+
+    Axis signs need no random-plane literals, so candidate generation is
+    reproducible in plain SQL: the DuckDB oracle replicates the banding
+    bit-for-bit and the driver value-checks the whole pipeline. The
+    random-hyperplane variant (lsh_topk) remains the tunable production
+    path — it decorrelates bits from the embedding basis (axis signs are
+    only as good as the basis is isotropic) and its nbits is independent
+    of dim.
+
+    Plan shape = lsh_topk: corpus bands in the scan projection, candidate
+    join broadcasts the exploded query side, corpus never shuffles; exact
+    rerank on candidates only. Returns (query_id, neighbor_id, cos, rank);
+    queries with no band collision simply emit < k rows (no fallback)."""
+    if dim is None:  # fallback probe — pass dim to keep the builder lazy
+        dim = len(corpus.select(vec_col).first()[0])
+    n_bands = dim // band_bits
+    bands = []
+    for b in range(n_bands):
+        val = None
+        for j in range(band_bits):
+            bit = F.when(F.col("v")[b * band_bits + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        bands.append(F.struct(F.lit(b).alias("band"), val.alias("bv")))
+    bandarr = F.array(*bands)
+
+    def prep(df, ident):
+        return (
+            df.select(F.col(id_col).alias(ident), _as_double(vec_col).alias("v"))
+            .withColumn("norm", _norm("v"))
+            .select(ident, "v", "norm", F.explode(bandarr).alias("bb"))
+            .select(ident, "v", "norm",
+                    F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+        )
+
+    c = prep(corpus, "neighbor_id").select(
+        "neighbor_id", F.col("v").alias("cv"), F.col("norm").alias("cnorm"), "band", "bv"
+    )
+    q = prep(queries, "query_id").select(
+        "query_id", F.col("v").alias("qv"), F.col("norm").alias("qnorm"), "band", "bv"
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band", "bv"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )

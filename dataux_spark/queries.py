@@ -1563,7 +1563,31 @@ def dedup_winnow_fingerprints(spark, sf_dir):
     return out.select(F.col("_id").alias("doc_id"), "fp")
 
 
-@_q("dedup_minhash_lsh")  # rows-only: banded-LSH bucketing isn't plain-SQL
+@_q(
+    "dedup_minhash_lsh",
+    # The operator's OUTPUT is exact-Jaccard-verified pairs ≥ threshold —
+    # LSH only generates candidates, the verify stage recomputes true
+    # Jaccard — so the exact all-pairs SQL is a legitimate value oracle
+    # (tests/test_dedup.py asserts LSH == exact at this threshold; both
+    # sides are deterministic, so the driver's sf0.01 compare is stable).
+    """
+    WITH g AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a._id AS id_a, b._id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b ON a._id < b._id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥0.5
     (operators/dedup.py). Equivalence to exact ngram_jaccard at high
@@ -1660,7 +1684,7 @@ def embedding_neardup(spark, sf_dir):
 
     return embedding_signband_neardup(
         read_table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-        threshold=0.4, band_bits=4,
+        threshold=0.4, band_bits=4, dim=64,
     )
 
 
@@ -1690,11 +1714,61 @@ def ann_cosine_topk(spark, sf_dir):
 @_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
 def ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 with exact rerank
-    (operators/similarity.py). Recall vs brute force asserted in tests."""
+    (operators/similarity.py). Recall vs brute force asserted in tests.
+    Random hyperplanes are the tunable production variant (bits
+    decorrelated from the embedding basis, nbits independent of dim);
+    ann_signband_topk is its oracle-checkable deterministic twin."""
     from dataux_spark.operators.similarity import lsh_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+                    k=5, dim=64)
+
+
+@_q(
+    "ann_signband_topk",
+    # the oracle replicates the 16×4-bit axis-sign banding bit-for-bit
+    # (same scheme embedding_neardup proved out), then reranks exactly —
+    # full value check of the candidate-generation + rerank pipeline
+    """
+    WITH v AS (
+      SELECT vec_id AS _id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bands AS (
+      SELECT _id, t.b AS band,
+             (CASE WHEN v[4*t.b+1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[4*t.b+2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[4*t.b+3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4*t.b+4] > 0 THEN 8 ELSE 0 END) AS bv
+      FROM v, generate_series(0, 15) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT q._id AS query_id, c._id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON q.band = c.band AND q.bv = c.bv AND q._id != c._id
+      WHERE q._id < 5
+    )
+    SELECT * FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                        cand.neighbor_id) AS INT) AS rank
+      FROM cand JOIN v a ON cand.query_id = a._id
+                JOIN v b ON cand.neighbor_id = b._id
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_signband_topk(spark, sf_dir):
+    """Deterministic axis-sign-band ANN top-5 with exact rerank
+    (operators/similarity.signband_topk) — the oracle-checkable LSH-ANN
+    entry: candidate generation is reproducible in plain SQL, unlike the
+    random-hyperplane variant."""
+    from dataux_spark.operators.similarity import signband_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return signband_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+                         k=5, band_bits=4, dim=64)
 
 
 @_q("ann_ivf_topk")  # rows-only: k-means quantizer isn't plain-SQL

@@ -112,3 +112,43 @@ def test_persisted_ivf_index_matches_inmemory(emb, spark, tmp_path):
         emb, q, "embedding", "vec_id", k=K, n_centroids=16, nprobe=4, seed=7
     ).collect()
     assert sorted(map(tuple, from_index)) == sorted(map(tuple, in_memory))
+
+
+def test_signband_topk_recall_and_shape(emb):
+    """Axis-sign-band ANN (the oracle-checkable deterministic twin of
+    lsh_topk): valid rank/cos shape, decent recall@5, and determinism."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_map(similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=K))
+    res = similarity.signband_topk(emb, q, "embedding", "vec_id", k=K, dim=64)
+    rows = res.collect()
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= K
+    approx = {}
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        total += len(nbrs)
+        hits += len(nbrs & approx.get(qid, set()))
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    again = similarity.signband_topk(emb, q, "embedding", "vec_id", k=K, dim=64).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_signband_topk_candidates_only(emb):
+    """Every returned neighbor must share ≥1 (band, value) with its query
+    — signband_topk never falls back to brute force."""
+    q = emb.filter(F.col("vec_id") < 3)
+    rows = similarity.signband_topk(emb, q, "embedding", "vec_id", k=K, dim=64).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in emb.select("vec_id", "embedding").collect()}
+
+    def bands(v):
+        out = set()
+        for b in range(16):
+            bv = sum((1 << j) for j in range(4) if v[b * 4 + j] > 0)
+            out.add((b, bv))
+        return out
+
+    for r in rows:
+        assert bands(vecs[r.query_id]) & bands(vecs[r.neighbor_id])
