@@ -62,10 +62,16 @@ def register_all(spark: SparkSession) -> None:
 
     # qlbridge-builtin spellings Spark lacks (qlbridge builtins loaded
     # wholesale at runtestserver.go:74; usage shapes in SURVEY §2.8).
-    # Scalar python UDFs are fine here: these appear in predicates over
-    # short strings, and the heavily-used names (exists/missing/cardinality/
-    # terms/cast/char_length) are handled as rewrites in dialect.py, staying
-    # JVM-side.
+    #
+    # OFF-HOT-PATH CONTRACT: everything registered below this line is a
+    # row-at-a-time Python UDF kept ONLY for dialect parity — interactive
+    # queries over short strings (useragent sniffing, url/email pulls,
+    # loose casts). None of them may appear inside a corpus-scale scan:
+    # the heavily-used names (exists/missing/cardinality/terms/cast/
+    # char_length/…) are dialect.py REWRITES that stay JVM-side, and the
+    # pipeline operators (operators/*.py) never call these. If one is
+    # ever needed over a 100 TB table, promote it to an Arrow-batched
+    # pandas UDF first (see _todate/_qb_strftime above for the pattern).
     spark.udf.register("hasprefix", lambda s, p: s.startswith(p) if s is not None and p is not None else None, T.BooleanType())
     spark.udf.register("hassuffix", lambda s, p: s.endswith(p) if s is not None and p is not None else None, T.BooleanType())
 
