@@ -170,6 +170,79 @@ class TableStore:
         out.createOrReplaceTempView(table)
 
 
+def target_table(sql: str) -> str | None:
+    """Target table of a DML statement — the engine uses it to route the
+    statement to the owning registered source's mutator (reference: the
+    planner resolves the mutation target's backend before building the
+    mutator, schema.ConnMutation.CreateMutator contract)."""
+    for rx, gi in (
+        (_INSERT_RE, 2),
+        (_INSERT_SELECT_RE, 2),
+        (_UPDATE_RE, 1),
+        (_MERGE_RE, 1),
+        (_DELETE_RE, 1),
+    ):
+        m = rx.match(sql)
+        if m:
+            return m.group(gi)
+    return None
+
+
+def execute_source_dml(spark: SparkSession, source, table: str, sql: str,
+                       select_runner=None, keys: list[str] | None = None) -> DmlResult:
+    """Execute DML against a table OWNED by a registered source, through
+    that source's mutator (reference: every mutable backend exposes
+    schema.ConnMutation.CreateMutator → Put/Delete/DeleteExpression;
+    cassandra sql_to_cql.go:236-394, datastore's read-modify-write UPDATE
+    sql_to_datastore.go:218-382). INSERT/UPSERT → put (upsert keyed by the
+    declared keys, else the first insert column — the Put-by-key contract);
+    DELETE → delete_where; UPDATE → engine read-modify-write + overwrite."""
+    mut = source.mutator(spark, table)
+    if mut is None:
+        raise ValueError(
+            f"table {table!r} is read-only: source {source.name!r} does not accept writes"
+        )
+    m = _INSERT_RE.match(sql)
+    if m:
+        cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        batch = _align(_values_df(spark, cols, m.group(4).strip()),
+                       source.load(spark, table))
+        upsert = m.group(1).upper() == "UPSERT"
+        return DmlResult(mut.put(batch, (keys or [cols[0]]) if upsert else None))
+    m = _INSERT_SELECT_RE.match(sql)
+    if m:
+        run = select_runner if select_runner is not None else spark.sql
+        sel = run(m.group(4))
+        if m.group(3):
+            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+            if len(cols) != len(sel.columns):
+                raise ValueError(
+                    f"INSERT column count {len(cols)} != SELECT column count {len(sel.columns)}"
+                )
+            sel = sel.toDF(*cols)
+        first = sel.columns[0]
+        batch = _align(sel, source.load(spark, table))
+        upsert = m.group(1).upper() == "UPSERT"
+        return DmlResult(mut.put(batch, (keys or [first]) if upsert else None))
+    m = _UPDATE_RE.match(sql)
+    if m:
+        set_clause, where = m.group(2), m.group(3)
+        # TWO fresh relations: the affected-count scan pushes the WHERE
+        # filter into its Python-DataSource scan; reusing that relation
+        # for the full-table projection would replay the baked filter and
+        # overwrite the table with only the matching rows (the scan-cache
+        # trap, per-statement edition)
+        base = source.load(spark, table)
+        affected = base.filter(F.expr(where)).count() if where else base.count()
+        mut.overwrite(_update_projection(source.load(spark, table), set_clause, where))
+        return DmlResult(affected)
+    m = _DELETE_RE.match(sql)
+    if m:
+        where = m.group(2)
+        return DmlResult(mut.delete_where(F.expr(where) if where else None))
+    raise ValueError(f"unsupported DML against source table {table!r}: {sql[:80]}")
+
+
 def execute_dml(spark: SparkSession, store: TableStore, sql: str,
                 select_runner=None) -> DmlResult:
     """select_runner: optional callable(str) -> DataFrame used to resolve
@@ -257,11 +330,13 @@ def _insert_select(spark, store: TableStore, m, upsert: bool,
     return _commit_insert(store, table, batch, upsert, sel.columns[0])
 
 
-def _update(spark, store: TableStore, m) -> DmlResult:
-    table, set_clause, where = m.group(1), m.group(2), m.group(3)
-    df = store.current(table)
+def _update_projection(df: DataFrame, set_clause: str, where: str | None) -> DataFrame:
+    """The SET-applied-under-WHERE projection over the current state — the
+    read-modify-write core shared by the TableStore path and the
+    source-mutator path. Pure projection: pushes NO filter, so it is safe
+    on Python-DataSource scans (a filtered count on the same relation
+    would bake its pushed filter into the cached scan)."""
     cond = F.expr(where) if where else F.lit(True)
-    affected = df.filter(cond).count()
     assignments = {}
     for part in _split_top_level(set_clause):
         col, expr = part.split("=", 1)
@@ -273,7 +348,14 @@ def _update(spark, store: TableStore, m) -> DmlResult:
             out_cols.append(F.when(cond, new_val).otherwise(F.col(f.name)).alias(f.name))
         else:
             out_cols.append(F.col(f.name))
-    store.commit(table, df.select(*out_cols))
+    return df.select(*out_cols)
+
+
+def _update(spark, store: TableStore, m) -> DmlResult:
+    table, set_clause, where = m.group(1), m.group(2), m.group(3)
+    df = store.current(table)
+    affected = df.filter(F.expr(where)).count() if where else df.count()
+    store.commit(table, _update_projection(df, set_clause, where))
     return DmlResult(affected)
 
 

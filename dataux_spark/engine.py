@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from dataux_spark import dialect
 from dataux_spark.dialect import SessionContext
-from dataux_spark.dml import DmlResult, TableStore, execute_dml
+from dataux_spark.dml import (
+    DmlResult,
+    TableStore,
+    execute_dml,
+    execute_source_dml,
+)
+from dataux_spark.dml import target_table as dml_target_table
 from dataux_spark.functions import register_all
 from dataux_spark.plans import show as show_plans
 from dataux_spark.sources import (
@@ -263,7 +269,20 @@ class Engine:
                     return None
                 # fall through: let Spark SQL handle CREATE VIEW etc.
             if head in ("INSERT", "UPSERT", "UPDATE", "DELETE", "MERGE"):
-                return execute_dml(self.spark, self.store, dialect.rewrite(stmt, self.ctx),
+                stmt_rw = dialect.rewrite(stmt, self.ctx)
+                target = dml_target_table(stmt_rw)
+                owner = self._owning_source(target) if target else None
+                # DML on a source-owned table routes through the owning
+                # source's mutator (reference: CreateMutator per backend);
+                # MERGE is a beyond-reference TableStore extension and
+                # stays on the versioned-store path.
+                if owner is not None and head != "MERGE":
+                    return execute_source_dml(
+                        self.spark, owner, target, stmt_rw,
+                        select_runner=self._select,
+                        keys=self.store.keys(target) or None,
+                    )
+                return execute_dml(self.spark, self.store, stmt_rw,
                                    select_runner=self._select)
             return self._select(stmt)
         except QueryError:
@@ -397,6 +416,16 @@ class Engine:
             [(line,) for line in buf.getvalue().rstrip("\n").split("\n")],
             "plan: string",
         )
+
+    def _owning_source(self, table: str):
+        """The registered source that discovered `table`, if any — DML on
+        its tables must go through that source's mutator, never a shadow
+        temp-view copy."""
+        t = table.lower()
+        for s in self.sources.values():
+            if t in {x.lower() for x in s.tables()}:
+                return s
+        return None
 
     def _refresh_pushdown_views(self, stmt: str) -> None:
         """Re-register a FRESH relation for every referenced table of a

@@ -159,6 +159,17 @@ class Source(ABC):
         [(col, descending)], `filters` = [(col, op, literal)]."""
         return None
 
+    def mutator(self, spark: SparkSession, table: str) -> "SourceMutator | None":
+        """Write-path hook (reference: every mutable backend exposes
+        schema.ConnMutation.CreateMutator → Put/Delete/DeleteExpression —
+        backends/cassandra/sql_to_cql.go:236-394,
+        backends/bigtable/sql_to_bt.go:242-396,
+        backends/datastore/sql_to_datastore.go:218-382 read-modify-write).
+        Return a SourceMutator to accept DML against `table`, or None —
+        the engine then rejects the statement with a read-only error
+        instead of silently mutating a shadow copy."""
+        return None
+
     def files_table(self, spark: SparkSession) -> DataFrame | None:
         """Optional `<source>_files` virtual table (reference:
         backends/files/filesource_test.go:221-238)."""
@@ -171,3 +182,37 @@ class Source(ABC):
         ft = self.files_table(spark)
         if ft is not None:
             ft.createOrReplaceTempView(f"{self.name}_files")
+
+
+class SourceMutator(ABC):
+    """Per-table write contract, the Spark-side analog of the reference's
+    schema.ConnMutation.CreateMutator → Put / Delete / DeleteExpression
+    (backends/cassandra/sql_to_cql.go:236-394, datastore's read-modify-
+    write sql_to_datastore.go:218-382). The engine maps DML onto it:
+
+      INSERT / UPSERT → put(batch, keys)   (keys=None appends; with keys,
+                                            existing rows on those keys
+                                            are replaced — the Put-by-key
+                                            upsert every backend mutator
+                                            implements)
+      DELETE WHERE    → delete_where(cond) (the DeleteExpression leg)
+      UPDATE          → engine read-modify-write + overwrite(df)
+                        (the datastore pattern: fetch, apply, put back)
+
+    All methods return affected-row counts where the reference's mutators
+    do (results_mysql.go:295-348 renders them)."""
+
+    @abstractmethod
+    def put(self, batch: DataFrame, keys: list[str] | None) -> int:
+        """Append `batch`; with `keys`, replace existing rows that match
+        a batch row on the key columns (upsert). Returns rows written."""
+
+    @abstractmethod
+    def delete_where(self, cond) -> int:
+        """Delete rows where `cond` (a pyspark Column, or None = all).
+        Returns rows deleted."""
+
+    @abstractmethod
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace the whole table — the commit half of the engine's
+        read-modify-write UPDATE."""

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataux_spark.sources.base import PushdownTier, Source
+from dataux_spark.sources.base import PushdownTier, Source, SourceMutator
 
 
 class MemorySource(Source):
@@ -38,3 +38,49 @@ class MemorySource(Source):
 
     def writable(self) -> bool:
         return True
+
+    def mutator(self, spark: SparkSession, table: str):
+        if table not in self._tables:
+            return None
+        return _MemoryMutator(self, spark, table)
+
+
+class _MemoryMutator(SourceMutator):
+    """In-memory mutator (reference: memdb's Put/Delete over its btree,
+    the simplest ConnMutation implementation). Commits materialize the
+    new state (these tables are tiny system/fixture tables) so the stored
+    DataFrame and temp view never self-refer to the pre-mutation plan."""
+
+    def __init__(self, src: MemorySource, spark: SparkSession, table: str):
+        self.src, self.spark, self.table = src, spark, table
+
+    def _commit(self, df: DataFrame) -> None:
+        rows = df.collect()
+        out = (
+            self.spark.createDataFrame(rows, df.schema)
+            if rows
+            else self.spark.createDataFrame([], df.schema)
+        )
+        self.src._tables[self.table] = out
+        out.createOrReplaceTempView(self.table)
+
+    def put(self, batch: DataFrame, keys: list[str] | None) -> int:
+        cur = self.src._tables[self.table]
+        n = batch.count()
+        if keys:
+            cur = cur.join(batch.select(*keys), on=keys, how="left_anti")
+        self._commit(cur.unionByName(batch))
+        return n
+
+    def delete_where(self, cond) -> int:
+        cur = self.src._tables[self.table]
+        if cond is None:
+            n = cur.count()
+            self._commit(cur.limit(0))
+            return n
+        n = cur.filter(cond).count()
+        self._commit(cur.filter(~cond | cond.isNull()))
+        return n
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._commit(df)

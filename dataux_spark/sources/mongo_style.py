@@ -59,7 +59,7 @@ from pyspark.sql.datasource import (
 )
 
 from dataux_spark.infer import infer_from_documents
-from dataux_spark.sources.base import PushdownTier, Source
+from dataux_spark.sources.base import PushdownTier, Source, SourceMutator
 from dataux_spark.sources.rest import _fetch_json, _flatten
 
 # The Find()-expressible subset (sql_to_mgo.go:395-664). Note the contrast
@@ -309,7 +309,7 @@ class MongoStyleSource(Source):
         docs = _fetch_json(self.endpoints[table])
         docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
         n = len(filter_documents(docs, filters))
-        alias = items[0][2] or "count(*)"
+        alias = items[0][2] or "count(1)"  # Catalyst's default output name
         if self.push_log_dir:
             import os
 
@@ -321,3 +321,71 @@ class MongoStyleSource(Source):
         return spark.createDataFrame(
             [(n,)], T.StructType([T.StructField(alias, T.LongType(), False)])
         )
+
+    def writable(self) -> bool:
+        # writes land in the backing collection; only file:// endpoints
+        # are mutable in this driver-backed stand-in
+        return all(u.startswith("file://") for u in self.endpoints.values())
+
+    def mutator(self, spark: SparkSession, table: str):
+        url = self.endpoints.get(table)
+        if url is None or not url.startswith("file://"):
+            return None
+        return _DocMutator(spark, url[len("file://"):])
+
+
+class _DocMutator(SourceMutator):
+    """Doc-store mutator over the collection's backing JSON — the analog
+    of the reference Mongo mutator's per-document Put/Delete through the
+    driver session (schema.ConnMutation contract; upsert-by-id is how
+    every doc backend's Put behaves). Mutations are request-scale (a DML
+    statement's batch), not corpus-scale, so driver-side document
+    manipulation here matches the reference's own execution model."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark, self.path = spark, path
+
+    def _docs(self) -> list[dict]:
+        docs = _fetch_json(f"file://{self.path}")
+        return [_flatten(d) if isinstance(d, dict) else d for d in docs]
+
+    def _write(self, docs: list[dict]) -> None:
+        with open(self.path, "w") as fh:
+            json.dump(docs, fh, default=str)
+
+    @staticmethod
+    def _row_doc(row) -> dict:
+        # sparse documents: omit NULL columns, like a doc store would
+        return {k: v for k, v in row.asDict().items() if v is not None}
+
+    def put(self, batch: DataFrame, keys: list[str] | None) -> int:
+        new = [self._row_doc(r) for r in batch.collect()]
+        docs = self._docs()
+        if keys:
+            seen = {tuple(d.get(k) for k in keys) for d in new}
+            docs = [d for d in docs if tuple(d.get(k) for k in keys) not in seen]
+        self._write(docs + new)
+        return len(new)
+
+    def delete_where(self, cond) -> int:
+        # evaluate the SQL predicate with Spark over the loaded docs so
+        # DELETE semantics (three-valued, type coercions) match the
+        # engine's exactly, then persist the survivors
+        docs = self._docs()
+        if cond is None:
+            self._write([])
+            return len(docs)
+        from dataux_spark.infer import infer_from_documents
+
+        schema = infer_from_documents(docs)
+        cols = [f.name for f in schema.fields]
+        df = self.spark.createDataFrame(
+            [tuple(d.get(c) for c in cols) for d in docs], schema
+        )
+        n = df.filter(cond).count()
+        keep = df.filter(~cond | cond.isNull())
+        self._write([self._row_doc(r) for r in keep.collect()])
+        return n
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._write([self._row_doc(r) for r in df.collect()])

@@ -1,0 +1,106 @@
+"""DML routed through registered sources — the reference's mutator
+contract (schema.ConnMutation.CreateMutator → Put/Delete/DeleteExpression,
+/root/reference/backends/cassandra/sql_to_cql.go:236-394, datastore
+read-modify-write sql_to_datastore.go:218-382; roundtrip shape mirrors
+cass_test.go:482-609): INSERT/UPDATE/DELETE against a source-owned table
+mutate the SOURCE's backing store (read-your-writes through the source),
+with affected-row counts; non-writable sources reject with a clear error.
+"""
+
+import json
+
+import pytest
+
+from dataux_spark import Engine
+from dataux_spark.engine import QueryError
+from dataux_spark.infer import TableMeta
+from dataux_spark.sources.cassandra_style import CassandraStyleSource
+from dataux_spark.sources.mongo_style import MongoStyleSource
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_memory_source_roundtrip_updates_source_tables(spark):
+    """Memory-source DML goes through _MemoryMutator: the SOURCE's stored
+    DataFrame is updated (not just the temp view), so source.load() and
+    SELECT agree after every mutation."""
+    e = Engine(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    src = e.register_memory("memdml", {"people": df}, keys={"people": ["id"]})
+    r = e.sql('INSERT INTO people (id, name) VALUES (3, "c")')
+    assert r.affected == 1
+    assert sorted(_rows(src.load(spark, "people"))) == [(1, "a"), (2, "b"), (3, "c")]
+    # UPSERT replaces on the declared key
+    r = e.sql('UPSERT INTO people (id, name) VALUES (3, "c2")')
+    assert r.affected == 1
+    assert sorted(_rows(src.load(spark, "people"))) == [(1, "a"), (2, "b"), (3, "c2")]
+    r = e.sql('UPDATE people SET name = "z" WHERE id <= 2')
+    assert r.affected == 2
+    r = e.sql("DELETE FROM people WHERE id = 1")
+    assert r.affected == 1
+    assert sorted(_rows(e.sql("SELECT id, name FROM people"))) == [(2, "z"), (3, "c2")]
+    assert sorted(_rows(src.load(spark, "people"))) == [(2, "z"), (3, "c2")]
+
+
+def test_mongo_style_roundtrip_persists_to_collection(spark, tmp_path):
+    """Doc-store DML: Put appends/upserts documents in the backing
+    collection, DeleteExpression removes them; a fresh scan (the
+    fresh_scan_per_query reload) observes every write."""
+    docs = [
+        {"id": "u1", "name": "aaron", "count": 22},
+        {"id": "u2", "name": "bjorn", "count": 55},
+    ]
+    (tmp_path / "users.json").write_text(json.dumps(docs))
+    e = Engine(spark)
+    e.register_source(
+        MongoStyleSource("mgodml", {"mgousers": f"file://{tmp_path}/users.json"})
+    )
+    r = e.sql('INSERT INTO mgousers (id, name, count) VALUES ("u3", "carl", 7)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM mgousers").collect()[0][0] == 3
+    # the write landed in the collection itself, not a shadow copy
+    assert len(json.loads((tmp_path / "users.json").read_text())) == 3
+    r = e.sql('UPSERT INTO mgousers (id, name, count) VALUES ("u3", "carla", 8)')
+    assert r.affected == 1
+    assert _rows(e.sql('SELECT name, count FROM mgousers WHERE id = "u3"')) == [("carla", 8)]
+    r = e.sql("UPDATE mgousers SET count = count + 1 WHERE name = 'carla'")
+    assert r.affected == 1
+    assert _rows(e.sql('SELECT count FROM mgousers WHERE id = "u3"')) == [(9,)]
+    r = e.sql("DELETE FROM mgousers WHERE count > 50")
+    assert r.affected == 1
+    assert sorted(_rows(e.sql("SELECT id FROM mgousers"))) == [("u1",), ("u3",)]
+    on_disk = json.loads((tmp_path / "users.json").read_text())
+    assert sorted(d["id"] for d in on_disk) == ["u1", "u3"]
+
+
+def test_insert_select_into_mongo_style(spark, tmp_path):
+    """INSERT INTO <doc collection> SELECT ... — the batch comes from an
+    engine query and lands in the backing collection."""
+    (tmp_path / "sink.json").write_text(json.dumps([{"k": 0, "v": "seed"}]))
+    e = Engine(spark)
+    e.register_source(
+        MongoStyleSource("mgosink", {"mgosink": f"file://{tmp_path}/sink.json"})
+    )
+    e.register_memory(
+        "memsrc",
+        {"srcrows": spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")},
+    )
+    r = e.sql("INSERT INTO mgosink (k, v) SELECT k, v FROM srcrows WHERE k <= 2")
+    assert r.affected == 2
+    assert e.sql("SELECT count(*) AS ct FROM mgosink").collect()[0][0] == 3
+
+
+def test_non_writable_source_rejects_dml(spark, tmp_path):
+    """A source without a mutator (cassandra-style here) rejects DML with
+    a read-only error instead of mutating a shadow temp view."""
+    (tmp_path / "ev.json").write_text(json.dumps([{"device": "d1", "day": 1}]))
+    meta = TableMeta(name="cassro", schema=None,
+                     partition_keys=["device"], clustering_keys=["day"])
+    e = Engine(spark)
+    e.register_source(
+        CassandraStyleSource("cassro", {"cassro": (f"file://{tmp_path}/ev.json", meta)})
+    )
+    with pytest.raises(QueryError, match="read-only"):
+        e.sql('INSERT INTO cassro (device, day) VALUES ("d2", 1)')
