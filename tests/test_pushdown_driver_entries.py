@@ -52,7 +52,13 @@ def test_driver_entries_take_the_pushed_path(spark, sf_dir):
         "SELECT s_name, s_suppkey FROM casspin_supplier "
         "WHERE s_nationkey = 5 AND s_suppkey >= 10 ORDER BY s_suppkey LIMIT 5"
     ).collect()
-    assert len(out) > 0
+    # result equals the parquet twin (may legitimately be empty at tiny SF)
+    twin = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter("s_nationkey = 5 AND s_suppkey >= 10")
+        .orderBy("s_suppkey").limit(5).select("s_name", "s_suppkey").collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in twin]
     log = json.load(open(f"{d}/casspin.casspin_supplier.topk.json"))
     assert log["sort"] == [["s_suppkey", False]] and log["limit"] == 5
     assert ["s_nationkey", "=", 5] in log["filters"]
