@@ -2,7 +2,13 @@
 
   $SPARK_GRAFT_SF_DIR  data dir   (default /root/testdata/sf0.1)
   $SPARK_GRAFT_CPUS    local[N]   (default all cores)
-  $BENCH_RUNS          timed runs per query, median reported (default 3)
+  $BENCH_RUNS          timed runs per query, median reported (default 5)
+
+Besides per-query medians, the output carries a PLAN FINGERPRINT per
+query (sha1 of the formatted physical plan, with per-session expression
+ids / paths normalized out): cross-round timing deltas with an unchanged
+fingerprint are JVM/interleaving noise; a changed fingerprint names the
+plan as the cause. Decidable from the artifacts alone (VERDICT r4 §perf).
 
 Query set spans the SURVEY §2 operator classes plus the LLM-pipeline
 operators: scan+agg (TPC-H Q1/Q6 shapes), multi-join (Q5 shape), broadcast
@@ -54,9 +60,30 @@ HEADLINE = [
 ]
 
 
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan: formatted explain output with
+    per-session noise (expression ids, codegen ids, shuffle/plan ids,
+    file paths, object addresses) normalized away."""
+    import contextlib
+    import hashlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    txt = re.sub(r"#\d+[A-Za-z]*", "#", txt)
+    txt = re.sub(r"\[plan_id=\d+\]", "", txt)
+    txt = re.sub(r"\[codegen id : \d+\]", "", txt)
+    txt = re.sub(r"(file|dbfs|s3a?|hdfs):[^\s,\]\)]+", "path:", txt)
+    txt = re.sub(r"0x[0-9a-f]+", "0x", txt)
+    txt = re.sub(r"@[0-9a-f]{6,}", "@", txt)
+    return hashlib.sha1(txt.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
@@ -70,6 +97,7 @@ def main() -> None:
     Q.read_table(spark, sf_dir, "lineitem").count()
 
     per_query: dict[str, float] = {}
+    plans: dict[str, str] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name]
@@ -77,6 +105,10 @@ def main() -> None:
         # the error and keep timing the rest (rounds 1 and 2 both lost ALL
         # timings to a single query's AnalysisException).
         try:
+            try:
+                plans[name] = _plan_fingerprint(fn(spark, sf_dir))
+            except Exception:  # noqa: BLE001 — fingerprint is best-effort
+                plans[name] = "unavailable"
             fn(spark, sf_dir).count()  # warm-up (plans + shuffles primed)
             times = []
             for _ in range(runs):
@@ -98,6 +130,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "plans": plans,
         "sf": sf,
     }
     if errors:

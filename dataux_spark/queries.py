@@ -128,7 +128,6 @@ def filter_in(spark, sf_dir):
 
 
 @_q(
-    "filter_between",
     "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
     "WHERE l_quantity BETWEEN 5 AND 10",
 )
@@ -169,7 +168,6 @@ def field_vs_field(spark, sf_dir):
 # --- aggregation (reference SURVEY §2.4) ----------------------------------
 
 @_q(
-    "count_star",
     "SELECT count(*) AS ct FROM lineitem",
 )
 def count_star(spark, sf_dir):
@@ -393,7 +391,6 @@ def join_inner(spark, sf_dir):
 
 
 @_q(
-    "join_3way",
     "SELECT n.n_name, count(*) AS ct, round(sum(l.l_extendedprice), 2) AS volume "
     "FROM lineitem l "
     "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
@@ -1149,7 +1146,6 @@ def grouping_sets_counts(spark, sf_dir):
 
 
 @_q(
-    "cube_counts",
     "SELECT o_orderstatus, o_orderpriority, count(*) AS ct "
     "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
 )
@@ -2613,58 +2609,71 @@ def corpus_clean_pipeline(spark, sf_dir):
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # never driver-verified (registry positions 51-92 in rounds 1-3)
-    "qlbridge_datefuncs",
-    "date_extract",
-    "events_hourly_agg",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "split_hash_counts",
-    "sample_temperature_mix",
-    "rollup_hourly_merge",
-    "events_json_extract",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_winnow_fingerprints",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "embedding_neardup",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_index_topk",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_scores",
-    "text_repetition",
-    "multimodal_features",
-    "text_langid_ngram",
-    "multimodal_frame_sample",
-    "cross_source_join",
-    "correlated_subquery",
-    "cte_scalar_subquery",
-    "explode_top_tokens",
-    "array_functions",
-    "asof_join_events",
-    "range_join_price_bands",
-    "sessionize_stats",
-    "streaming_windowed_agg",
-    "streaming_dedup",
-    "streaming_session_window",  # new in round 4
-    "streaming_join",  # new in round 4
-    "pivot_status_priority",
-    "percentiles",
-    "dedup_keep_best",
-    "corpus_clean_pipeline",
-    "text_redact_pii",  # new in round 4
-    "events_gap_fill_hourly",  # new in round 4
-    # relational regression canaries (already green in CORRECTNESS_r03)
+    # Round-5 rotation (VERDICT r4 item 1): back to the RELATIONAL surface.
+    # The 42 LLM-pipeline entries got their verdicts in round 4; these 45
+    # relational/qlbridge entries were last driver-verified on rounds-1-3
+    # code, which predates the agg/topk pushdown + default-limit +
+    # scan-refresh engine changes. Exactly 50 slots: cardinality_approx is
+    # excluded (approximate by design — a slot would only buy a rows-only
+    # check; its exact twin count_distinct is in), as are four entries
+    # whose statement shape a same-family survivor already re-verifies
+    # (count_star→count_distinct, filter_between→filter_between_dates,
+    # join_3way→join_5way, cube_counts→rollup/grouping_sets).
+    "point_filter",
+    "filter_and_or",
+    "filter_like",
+    "filter_in",
+    "filter_between_dates",
+    "field_vs_field",
+    "count_distinct",
+    "agg_minmax_sum_avg",
+    "group_by_agg",
+    "revenue_filter",
+    "agg_over_expression",
+    "having",
+    "terms_topk",
+    "topk_order_limit",
+    "order_multi_offset",
+    "join_inner",
     "pricing_summary",
     "join_5way_regional_revenue",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "set_union",
+    "set_intersect_except",
+    "distinct_projection",
+    "window_topk_per_group",
+    "window_running_sum",
+    "rollup_counts",
+    "grouping_sets_counts",
+    "case_string_math",
+    "qlbridge_strfuncs",
     "qlbridge_builtins",
+    # New or newly-oracle-able this round — must enter the window to get
+    # their first full verdicts: minhash-LSH's exact-Jaccard oracle, the
+    # deterministic sign-band ANN, and the three entries that read tpch
+    # THROUGH registered pushdown sources (negotiation machinery under
+    # the driver gate).
+    "dedup_minhash_lsh",
+    "ann_signband_topk",
+    "pushdown_mongo_filter_topk",
+    "pushdown_es_group_agg",
+    "pushdown_cass_key_topk",
 ]
 
 
