@@ -138,6 +138,17 @@ CHECKS = {
          and "BroadcastNestedLoop" not in p),
         ("verify stage joins candidates back by id", lambda p: "id_a" in p and "id_b" in p),
     ],
+    # --- round-5 additions ------------------------------------------------
+    "ann_signband_topk": [
+        # axis-sign-band candidates: equality join on (band, bv) with the
+        # exploded query side broadcast — corpus never shuffles, no
+        # all-pairs path
+        ("candidate join hash-based", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("query side broadcast", lambda p: "BroadcastExchange" in p),
+        ("rerank is per-query window, not global sort", lambda p: "Window" in p
+         and "hashpartitioning(query_id" in p),
+    ],
 }
 
 
