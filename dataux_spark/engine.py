@@ -249,6 +249,11 @@ class Engine:
                 if m:
                     self.ctx.current_schema = m.group(1)
                     return None
+            # qualified source.table references resolve for everything
+            # downstream of here (SELECT/DML/EXPLAIN/SHOW); the
+            # CREATE/ALTER SOURCE JSON bodies are quoted strings, which
+            # _map_code passes through untouched
+            stmt = self._resolve_qualified_names(stmt)
             if head in ("SHOW", "DESCRIBE", "DESC"):
                 return self._show(stmt)
             if head == "EXPLAIN":
@@ -416,6 +421,44 @@ class Engine:
             [(line,) for line in buf.getvalue().rstrip("\n").split("\n")],
             "plan: string",
         )
+
+    _QUALIFIED_REF_RE = re.compile(
+        r"\b(FROM|JOIN|INTO|UPDATE|DESCRIBE|DESC|TABLE)(\s+)`?(\w+)`?\.`?(\w+)`?", re.I
+    )
+
+    def _resolve_qualified_names(self, stmt: str) -> str:
+        """MySQL-dialect qualified table names: every registered source is a
+        database/schema, so `SELECT ... FROM src.tbl` (and INSERT INTO /
+        UPDATE / DELETE FROM src.tbl) must resolve — any MySQL client sends
+        these (the reference registers each backend as a schema; USE +
+        unqualified is the other spelling of the same lookup).
+
+        Rewrites `src.tbl` → the registered view name only when it appears
+        in table position (after FROM/JOIN/INTO/UPDATE) AND the qualifier
+        is a registered source that owns that table — so table aliases and
+        struct-field access can never match, and unknown qualifiers fall
+        through to Spark's own resolution error. Quote-aware via
+        dialect._map_code. Note: views are registered globally by bare
+        table name, so two sources exposing the same table name shadow
+        each other regardless of qualification (registration order wins) —
+        a pre-existing property of the registry, not introduced here."""
+        if not self.sources or "." not in stmt:
+            return stmt
+        owned = {
+            (s.name.lower(), t.lower()): t
+            for s in self.sources.values()
+            for t in s.tables()
+        }
+        if not owned:
+            return stmt
+
+        def repl(m):
+            view = owned.get((m.group(3).lower(), m.group(4).lower()))
+            if view is None:
+                return m.group(0)
+            return f"{m.group(1)}{m.group(2)}{view}"
+
+        return dialect._map_code(stmt, lambda code: self._QUALIFIED_REF_RE.sub(repl, code))
 
     def _owning_source(self, table: str):
         """The registered source that discovered `table`, if any — DML on

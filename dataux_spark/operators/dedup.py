@@ -468,6 +468,99 @@ def embedding_signband_neardup(
     cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return cand.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
+def _span_hashes(tok_col: str, n: int):
+    """Distinct token-n-gram span hashes (16-hex-char md5 prefix — 64 bits,
+    collision-negligible below ~10^9 distinct spans per comparison scope;
+    lexicographic compare == numeric). Built-in higher-order functions only."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 1)), "
+        f"i -> substring(md5(concat_ws(' ', slice({tok_col}, i, {n}))), 1, 16)))"
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame, content_col: str, id_col: str, n: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring duplication profile — the span-level dedup signal
+    from Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022): instead of whole-document hashes, count how much of
+    each document's token stream also occurs verbatim elsewhere in the
+    corpus. Lee et al. use a suffix array over the concatenated corpus;
+    the distributed equivalent is an n-gram-span census — every duplicated
+    run of ≥ n tokens is caught because all its length-n sub-spans are.
+
+    Plan, all linear: (1) per-doc distinct span hashes in the scan
+    projection (zero shuffle); (2) corpus census groupBy(span) — map-side
+    partial count, hash keys uniform by construction (md5), boilerplate
+    spans are exactly the high-count keys and the partial agg absorbs
+    them; (3) join spans back to the census on the span hash (shuffle
+    hash join — the census is corpus-sized, never broadcast) and one
+    groupBy(doc) roll-up. No pairwise stage exists anywhere, so cost is
+    O(total tokens), independent of how duplicated the corpus is.
+
+    Returns one row per doc: (id, n_spans, n_dup_spans, dup_span_frac)
+    where n_spans counts DISTINCT spans and a span is "dup" if it appears
+    in ≥ min_docs distinct documents. Docs shorter than n tokens get one
+    clamped span (same convention as shingles/winnowing above)."""
+    d = df.select(F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t"))
+    spans = d.select("_id", F.explode(_span_hashes("_t", n)).alias("span"))
+    census = spans.groupBy("span").agg(F.count("*").alias("_nd"))
+    return (
+        spans.join(census, "span")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_nd") >= min_docs).cast("bigint")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥ min_hits
+    distinct n-gram spans with an evaluation/benchmark set — the standard
+    train-set hygiene pass (GPT-3 appendix C / PaLM-style n-gram overlap).
+
+    Scale: the benchmark side is tiny relative to a 100 TB corpus (eval
+    sets are MBs), so its distinct span-hash set is BROADCAST — corpus
+    spans are probed in place in the scan stage and never shuffle for the
+    join; the only exchange is the per-doc roll-up on the uniform doc id.
+    The broadcast left join keeps zero-hit docs so the output is a total
+    labeling, not just the contaminated subset.
+
+    Returns one row per corpus doc: (id, n_spans, n_bench_hits,
+    contaminated∈{0,1}); n_spans counts the doc's distinct spans."""
+    bench = (
+        benchmark.select(tokens(F.col(content_col)).alias("_t"))
+        .select(F.explode(_span_hashes("_t", n)).alias("span"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    spans = corpus.select(
+        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t")
+    ).select("_id", F.explode(_span_hashes("_t", n)).alias("span"))
+    return (
+        spans.join(F.broadcast(bench), "span", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_bench_hits"),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_bench_hits") >= min_hits).cast("int")
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, block_col: str | None = None
 ) -> DataFrame:

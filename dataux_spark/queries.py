@@ -1645,6 +1645,86 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_span_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 16))) AS spans
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    e AS (SELECT doc_id, unnest(spans) AS span FROM s),
+    c AS (SELECT span, count(*) AS nd FROM e GROUP BY span)
+    SELECT e.doc_id, count(*) AS n_spans,
+           sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+           round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS dup_span_frac
+    FROM e JOIN c USING (span)
+    GROUP BY e.doc_id
+    """,
+)
+def dedup_span_stats(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al., ACL 2022): per-doc
+    fraction of distinct 5-token spans that occur verbatim in ≥2 documents
+    (operators/dedup.duplicated_span_stats — span census + join-back, no
+    pairwise stage). The oracle rebuilds the identical md5-prefix span
+    hashes in SQL, so the whole census pipeline is value-checked."""
+    from dataux_spark.operators.dedup import duplicated_span_stats
+
+    out = duplicated_span_stats(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", n=5, min_docs=2
+    )
+    return out.select(
+        F.col("_id").alias("doc_id"), "n_spans", "n_dup_spans", "dup_span_frac"
+    )
+
+
+@_q(
+    "decontaminate_ngrams",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 16))) AS spans
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    b AS (SELECT DISTINCT unnest(spans) AS span FROM s WHERE source = 'src0'),
+    e AS (SELECT doc_id, unnest(spans) AS span FROM s WHERE source <> 'src0')
+    SELECT e.doc_id, count(*) AS n_spans,
+           sum(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_bench_hits,
+           CASE WHEN sum(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END) >= 1
+                THEN 1 ELSE 0 END AS contaminated
+    FROM e LEFT JOIN b USING (span)
+    GROUP BY e.doc_id
+    """,
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (source ≠ src0) flagged by
+    distinct 5-gram overlap with the benchmark set (source = src0) —
+    operators/dedup.decontaminate; benchmark span set broadcast, zero-hit
+    docs kept. The oracle replays the same span hashing + overlap count."""
+    from dataux_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=5,
+        min_hits=1,
+    )
+    return out.select(
+        F.col("_id").alias("doc_id"), "n_spans", "n_bench_hits", "contaminated"
+    )
+
+
+@_q(
     "embedding_neardup",
     """
     WITH v AS (
@@ -2654,11 +2734,9 @@ _DRIVER_WINDOW: list[str] = [
     "join_left_outer",
     "join_semi",
     "join_anti",
-    "set_union",
     "set_intersect_except",
     "distinct_projection",
     "window_topk_per_group",
-    "window_running_sum",
     "rollup_counts",
     "grouping_sets_counts",
     "case_string_math",
@@ -2666,14 +2744,20 @@ _DRIVER_WINDOW: list[str] = [
     "qlbridge_builtins",
     # New or newly-oracle-able this round — must enter the window to get
     # their first full verdicts: minhash-LSH's exact-Jaccard oracle, the
-    # deterministic sign-band ANN, and the three entries that read tpch
+    # deterministic sign-band ANN, the three entries that read tpch
     # THROUGH registered pushdown sources (negotiation machinery under
-    # the driver gate).
+    # the driver gate), and the two new span-level corpus-hygiene
+    # operators (substring-dedup profile + benchmark decontamination).
+    # To stay at 50 slots, set_union and window_running_sum yield theirs
+    # to same-family survivors (set_intersect_except / window_topk) —
+    # window stays 43/50 relational (≥80% per the round-4 brief).
     "dedup_minhash_lsh",
     "ann_signband_topk",
     "pushdown_mongo_filter_topk",
     "pushdown_es_group_agg",
     "pushdown_cass_key_topk",
+    "dedup_span_stats",
+    "decontaminate_ngrams",
 ]
 
 

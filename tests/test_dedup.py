@@ -183,3 +183,59 @@ def test_minhash_lsh_max_bucket_drops_boilerplate(spark):
     assert all(a >= 100 for a, _ in pairs)  # no boilerplate pair survived
     uncapped = dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5)
     assert len(_pairset(uncapped)) >= 435  # the blowup the cap prevents
+
+
+def test_duplicated_span_stats_planted_spans(spark):
+    """Span census catches a shared 3-token run; unique docs score 0; docs
+    shorter than n collapse to one clamped span (shingle convention)."""
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),        # spans: w1w2w3, w2w3w4, w3w4w5
+            (2, "x1 w2 w3 w4 x2"),        # shares only w2w3w4 with doc 1
+            (3, "z1 z2 z3 z4 z5"),        # fully unique
+            (4, "s1 s2"),                 # < n tokens → 1 clamped span
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r._id: r
+        for r in dedup.duplicated_span_stats(df, "text", "doc_id", n=3).collect()
+    }
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    assert out[1].dup_span_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
+    assert out[4].n_spans == 1
+
+
+def test_duplicated_span_stats_identical_docs_full_overlap(spark):
+    """Verbatim duplicates have dup_span_frac exactly 1.0."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id: long, text: string"
+    )
+    rows = dedup.duplicated_span_stats(df, "text", "doc_id", n=4).collect()
+    assert all(r.dup_span_frac == 1.0 for r in rows)
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Corpus docs sharing ≥1 distinct n-gram with the benchmark are
+    flagged; zero-hit docs stay in the output unflagged."""
+    bench = spark.createDataFrame(
+        [(900, "b1 b2 b3 b4 b5")], "doc_id: long, text: string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "q1 b1 b2 b3 q2 q3"),     # one hit: b1b2b3
+            (2, "u1 u2 u3 u4 u5 u6"),     # disjoint
+            (3, "b1 b2 b3 b4 q9"),        # two hits: b1b2b3, b2b3b4
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r._id: r
+        for r in dedup.decontaminate(corpus, bench, "text", "doc_id", n=3).collect()
+    }
+    assert out[1].n_bench_hits == 1 and out[1].contaminated == 1
+    assert out[2].n_bench_hits == 0 and out[2].contaminated == 0
+    assert out[3].n_bench_hits == 2 and out[3].contaminated == 1
+    assert set(out) == {1, 2, 3}

@@ -281,3 +281,43 @@ def test_show_sources_registry(spark, sf_dir):
     assert rows["shsrc_tpch"].tier == "filters_limit_aggs"
     assert rows["shsrc_tpch"].n_tables >= 8
     assert rows["shsrc_mem"].writable is True
+
+
+def test_qualified_source_table_names(spark):
+    """MySQL-dialect `db.table` qualification: registered sources are
+    databases, so SELECT / JOIN / DML / DESCRIBE accept src.tbl and route
+    to the same table (and owning-source mutator) as the unqualified
+    spelling. Unknown qualifiers fall through to Spark's own error, and
+    alias.column references are never rewritten (qualifier must be a
+    registered source that owns the named table)."""
+    import pytest as _pytest
+
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    e = Engine(spark)
+    e.register_memory(
+        "qualdb",
+        {"qkv": spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")},
+        keys={"qkv": ["k"]},
+    )
+    assert e.sql("SELECT k, v FROM qualdb.qkv").count() == 2
+    assert e.sql("SELECT a.k FROM qualdb.qkv a JOIN qualdb.qkv b ON a.k = b.k").count() == 2
+    r = e.sql('INSERT INTO qualdb.qkv (k, v) VALUES (3, "c")')
+    assert r.affected == 1
+    r = e.sql('UPDATE qualdb.qkv SET v = "z" WHERE k = 1')
+    assert r.affected == 1
+    r = e.sql("DELETE FROM qualdb.qkv WHERE k = 2")
+    assert r.affected == 1
+    assert sorted(tuple(x) for x in e.sql("SELECT k, v FROM qualdb.qkv").collect()) == [
+        (1, "z"),
+        (3, "c"),
+    ]
+    # DESCRIBE accepts qualification too
+    assert e.sql("DESCRIBE qualdb.qkv").count() == 2
+    # unknown qualifier is NOT silently rewritten
+    with _pytest.raises(QueryError):
+        e.sql("SELECT * FROM nosuchdb.qkv")
+    # a string literal containing src.tbl is untouched
+    lit = e.sql("SELECT 'qualdb.qkv' AS s FROM qualdb.qkv WHERE k = 1").collect()
+    assert lit[0].s == "qualdb.qkv"

@@ -149,6 +149,25 @@ CHECKS = {
         ("rerank is per-query window, not global sort", lambda p: "Window" in p
          and "hashpartitioning(query_id" in p),
     ],
+    "dedup_span_stats": [
+        # span census join-back is an equality join on the span hash; the
+        # operator never forces a broadcast (Catalyst may pick one at tiny
+        # SF, but a corpus-scale census must be free to shuffle) and no
+        # pairwise path exists anywhere
+        ("census join hash-based, no all-pairs", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("census partial+final agg", lambda p: p.count("HashAggregate") >= 4),
+        ("docs pruned to 2 columns", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "decontaminate_ngrams": [
+        # benchmark span set is explicitly broadcast — corpus spans probe
+        # it in the scan stage and only the per-doc roll-up shuffles
+        ("benchmark set broadcast", lambda p: "BroadcastHashJoin LeftOuter" in p),
+        ("single corpus shuffle (roll-up) + bench distinct",
+         lambda p: p.count("Exchange hashpartitioning") <= 2),
+        ("no all-pairs path", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
 }
 
 
