@@ -48,6 +48,10 @@ HEADLINE = [
     "events_hourly_agg",
     "text_quality",
     "dedup_minhash_lsh",
+    # round-5 addition: the Lee-et-al span census — a second dedup family
+    # (substring-level) in the timed set, so its two-shuffle linear plan
+    # stays accountable as the corpus scales
+    "dedup_span_stats",
     "ann_cosine_topk",
     "asof_join_events",
     "sessionize_stats",

@@ -22,6 +22,7 @@ Reference citations per query are in each docstring (file:line into
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -59,7 +60,15 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def _q(name: str, oracle: str | None = None):
+    # the name must be an identifier — a SQL string here means the name
+    # argument was dropped and the oracle slid into its place (a real
+    # regression once: four entries silently lost their oracles)
+    assert re.fullmatch(r"\w+", name), f"_q name is not an identifier: {name!r}"
+
     def deco(fn):
+        assert fn.__name__.startswith(name) or name.startswith(fn.__name__), (
+            f"_q name {name!r} does not match function {fn.__name__!r}"
+        )
         _REGISTRY[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -128,6 +137,7 @@ def filter_in(spark, sf_dir):
 
 
 @_q(
+    "filter_between",
     "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
     "WHERE l_quantity BETWEEN 5 AND 10",
 )
@@ -168,6 +178,7 @@ def field_vs_field(spark, sf_dir):
 # --- aggregation (reference SURVEY §2.4) ----------------------------------
 
 @_q(
+    "count_star",
     "SELECT count(*) AS ct FROM lineitem",
 )
 def count_star(spark, sf_dir):
@@ -391,6 +402,7 @@ def join_inner(spark, sf_dir):
 
 
 @_q(
+    "join_3way",
     "SELECT n.n_name, count(*) AS ct, round(sum(l.l_extendedprice), 2) AS volume "
     "FROM lineitem l "
     "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
@@ -1146,6 +1158,7 @@ def grouping_sets_counts(spark, sf_dir):
 
 
 @_q(
+    "cube_counts",
     "SELECT o_orderstatus, o_orderpriority, count(*) AS ct "
     "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
 )
