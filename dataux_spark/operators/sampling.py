@@ -67,6 +67,48 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int | str = 0,
+    n_shards: int = 16,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the epoch
+    reordering step of a training-data serving pipeline. Each row gets a
+    pseudo-random sort key md5(id:seed); shard = its hash-fraction band
+    (so shards are contiguous key ranges — a range partition by
+    construction, no sampled boundaries) and shard_pos = the row's rank
+    within its shard. A new seed is a fresh, reproducible permutation of
+    the whole corpus (epoch 0, 1, ...); hash-determinism means task
+    retries and cluster resizes can never change the order, unlike
+    rand()-keyed shuffles.
+
+    Plan shape: shard assignment is a pure map over the scan; the single
+    exchange is the row_number window keyed on the uniform shard id, and
+    the within-shard sort is exactly the sort a shard writer needs anyway
+    (sortWithinPartitions before write). Cost: one shuffle + one
+    O(rows/shard · log) sort, independent of seed.
+
+    Returns df + (shard, shard_pos) — write with
+    .repartition(shard_col).sortWithinPartitions(pos_col) to materialize
+    epoch files."""
+    from pyspark.sql import Window as W
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    out = df.withColumn("_h", h).withColumn(
+        shard_col,
+        F.floor(
+            (F.conv(F.substring("_h", 1, 8), 16, 10).cast("bigint") / F.lit(_BUCKETS))
+            * F.lit(n_shards)
+        ).cast("int"),
+    )
+    w = W.partitionBy(shard_col).orderBy(F.col("_h"), c)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_h")
+
+
 def temperature_resample(
     df: DataFrame,
     id_col: str,

@@ -1425,6 +1425,34 @@ def sample_temperature_mix(spark, sf_dir):
     )
 
 
+def _epoch_shuffle_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id", 1)
+    return (
+        "WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS hh, "
+        f"CAST(floor({f} * 8) AS INT) AS shard FROM documents) "
+        "SELECT doc_id, shard, "
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) "
+        "AS shard_pos FROM h"
+    )
+
+
+@_q("epoch_shuffle_shards", _epoch_shuffle_oracle())
+def epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch shuffle (extension — the training-data serving
+    reorder): seeded md5 sort key, hash-fraction band shards, per-shard
+    rank (operators/sampling.epoch_shuffle). One uniform-key shuffle; a
+    new seed is a fresh reproducible permutation. The oracle recomputes
+    the identical key, band, and rank in DuckDB — full permutation parity,
+    not a statistical check."""
+    from dataux_spark.operators.sampling import epoch_shuffle
+
+    d = read_table(spark, sf_dir, "documents")
+    out = epoch_shuffle(d, "doc_id", seed=1, n_shards=8)
+    return out.select("doc_id", "shard", F.col("shard_pos").cast("int").alias("shard_pos"))
+
+
 @_q(
     "rollup_hourly_merge",
     "SELECT date_trunc('hour', ts) AS bucket, event_type AS \"key\", count(*) AS n_events, "

@@ -81,3 +81,28 @@ def test_hash_frac_in_unit_interval(spark):
         F.min(hash_frac("doc_id")).alias("lo"), F.max(hash_frac("doc_id")).alias("hi")
     ).collect()[0]
     assert 0.0 <= row.lo and row.hi < 1.0
+
+
+def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark):
+    """Every row appears exactly once; shard_pos is 1..k dense per shard;
+    different seeds give different orders, same seed is stable."""
+    from dataux_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", seed=0, n_shards=4).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # stable under recomputation, different under a new seed
+    again = epoch_shuffle(df, "doc_id", seed=0, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in again} == {
+        (r.doc_id, r.shard, r.shard_pos) for r in out
+    }
+    other = epoch_shuffle(df, "doc_id", seed=1, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in other} != {
+        (r.doc_id, r.shard, r.shard_pos) for r in out
+    }
