@@ -102,6 +102,40 @@ def signature_expr(vec_col: str, planes: np.ndarray, band_bits: int = 4):
     return F.array(*bands)
 
 
+def _signature_udf(planes: np.ndarray, band_bits: int):
+    """Arrow-batched sign-LSH signature: one numpy matmul per batch against
+    the closed-over plane matrix, bits packed into band values identical to
+    signature_expr (equality pinned by test). The plan-lean path for
+    BERT-scale dims — signature_expr inlines nbits×dim float literals into
+    the plan text, which bloats analysis/codegen beyond ~10^4 coefficients,
+    while a udf closure ships the matrix once per executor."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    p_t = planes.T.copy()
+    nbits = planes.shape[0]
+    n_bands = (nbits + band_bits - 1) // band_bits
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def sig(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (x @ p_t > 0).astype(np.int64)  # (batch, nbits)
+        out = []
+        for row in bits:
+            bands = [
+                int((row[b * band_bits : (b + 1) * band_bits]
+                     * weights[: min(band_bits, nbits - b * band_bits)]).sum()
+                    + (1 << band_bits) * b)
+                for b in range(n_bands)
+            ]
+            out.append(bands)
+        return pd.Series(out)
+
+    return sig
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,6 +146,7 @@ def lsh_topk(
     band_bits: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    arrow_threshold: int = 8192,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus rows sharing ≥1
     signature band (8-bit) with the query, exact rerank on candidates.
@@ -123,7 +158,14 @@ def lsh_topk(
     if dim is None:  # fallback probe — pass dim to keep the builder lazy
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, seed)
-    sig = signature_expr("v", planes, band_bits)
+    # small plane matrices inline as JVM expressions (whole-stage codegen,
+    # no Python); past the threshold the literal blowup costs more than
+    # the Arrow hop, so switch to the batched matmul (same band values —
+    # equality pinned by test)
+    if nbits * dim > arrow_threshold:
+        sig = _signature_udf(planes, band_bits)(F.col("v"))
+    else:
+        sig = signature_expr("v", planes, band_bits)
 
     def prep(df, ident):
         return (

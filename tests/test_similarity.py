@@ -152,3 +152,23 @@ def test_signband_topk_candidates_only(emb):
 
     for r in rows:
         assert bands(vecs[r.query_id]) & bands(vecs[r.neighbor_id])
+
+
+def test_lsh_arrow_signature_matches_expression_path(emb):
+    """The Arrow-batched signature (plan-lean path for BERT-scale dims)
+    must produce the identical result set as the inlined-literal
+    expression path — same hyperplanes, same band packing."""
+    q = emb.filter(F.col("vec_id") < 3)
+    expr_rows = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.lsh_topk(
+            emb, q, "embedding", "vec_id", k=K, dim=64, arrow_threshold=10**9
+        ).collect()
+    }
+    udf_rows = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.lsh_topk(
+            emb, q, "embedding", "vec_id", k=K, dim=64, arrow_threshold=0
+        ).collect()
+    }
+    assert udf_rows == expr_rows and len(udf_rows) > 0
