@@ -316,7 +316,18 @@ class Engine:
         m = self._SHOW_TABLES_RE.match(s)
         if m:
             schema_name = m.group(1) or self.ctx.current_schema
-            return show_plans.show_tables(self.spark, schema_name, self._all_tables())
+            # a named (or USE-selected) schema that matches a registered
+            # source lists only ITS tables (mysql semantics: SHOW TABLES
+            # FROM db — reference schemadb registry, mgo_test.go:175-259);
+            # any other schema name keeps the flat all-tables view
+            src = self.sources.get(schema_name)
+            if src is None:
+                for s_ in self.sources.values():
+                    if s_.name.lower() == schema_name.lower():
+                        src = s_
+                        break
+            tables = src.tables() if src is not None else self._all_tables()
+            return show_plans.show_tables(self.spark, schema_name, tables)
         m = self._SHOW_COLUMNS_RE.match(s)
         if m:
             return show_plans.describe(self.spark, m.group(2), full=bool(m.group(1)))

@@ -321,3 +321,20 @@ def test_qualified_source_table_names(spark):
     # a string literal containing src.tbl is untouched
     lit = e.sql("SELECT 'qualdb.qkv' AS s FROM qualdb.qkv WHERE k = 1").collect()
     assert lit[0].s == "qualdb.qkv"
+
+
+def test_show_tables_scoped_to_named_source(spark):
+    """SHOW TABLES FROM db lists only that source's tables (mysql schema
+    semantics); an unknown schema name keeps the flat all-tables view, and
+    USE db scopes the bare SHOW TABLES the same way."""
+    from dataux_spark import Engine
+
+    e = Engine(spark)
+    e.register_memory("scopa", {"ta": spark.createDataFrame([(1,)], "x long")})
+    e.register_memory("scopb", {"tb": spark.createDataFrame([(1,)], "x long")})
+    names = lambda df: {r[0] for r in df.collect()}  # noqa: E731
+    assert names(e.sql("SHOW TABLES FROM scopa")) == {"ta"}
+    assert names(e.sql("SHOW TABLES FROM scopb")) == {"tb"}
+    assert names(e.sql("SHOW TABLES")) == {"ta", "tb"}  # 'default' schema: flat
+    e.sql("USE scopa")
+    assert names(e.sql("SHOW TABLES")) == {"ta"}
