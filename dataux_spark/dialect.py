@@ -391,7 +391,11 @@ class SessionContext:
 
 
 def split_statements(sql: str) -> list[str]:
-    """Split on top-level semicolons (outside quotes)."""
+    """Split on top-level semicolons (outside quotes). MySQL-dialect `#`
+    end-of-line comments are stripped first (quote-aware — a '#' inside a
+    string literal survives); `--` and block comments pass through to
+    Spark, which already accepts them."""
+    sql = _map_code(sql, lambda code: re.sub(r"#[^\n]*", "", code))
     parts, buf = [], []
     for kind, text in _segments(sql):
         if kind != "code":

@@ -1454,6 +1454,53 @@ def epoch_shuffle_shards(spark, sf_dir):
 
 
 @_q(
+    "skew_salted_agg",
+    "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS ct "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def skew_salted_agg(spark, sf_dir):
+    """Salted two-stage aggregation (operators/skew.two_stage_agg): hot
+    keys split across salt_n reducers in stage 1, partials merged on the
+    bare keys in stage 2 — must be value-identical to the plain GROUP BY
+    (the oracle), proving salting never changes the answer, only the
+    shuffle distribution."""
+    from dataux_spark.operators.skew import two_stage_agg
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = two_stage_agg(
+        li, ["l_returnflag"], ["l_quantity"], count=True, uniquifier="l_orderkey"
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("ct"),
+    )
+
+
+@_q(
+    "skew_salted_join",
+    "SELECT s.s_name AS s_name, count(*) AS ct, round(sum(l.l_quantity), 2) AS sum_qty "
+    "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY s.s_name",
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted equi-join (operators/skew.salted_join): the skewed fact side
+    is salted, the small side explode-replicated across all salts, joined
+    on (key, salt) — value-identical to the plain join per the oracle."""
+    from dataux_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_orderkey"
+    )
+    su = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    j = salted_join(li, su, "suppkey", salt_n=8, uniquifier="l_orderkey")
+    return j.groupBy("s_name").agg(
+        F.count("*").alias("ct"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_q(
     "rollup_hourly_merge",
     "SELECT date_trunc('hour', ts) AS bucket, event_type AS \"key\", count(*) AS n_events, "
     "round(sum(value), 2) AS value_sum, min(value) AS value_min, max(value) AS value_max "

@@ -338,3 +338,11 @@ def test_show_tables_scoped_to_named_source(spark):
     assert names(e.sql("SHOW TABLES")) == {"ta", "tb"}  # 'default' schema: flat
     e.sql("USE scopa")
     assert names(e.sql("SHOW TABLES")) == {"ta"}
+
+
+def test_hash_comments_stripped(eng):
+    """MySQL `#` end-of-line comments are accepted (the wire dialect any
+    mysql client may send); a '#' inside a string literal survives."""
+    assert rows(eng.sql("# leading comment\nSELECT 1 AS x")) == [(1,)]
+    assert rows(eng.sql("SELECT 2 AS x # trailing"))[0] == (2,)
+    assert rows(eng.sql("SELECT '#notacomment' AS s")) == [("#notacomment",)]
