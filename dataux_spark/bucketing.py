@@ -27,23 +27,31 @@ def bucketize(
     keys: list[str],
     buckets: int = 32,
     sort_by: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Write df as a bucketed (and optionally sorted) catalog table. The
-    one-time shuffle happens here; joins/aggs on `keys` are then local."""
+    one-time shuffle happens here; joins/aggs on `keys` are then local.
+    With `path`, the table is EXTERNAL at that location — callers that
+    can't control the session's warehouse dir (a vanilla driver session
+    defaults it to CWD) point it at a temp dir instead."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     # the in-memory catalog forgets tables across sessions but their
-    # warehouse directories persist; clear an orphan location
+    # storage directories persist; clear an orphan location
     import shutil
     from pathlib import Path
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
-    orphan = Path(wh) / name.lower()
-    if wh and orphan.exists():
-        shutil.rmtree(orphan, ignore_errors=True)
+    loc = path or ""
+    if not loc:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        loc = str(Path(wh) / name.lower()) if wh else ""
+    if loc and Path(loc).exists():
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(name)
 
 

@@ -1454,6 +1454,81 @@ def epoch_shuffle_shards(spark, sf_dir):
 
 
 @_q(
+    "bucketed_join_revenue",
+    "SELECT o.o_orderpriority, count(*) AS ct, round(sum(l.l_extendedprice), 2) AS rev "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderpriority",
+)
+def bucketed_join_revenue(spark, sf_dir):
+    """Co-located bucketed join (bucketing.bucketize): both sides written
+    bucketed on the join key (the one ingest-time shuffle), so the join
+    itself plans exchange-free — the 100 TB lever that kills the
+    lineitem⋈orders exchange. External bucketed tables under the temp dir
+    (a vanilla driver session's warehouse is CWD); value-identical to the
+    plain join per the oracle, exchange-freedom pinned by the plan audit
+    and test_bucketing."""
+    import os
+    import tempfile
+
+    from dataux_spark import bucketing
+
+    slug = re.sub(r"\W+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    tmp = tempfile.gettempdir()
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    bucketing.bucketize(
+        li, f"dataux_bli_{slug}", ["l_orderkey"], buckets=8,
+        path=f"{tmp}/dataux_bli_{slug}",
+    )
+    bucketing.bucketize(
+        o, f"dataux_bor_{slug}", ["l_orderkey"], buckets=8,
+        path=f"{tmp}/dataux_bor_{slug}",
+    )
+    j = spark.table(f"dataux_bli_{slug}").join(
+        spark.table(f"dataux_bor_{slug}"), "l_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("ct"),
+        F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+    )
+
+
+@_q(
+    "compaction_roundtrip",
+    "SELECT lang, count(*) AS ct, sum(doc_id) AS id_sum, "
+    "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang",
+)
+def compaction_roundtrip(spark, sf_dir):
+    """Clustered compaction (operators/maintenance.compact): rewrite the
+    documents table into target-size files range-partitioned + sorted on
+    (lang, doc_id), then prove the rewrite lossless by aggregating the
+    compacted copy against the oracle's view of the original — same
+    counts, id checksums, and source cardinality per language."""
+    import os
+    import tempfile
+
+    from dataux_spark.operators.maintenance import compact
+
+    slug = re.sub(r"\W+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    dest = f"{tempfile.gettempdir()}/dataux_compact_{slug}"
+    compact(
+        spark, f"{sf_dir}/documents.parquet", dest, target_mb=1,
+        sort_cols=["lang", "doc_id"],
+    )
+    return (
+        spark.read.parquet(dest)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("ct"),
+            F.sum("doc_id").alias("id_sum"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+@_q(
     "skew_salted_agg",
     "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS ct "
     "FROM lineitem GROUP BY l_returnflag",

@@ -159,6 +159,17 @@ CHECKS = {
         ("census partial+final agg", lambda p: p.count("HashAggregate") >= 4),
         ("docs pruned to 2 columns", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "bucketed_join_revenue": [
+        # both sides bucketed on the join key: the join itself must plan
+        # with NO exchange — the only hashpartitioning exchange allowed is
+        # the final aggregation's
+        ("join is exchange-free (bucketed co-location)",
+         lambda p: p.count("Exchange hashpartitioning") <= 1),
+        # at tiny SF Catalyst may broadcast instead of SMJ — either is
+        # exchange-free over bucketed scans; only nested-loop is wrong
+        ("equi-join, no nested loop", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
     "decontaminate_ngrams": [
         # benchmark span set is explicitly broadcast — corpus spans probe
         # it in the scan stage and only the per-doc roll-up shuffles
