@@ -2922,6 +2922,10 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_span_stats",
     "decontaminate_ngrams",
 ]
+# Registered later in round 5, still awaiting a first driver verdict
+# (locally oracle-green via tools/check.py; rotate into the window next
+# round): epoch_shuffle_shards, skew_salted_agg, skew_salted_join,
+# bucketed_join_revenue, compaction_roundtrip.
 
 
 def _export_order() -> list[str]:
