@@ -87,3 +87,54 @@ def test_random_macro_compositions_evaluate(spark, exprs):
     assert out.count("(") == out.count(")")
     row = spark.sql(out).collect()[0]  # must parse + run
     assert len(row) == len(exprs)
+
+
+# ---- round-5 rewrites: hash comments + qualified source.table names ------
+
+from dataux_spark.dialect import split_statements  # noqa: E402
+
+
+@given(lit=quoted_literal())
+@settings(max_examples=300, deadline=None)
+def test_hash_in_literal_survives_comment_strip(lit):
+    """'#' inside a string literal is data; '#' in code starts a comment."""
+    payload = lit[:-1] + "#notacomment'"
+    sql = f"SELECT {payload} AS v # strip me"
+    (stmt,) = split_statements(sql)
+    assert payload in stmt
+    assert "strip me" not in stmt
+
+
+@given(
+    inner=st.text(alphabet="abcxyz_ .", min_size=0, max_size=15),
+    qualify=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_qualified_rewrite_never_touches_literals_or_unknown(inner, qualify):
+    """The source.table rewrite fires only in table position for a
+    registered (source, table) pair; literals and unknown qualifiers are
+    byte-identical."""
+    import re as _re
+
+    class _FakeSrc:
+        name = "fsrc"
+
+        def tables(self):
+            return ["ftbl"]
+
+    class _Holder:
+        sources = {"fsrc": _FakeSrc()}
+
+    from dataux_spark.engine import Engine
+
+    _Holder._QUALIFIED_REF_RE = Engine._QUALIFIED_REF_RE
+    resolve = Engine._resolve_qualified_names
+    ref = "fsrc.ftbl" if qualify else "nodb.ftbl"
+    lit = "'" + inner.replace("'", "") + " fsrc.ftbl'"
+    sql = f"SELECT {lit} AS s FROM {ref}"
+    out = resolve(_Holder(), sql)
+    assert lit in out, f"literal mutated: {out!r}"
+    if qualify:
+        assert _re.search(r"FROM\s+ftbl$", out)
+    else:
+        assert out == sql

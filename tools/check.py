@@ -101,9 +101,11 @@ def main():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     failed = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             spark.catalog.clearCache()  # isolate queries (minhash persists etc.)
             sdf = fn(spark, sf_dir)
@@ -119,7 +121,8 @@ def main():
         except Exception as e:
             print(f"ERR  {name:32s} {type(e).__name__}: {str(e).splitlines()[0][:100]}")
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passing")
+    print(f"\n{ran - len(failed)}/{ran} passing"
+          + (f" (of {len(qs)} registered)" if ran != len(qs) else ""))
     sys.exit(1 if failed else 0)
 
 
