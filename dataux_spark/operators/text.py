@@ -231,6 +231,44 @@ def repetition_profile(df: DataFrame, content_col: str, id_col: str) -> DataFram
     )
 
 
+def top_tfidf_terms(
+    df: DataFrame, content_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: term frequency within the
+    doc × inverse document frequency across the corpus (smoothed:
+    idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention), top-k terms
+    per doc with deterministic tie-breaks (higher score, then
+    lexicographically earlier term).
+
+    Plan, two passes over the token stream, all linear: (1) per-(doc,term)
+    counts — one shuffle keyed by (doc, term), map-side combined; (2) the
+    document-frequency table — a groupBy(term) whose input is the already
+    per-doc-distinct (doc, term) rows, so its volume is bounded by
+    vocabulary × docs sharing, also map-side combined; (3) an equality
+    join term→df (shuffle hash join — the DF table is vocabulary-sized,
+    which at web scale is large enough that it must be free to shuffle;
+    Catalyst broadcasts it when small); (4) per-doc top-k via window
+    row_number on the doc-keyed exchange. N (total docs) is computed as a
+    scalar count — one job, the same pattern the rollup high-water mark
+    uses. Returns (id, term, tf, df, score, rank)."""
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()  # scalar; broadcast into the plan as a literal
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(content_col))).alias("term"))
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.round(F.col("tf") * idf, 6)
+    )
+    w = W.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 # ------------------------------------------------------------ PII redaction
 
 #: Default redaction patterns — (placeholder, regex). Deliberately limited

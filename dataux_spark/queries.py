@@ -2162,6 +2162,41 @@ def text_repetition(spark, sf_dir):
     return repetition_profile(read_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@_q(
+    "text_top_tfidf",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n + 1)::DOUBLE / (df.df + 1)) + 1), 6) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+      FROM s)
+    WHERE rank <= 3
+    """,
+)
+def text_top_tfidf(spark, sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF terms (smoothed
+    scikit-style idf = ln((N+1)/(df+1)) + 1), deterministic tie-breaks
+    (operators/text.top_tfidf_terms — two map-side-combined shuffles +
+    the vocabulary join + one doc-keyed window). The oracle recomputes
+    tf, df, and the smoothed idf identically in DuckDB."""
+    from dataux_spark.operators.text import top_tfidf_terms
+
+    out = top_tfidf_terms(read_table(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    return out.select(F.col("_id").alias("doc_id"), "term", "tf", "df", "score", "rank")
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"

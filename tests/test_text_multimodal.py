@@ -199,3 +199,30 @@ def test_redact_pii_patterns(spark):
     assert got[3] == ("host [IP] down", 1)
     assert got[4] == ("ssn [SSN] leaked", 1)
     assert got[5] == ("clean text, nothing here", 0)
+
+
+def test_top_tfidf_rare_term_beats_common(spark):
+    """A term unique to one doc must outrank corpus-wide terms within that
+    doc; ranks are dense 1..k with deterministic tie-breaks."""
+    from dataux_spark.operators.text import top_tfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            # equal tf=2 for both terms in doc 1: the rare term's idf is
+            # the deciding factor (ln(4/2)+1 vs ln(4/4)+1)
+            (1, "common common rareword rareword"),
+            (2, "common common common other"),
+            (3, "common other other filler"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = top_tfidf_terms(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r._id, []).append((r.rank, r.term, r.score))
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "rareword"
+    for ranked in by_doc.values():
+        assert [rk for rk, _, _ in sorted(ranked)] == list(range(1, len(ranked) + 1))
+    # df of 'common' spans all 3 docs
+    assert all(r.df == 3 for r in rows if r.term == "common")
