@@ -269,6 +269,53 @@ def top_tfidf_terms(
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Perplexity-style quality scoring with a self-trained unigram LM —
+    the CCNet-style move (Wenzek et al., LREC 2020) of ranking documents
+    by how probable they are under a language model trained on the corpus
+    itself; low mean log-prob = out-of-distribution text (gibberish,
+    boilerplate codes, wrong language). CCNet uses a 5-gram KenLM; the
+    unigram LM is the same plumbing with a corpus-sized count table
+    instead of a model file, and swaps in a real LM as a scoring UDF
+    without changing the plan shape.
+
+    Model: add-one-smoothed unigram probs p(t) = (c_t + 1)/(total + V)
+    over the corpus's own token stream. Score: mean negative log prob per
+    token (lower = more typical), and pseudo-perplexity exp(score).
+
+    Plan: one token-count shuffle (map-side combined, vocabulary-sized
+    output), two scalar aggregates (total, V) folded in as literals, then
+    the per-(doc, term) counts join the prob table on the term (shuffle
+    hash join — vocabulary-sized, Catalyst broadcasts when small) and one
+    doc-keyed roll-up. Returns (id, n_tokens, mean_neg_logprob, pppl)."""
+    n_t = df.select(F.explode(tokens(F.col(content_col))).alias("term"))
+    vocab = n_t.groupBy("term").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    ).first()
+    denom = float(totals.total + totals.v)
+    logp = F.log((F.col("c") + 1) / F.lit(denom))
+    probs = vocab.select("term", logp.alias("logp"))
+    per_doc = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(content_col))).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(probs, "term")
+        .groupBy("_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+    return per_doc.withColumn(
+        "pppl", F.round(F.exp(F.col("mean_neg_logprob")), 4)
+    )
+
+
 # ------------------------------------------------------------ PII redaction
 
 #: Default redaction patterns — (placeholder, regex). Deliberately limited

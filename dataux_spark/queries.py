@@ -2163,6 +2163,43 @@ def text_repetition(spark, sf_dir):
 
 
 @_q(
+    "text_unigram_pppl",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    v AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    tot AS (SELECT sum(c) AS total, count(*) AS v FROM v),
+    p AS (SELECT term, ln((c + 1)::DOUBLE / (tot.total + tot.v)) AS logp FROM v, tot),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    d AS (
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             round(-sum(tf.tf * p.logp) / sum(tf.tf), 6) AS mean_neg_logprob
+      FROM tf JOIN p USING (term) GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens, mean_neg_logprob,
+           round(exp(mean_neg_logprob), 4) AS pppl
+    FROM d
+    """,
+)
+def text_unigram_pppl(spark, sf_dir):
+    """CCNet-style perplexity quality scoring with a self-trained add-one
+    unigram LM (operators/text.unigram_logprob_scores): per-doc mean
+    negative log prob + pseudo-perplexity; low-probability docs are the
+    out-of-distribution ones a perplexity filter drops. The oracle
+    retrains the identical smoothed LM in DuckDB and value-checks every
+    score."""
+    from dataux_spark.operators.text import unigram_logprob_scores
+
+    out = unigram_logprob_scores(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select(
+        F.col("_id").alias("doc_id"), "n_tokens", "mean_neg_logprob", "pppl"
+    )
+
+
+@_q(
     "text_top_tfidf",
     """
     WITH t AS (

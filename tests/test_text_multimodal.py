@@ -226,3 +226,27 @@ def test_top_tfidf_rare_term_beats_common(spark):
         assert [rk for rk, _, _ in sorted(ranked)] == list(range(1, len(ranked) + 1))
     # df of 'common' spans all 3 docs
     assert all(r.df == 3 for r in rows if r.term == "common")
+
+
+def test_unigram_logprob_ranks_gibberish_below_typical(spark):
+    """A doc of corpus-frequent words scores lower (more probable) than a
+    doc of hapax gibberish; token counts roll up exactly."""
+    from dataux_spark.operators.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran to the mat"),
+            (3, "zxqv wpfk jqzn xbvc qqzz mmwp"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r._id: r for r in unigram_logprob_scores(df, "text", "doc_id").collect()}
+    assert out[1].n_tokens == 6 and out[3].n_tokens == 6
+    assert out[1].mean_neg_logprob < out[3].mean_neg_logprob
+    assert out[2].mean_neg_logprob < out[3].mean_neg_logprob
+    import math
+
+    for r in out.values():
+        assert r.pppl == pytest.approx(math.exp(r.mean_neg_logprob), rel=1e-3)
+    assert out[1].pppl < out[3].pppl
