@@ -178,6 +178,25 @@ class Engine:
         self.register_source(src)
         return src
 
+    def load_config(self, conf: dict) -> None:
+        """Bootstrap the registry from a declarative config — the
+        reference daemon's startup path (Config{Sources, Schemas,
+        Frontends}: /root/reference/models/config.go:40-72, built into the
+        schema registry by ServerCtx at models/serverctx.go:18-74; each
+        confl `sources` entry maps 1:1 onto create_source). Shape:
+
+            {"sources": {"<name>": {"type": ..., ...}, ...},
+             "default_schema": "<name>"}        # optional startup USE
+
+        Frontend (listener) sections have no equivalent — `Engine.sql`
+        IS the frontend here. Config may also be a JSON string."""
+        if isinstance(conf, str):
+            conf = json.loads(conf)
+        for name, sconf in (conf.get("sources") or {}).items():
+            self.create_source(name, sconf)
+        if conf.get("default_schema"):
+            self.ctx.current_schema = conf["default_schema"]
+
     def register_passthrough(
         self, name: str, table_paths: dict[str, str]
     ) -> DuckDBPassthroughSource:

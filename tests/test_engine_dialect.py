@@ -346,3 +346,33 @@ def test_hash_comments_stripped(eng):
     assert rows(eng.sql("# leading comment\nSELECT 1 AS x")) == [(1,)]
     assert rows(eng.sql("SELECT 2 AS x # trailing"))[0] == (2,)
     assert rows(eng.sql("SELECT '#notacomment' AS s")) == [("#notacomment",)]
+
+
+def test_load_config_bootstraps_sources(spark, sf_dir, tmp_path):
+    """Declarative startup config (the reference daemon's Config{Sources}
+    load): every sources entry registers through create_source, the
+    optional default_schema scopes the session, and qualified reads work
+    immediately."""
+    import json as _json
+
+    from dataux_spark import Engine
+
+    (tmp_path / "jd").mkdir()
+    (tmp_path / "jd" / "users.json").write_text(
+        "\n".join(_json.dumps(d) for d in [{"uid": 1, "nm": "a"}, {"uid": 2, "nm": "b"}])
+    )
+    e = Engine(spark)
+    e.load_config(
+        {
+            "sources": {
+                "cfg_tpch": {"type": "parquet", "path": sf_dir},
+                "cfg_json": {"type": "json", "path": str(tmp_path / "jd")},
+            },
+            "default_schema": "cfg_json",
+        }
+    )
+    assert e.sql("SELECT count(*) AS c FROM cfg_tpch.region").collect()[0].c > 0
+    assert e.sql("SELECT count(*) AS c FROM users").collect()[0].c == 2
+    dbs = {r[0] for r in e.sql("SHOW DATABASES").collect()}
+    assert {"cfg_tpch", "cfg_json"} <= dbs
+    assert {r[0] for r in e.sql("SHOW TABLES").collect()} >= {"users"}
