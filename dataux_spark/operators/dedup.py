@@ -468,6 +468,60 @@ def embedding_signband_neardup(
     cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return cand.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
+def build_fingerprint_store(
+    df: DataFrame, content_col: str, id_col: str, store_path: str
+) -> None:
+    """Materialize the content-digest store: one row per distinct digest
+    with the id that first claimed it. Built once over the historical
+    corpus; each new ingest batch dedupes against it (incremental_dedup)
+    and appends its survivors — the continuous-ingest pattern, where the
+    corpus is never rescanned per batch."""
+    (
+        df.select(F.md5(F.col(content_col)).alias("digest"), F.col(id_col).alias("keep_id"))
+        .groupBy("digest")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .write.mode("overwrite")
+        .parquet(store_path)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    content_col: str,
+    id_col: str,
+    store_path: str,
+    update_store: bool = False,
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted digest store: collapse the
+    batch to one row per digest (keep the smallest id), then anti-join the
+    store — survivors are content never seen in the historical corpus or
+    earlier in this batch.
+
+    Scale: the batch groupBy shuffles batch-sized rows on uniform digests;
+    the anti-join shuffles (batch ∪ store) slim digest rows — linear in
+    store size, and Catalyst broadcasts the batch side instead when it is
+    small (the common shape: GB-scale batch vs PB-scale store, where the
+    anti-join is exactly a shuffled hash join on the digest, never a
+    rescan of content). With update_store the survivors append to the
+    store (eagerly — the returned frame is already materialized by the
+    write). Returns (id, digest) survivors."""
+    spark = batch.sparkSession
+    b = (
+        batch.select(F.md5(F.col(content_col)).alias("digest"), F.col(id_col).alias("_id"))
+        .groupBy("digest")
+        .agg(F.min("_id").alias("_id"))
+    )
+    store = spark.read.parquet(store_path).select("digest")
+    out = b.join(store, "digest", "left_anti").select(
+        F.col("_id"), F.col("digest")
+    )
+    if update_store:
+        out.select("digest", F.col("_id").alias("keep_id")).write.mode("append").parquet(
+            store_path
+        )
+    return out
+
+
 def _span_hashes(tok_col: str, n: int):
     """Distinct token-n-gram span hashes (16-hex-char md5 prefix — 64 bits,
     collision-negligible below ~10^9 distinct spans per comparison scope;

@@ -1808,6 +1808,39 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_incremental_batch",
+    """
+    WITH store AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id <= 250
+    ),
+    b AS (
+      SELECT md5(text) AS digest, min(doc_id) AS doc_id
+      FROM documents WHERE doc_id > 250 GROUP BY 1
+    )
+    SELECT b.doc_id, b.digest
+    FROM b LEFT JOIN store USING (digest) WHERE store.digest IS NULL
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup against a persisted digest store (continuous
+    ingest: the historical corpus is fingerprinted ONCE, each new batch
+    anti-joins slim digest rows — never a corpus rescan). Store = docs
+    ≤250, batch = the rest; survivors are batch docs whose content is new
+    (operators/dedup.build_fingerprint_store / incremental_dedup)."""
+    import os
+    import tempfile
+
+    from dataux_spark.operators.dedup import build_fingerprint_store, incremental_dedup
+
+    slug = re.sub(r"\W+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    store = f"{tempfile.gettempdir()}/dataux_digeststore_{slug}"
+    docs = read_table(spark, sf_dir, "documents")
+    build_fingerprint_store(docs.filter(F.col("doc_id") <= 250), "text", "doc_id", store)
+    out = incremental_dedup(docs.filter(F.col("doc_id") > 250), "text", "doc_id", store)
+    return out.select(F.col("_id").alias("doc_id"), "digest")
+
+
+@_q(
     "dedup_span_stats",
     """
     WITH s AS (

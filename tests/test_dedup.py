@@ -239,3 +239,32 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[2].n_bench_hits == 0 and out[2].contaminated == 0
     assert out[3].n_bench_hits == 2 and out[3].contaminated == 1
     assert set(out) == {1, 2, 3}
+
+
+def test_incremental_dedup_against_store(spark, tmp_path):
+    """Batch rows drop when their digest is in the store OR claimed by an
+    earlier batch row; update_store makes survivors visible to the next
+    batch."""
+    store = str(tmp_path / "digests")
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id: long, text: string"
+    )
+    dedup.build_fingerprint_store(hist, "text", "doc_id", store)
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),    # in store → dropped
+            (11, "brand new"),      # survives
+            (12, "brand new"),      # within-batch dup of 11 → dropped
+            (13, "also new"),       # survives
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r._id for r in dedup.incremental_dedup(batch, "text", "doc_id", store).collect()}
+    assert got == {11, 13}
+    # second pass with update_store: survivors join the store
+    dedup.incremental_dedup(batch, "text", "doc_id", store, update_store=True).collect()
+    batch2 = spark.createDataFrame(
+        [(20, "brand new"), (21, "never seen")], "doc_id: long, text: string"
+    )
+    got2 = {r._id for r in dedup.incremental_dedup(batch2, "text", "doc_id", store).collect()}
+    assert got2 == {21}
