@@ -2524,6 +2524,55 @@ def pushdown_cass_key_topk(spark, sf_dir):
 
 
 @_q(
+    "pushdown_datastore_ineq_topk",
+    "SELECT c_name, c_acctbal FROM customer "
+    "WHERE c_nationkey = 3 AND c_acctbal > 1000 ORDER BY c_acctbal LIMIT 10",
+)
+def pushdown_datastore_ineq_topk(spark, sf_dir):
+    """tpch customer read THROUGH a registered datastore-style source: one
+    equality + ONE inequality property (the native planner's
+    single-inequality rule — a second range property would decline into
+    the residual), with the ORDER BY leading on the inequality property
+    per the datastore inequality-ordering composition rule
+    (sql_to_datastore.go:70-125)."""
+    from dataux_spark.engine import Engine
+    from dataux_spark.sources.datastore_style import DatastoreStyleSource
+
+    e = Engine(spark)
+    e.register_source(
+        DatastoreStyleSource(
+            "dstpch", {"ds_customer": _materialize_docs(sf_dir, "customer")}
+        )
+    )
+    return e.sql(
+        "SELECT c_name, c_acctbal FROM ds_customer "
+        "WHERE c_nationkey = 3 AND c_acctbal > 1000 ORDER BY c_acctbal LIMIT 10"
+    )
+
+
+@_q(
+    "pushdown_lytics_filter",
+    "SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 2 AND n_nationkey >= 8",
+)
+def pushdown_lytics_filter(spark, sf_dir):
+    """tpch nation read THROUGH a registered lytics-style source: the
+    pushed conjunction renders as a SegmentQL FilterStatement
+    (generator.go:62-111) server-side; the oracle's parquet twin fails
+    the gate if the generated filter drops or duplicates entities."""
+    from dataux_spark.engine import Engine
+    from dataux_spark.sources.lytics_style import LyticsStyleSource
+
+    e = Engine(spark)
+    e.register_source(
+        LyticsStyleSource("lytpch", {"ly_nation": _materialize_docs(sf_dir, "nation")})
+    )
+    return e.sql(
+        "SELECT n_name, n_nationkey FROM ly_nation "
+        "WHERE n_regionkey = 2 AND n_nationkey >= 8"
+    )
+
+
+@_q(
     "correlated_subquery",
     "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders o "
     "WHERE o_totalprice > 3 * (SELECT avg(o2.o_totalprice) FROM orders o2 "

@@ -62,3 +62,52 @@ def test_driver_entries_take_the_pushed_path(spark, sf_dir):
     log = json.load(open(f"{d}/casspin.casspin_supplier.topk.json"))
     assert log["sort"] == [["s_suppkey", False]] and log["limit"] == 5
     assert ["s_nationkey", "=", 5] in log["filters"]
+
+
+def test_datastore_and_lytics_entries_take_the_pushed_path(spark, sf_dir):
+    import os
+
+    from dataux_spark.sources.datastore_style import DatastoreStyleSource
+    from dataux_spark.sources.lytics_style import LyticsStyleSource
+
+    d = tempfile.mkdtemp()
+    e = Engine(spark)
+
+    e.register_source(DatastoreStyleSource(
+        "dspin", {"dspin_customer": _materialize_docs(sf_dir, "customer")},
+        push_log_dir=d))
+    out = e.sql(
+        "SELECT c_name, c_acctbal FROM dspin_customer "
+        "WHERE c_nationkey = 3 AND c_acctbal > 1000 ORDER BY c_acctbal LIMIT 10"
+    ).collect()
+    twin_ds = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter("c_nationkey = 3 AND c_acctbal > 1000")
+        .orderBy("c_acctbal").limit(10)
+        .select("c_name", "c_acctbal").collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in twin_ds] and out
+    log = json.load(open(f"{d}/dspin.dspin_customer.topk.json"))
+    assert log["sort"] == [["c_acctbal", False]] and log["limit"] == 10
+    assert ["c_nationkey", "=", 3] in log["filters"]
+    assert ["c_acctbal", ">", 1000] in log["filters"]
+
+    e.register_source(LyticsStyleSource(
+        "lypin", {"lypin_nation": _materialize_docs(sf_dir, "nation")},
+        push_log_dir=d))
+    out = e.sql(
+        "SELECT n_name, n_nationkey FROM lypin_nation "
+        "WHERE n_regionkey = 2 AND n_nationkey >= 8"
+    ).collect()
+    twin = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_regionkey = 2 AND n_nationkey >= 8")
+        .select("n_name", "n_nationkey").collect()
+    )
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in twin)
+    # the scan wrote a SegmentQL FilterStatement for the pushed conjunction
+    assert any(
+        "FILTER" in json.load(open(f"{d}/{f}")).get("segmentql", "")
+        for f in os.listdir(d) if f.endswith(".json")
+        and "segmentql" in open(f"{d}/{f}").read()
+    )
