@@ -2573,6 +2573,36 @@ def pushdown_lytics_filter(spark, sf_dir):
 
 
 @_q(
+    "pushdown_bq_full_query",
+    "SELECT r_regionkey, count(*) AS ct, min(n_name) AS first_nation "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_regionkey",
+)
+def pushdown_bq_full_query(spark, sf_dir):
+    """tpch read THROUGH a registered FULL-tier source (the BigQuery
+    whole-query pushdown shape, sql_to_bq.go:99-104): every referenced
+    table belongs to the source, so the engine ships the entire statement
+    — join, group, aggregates — to the remote engine and gets back
+    result-sized rows. Completes driver-gate coverage of all SIX tiers
+    (scan-only / filters / filters+limit / key-filters / +aggs / FULL)."""
+    from dataux_spark.engine import Engine
+
+    e = Engine(spark)
+    e.register_passthrough(
+        "bqtpch",
+        {
+            "bq_nation": f"{sf_dir}/nation.parquet",
+            "bq_region": f"{sf_dir}/region.parquet",
+        },
+    )
+    return e.sql(
+        "SELECT r_regionkey, count(*) AS ct, min(n_name) AS first_nation "
+        "FROM bq_nation JOIN bq_region ON n_regionkey = r_regionkey "
+        "GROUP BY r_regionkey"
+    )
+
+
+@_q(
     "correlated_subquery",
     "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders o "
     "WHERE o_totalprice > 3 * (SELECT avg(o2.o_totalprice) FROM orders o2 "
