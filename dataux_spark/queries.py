@@ -3107,9 +3107,12 @@ _DRIVER_WINDOW: list[str] = [
     "decontaminate_ngrams",
 ]
 # Registered later in round 5, still awaiting a first driver verdict
-# (locally oracle-green via tools/check.py; rotate into the window next
-# round): epoch_shuffle_shards, skew_salted_agg, skew_salted_join,
-# bucketed_join_revenue, compaction_roundtrip.
+# (all locally oracle-green via tools/check.py; rotate into the window
+# next round): epoch_shuffle_shards, skew_salted_agg, skew_salted_join,
+# bucketed_join_revenue, compaction_roundtrip, text_top_tfidf,
+# text_unigram_pppl, dedup_incremental_batch,
+# pushdown_datastore_ineq_topk, pushdown_lytics_filter,
+# pushdown_bq_full_query.
 
 
 def _export_order() -> list[str]:
