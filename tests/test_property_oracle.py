@@ -94,3 +94,20 @@ def test_random_filter_order_limit_match(harness, pred, limit):
     a = [tuple(r) for r in eng.sql(sql).collect()]
     b = con.execute(sql).fetchall()
     assert a == b, sql
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pred=predicate, key=st.sampled_from(STR_COLS), h=st.integers(min_value=0, max_value=5))
+def test_random_groupby_aggs_match(harness, pred, key, h):
+    """Random predicate + GROUP BY + HAVING: full grouped result (count,
+    integer sum, double min/max — no float arithmetic beyond comparison)
+    must match DuckDB exactly."""
+    eng, con = harness
+    sql = (
+        f"SELECT {key}, count(*) AS ct, sum(o_orderkey) AS sk, "
+        f"min(o_totalprice) AS mn, max(o_totalprice) AS mx "
+        f"FROM orders WHERE {pred} GROUP BY {key} HAVING count(*) >= {h}"
+    )
+    a = sorted(tuple(r) for r in eng.sql(sql).collect())
+    b = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert a == b, sql
