@@ -390,6 +390,50 @@ class SessionContext:
         self.variables[name.lower()] = value
 
 
+def _fmt_param(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def bind_params(sql: str, args) -> str:
+    """Prepared-statement parameter binding, done client-side at the front
+    door (the reference's mysql proxy substitutes COM_STMT_EXECUTE args
+    into the statement before routing — vendored mixer proxy conn.go
+    prepared-statement path). Positional `?` binds from a list/tuple in
+    order; named `:name` binds from a dict. Quote-aware: placeholders
+    inside string literals are data. Binding to text (not Spark's native
+    parameterized sql) is deliberate — every downstream path (pushdown
+    negotiation, DML parse, dialect rewrites) then sees plain literals,
+    exactly as the wire proxy's backends do."""
+    if isinstance(args, dict):
+        def sub(code):
+            return re.sub(
+                r":([A-Za-z_]\w*)",
+                lambda m: _fmt_param(args[m.group(1)]) if m.group(1) in args else m.group(0),
+                code,
+            )
+
+        return _map_code(sql, sub)
+    it = iter(args)
+
+    def sub(code):
+        def repl(_m):
+            try:
+                return _fmt_param(next(it))
+            except StopIteration:
+                raise ValueError("more ? placeholders than bound parameters") from None
+
+        return re.sub(r"\?", repl, code)
+
+    return _map_code(sql, sub)
+
+
 def split_statements(sql: str) -> list[str]:
     """Split on top-level semicolons (outside quotes). MySQL-dialect `#`
     end-of-line comments are stripped first (quote-aware — a '#' inside a

@@ -248,9 +248,20 @@ class Engine:
 
     # ------------------------------------------------------------ sql entry
 
-    def sql(self, text: str):
+    def sql(self, text: str, args: list | tuple | dict | None = None):
         """Execute one or more ;-separated statements; returns the last
-        result (DataFrame for queries, DmlResult for DML, None for SET)."""
+        result (DataFrame for queries, DmlResult for DML, None for SET).
+
+        `args` binds prepared-statement parameters before dispatch:
+        positional `?` from a list/tuple, named `:name` from a dict —
+        the COM_STMT_EXECUTE surface any MySQL client uses (see
+        dialect.bind_params). Bound values flow through every path:
+        pushdown negotiation, DML, the dialect rewrites."""
+        if args is not None:
+            try:
+                text = dialect.bind_params(text, args)
+            except ValueError as e:
+                raise QueryError(str(e)) from e
         result = None
         for stmt in dialect.split_statements(text):
             result = self._execute(stmt)

@@ -376,3 +376,34 @@ def test_load_config_bootstraps_sources(spark, sf_dir, tmp_path):
     dbs = {r[0] for r in e.sql("SHOW DATABASES").collect()}
     assert {"cfg_tpch", "cfg_json"} <= dbs
     assert {r[0] for r in e.sql("SHOW TABLES").collect()} >= {"users"}
+
+
+def test_prepared_statement_binding(spark):
+    """Prepared-statement args (the COM_STMT_EXECUTE surface): positional
+    `?` and named `:name` bind client-side before dispatch, flow through
+    SELECT and DML, escape quotes, and a `?` inside a string literal is
+    data."""
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    e = Engine(spark)
+    e.register_memory(
+        "prepdb",
+        {"pkv": spark.createDataFrame(
+            [(1, "a"), (2, "O'Brien"), (3, "c?")], "k long, v string")},
+        keys={"pkv": ["k"]},
+    )
+    assert e.sql("SELECT v FROM pkv WHERE k = ?", [2]).collect()[0].v == "O'Brien"
+    assert e.sql("SELECT k FROM pkv WHERE v = ?", ["O'Brien"]).collect()[0].k == 2
+    assert e.sql("SELECT k FROM pkv WHERE v = :val", {"val": "c?"}).collect()[0].k == 3
+    # literal '?' is data, not a placeholder
+    assert e.sql("SELECT k FROM pkv WHERE v = '?' OR k = ?", [1]).collect()[0].k == 1
+    # DML with placeholders routes through the source mutator
+    r = e.sql("INSERT INTO pkv (k, v) VALUES (?, ?)", [4, "d"])
+    assert r.affected == 1
+    assert e.sql("SELECT v FROM pkv WHERE k = 4").collect()[0].v == "d"
+    r = e.sql("DELETE FROM pkv WHERE k = :k", {"k": 4})
+    assert r.affected == 1
+    # too few args is a QueryError, not a crash
+    with pytest.raises(QueryError):
+        e.sql("SELECT * FROM pkv WHERE k = ? AND v = ?", [1])
