@@ -326,8 +326,14 @@ class Engine:
             raise QueryError(str(e)) from e
 
     _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+`?(\w+)`?)?\s*$", re.I)
+    # optional `FROM <db>` qualifier and LIKE column filter — the mysqlfe
+    # introspection shape `show full columns from `t` from `db` LIKE '%'`
+    # (frontends/mysqlfe test surface)
     _SHOW_COLUMNS_RE = re.compile(
-        r"^\s*SHOW\s+(FULL\s+)?COLUMNS\s+FROM\s+`?(\w+)`?\s*$", re.I
+        r"^\s*SHOW\s+(FULL\s+)?COLUMNS\s+FROM\s+`?(\w+)`?"
+        r"(?:\s+FROM\s+`?\w+`?)?"
+        r"(?:\s+LIKE\s+['\"](.*?)['\"])?\s*$",
+        re.I,
     )
     _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$", re.I)
     _SHOW_VARS_RE = re.compile(
@@ -360,7 +366,10 @@ class Engine:
             return show_plans.show_tables(self.spark, schema_name, tables)
         m = self._SHOW_COLUMNS_RE.match(s)
         if m:
-            return show_plans.describe(self.spark, m.group(2), full=bool(m.group(1)))
+            out = show_plans.describe(self.spark, m.group(2), full=bool(m.group(1)))
+            if m.group(3) is not None:  # LIKE filters column names
+                out = out.filter(F.col("Field").like(m.group(3)))
+            return out
         m = self._SHOW_CREATE_RE.match(s)
         if m:
             return show_plans.show_create_table(self.spark, m.group(1))

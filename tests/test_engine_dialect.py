@@ -407,3 +407,14 @@ def test_prepared_statement_binding(spark):
     # too few args is a QueryError, not a crash
     with pytest.raises(QueryError):
         e.sql("SELECT * FROM pkv WHERE k = ? AND v = ?", [1])
+
+
+def test_show_full_columns_db_qualifier_and_like(eng):
+    """The mysqlfe introspection shape: SHOW FULL COLUMNS accepts an extra
+    FROM <db> qualifier and a LIKE pattern filtering column names."""
+    base = eng.sql("SHOW FULL COLUMNS FROM article").collect()
+    allcols = eng.sql("show full columns from `article` from `mgo` LIKE '%'").collect()
+    assert [tuple(r) for r in allcols] == [tuple(r) for r in base]
+    some = eng.sql("SHOW FULL COLUMNS FROM article LIKE 'c%'").collect()
+    assert some and all(r.Field.startswith("c") for r in some)
+    assert len(some) < len(base)
