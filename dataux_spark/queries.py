@@ -2573,6 +2573,45 @@ def pushdown_lytics_filter(spark, sf_dir):
 
 
 @_q(
+    "grouped_terms_topk",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS ct
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus ORDER BY ct DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS term_key, ct AS term_count
+    FROM r WHERE rn <= 2
+    """,
+)
+def grouped_terms_topk(spark, sf_dir):
+    """terms() as a per-group aggregate through Engine.sql (the ES nested
+    terms-sub-agg surface the reference ships disabled,
+    es_test.go:230-245): per order status, the top-2 priorities with
+    counts. The packed struct array is exploded to scalar columns so the
+    driver can value-hash it against the windowed-count oracle."""
+    from dataux_spark.engine import Engine
+
+    e = Engine(spark)
+    e.register_parquet_dir("gterms_tpch", sf_dir)
+    df = e.sql(
+        "SELECT o_orderstatus, terms(o_orderpriority, 2) AS prio "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    return df.select(
+        "o_orderstatus", F.explode("prio").alias("t")
+    ).select(
+        "o_orderstatus",
+        F.col("t.key").alias("term_key"),
+        F.col("t.count").alias("term_count"),
+    )
+
+
+@_q(
     "pushdown_bq_full_query",
     "SELECT r_regionkey, count(*) AS ct, min(n_name) AS first_nation "
     "FROM nation JOIN region ON n_regionkey = r_regionkey "

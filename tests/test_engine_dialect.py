@@ -418,3 +418,24 @@ def test_show_full_columns_db_qualifier_and_like(eng):
     some = eng.sql("SHOW FULL COLUMNS FROM article LIKE 'c%'").collect()
     assert some and all(r.Field.startswith("c") for r in some)
     assert len(some) < len(base)
+
+
+def test_grouped_terms_aggregate(eng):
+    """terms() as a per-group aggregate — the ES nested terms-sub-agg
+    surface the reference intends but ships disabled
+    (es_test.go:230-245). Per group: top-k (key, count) structs ordered
+    (count desc, key asc)."""
+    out = eng.sql(
+        "SELECT author, terms(category, 2) AS cats, terms(title) "
+        "FROM article GROUP BY author"
+    ).collect()
+    rows = {r.author: r for r in out}
+    assert {"aaron", "bjorn"} <= set(rows)
+    for r in out:
+        assert all(c["count"] >= 1 for c in r.cats)
+        counts = [c["count"] for c in r.cats]
+        assert counts == sorted(counts, reverse=True)
+        assert len(r.cats) <= 2
+    # terms-only select (the reference's exact disabled shape) also runs
+    only = eng.sql("SELECT terms(category) FROM article GROUP BY author").collect()
+    assert len(only) == len(rows)
