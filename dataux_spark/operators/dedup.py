@@ -264,6 +264,103 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
+def _banded_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Slim (id, band, bh) rows from a signature frame — the LSH bucket
+    keys, kept narrow so the explode + shuffle never carries shingles."""
+    r = num_hashes // bands
+    return sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def build_minhash_store(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    store_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the minhash signature store for continuous-ingest
+    near-dup detection: the banded bucket keys (slim rows, partitioned by
+    band so an incremental probe prunes to matching band files) plus the
+    shingle sets for the verify stage. Built once over the historical
+    corpus — each new batch probes it (incremental_minhash_candidates)
+    without recomputing a single historical signature. This is the
+    signature checkpoint table minhash_lsh_pairs' persist() stands in for
+    within one job, made durable across jobs."""
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n)
+    sigs = sigs.persist()
+    (
+        _banded_rows(sigs, num_hashes, bands)
+        .write.mode("overwrite").partitionBy("band").parquet(f"{store_path}/bands")
+    )
+    sigs.select("_id", "_grams").write.mode("overwrite").parquet(f"{store_path}/grams")
+    sigs.unpersist()
+
+
+def incremental_minhash_candidates(
+    batch: DataFrame,
+    content_col: str,
+    id_col: str,
+    store_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup detection for a NEW batch against the persisted store:
+    batch signatures (computed fresh, batch-sized) bucket-join the store's
+    banded keys, candidates verify with exact Jaccard against the store's
+    shingle sets. Returns (batch_id, store_id, jaccard ≥ threshold) — the
+    batch rows to drop (or cluster) before appending to the corpus.
+
+    Scale: the join is (batch bands ∪ store bands) slim rows shuffled on
+    (band, bh) — Catalyst broadcasts the batch side when it is small (the
+    common shape); historical shingles are read ONLY for the candidate
+    ids via the verify join, never scanned wholesale. Probing cost is
+    independent of how many batches were ingested before."""
+    spark = batch.sparkSession
+    sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n).persist()
+    bb = _banded_rows(sigs, num_hashes, bands)
+    sb = spark.read.parquet(f"{store_path}/bands")
+    cand = (
+        bb.select(F.col("_id").alias("batch_id"), "band", "bh")
+        .join(sb.select(F.col("_id").alias("store_id"), "band", "bh"), ["band", "bh"])
+        .select("batch_id", "store_id")
+        .dropDuplicates(["batch_id", "store_id"])
+    )
+    sg = spark.read.parquet(f"{store_path}/grams")
+    cand = (
+        cand.join(
+            sigs.select(F.col("_id").alias("batch_id"), F.col("_grams").alias("ga")),
+            "batch_id",
+        ).join(
+            sg.select(F.col("_id").alias("store_id"), F.col("_grams").alias("gb")),
+            "store_id",
+        )
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb")),
+        6,
+    )
+    return cand.select("batch_id", "store_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -1759,6 +1759,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_incremental_minhash",
+    # Same oracle justification as dedup_minhash_lsh: the output is
+    # exact-Jaccard-verified pairs, LSH only proposes candidates, and the
+    # store probe == full recompute on cross pairs is asserted in tests —
+    # so the exact cross-pairs SQL is the value oracle.
+    """
+    WITH g AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT b._id AS batch_id, s._id AS store_id,
+           round(len(list_intersect(b.grams, s.grams))::DOUBLE /
+                 len(list_distinct(b.grams || s.grams)), 6) AS jaccard
+    FROM g b JOIN g s ON b._id > 250 AND s._id <= 250
+    WHERE round(len(list_intersect(b.grams, s.grams))::DOUBLE /
+                len(list_distinct(b.grams || s.grams)), 6) >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Continuous-ingest NEAR-dup: the historical corpus's minhash
+    signatures live in a persisted band-partitioned store; a new batch
+    probes it without recomputing any historical signature
+    (operators/dedup.build_minhash_store / incremental_minhash_candidates;
+    probe == full recompute asserted in tests). Store = docs ≤250,
+    batch = the rest; the oracle computes exact Jaccard on the cross
+    pairs."""
+    import os
+    import tempfile
+
+    from dataux_spark.operators.dedup import (
+        build_minhash_store,
+        incremental_minhash_candidates,
+    )
+
+    slug = re.sub(r"\W+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    store = f"{tempfile.gettempdir()}/dataux_mhstore_{slug}"
+    docs = read_table(spark, sf_dir, "documents")
+    build_minhash_store(docs.filter(F.col("doc_id") <= 250), "text", "doc_id", store)
+    return incremental_minhash_candidates(
+        docs.filter(F.col("doc_id") > 250), "text", "doc_id", store, threshold=0.5
+    )
+
+
 @_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + pigeonhole banding
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)."""

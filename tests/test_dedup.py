@@ -268,3 +268,29 @@ def test_incremental_dedup_against_store(spark, tmp_path):
     )
     got2 = {r._id for r in dedup.incremental_dedup(batch2, "text", "doc_id", store).collect()}
     assert got2 == {21}
+
+
+def test_incremental_minhash_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """Probing the persisted signature store must find exactly the
+    cross-partition pairs a full recompute finds: split documents into
+    history/batch, compare (batch x history) pairs from the store probe
+    against minhash_lsh_pairs over the union restricted to cross pairs."""
+    store = str(tmp_path / "mh_store")
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") <= 250)
+    batch = docs.filter(F.col("doc_id") > 250)
+    dedup.build_minhash_store(hist, "text", "doc_id", store)
+    got = {
+        (r.batch_id, r.store_id, r.jaccard)
+        for r in dedup.incremental_minhash_candidates(
+            batch, "text", "doc_id", store, threshold=0.5
+        ).collect()
+    }
+    full = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    cross = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.jaccard)
+        for r in full.collect()
+        if (r.id_a <= 250) != (r.id_b <= 250)
+    }
+    assert {(b, s, j) for b, s, j in got} == cross
+    assert got  # the corpus has planted cross-partition near-dups
