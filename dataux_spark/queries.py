@@ -3200,7 +3200,7 @@ _DRIVER_WINDOW: list[str] = [
 # bucketed_join_revenue, compaction_roundtrip, text_top_tfidf,
 # text_unigram_pppl, dedup_incremental_batch,
 # pushdown_datastore_ineq_topk, pushdown_lytics_filter,
-# pushdown_bq_full_query.
+# pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash.
 
 
 def _export_order() -> list[str]:

@@ -170,6 +170,13 @@ CHECKS = {
         ("equi-join, no nested loop", lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoop" not in p),
     ],
+    "dedup_incremental_minhash": [
+        # batch bands probe the persisted store on (band, bh) equality;
+        # no all-pairs path, and the store scan reads only key columns +
+        # the verify join's shingles
+        ("store probe hash-based, no all-pairs", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
     "decontaminate_ngrams": [
         # benchmark span set is explicitly broadcast — corpus spans probe
         # it in the scan stage and only the per-doc roll-up shuffles
