@@ -70,6 +70,7 @@ def harness(spark, sf_dir):
     eng.register_parquet_dir("prop", sf_dir)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'")
     return eng, con
 
 
@@ -107,6 +108,22 @@ def test_random_groupby_aggs_match(harness, pred, key, h):
         f"SELECT {key}, count(*) AS ct, sum(o_orderkey) AS sk, "
         f"min(o_totalprice) AS mn, max(o_totalprice) AS mx "
         f"FROM orders WHERE {pred} GROUP BY {key} HAVING count(*) >= {h}"
+    )
+    a = sorted(tuple(r) for r in eng.sql(sql).collect())
+    b = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert a == b, sql
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pred=predicate, how=st.sampled_from(["JOIN", "LEFT JOIN"]))
+def test_random_join_shapes_match(harness, pred, how):
+    """Random predicate over an orders⋈customer equi-join (inner and
+    left-outer): grouped counts per customer segment must match DuckDB."""
+    eng, con = harness
+    sql = (
+        f"SELECT c.c_mktsegment, count(*) AS ct, count(o.o_orderkey) AS oct "
+        f"FROM customer c {how} orders o ON o.o_custkey = c.c_custkey "
+        f"AND ({pred}) GROUP BY c.c_mktsegment"
     )
     a = sorted(tuple(r) for r in eng.sql(sql).collect())
     b = sorted(tuple(r) for r in con.execute(sql).fetchall())
