@@ -434,12 +434,69 @@ def bind_params(sql: str, args) -> str:
     return _map_code(sql, sub)
 
 
+def _strip_comments(sql: str) -> str:
+    """Remove SQL comments with one scanner that tracks string state and
+    comment state TOGETHER (regex-over-code-segments cannot: a quote
+    inside a comment, or a comment delimiter inside a string, confuses
+    any two-pass scheme). Handles `#...` and `-- ...` to end of line
+    (MySQL requires whitespace after `--`, so `a--b` arithmetic is safe)
+    and `/* ... */` blocks — whose interior semicolons previously SPLIT
+    the statement. Spark optimizer hints `/*+ ... */` pass through."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str: str | None = None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                if i + 1 < n and sql[i + 1] == in_str:  # doubled-quote escape
+                    out.append(sql[i + 1])
+                    i += 2
+                    continue
+                in_str = None
+            elif ch == "\\" and in_str in ("'", '"') and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 2
+                continue
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*" and sql[i : i + 3] != "/*+":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+            continue
+        if ch == "#":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch == "-" and sql[i : i + 2] == "--":
+            if i + 2 >= n or sql[i + 2] in " \t\r\n":
+                j = sql.find("\n", i)
+                i = n if j < 0 else j
+                continue
+            # MySQL: `--` is a comment only when followed by whitespace, so
+            # `3--1` is double negation — but SPARK comments it regardless;
+            # emit `- -` to force the arithmetic reading downstream
+            out.append("- -")
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def split_statements(sql: str) -> list[str]:
-    """Split on top-level semicolons (outside quotes). MySQL-dialect `#`
-    end-of-line comments are stripped first (quote-aware — a '#' inside a
-    string literal survives); `--` and block comments pass through to
-    Spark, which already accepts them."""
-    sql = _map_code(sql, lambda code: re.sub(r"#[^\n]*", "", code))
+    """Split on top-level semicolons (outside quotes), after stripping
+    comments (see _strip_comments — a `;` inside a comment must not
+    split, and a leading comment must not break head-keyword dispatch).
+    Optimizer-hint comments `/*+ ... */` survive for Spark."""
+    sql = _strip_comments(sql)
     parts, buf = [], []
     for kind, text in _segments(sql):
         if kind != "code":

@@ -439,3 +439,17 @@ def test_grouped_terms_aggregate(eng):
     # terms-only select (the reference's exact disabled shape) also runs
     only = eng.sql("SELECT terms(category) FROM article GROUP BY author").collect()
     assert len(only) == len(rows)
+
+
+def test_comment_semicolons_do_not_split(eng):
+    """A ';' inside any comment form must not split the statement; string
+    literals containing comment delimiters survive; optimizer hints pass
+    through to Spark."""
+    assert rows(eng.sql("SELECT 1 AS x /* note; with semicolon */")) == [(1,)]
+    assert rows(eng.sql("SELECT 2 AS x -- tail; comment")) == [(2,)]
+    assert rows(eng.sql("SELECT 'a;/*b*/--c#' AS s")) == [("a;/*b*/--c#",)]
+    assert rows(eng.sql("SELECT 3--1 AS x")) == [(4,)]  # arithmetic, not comment
+    assert rows(eng.sql(
+        "SELECT /*+ BROADCAST(article) */ count(*) AS ct FROM article")) == [(4,)]
+    # multi-statement with comments between
+    assert rows(eng.sql("SELECT 1 AS a; /* x; y */ SELECT 9 AS b")) == [(9,)]
