@@ -310,6 +310,7 @@ _DISTRIBUTED_HINT_RE = re.compile(
 )
 
 _CAST_CHAR_RE = re.compile(r"\bAS\s+CHAR\s*\)", re.IGNORECASE)
+_LIMIT_COMMA_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
 _CARDINALITY_RE = re.compile(r"\bcardinality\s*\(", re.IGNORECASE)
 _SESSION_FN_RE = re.compile(r"\b(current_user|connection_id|database)\s*\(\s*\)", re.IGNORECASE)
 
@@ -526,6 +527,10 @@ def rewrite(
     sql = expand_macros(sql)
 
     def fix_code(code: str) -> str:
+        # MySQL `LIMIT offset, rowcount` (the comma form the reference's
+        # parser prints, vendored mixer sqlparser/ast.go:816-825) → Spark's
+        # `LIMIT rowcount OFFSET offset`
+        code = _LIMIT_COMMA_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", code)
         code = _CAST_CHAR_RE.sub("AS STRING)", code)
         code = _CARDINALITY_RE.sub("approx_count_distinct(", code)
         code = _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).lower()] + "(", code)

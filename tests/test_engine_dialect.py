@@ -453,3 +453,12 @@ def test_comment_semicolons_do_not_split(eng):
         "SELECT /*+ BROADCAST(article) */ count(*) AS ct FROM article")) == [(4,)]
     # multi-statement with comments between
     assert rows(eng.sql("SELECT 1 AS a; /* x; y */ SELECT 9 AS b")) == [(9,)]
+
+
+def test_limit_comma_form(eng):
+    """MySQL `LIMIT offset, rowcount` (the comma form the reference's
+    parser emits) equals LIMIT/OFFSET; a comma inside a string survives."""
+    a = rows(eng.sql("SELECT title FROM article ORDER BY title LIMIT 1, 2"))
+    b = rows(eng.sql("SELECT title FROM article ORDER BY title LIMIT 2 OFFSET 1"))
+    assert a == b and len(a) == 2
+    assert rows(eng.sql("SELECT 'LIMIT 1, 2' AS s")) == [("LIMIT 1, 2",)]
