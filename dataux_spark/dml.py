@@ -211,17 +211,9 @@ def execute_source_dml(spark: SparkSession, source, table: str, sql: str,
         return DmlResult(mut.put(batch, (keys or [cols[0]]) if upsert else None))
     m = _INSERT_SELECT_RE.match(sql)
     if m:
-        run = select_runner if select_runner is not None else spark.sql
-        sel = run(m.group(4))
-        if m.group(3):
-            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
-            if len(cols) != len(sel.columns):
-                raise ValueError(
-                    f"INSERT column count {len(cols)} != SELECT column count {len(sel.columns)}"
-                )
-            sel = sel.toDF(*cols)
-        first = sel.columns[0]
-        batch = _align(sel, source.load(spark, table))
+        batch, first = _resolve_select_batch(
+            spark, m, source.load(spark, table), select_runner
+        )
         upsert = m.group(1).upper() == "UPSERT"
         return DmlResult(mut.put(batch, (keys or [first]) if upsert else None))
     m = _UPDATE_RE.match(sql)
@@ -306,17 +298,17 @@ def _insert(spark, store: TableStore, m, upsert: bool) -> DmlResult:
     return _commit_insert(store, table, batch, upsert, cols[0])
 
 
-def _insert_select(spark, store: TableStore, m, upsert: bool,
-                   select_runner=None) -> DmlResult:
-    """INSERT INTO t [(cols)] SELECT ... — the batch comes from a full
-    engine query instead of a VALUES list (classic ETL append; reference
-    DML semantics SURVEY §3.3 with the select-plan as the row source).
-    With an explicit column list the select's columns map positionally;
-    without one they map by name; either way the batch is schema-aligned
-    to the target (missing → NULL) like every other insert path. The
-    select runs through the engine's full SELECT path when a runner is
-    provided (stale-pushed-filter refresh, dialect macros, pushdown)."""
-    table = m.group(2)
+def _resolve_select_batch(spark, m, target_df, select_runner=None):
+    """Resolve an INSERT ... SELECT's row source into a target-aligned
+    batch — shared by the TableStore and source-mutator paths so the
+    column-list/count/alignment rules can never drift apart. With an
+    explicit column list the select's columns map positionally; without
+    one they map by name; either way the batch is schema-aligned to the
+    target (missing → NULL). The select runs through the engine's full
+    SELECT path when a runner is provided (stale-pushed-filter refresh,
+    dialect macros, pushdown; the engine passes final=False so a
+    backend's default page cap never truncates the row source).
+    Returns (batch, upsert_key_col)."""
     run = select_runner if select_runner is not None else spark.sql
     sel = run(m.group(4))
     if m.group(3):
@@ -326,8 +318,17 @@ def _insert_select(spark, store: TableStore, m, upsert: bool,
                 f"INSERT column count {len(cols)} != SELECT column count {len(sel.columns)}"
             )
         sel = sel.toDF(*cols)
-    batch = _align(sel, store.current(table))
-    return _commit_insert(store, table, batch, upsert, sel.columns[0])
+    return _align(sel, target_df), sel.columns[0]
+
+
+def _insert_select(spark, store: TableStore, m, upsert: bool,
+                   select_runner=None) -> DmlResult:
+    """INSERT INTO t [(cols)] SELECT ... — the batch comes from a full
+    engine query instead of a VALUES list (classic ETL append; reference
+    DML semantics SURVEY §3.3 with the select-plan as the row source)."""
+    table = m.group(2)
+    batch, first = _resolve_select_batch(spark, m, store.current(table), select_runner)
+    return _commit_insert(store, table, batch, upsert, first)
 
 
 def _update_projection(df: DataFrame, set_clause: str, where: str | None) -> DataFrame:

@@ -270,6 +270,11 @@ class Engine:
         pushdown negotiation, DML, the dialect rewrites."""
         if args is not None:
             try:
+                # comments out first: a '?' inside a comment must not
+                # consume a bound parameter (bind_params is only
+                # string-aware; the scanner is idempotent so the split's
+                # own strip is a no-op afterwards)
+                text = dialect._strip_comments(text)
                 text = dialect.bind_params(text, args)
             except ValueError as e:
                 raise QueryError(str(e)) from e
@@ -322,14 +327,18 @@ class Engine:
                 # source's mutator (reference: CreateMutator per backend);
                 # MERGE is a beyond-reference TableStore extension and
                 # stays on the versioned-store path.
+                # the runner resolves embedded SELECT row sources with
+                # final=False: a backend's default page cap must never
+                # truncate an INSERT's input (p.Final contract)
+                embedded = lambda s: self._select(s, final=False)  # noqa: E731
                 if owner is not None and head != "MERGE":
                     return execute_source_dml(
                         self.spark, owner, target, stmt_rw,
-                        select_runner=self._select,
+                        select_runner=embedded,
                         keys=self.store.keys(target) or None,
                     )
                 return execute_dml(self.spark, self.store, stmt_rw,
-                                   select_runner=self._select)
+                                   select_runner=embedded)
             return self._select(stmt)
         except QueryError:
             raise
@@ -549,7 +558,12 @@ class Engine:
                 if t.lower() in refs:
                     s.load(self.spark, t).createOrReplaceTempView(t)
 
-    def _select(self, stmt: str) -> DataFrame:
+    def _select(self, stmt: str, final: bool = True) -> DataFrame:
+        """final=False marks an EMBEDDED row source (INSERT ... SELECT):
+        the per-backend default page cap applies only to FINAL client
+        reads (the reference's p.Final contract, sql_to_mgo.go:99-105) —
+        capping an insert's row source would silently truncate the
+        append."""
         m = _SELECT_VARS_RE.match(stmt.rstrip(";"))
         if m:
             return self._select_session_vars(m.group(1))
@@ -570,7 +584,7 @@ class Engine:
             df = self._try_agg_pushdown(sql)
         if df is None:
             df = self._run_with_null_fallback(sql)
-        return self._apply_default_limit(sql, df)
+        return self._apply_default_limit(sql, df) if final else df
 
     _HAS_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+", re.I)
     _NON_FINAL_RE = re.compile(
@@ -895,7 +909,24 @@ class Engine:
                     "s -> struct(s.key AS key, -s.n AS count))"
                 ).alias(alias)
             )
-            out = packed if out is None else out.join(packed, gcols, "full_outer")
+            if out is None:
+                out = packed
+            else:
+                # NULL is a group too: the key join must be null-SAFE or a
+                # null group splits into one row per terms column
+                left, right = out.alias("_gl"), packed.alias("_gr")
+                cond = None
+                for g in gcols:
+                    c = F.col(f"_gl.`{g}`").eqNullSafe(F.col(f"_gr.`{g}`"))
+                    cond = c if cond is None else cond & c
+                out = left.join(right, cond, "full_outer").select(
+                    *[
+                        F.coalesce(F.col(f"_gl.`{g}`"), F.col(f"_gr.`{g}`")).alias(g)
+                        for g in gcols
+                    ],
+                    *[F.col(f"_gl.`{c}`") for c in out.columns if c not in gcols],
+                    *[F.col(f"_gr.`{c}`") for c in packed.columns if c not in gcols],
+                )
         return out.select(*(plain or gcols), *[c for c in out.columns if c not in gcols])
 
     def _terms(self, m) -> DataFrame:

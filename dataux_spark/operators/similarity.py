@@ -108,7 +108,14 @@ def _signature_udf(planes: np.ndarray, band_bits: int):
     signature_expr (equality pinned by test). The plan-lean path for
     BERT-scale dims — signature_expr inlines nbits×dim float literals into
     the plan text, which bloats analysis/codegen beyond ~10^4 coefficients,
-    while a udf closure ships the matrix once per executor."""
+    while a udf closure ships the matrix once per executor.
+
+    Float caveat: numpy's summation order differs from the SQL
+    expression's left-to-right fold, so a projection within ~1 ulp of 0
+    could flip a sign bit between the two paths. Irrelevant for recall (a
+    knife-edge bit is uninformative) and each path is individually
+    deterministic, but do not mix paths within one corpus/query pair —
+    lsh_topk applies one path to both sides by construction."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     p_t = planes.T.copy()

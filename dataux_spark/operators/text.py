@@ -291,7 +291,11 @@ def unigram_logprob_scores(
     hash join — vocabulary-sized, Catalyst broadcasts when small) and one
     doc-keyed roll-up. Returns (id, n_tokens, mean_neg_logprob, pppl)."""
     n_t = df.select(F.explode(tokens(F.col(content_col))).alias("term"))
-    vocab = n_t.groupBy("term").agg(F.count("*").alias("c"))
+    # persisted: the totals .first() below materializes the count shuffle
+    # eagerly, and the per-doc join reuses that result instead of
+    # re-exploding the corpus (the vocab table IS the trained model — the
+    # checkpoint a production pipeline would write to disk)
+    vocab = n_t.groupBy("term").agg(F.count("*").alias("c")).persist()
     totals = vocab.agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
     ).first()

@@ -194,22 +194,32 @@ class CassandraStyleSource(Source):
         if not meta.can_push_order([c for c, _ in order]):
             return None
         keys = set(meta.partition_keys + meta.clustering_keys)
-        url, _ = self._tables[table]
-        docs = _fetch_json(url)
-        docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
-        # the numeric-key gate consults the COLUMN's discovered type (the
-        # same numeric set the pushFilters path derives from the schema),
-        # not the literal's Python type — a numeric literal against a
-        # string key column must decline (reference rule :552-556)
-        schema = infer_from_documents(docs, sample_n=30)
-        numeric_cols = {
-            f.name for f in schema.fields if isinstance(f.dataType, _NUMERIC)
-        }
-        for col, op, val in filters:
+        # cheap gates FIRST — a decline must not cost a collection fetch
+        # (the polyfill will fetch anyway; fetching here would double I/O)
+        for col, _op, _val in filters:
             if col not in keys:
                 return None
-            if op != "=" and col not in numeric_cols:
-                return None  # ranges only on numeric key columns (:552-556)
+        docs = None
+        if any(op != "=" for _c, op, _v in filters):
+            # the numeric-key gate consults the COLUMN's discovered type
+            # (the same numeric set the pushFilters path derives from the
+            # schema), not the literal's Python type — a numeric literal
+            # against a string key column must decline (reference rule
+            # :552-556). Only range predicates need the schema sample.
+            url, _ = self._tables[table]
+            docs = _fetch_json(url)
+            docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
+            schema = infer_from_documents(docs, sample_n=30)
+            numeric_cols = {
+                f.name for f in schema.fields if isinstance(f.dataType, _NUMERIC)
+            }
+            for col, op, _val in filters:
+                if op != "=" and col not in numeric_cols:
+                    return None  # ranges only on numeric key columns (:552-556)
+        if docs is None:
+            url, _ = self._tables[table]
+            docs = _fetch_json(url)
+            docs = [_flatten(d) if isinstance(d, dict) else d for d in docs]
         from dataux_spark.sources.base import topk_documents
         if self.push_log_dir:
             import os

@@ -462,3 +462,32 @@ def test_limit_comma_form(eng):
     b = rows(eng.sql("SELECT title FROM article ORDER BY title LIMIT 2 OFFSET 1"))
     assert a == b and len(a) == 2
     assert rows(eng.sql("SELECT 'LIMIT 1, 2' AS s")) == [("LIMIT 1, 2",)]
+
+
+def test_bind_params_ignore_placeholders_in_comments(spark):
+    """A '?' inside a comment must not consume a bound parameter."""
+    from dataux_spark import Engine
+
+    e = Engine(spark)
+    out = e.sql("SELECT /* which? */ ? AS a, ? AS b -- tail?", [1, 2]).collect()
+    assert out == [__import__("pyspark").sql.Row(a=1, b=2)]
+
+
+def test_grouped_terms_null_group_key(spark):
+    """A NULL group key is one group: multiple terms columns must land in
+    the SAME output row (null-safe key join)."""
+    from dataux_spark import Engine
+
+    e = Engine(spark)
+    e.register_memory(
+        "gtnull",
+        {"gtev": spark.createDataFrame(
+            [("a", "x", "p"), ("a", "y", "p"), (None, "x", "q"), (None, "x", "q")],
+            "g string, t1 string, t2 string")},
+    )
+    rows_ = e.sql("SELECT g, terms(t1, 2) AS w1, terms(t2, 2) AS w2 FROM gtev GROUP BY g").collect()
+    assert len(rows_) == 2  # exactly one row for g=NULL
+    nul = [r for r in rows_ if r.g is None][0]
+    assert nul.w1 and nul.w2  # both terms arrays present on the same row
+    assert nul.w1[0].key == "x" and nul.w1[0]["count"] == 2
+    assert nul.w2[0].key == "q" and nul.w2[0]["count"] == 2

@@ -104,3 +104,25 @@ def test_non_writable_source_rejects_dml(spark, tmp_path):
     )
     with pytest.raises(QueryError, match="read-only"):
         e.sql('INSERT INTO cassro (device, day) VALUES ("d2", 1)')
+
+
+def test_insert_select_lifts_default_page_cap(spark, tmp_path):
+    """An INSERT's embedded SELECT row source must NOT be truncated by the
+    source's default page size (p.Final contract): 25 docs through a
+    mongo-style source (default page 20) all arrive."""
+    docs = [{"id": f"u{i}", "n": i} for i in range(25)]
+    (tmp_path / "many.json").write_text(json.dumps(docs))
+    e = Engine(spark)
+    e.register_source(
+        MongoStyleSource("mgocap", {"mgomany": f"file://{tmp_path}/many.json"})
+    )
+    e.register_memory(
+        "capsink",
+        {"sink25": spark.createDataFrame([], "id string, n long")},
+        keys={"sink25": ["id"]},
+    )
+    r = e.sql("INSERT INTO sink25 (id, n) SELECT id, n FROM mgomany")
+    assert r.affected == 25
+    assert e.sql("SELECT count(*) AS c FROM sink25").collect()[0].c == 25
+    # the cap still applies to a FINAL plain read of the same table
+    assert e.sql("SELECT id FROM mgomany").count() == 20
