@@ -39,6 +39,36 @@ def shingles(tok_col, n: int = 3):
     )
 
 
+def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Raise a narrow scan to the session's default parallelism before
+    CPU-heavy per-row compute (shingling + 64 hash functions per doc).
+
+    A single parquet file — the local test corpus — scans as ONE input
+    partition, which would serialize the whole signature computation onto
+    one core while the other 31 idle. On a production cluster the corpus
+    arrives as thousands of file splits, the scan is already wider than
+    the core count, and this is a NO-OP — the round-robin repartition
+    only fires when the scan is narrower than defaultParallelism, so no
+    extra shuffle is ever added at scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def gram_sets(df: DataFrame, content_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
+    """Distinct word-shingle set per doc: (_id, _grams). The shared
+    front half of signature generation and Jaccard verification; cheap
+    relative to the minhash stage (one split + one windowed concat vs
+    num_hashes full passes over the shingle array)."""
+    return (
+        scan_parallelize(df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c")))
+        .select("_id", tokens(F.col("_c")).alias("_toks"))
+        .select("_id", F.array_distinct(shingles("_toks", shingle_n)).alias("_grams"))
+    )
+
+
 # ------------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -172,10 +202,7 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i). Seeded by hashing the tuple (shingle, i) — no
     Python, stays in codegen. Returns (_id, _grams, sig array<bigint>)."""
-    g = (
-        df.select(F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_toks"))
-        .select("_id", F.array_distinct(shingles("_toks", shingle_n)).alias("_grams"))
-    )
+    g = gram_sets(df, content_col, id_col, shingle_n)
     sig = F.array(
         *[F.array_min(F.expr(f"transform(_grams, s -> xxhash64(s, {i}))")) for i in range(num_hashes)]
     )
@@ -212,7 +239,7 @@ def minhash_lsh_pairs(
       3. exact Jaccard on candidate pairs only (verify stage).
     Returns (id_a, id_b, jaccard ≥ threshold)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n)
     # Candidate generation on SLIM rows (id, band, bandhash) only — the
     # shingle arrays must not ride through the 16× explode + shuffle
     # (they're ~100× the width of the key columns).
@@ -250,9 +277,14 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify stage: re-attach shingles to the (much smaller) candidate set.
-    # sigs is persisted — at production scale this materialization is the
-    # signature checkpoint table every corpus-dedup pipeline keeps anyway.
-    grams = sigs.select("_id", "_grams")
+    # Deliberately an INDEPENDENT lazy frame rather than a persist() of
+    # sigs: grams are the cheap front half (one split+concat pass; the
+    # 64-hash stage is pruned out by Catalyst for this branch), and an
+    # operator that persists inside its builder leaks executor memory on
+    # every call until the session dies. A pipeline that wants the
+    # signatures durable uses build_minhash_store — the explicit
+    # checkpoint table — instead of a hidden cache.
+    grams = gram_sets(df, content_col, id_col, shingle_n)
     cand = (
         cand.join(grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
         .join(grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
