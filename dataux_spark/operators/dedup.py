@@ -113,9 +113,9 @@ def winnow_fingerprints(
     are computed per-row inside the scan; only the caller's groupBy(fp)
     shuffles, on uniformly distributed keys. Returns distinct (id, fp).
     """
-    d = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_toks")
-    )
+    d = scan_parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+    ).select("_id", tokens(F.col("_c")).alias("_toks"))
     d = d.select("_id", shingles("_toks", k).alias("_grams"))
     d = d.select(
         "_id", F.expr("transform(_grams, g -> substring(md5(g), 1, 16))").alias("_h")
@@ -163,7 +163,10 @@ def ngram_jaccard_pairs(
     import math
 
     g = (
-        df.select(F.col(id_col).alias("_id"), *block_cols, tokens(F.col(content_col)).alias("_toks"))
+        scan_parallelize(
+            df.select(F.col(id_col).alias("_id"), *block_cols, F.col(content_col).alias("_c"))
+        )
+        .select("_id", *block_cols, tokens(F.col("_c")).alias("_toks"))
         .select("_id", *block_cols, F.array_distinct(shingles("_toks", n)).alias("_grams"))
     )
     cond = F.col("a._id") < F.col("b._id")
@@ -402,7 +405,9 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     (+1 if bit set else -1); sign of the sum sets the output bit. 64 agg
     expressions in one groupBy — one shuffle on the doc id (map-side
     combined). Returns (_id, simhash bigint)."""
-    t = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(content_col))).alias("tok"))
+    t = scan_parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+    ).select("_id", F.explode(tokens(F.col("_c"))).alias("tok"))
     t = t.withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
@@ -685,7 +690,9 @@ def duplicated_span_stats(
     where n_spans counts DISTINCT spans and a span is "dup" if it appears
     in ≥ min_docs distinct documents. Docs shorter than n tokens get one
     clamped span (same convention as shingles/winnowing above)."""
-    d = df.select(F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t"))
+    d = scan_parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+    ).select("_id", tokens(F.col("_c")).alias("_t"))
     spans = d.select("_id", F.explode(_span_hashes("_t", n)).alias("span"))
     census = spans.groupBy("span").agg(F.count("*").alias("_nd"))
     return (
@@ -728,9 +735,13 @@ def decontaminate(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    spans = corpus.select(
-        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t")
-    ).select("_id", F.explode(_span_hashes("_t", n)).alias("span"))
+    spans = (
+        scan_parallelize(
+            corpus.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+        )
+        .select("_id", tokens(F.col("_c")).alias("_t"))
+        .select("_id", F.explode(_span_hashes("_t", n)).alias("span"))
+    )
     return (
         spans.join(F.broadcast(bench), "span", "left")
         .groupBy("_id")
