@@ -294,3 +294,23 @@ def test_incremental_minhash_matches_batch_recompute(spark, sf_dir, tmp_path):
     }
     assert {(b, s, j) for b, s, j in got} == cross
     assert got  # the corpus has planted cross-partition near-dups
+
+
+def test_scan_parallelize_widens_narrow_and_leaves_wide(spark, docs):
+    """The gated repartition must widen a one-partition scan to the
+    session's parallelism, and be a structural NO-OP (no added exchange)
+    when the input is already at least that wide — the production shape,
+    where adding a shuffle before the signature stage would be a
+    regression."""
+    narrow = docs.select("doc_id", "text").coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = dedup.scan_parallelize(narrow)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    wide = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    same = dedup.scan_parallelize(wide)
+    assert same is wide  # identical object: no plan node added at all
