@@ -355,6 +355,30 @@ def build_minhash_store(
     sigs.unpersist()
 
 
+def update_minhash_store(
+    batch: DataFrame,
+    content_col: str,
+    id_col: str,
+    store_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Append a new batch's signatures to an existing store — the commit
+    half of the probe-then-commit ingest cycle (probe:
+    incremental_minhash_candidates). Append-only parquet, same layout as
+    build_minhash_store, so the store grows by batch size per ingest and
+    probing stays independent of ingest history length."""
+    sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n)
+    sigs = sigs.persist()
+    (
+        _banded_rows(sigs, num_hashes, bands)
+        .write.mode("append").partitionBy("band").parquet(f"{store_path}/bands")
+    )
+    sigs.select("_id", "_grams").write.mode("append").parquet(f"{store_path}/grams")
+    sigs.unpersist()
+
+
 def incremental_minhash_candidates(
     batch: DataFrame,
     content_col: str,
@@ -377,7 +401,7 @@ def incremental_minhash_candidates(
     ids via the verify join, never scanned wholesale. Probing cost is
     independent of how many batches were ingested before."""
     spark = batch.sparkSession
-    sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n)
     bb = _banded_rows(sigs, num_hashes, bands)
     sb = spark.read.parquet(f"{store_path}/bands")
     cand = (
@@ -387,9 +411,13 @@ def incremental_minhash_candidates(
         .dropDuplicates(["batch_id", "store_id"])
     )
     sg = spark.read.parquet(f"{store_path}/grams")
+    # Batch grams as an independent lazy frame, not a persist() of sigs —
+    # same no-hidden-cache rule as minhash_lsh_pairs; the shared scan +
+    # shingle prefix is a reused exchange within the one query.
+    batch_grams = gram_sets(batch, content_col, id_col, shingle_n)
     cand = (
         cand.join(
-            sigs.select(F.col("_id").alias("batch_id"), F.col("_grams").alias("ga")),
+            batch_grams.select(F.col("_id").alias("batch_id"), F.col("_grams").alias("ga")),
             "batch_id",
         ).join(
             sg.select(F.col("_id").alias("store_id"), F.col("_grams").alias("gb")),

@@ -1808,6 +1808,70 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_incremental_neardup",
+    # Deterministic like dedup_incremental_minhash: the streaming probe
+    # reports every exact-Jaccard-verified pair whose sides arrived in
+    # different ingest units (store / micro-batch 1 / micro-batch 2),
+    # reported (newer, older) — expressible as the unit-partitioned
+    # cross-pairs exact-Jaccard SQL.
+    """
+    WITH g AS (
+      SELECT doc_id AS _id,
+             CASE WHEN doc_id <= 200 THEN 0
+                  WHEN doc_id <= 250 THEN 1 ELSE 2 END AS unit,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT b._id AS batch_id, s._id AS store_id,
+           round(len(list_intersect(b.grams, s.grams))::DOUBLE /
+                 len(list_distinct(b.grams || s.grams)), 6) AS jaccard
+    FROM g b JOIN g s ON b.unit > s.unit
+    WHERE round(len(list_intersect(b.grams, s.grams))::DOUBLE /
+                len(list_distinct(b.grams || s.grams)), 6) >= 0.5
+    """,
+)
+def streaming_incremental_neardup_pairs(spark, sf_dir):
+    """Structured-Streaming ingest dedup (streaming/ops.py
+    streaming_incremental_neardup): history docs (≤200) seed the persisted
+    minhash store; the rest arrives as two one-file micro-batches, each
+    probing the store then committing its signatures — so batch 2 is
+    checked against batch 1 as well as history. Pairs are exact-Jaccard
+    verified; the probe-then-commit loop is the foreachBatch contract a
+    Kafka ingest would run unchanged."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+    from dataux_spark.operators.dedup import build_minhash_store
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="dataux_stream_nd_")
+    store, pairs, incoming = f"{root}/store", f"{root}/pairs", f"{root}/in"
+    build_minhash_store(docs.filter(F.col("doc_id") <= 200), "text", "doc_id", store)
+    docs.filter((F.col("doc_id") > 200) & (F.col("doc_id") <= 250)).coalesce(1).write.parquet(
+        f"{incoming}/b1.parquet"
+    )
+    docs.filter(F.col("doc_id") > 250).coalesce(1).write.parquet(f"{incoming}/b2.parquet")
+    schema = spark.read.parquet(f"{incoming}/b1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_incremental_neardup(
+        stream, "text", "doc_id", store, pairs, threshold=0.5
+    ).awaitTermination()
+    # Lazy read of the pairs sink — no driver collect. The mkdtemp root is
+    # left for the OS tmp reaper: the frame must stay readable after this
+    # builder returns, and pairs_path is append-mode so a shared dir
+    # across calls would accumulate stale rows.
+    return spark.read.parquet(pairs).select("batch_id", "store_id", "jaccard")
+
+
 @_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + pigeonhole banding
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)."""
@@ -3200,7 +3264,8 @@ _DRIVER_WINDOW: list[str] = [
 # bucketed_join_revenue, compaction_roundtrip, text_top_tfidf,
 # text_unigram_pppl, dedup_incremental_batch,
 # pushdown_datastore_ineq_topk, pushdown_lytics_filter,
-# pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash.
+# pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
+# streaming_incremental_neardup.
 
 
 def _export_order() -> list[str]:

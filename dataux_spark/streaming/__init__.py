@@ -3,6 +3,7 @@ from dataux_spark.streaming.ops import (
     session_window_agg,
     stateful_user_counter,
     streaming_dedup,
+    streaming_incremental_neardup,
     stream_events,
     stream_stream_join,
     windowed_agg,
@@ -14,6 +15,7 @@ __all__ = [
     "session_window_agg",
     "stateful_user_counter",
     "streaming_dedup",
+    "streaming_incremental_neardup",
     "stream_stream_join",
     "run_to_memory",
 ]

@@ -190,3 +190,65 @@ def run_to_memory(
     q.awaitTermination()
     spark = result.sparkSession
     return spark.table(name)
+
+
+def streaming_incremental_neardup(
+    stream: DataFrame,
+    content_col: str,
+    id_col: str,
+    store_path: str,
+    pairs_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    update_store: bool = True,
+):
+    """Ingest-time NEAR-dup detection: probe-then-commit per micro-batch
+    against the persisted minhash store (operators/dedup).
+
+    Each micro-batch (a) probes the store for near-duplicates of its docs
+    among EVERYTHING ingested before it — history batches and earlier
+    micro-batches of this same stream alike — appending the flagged
+    (batch_id, store_id, jaccard, batch) pairs to `pairs_path`; then
+    (b) commits its own signatures to the store, so later batches see it.
+    This is the streaming twin of dedup.incremental_minhash_candidates:
+    foreachBatch is exactly Structured Streaming's contract for stateful
+    side-effects whose state lives OUTSIDE the engine (a shared parquet/
+    lakehouse signature table), which is what a multi-pipeline corpus
+    ingest needs — the streaming state store is per-query, the signature
+    store is per-corpus.
+
+    Exactly-once caveat, by design: foreachBatch is at-least-once on
+    retry; the store layout is append-only + dropDuplicates on probe, so
+    a replayed batch re-flags the same pairs (idempotent for the dedup
+    decision) rather than corrupting the store. Returns the streaming
+    query handle; callers drive it (trigger(availableNow) in tests)."""
+    from dataux_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        update_minhash_store,
+    )
+
+    def _probe_then_commit(bdf: DataFrame, batch_id: int) -> None:
+        b = bdf.persist()  # scope-bounded: 2-3 actions below, then freed
+        try:
+            (
+                incremental_minhash_candidates(
+                    b, content_col, id_col, store_path,
+                    num_hashes, bands, shingle_n, threshold,
+                )
+                .withColumn("batch", F.lit(batch_id))
+                .write.mode("append").parquet(pairs_path)
+            )
+            if update_store:
+                update_minhash_store(
+                    b, content_col, id_col, store_path, num_hashes, bands, shingle_n
+                )
+        finally:
+            b.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_probe_then_commit)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -142,3 +142,54 @@ def test_streaming_dedup_within_watermark(spark, stream, batch):
         "append",
     )
     assert out.select("event_id").distinct().count() == batch.count()
+
+
+def test_streaming_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
+    """Two micro-batches probed against a persisted store must flag
+    exactly the cross-"earlier" pairs a batch recompute finds: batch1 x
+    history, batch2 x history, AND batch2 x batch1 (possible only because
+    each micro-batch commits its signatures before the next probes)."""
+    from dataux_spark.operators import dedup
+    from dataux_spark.queries import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    stream_dir = str(tmp_path / "incoming")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") <= 200), "text", "doc_id", store
+    )
+    b1 = docs.filter((F.col("doc_id") > 200) & (F.col("doc_id") <= 250))
+    b2 = docs.filter(F.col("doc_id") > 250)
+    b1.coalesce(1).write.parquet(f"{stream_dir}/f1.parquet")
+    b2.coalesce(1).write.parquet(f"{stream_dir}/f2.parquet")
+    schema = spark.read.parquet(f"{stream_dir}/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*/")
+    )
+    q = S.streaming_incremental_neardup(
+        stream, "text", "doc_id", store, pairs, threshold=0.5
+    )
+    q.awaitTermination()
+    got = {
+        (r.batch_id, r.store_id, r.jaccard)
+        for r in spark.read.parquet(pairs).collect()
+    }
+    full = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    # batch mode finds unordered pairs; the streaming probe reports
+    # (newer doc, older doc) for every pair whose sides arrived in
+    # different ingest units OR different micro-batches of this stream
+    def unit(i):
+        return 0 if i <= 200 else (1 if i <= 250 else 2)
+    want = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.jaccard)
+        for r in full.collect()
+        if unit(r.id_a) != unit(r.id_b)
+    }
+    assert got == want
+    assert any(unit(b) == 2 and unit(s) == 1 for b, s, _ in got), (
+        "no batch2 x batch1 pair — the per-micro-batch store commit "
+        "is not taking effect"
+    )
