@@ -451,3 +451,80 @@ def ivf_index_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------------- clustering
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine — the IVF probe primitive
+    exposed standalone, and the assignment half of k-means clustering.
+
+    `centroids` is an explicit (cid, vector) list — coarse quantizers are
+    tiny by construction (tens to thousands of rows), so they ride into
+    the plan as literal arrays: the assignment is pure scan-projection
+    JVM expressions (zip_with dot products in double, array_max over
+    (cos, -cid) structs for a smallest-id tie-break). NO join and NO
+    shuffle — at 100 TB the corpus is touched exactly once, embarrassingly
+    parallel, and whole-stage codegen applies. For centroid sets too wide
+    to inline (ANN with 10^5 cells) use _cell_assign_udf's Arrow matmul
+    path instead. Returns (id, cluster, cos)."""
+    scored = corpus.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("_v"),
+    ).withColumn("_vn", _norm("_v"))
+    cands = []
+    for cid, vec in centroids:
+        lit_vec = f"array({', '.join(f'cast({float(x)!r} as double)' for x in vec)})"
+        cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12
+        dot = F.expr(
+            f"aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, x) -> acc + x)"
+        )
+        cos = dot / (F.col("_vn") * F.lit(cn))
+        cands.append(F.struct(cos.alias("cos"), F.lit(-int(cid)).alias("ncid")))
+    best = F.array_max(F.array(*cands))
+    return scored.withColumn("_b", best).select(
+        F.col(id_col),
+        (-F.col("_b.ncid")).cast("long").alias("cluster"),
+        F.round(F.col("_b.cos"), 6).alias("cos"),
+    )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Spherical k-means document clustering: centroids trained on a
+    deterministic sample (train_centroids — the IVF coarse quantizer),
+    then every doc assigned to its nearest centroid via the zero-shuffle
+    literal-centroid projection above. The standard corpus-analysis /
+    topic-bucketing pass of a training-data pipeline; also the input to
+    cluster-balanced sampling. Returns (id, cluster, cos)."""
+    cents = train_centroids(corpus, vec_col, id_col, k, sample_size, iters, seed)
+    return assign_to_centroids(
+        corpus, vec_col, id_col, [(i, cents[i].tolist()) for i in range(len(cents))]
+    )
+
+
+def cluster_profile(assignments: DataFrame) -> DataFrame:
+    """Per-cluster roll-up of an assignment frame: size and cohesion
+    (mean cosine to centroid). One map-side-combined shuffle on the
+    (small-k) cluster key. Returns (cluster, n_docs, mean_cos)."""
+    return (
+        assignments.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+        )
+        .orderBy("cluster")
+    )

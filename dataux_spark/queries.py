@@ -2192,6 +2192,66 @@ def ann_ivf_index_topk(spark, sf_dir):
 
 
 @_q(
+    "embedding_cluster_assign",
+    # Centroids are an explicit table subset (vec_id < 8), so the
+    # assignment is deterministic and fully SQL-expressible: both sides
+    # compute double-precision cosine and break ties toward the smaller
+    # centroid id. (The cos column is rounded AFTER the argmax on both
+    # sides.)
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), s AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.vv, c.cvec) /
+             (sqrt(list_dot_product(v.vv, v.vv)) *
+              sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+      FROM v CROSS JOIN c
+    ), r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM s
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(cos, 6) AS cos
+    FROM r WHERE rn = 1
+    """,
+)
+def embedding_cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment against an explicit centroid table
+    (operators/similarity.assign_to_centroids): the standalone IVF-probe /
+    k-means-assignment primitive. Centroids = the embeddings with
+    vec_id < 8, pulled driver-side (a coarse quantizer is tiny by
+    construction) and inlined as literals — the corpus-side plan is pure
+    scan-projection with no join and no shuffle."""
+    from dataux_spark.operators.similarity import assign_to_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    return assign_to_centroids(emb, "embedding", "vec_id", cents)
+
+
+@_q("embedding_kmeans_clusters")  # rows-only: k-means training isn't plain-SQL
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means corpus clustering + per-cluster profile
+    (operators/similarity.kmeans_clusters / cluster_profile): centroids
+    trained on a deterministic sample, assignment as the zero-shuffle
+    literal-centroid projection, one small-k roll-up shuffle. Assignment
+    optimality and partition invariants are asserted in
+    tests/test_similarity.py."""
+    from dataux_spark.operators.similarity import cluster_profile, kmeans_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cluster_profile(kmeans_clusters(emb, "embedding", "vec_id", k=8))
+
+
+@_q(
     "text_token_stats",
     "SELECT doc_id, "
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens, "
@@ -3265,7 +3325,8 @@ _DRIVER_WINDOW: list[str] = [
 # text_unigram_pppl, dedup_incremental_batch,
 # pushdown_datastore_ineq_topk, pushdown_lytics_filter,
 # pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
-# streaming_incremental_neardup.
+# streaming_incremental_neardup, embedding_cluster_assign,
+# embedding_kmeans_clusters.
 
 
 def _export_order() -> list[str]:

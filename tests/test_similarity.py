@@ -172,3 +172,50 @@ def test_lsh_arrow_signature_matches_expression_path(emb):
         ).collect()
     }
     assert udf_rows == expr_rows and len(udf_rows) > 0
+
+
+def test_assign_to_centroids_is_argmax_cosine(emb):
+    """Every row's assigned centroid must be the true cosine argmax
+    (smallest id on ties) — checked against a numpy brute force."""
+    import numpy as np
+
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    got = {
+        r.vec_id: (r.cluster, r.cos)
+        for r in similarity.assign_to_centroids(emb, "embedding", "vec_id", cents).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    c = np.asarray([v for _, v in cents], dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    assert len(got) == len(rows)
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        cos = (c @ v) / (cn * np.linalg.norm(v))
+        best = int(np.argmax(cos))  # ties: argmax takes first == smallest id
+        assert got[r.vec_id][0] == cents[best][0]
+        assert abs(got[r.vec_id][1] - round(cos[best], 6)) <= 1e-6
+
+
+def test_kmeans_clusters_partition_and_profile(emb):
+    """k-means assignment must partition the corpus; the profile sizes
+    must sum back to the corpus and cohesion must be a valid cosine."""
+    assigned = similarity.kmeans_clusters(emb, "embedding", "vec_id", k=8)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    prof = similarity.cluster_profile(assigned).collect()
+    assert 1 < len(prof) <= 8
+    assert sum(r.n_docs for r in prof) == n
+    assert all(-1.0 <= r.mean_cos <= 1.0 for r in prof)
+    # assignment optimality: each doc's cluster is its best trained centroid
+    cents = similarity.train_centroids(emb, "embedding", "vec_id", 8)
+    import numpy as np
+
+    rows = {r.vec_id: r.cluster for r in assigned.collect()}
+    for r in emb.select("vec_id", "embedding").limit(50).collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert rows[r.vec_id] == int(np.argmax(cents @ v))
