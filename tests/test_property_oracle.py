@@ -128,3 +128,70 @@ def test_random_join_shapes_match(harness, pred, how):
     a = sorted(tuple(r) for r in eng.sql(sql).collect())
     b = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert a == b, sql
+
+
+WIN_FUNCS = [
+    "row_number()",
+    "rank()",
+    "dense_rank()",
+    "lag(o_orderkey, 1)",
+    "lead(o_orderkey, 2)",
+    "sum(o_orderkey)",
+    "count(*)",
+    "min(o_totalprice)",
+]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pred=predicate,
+    wf=st.sampled_from(WIN_FUNCS),
+    pk=st.sampled_from(STR_COLS + ["o_custkey % 7"]),
+    desc=st.booleans(),
+)
+def test_random_window_functions_match(harness, pred, wf, pk, desc):
+    """Random window function over a random partition key and predicate:
+    ordering by the unique o_orderkey makes every function's output
+    deterministic (ranking, offsets, and running frames alike), so the
+    full value set must match DuckDB exactly. Running sum/min get an
+    explicit ROWS frame so both engines use the identical frame; count(*)
+    runs unframed over the whole partition."""
+    eng, con = harness
+    direction = "DESC" if desc else "ASC"
+    if wf in ("sum(o_orderkey)", "min(o_totalprice)"):
+        over = (
+            f"OVER (PARTITION BY {pk} ORDER BY o_orderkey {direction} "
+            f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        )
+    elif wf == "count(*)":
+        over = f"OVER (PARTITION BY {pk})"
+    else:
+        over = f"OVER (PARTITION BY {pk} ORDER BY o_orderkey {direction})"
+    sql = (
+        f"SELECT o_orderkey, {wf} {over} AS w "
+        f"FROM orders WHERE {pred} ORDER BY o_orderkey LIMIT 500"
+    )
+    a = [tuple(r) for r in eng.sql(sql).collect()]
+    b = con.execute(sql).fetchall()
+    assert a == b, sql
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    p1=predicate,
+    p2=predicate,
+    setop=st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    ),
+)
+def test_random_set_operations_match(harness, p1, p2, setop):
+    """Random predicates on both branches of every set operator (distinct
+    and ALL forms): the surviving key multiset must match DuckDB."""
+    eng, con = harness
+    sql = (
+        f"SELECT o_orderkey FROM orders WHERE {p1} "
+        f"{setop} SELECT o_orderkey FROM orders WHERE {p2}"
+    )
+    a = sorted(r[0] for r in eng.sql(sql).collect())
+    b = sorted(r[0] for r in con.execute(sql).fetchall())
+    assert a == b, f"{setop}: {sql}"
