@@ -136,3 +136,26 @@ def temperature_resample(
         .filter(hash_frac(id_col, seed) < F.col("_keep_p"))
         .drop("_keep_p")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: int | str = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source-rebalancing
+    pass of a corpus mix (e.g. downsample English to 30%, keep all minority
+    languages): keep a row iff its hash fraction is below its stratum's
+    rate. The rate table rides into the plan as a CASE chain, so this is a
+    pure map over the scan like hash_sample — zero shuffle, reproducible,
+    append-stable; strata not listed get default_rate (0 = drop)."""
+    frac = hash_frac(id_col, seed)
+    expr = None
+    for name, rate in rates.items():
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, F.lit(float(rate))) if expr is None else expr.when(cond, F.lit(float(rate)))
+    rate_col = F.lit(float(default_rate)) if expr is None else expr.otherwise(F.lit(float(default_rate)))
+    return df.filter(frac < rate_col)

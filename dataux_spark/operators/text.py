@@ -373,3 +373,70 @@ def redact_pii(
         "text_redacted",
         n.cast("bigint").alias("n_redactions"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones Okapi weighting) for a
+    bag-of-terms query — the classic lexical-search scorer, here as one
+    declarative plan:
+
+      1. tokenize in the scan projection; per-doc length dl (no shuffle);
+      2. explode ONLY tokens matching the query terms (the explode is
+         pre-filtered, so its fan-out is hits, not corpus tokens), one
+         groupBy (doc, term) for tf;
+      3. document frequency n_t per term = a terms-sized frame, idf from
+         the 1-row (N, avgdl) corpus stats frame — both sides broadcast;
+      4. per-doc score roll-up, top-k by (rounded score, id).
+
+    All corpus-sized exchanges are the two map-side-combined groupBys on
+    (doc, term) and (doc); stats/idf never shuffle the corpus. Scores are
+    rounded to 6 places BEFORE ranking so the order (and therefore the
+    result set) is reproducible across summation orders; ties break to the
+    smaller id. idf uses the +1 smoothing form ln(1+(N-n+.5)/(n+.5)) — no
+    negative weights for common terms. Returns (id, score, rank)."""
+    terms = sorted(set(query_terms))
+    d = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t")
+    ).select("_id", "_t", F.size("_t").cast("double").alias("dl"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("_id", "dl", F.explode("_t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("n_t"))
+    scored = (
+        tf.join(F.broadcast(n_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5))
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    # top-k as orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    # no global sort); the rank window then runs over only k rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(k)
+    w = W.orderBy(F.col("score").desc(), F.col("_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col), "score", "rank"
+    )

@@ -1425,6 +1425,32 @@ def sample_temperature_mix(spark, sf_dir):
     )
 
 
+def _stratified_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id")
+    return (
+        f"SELECT doc_id, lang FROM documents WHERE {f} < "
+        "CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0 "
+        "WHEN 'zh' THEN 0.5 ELSE 0.1 END"
+    )
+
+
+@_q("sample_stratified_lang", _stratified_oracle())
+def sample_stratified_lang(spark, sf_dir):
+    """Per-stratum deterministic sampling (sampling.stratified_hash_sample):
+    the corpus-rebalancing pass — downsample the majority language, keep
+    minority languages — as a zero-shuffle CASE-banded hash filter. The
+    oracle recomputes the identical bucket function, pinning membership
+    bit-for-bit."""
+    from dataux_spark.operators.sampling import stratified_hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "lang", {"en": 0.3, "de": 1.0, "zh": 0.5}, "doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def _epoch_shuffle_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -2440,6 +2466,55 @@ def text_top_tfidf(spark, sf_dir):
     return out.select(F.col("_id").alias("doc_id"), "term", "tf", "df", "score", "rank")
 
 
+@_q(
+    "text_bm25_topk",
+    # Same Okapi formula, double precision, rounded BEFORE ranking on both
+    # sides, ties to the smaller doc id — so the top-k set and order are
+    # deterministic and engine-independent.
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), hits AS (
+      SELECT doc_id, unnest(t) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits WHERE term IN ('join', 'query', 'spark')
+      GROUP BY 1, 2
+    ), nt AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS n_t FROM tf GROUP BY 1
+    ), s AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n_docs - nt.n_t + 0.5) / (nt.n_t + 0.5)) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN nt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+    FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a bag-of-terms query (operators/
+    text.bm25_topk): pre-filtered explode → (doc, term) tf → broadcast
+    idf/corpus stats → per-doc roll-up → TakeOrderedAndProject top-k.
+    The oracle recomputes the identical Okapi weighting in DuckDB."""
+    from dataux_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        ["spark", "query", "join"], k=10,
+    )
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"
@@ -3326,7 +3401,7 @@ _DRIVER_WINDOW: list[str] = [
 # pushdown_datastore_ineq_topk, pushdown_lytics_filter,
 # pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
 # streaming_incremental_neardup, embedding_cluster_assign,
-# embedding_kmeans_clusters.
+# embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk.
 
 
 def _export_order() -> list[str]:

@@ -106,3 +106,24 @@ def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark):
     assert {(r.doc_id, r.shard, r.shard_pos) for r in other} != {
         (r.doc_id, r.shard, r.shard_pos) for r in out
     }
+
+
+def test_stratified_hash_sample_membership_rule(spark, sf_dir):
+    """Membership must follow the per-stratum hash rule exactly: a kept
+    row's fraction is below its stratum rate, a dropped row's is not; an
+    unlisted stratum uses default_rate."""
+    from dataux_spark.operators.sampling import hash_frac, stratified_hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "de": 1.0, "zh": 0.5}
+    kept = stratified_hash_sample(d, "lang", rates, "doc_id", default_rate=0.1)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    rows = d.select("doc_id", "lang", hash_frac("doc_id").alias("f")).collect()
+    for r in rows:
+        want = r.f < rates.get(r.lang, 0.1)
+        assert (r.doc_id in kept_ids) == want, (r.doc_id, r.lang, r.f)
+    # de keeps everything; en is visibly downsampled
+    n_de = d.filter(F.col("lang") == "de").count()
+    assert kept.filter(F.col("lang") == "de").count() == n_de
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert kept.filter(F.col("lang") == "en").count() < n_en

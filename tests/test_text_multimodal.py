@@ -250,3 +250,33 @@ def test_unigram_logprob_ranks_gibberish_below_typical(spark):
     for r in out.values():
         assert r.pppl == pytest.approx(math.exp(r.mean_neg_logprob), rel=1e-3)
     assert out[1].pppl < out[3].pppl
+
+
+def test_bm25_topk_ranking_properties(spark, sf_dir):
+    """BM25 sanity: scores positive and rank-monotone; a short document
+    saturated with the query terms must outrank everything in the
+    corpus (tf saturation still leaves it highest at equal idf); docs
+    containing no query term never appear."""
+    from dataux_spark.operators.text import bm25_topk
+    from dataux_spark.queries import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(100001, "spark query join spark query join spark")],
+        "doc_id: long, text: string",
+    )
+    out = bm25_topk(
+        docs.union(planted), "text", "doc_id", ["spark", "query", "join"], k=5
+    ).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert out[0].doc_id == 100001
+    no_hit = spark.createDataFrame(
+        [(100002, "table scan only")], "doc_id: long, text: string"
+    )
+    out2 = bm25_topk(
+        no_hit, "text", "doc_id", ["spark", "query", "join"], k=5
+    ).collect()
+    assert out2 == []
