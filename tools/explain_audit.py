@@ -186,6 +186,28 @@ CHECKS = {
         ("no all-pairs path", lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoop" not in p),
     ],
+    "embedding_cluster_assign": [
+        # literal-centroid assignment is a pure scan projection: no join
+        # node and no exchange of any kind anywhere in the plan
+        ("zero shuffle", lambda p: "Exchange" not in p),
+        ("no join", lambda p: "Join" not in p),
+        ("columns pruned to id+vector",
+         lambda p: "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p),
+    ],
+    "text_bm25_topk": [
+        ("idf/stats broadcast, no corpus-sized join shuffle",
+         lambda p: "BroadcastHashJoin" in p),
+        ("top-k not global sort", lambda p: "TakeOrderedAndProject" in p),
+        ("no all-pairs path", lambda p: "CartesianProduct" not in p),
+        ("corpus shuffles only on (doc,term)/(doc) roll-ups",
+         lambda p: p.count("Exchange hashpartitioning") <= 3),
+    ],
+    "sample_stratified_lang": [
+        # CASE-banded hash filter is a pure map over the scan
+        ("zero shuffle", lambda p: "Exchange" not in p),
+        ("columns pruned to id+stratum",
+         lambda p: "ReadSchema: struct<doc_id:bigint,lang:string>" in p),
+    ],
 }
 
 
