@@ -53,6 +53,11 @@ HEADLINE = [
     # stays accountable as the corpus scales
     "dedup_span_stats",
     "ann_cosine_topk",
+    # round-5 additions: the zero-shuffle centroid-assignment projection
+    # and BM25 retrieval — one scan-bound and one broadcast-join-bound
+    # representative of the new corpus-analysis surface
+    "embedding_cluster_assign",
+    "text_bm25_topk",
     "asof_join_events",
     "sessionize_stats",
     "range_join_price_bands",

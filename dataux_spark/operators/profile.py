@@ -1,0 +1,94 @@
+"""Table / corpus profiling operators — the ANALYZE-style statistics pass
+a pipeline runs before planning a clean (column health, value ranges,
+distribution shape). Beyond-reference extension: the reference exposes
+schema introspection (SHOW/DESCRIBE) but no data statistics.
+
+Both operators are single-scan, shuffle-light by construction:
+  column_profile     — ONE pass over the table computing every column's
+                       measures as parallel aggregates (Spark plans
+                       multi-distinct aggs via one Expand), then pivots
+                       the 1-row result into per-column rows with stack().
+                       The only exchange is the 1-row final aggregate.
+  equi_width_histogram — bucket = width_bucket over a (lo, hi) range; the
+                       range comes from a 1-row min/max aggregate joined
+                       back lazily (no driver action), buckets roll up
+                       map-side. Two tiny exchanges, both O(bins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column health stats in one scan: row count, nulls, exact
+    distinct count, and (numeric columns only) min/max as doubles.
+    Returns (column, n_rows, n_nulls, n_distinct, min_val, max_val),
+    one row per requested column, in the requested order."""
+    dtypes = dict(df.dtypes)
+    aggs = [F.count("*").alias("__n_rows")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(c).alias(f"__{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"__{c}__nd"))
+        if base in _NUMERIC:
+            aggs.append(F.min(c).cast("double").alias(f"__{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"__{c}__mx"))
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        mn = f"__{c}__mn" if base in _NUMERIC else "CAST(NULL AS DOUBLE)"
+        mx = f"__{c}__mx" if base in _NUMERIC else "CAST(NULL AS DOUBLE)"
+        parts.append(f"'{c}', __{c}__nn, __{c}__nd, {mn}, {mx}")
+    stacked = one.select(
+        "__n_rows",
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "AS (col_name, __nn, n_distinct, min_val, max_val)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("__n_rows").alias("n_rows"),
+        (F.col("__n_rows") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram over [min, max] — the distribution-shape
+    profile (length distributions, score spreads). Bucket membership uses
+    the explicit floor formula least(bins, 1 + floor((x-lo)/w)) rather
+    than width_bucket, so an oracle on any engine can reproduce the exact
+    boundary behavior by spelling the identical double arithmetic. The
+    max value folds into the top bucket; empty buckets are absent (no
+    dense spine needed for a profile). Returns (bucket, lo, hi, ct)
+    ordered by bucket."""
+    rng = df.agg(
+        F.min(F.col(col)).cast("double").alias("__lo"),
+        F.max(F.col(col)).cast("double").alias("__hi"),
+    )
+    x = F.col(col).cast("double")
+    w = (F.col("__hi") - F.col("__lo")) / bins
+    bucket = F.least(F.lit(bins).cast("bigint"), (F.lit(1) + F.floor((x - F.col("__lo")) / w)).cast("bigint"))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "__lo", "__hi")
+        .groupBy("bucket", "__lo", "__hi")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            "bucket",
+            F.round(F.col("__lo") + (F.col("bucket") - 1) * w, 6).alias("lo"),
+            F.round(F.col("__lo") + F.col("bucket") * w, 6).alias("hi"),
+            "ct",
+        )
+        .orderBy("bucket")
+    )

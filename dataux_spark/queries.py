@@ -1375,6 +1375,71 @@ def quality_quantile_filter(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_columns",
+    """
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS DOUBLE) AS min_val,
+           CAST(max(doc_id) AS DOUBLE) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """ANALYZE-style column health profile (operators/profile.py
+    column_profile): row/null/exact-distinct counts + numeric ranges for
+    every column in ONE scan (multi-distinct via a single Expand), pivoted
+    to per-column rows with stack(). The oracle recomputes each column's
+    measures independently."""
+    from dataux_spark.operators.profile import column_profile
+
+    d = read_table(spark, sf_dir, "documents")
+    return column_profile(d, ["doc_id", "n_chars", "lang", "source"])
+
+
+@_q(
+    "profile_histogram",
+    """
+    WITH r AS (
+      SELECT CAST(min(n_chars) AS DOUBLE) AS rlo,
+             CAST(max(n_chars) AS DOUBLE) AS rhi
+      FROM documents
+    ), b AS (
+      SELECT CAST(least(10, 1 + CAST(floor(
+               (CAST(n_chars AS DOUBLE) - rlo) / ((rhi - rlo) / 10)
+             ) AS BIGINT)) AS BIGINT) AS bucket, rlo, rhi
+      FROM documents, r WHERE n_chars IS NOT NULL
+    )
+    SELECT bucket, round(rlo + (bucket - 1) * (rhi - rlo) / 10, 6) AS lo,
+           round(rlo + bucket * (rhi - rlo) / 10, 6) AS hi,
+           count(*) AS ct
+    FROM b GROUP BY bucket, rlo, rhi ORDER BY bucket
+    """,
+)
+def profile_histogram(spark, sf_dir):
+    """Equi-width document-length histogram (operators/profile.py
+    equi_width_histogram): bucket by the explicit floor formula so the
+    oracle reproduces boundary behavior exactly; range from a broadcast
+    1-row min/max aggregate, roll-up map-side combined."""
+    from dataux_spark.operators.profile import equi_width_histogram
+
+    return equi_width_histogram(read_table(spark, sf_dir, "documents"), "n_chars", 10)
+
+
 def _sampling_oracles():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -3401,7 +3466,8 @@ _DRIVER_WINDOW: list[str] = [
 # pushdown_datastore_ineq_topk, pushdown_lytics_filter,
 # pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
 # streaming_incremental_neardup, embedding_cluster_assign,
-# embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk.
+# embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
+# profile_columns, profile_histogram.
 
 
 def _export_order() -> list[str]:

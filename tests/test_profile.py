@@ -1,0 +1,38 @@
+"""Profiling operator tests: column stats and histogram invariants on a
+frame with known nulls / duplicates / constant and varying columns."""
+
+from pyspark.sql import functions as F
+
+from dataux_spark.operators.profile import column_profile, equi_width_histogram
+from dataux_spark.queries import read_table
+
+
+def test_column_profile_known_frame(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "a"), (3, 30.0, None), (3, 10.0, "b")],
+        "k: long, v: double, s: string",
+    )
+    rows = {r.col_name: r for r in column_profile(df, ["k", "v", "s"]).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 0
+    assert rows["k"].n_distinct == 3
+    assert rows["k"].min_val == 1.0 and rows["k"].max_val == 3.0
+    assert rows["v"].n_nulls == 1 and rows["v"].n_distinct == 2
+    assert rows["v"].min_val == 10.0 and rows["v"].max_val == 30.0
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_val is None and rows["s"].max_val is None
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    out = equi_width_histogram(d, "n_chars", 10).collect()
+    n = d.filter(F.col("n_chars").isNotNull()).count()
+    assert sum(r.ct for r in out) == n
+    assert all(1 <= r.bucket <= 10 for r in out)
+    assert [r.bucket for r in out] == sorted(r.bucket for r in out)
+    # contiguous equal-width bounds; max folds into the top bucket
+    lo = min(r.lo for r in out)
+    hi = max(r.hi for r in out)
+    stats = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert lo == float(stats[0]) and abs(hi - float(stats[1])) < 1e-6
+    widths = {round(r.hi - r.lo, 4) for r in out}
+    assert len(widths) == 1
