@@ -246,3 +246,33 @@ class CassandraStyleSource(Source):
         if self.push_log_dir:
             reader = reader.option("push_log_dir", self.push_log_dir)
         return reader.load()
+
+    # ------------------------------------------------------------- writes
+
+    def writable(self) -> bool:
+        # like the mongo-style tier, only file://-backed fixtures mutate
+        return all(u.startswith("file://") for u, _ in self._tables.values())
+
+    def mutator(self, spark: SparkSession, table: str):
+        """CQL write semantics (reference sql_to_cql.go:236-394: CreateMutator
+        builds a prepared per-row upsert keyed by the PRIMARY KEY; there is
+        no append-duplicate in Cassandra — INSERT of an existing key
+        replaces the row). Delete-by-expression mirrors DeleteExpression
+        (:376-394)."""
+        if table not in self._tables:
+            return None
+        url, meta = self._tables[table]
+        if not url.startswith("file://"):
+            return None
+        from dataux_spark.sources.mongo_style import _DocMutator
+
+        pk = meta.partition_keys + meta.clustering_keys
+
+        class _CqlMutator(_DocMutator):
+            def put(self, batch, keys):
+                # primary-key upsert ALWAYS — plain INSERT is an upsert in
+                # CQL, so a caller's keys=None (append) is overridden with
+                # the table's partition+clustering keys
+                return super().put(batch, keys or pk)
+
+        return _CqlMutator(spark, url[len("file://"):])

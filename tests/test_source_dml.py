@@ -93,17 +93,55 @@ def test_insert_select_into_mongo_style(spark, tmp_path):
 
 
 def test_non_writable_source_rejects_dml(spark, tmp_path):
-    """A source without a mutator (cassandra-style here) rejects DML with
-    a read-only error instead of mutating a shadow temp view."""
-    (tmp_path / "ev.json").write_text(json.dumps([{"device": "d1", "day": 1}]))
-    meta = TableMeta(name="cassro", schema=None,
+    """A source tier without a mutator (datastore-style — the reference's
+    datastore mutator is read-modify-write through the entity API, not
+    implemented for this fixture tier) rejects DML with a read-only error
+    instead of mutating a shadow temp view."""
+    from dataux_spark.sources.datastore_style import DatastoreStyleSource
+
+    (tmp_path / "ents.json").write_text(json.dumps([{"k": 1, "v": "a"}]))
+    e = Engine(spark)
+    e.register_source(
+        DatastoreStyleSource("dsro", {"dsro": f"file://{tmp_path}/ents.json"})
+    )
+    with pytest.raises(QueryError, match="read-only"):
+        e.sql('INSERT INTO dsro (k, v) VALUES (2, "b")')
+
+
+def test_cassandra_style_cql_upsert_roundtrip(spark, tmp_path):
+    """CQL write semantics through the mutator (reference prepared upsert
+    sql_to_cql.go:246-361, roundtrip shape cass_test.go:482-609): plain
+    INSERT of an existing (partition, clustering) key REPLACES the row —
+    there is no append-duplicate in Cassandra — UPDATE read-modify-writes,
+    DELETE removes by expression, and every write lands in the backing
+    collection."""
+    docs = [
+        {"device": "d1", "day": 1, "val": 10},
+        {"device": "d1", "day": 2, "val": 20},
+    ]
+    (tmp_path / "cassev.json").write_text(json.dumps(docs))
+    meta = TableMeta(name="cassev", schema=None,
                      partition_keys=["device"], clustering_keys=["day"])
     e = Engine(spark)
     e.register_source(
-        CassandraStyleSource("cassro", {"cassro": (f"file://{tmp_path}/ev.json", meta)})
+        CassandraStyleSource("cassdml", {"cassev": (f"file://{tmp_path}/cassev.json", meta)})
     )
-    with pytest.raises(QueryError, match="read-only"):
-        e.sql('INSERT INTO cassro (device, day) VALUES ("d2", 1)')
+    # new primary key appends
+    r = e.sql('INSERT INTO cassev (device, day, val) VALUES ("d2", 1, 5)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM cassev").collect()[0][0] == 3
+    # existing primary key REPLACES (CQL INSERT == upsert), never duplicates
+    r = e.sql('INSERT INTO cassev (device, day, val) VALUES ("d1", 2, 99)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM cassev").collect()[0][0] == 3
+    assert _rows(e.sql('SELECT val FROM cassev WHERE device = "d1" AND day = 2')) == [(99,)]
+    r = e.sql('UPDATE cassev SET val = val + 1 WHERE device = "d2"')
+    assert r.affected == 1
+    assert _rows(e.sql('SELECT val FROM cassev WHERE device = "d2"')) == [(6,)]
+    r = e.sql("DELETE FROM cassev WHERE val >= 99")
+    assert r.affected == 1
+    on_disk = json.loads((tmp_path / "cassev.json").read_text())
+    assert sorted((d["device"], d["day"]) for d in on_disk) == [("d1", 1), ("d2", 1)]
 
 
 def test_insert_select_lifts_default_page_cap(spark, tmp_path):
