@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from dataux_spark.infer import BT_SAMPLE_N, infer_family_tables
-from dataux_spark.sources.base import PushdownTier, Source
+from dataux_spark.sources.base import PushdownTier, Source, SourceMutator
 from dataux_spark.sources.rest import _fetch_json
 
 
@@ -37,6 +37,11 @@ class FamilyTableSource(Source):
 
     tier = PushdownTier.SCAN_ONLY
     default_limit = 5000
+    # family views are createDataFrame snapshots of the in-memory row
+    # store; re-register per query so DML through the mutator is
+    # read-your-writes (the same refresh hook the pushdown tiers use
+    # for scan-cache correctness — load() here is a cheap local build)
+    fresh_scan_per_query = True
 
     def __init__(
         self,
@@ -82,3 +87,94 @@ class FamilyTableSource(Source):
             if any(k.startswith(prefix) for k in d)
         ]
         return spark.createDataFrame(rows, schema)
+
+    # ------------------------------------------------------------- writes
+
+    def writable(self) -> bool:
+        # mutations land in the in-memory row store (the constructor's
+        # fetched docs) — the same lifetime as the source registration,
+        # like MemorySource
+        return True
+
+    def mutator(self, spark: SparkSession, table: str):
+        """BigTable write semantics (reference sql_to_bt.go:242-396: every
+        mutation is keyed by the ROW KEY — SetCell per non-key column into
+        this family, DeleteRow for deletes). A family table's Put upserts
+        family-qualified cells on the rowkey; a delete removes this
+        family's cells from matching rows (FamilyFilter semantics: the row
+        disappears from THIS family table, other families keep it), and
+        rows left with no cells at all are dropped."""
+        if table not in self._tables:
+            return None
+        return _BtMutator(self, table)
+
+
+class _BtMutator(SourceMutator):
+    def __init__(self, src: FamilyTableSource, table: str):
+        self.src, self.table = src, table
+        self.phys, self.fam = src._tables[table]
+        self.prefix = f"{self.fam}{src.sep}"
+        self.rowkey = src.rowkey
+
+    def _fam_doc(self, row) -> dict:
+        d = {self.rowkey: row[self.rowkey]}
+        for k, v in row.asDict().items():
+            if k != self.rowkey and v is not None:
+                d[self.prefix + k] = v
+        return d
+
+    def put(self, batch, keys) -> int:
+        # rowkey-keyed always — BigTable mutations address a row key;
+        # existing cells of this family on that key are replaced
+        new = [self._fam_doc(r) for r in batch.collect()]
+        by_key = {d[self.rowkey]: d for d in new}
+        docs = self.src._docs[self.phys]
+        merged = []
+        for d in docs:
+            k = d.get(self.rowkey)
+            if k in by_key:
+                kept = {c: v for c, v in d.items() if not c.startswith(self.prefix)}
+                kept.update(by_key.pop(k))
+                merged.append(kept)
+            else:
+                merged.append(d)
+        merged.extend(by_key.values())
+        self.src._docs[self.phys] = merged
+        return len(new)
+
+    def delete_where(self, cond) -> int:
+        # evaluate the predicate over the family table view with Spark so
+        # three-valued logic matches the engine's exactly
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        view = self.src.load(spark, self.table)
+        hit = view.filter(cond) if cond is not None else view
+        hit_keys = {r[self.rowkey] for r in hit.select(self.rowkey).collect()}
+        docs, out = self.src._docs[self.phys], []
+        for d in docs:
+            if d.get(self.rowkey) in hit_keys:
+                kept = {c: v for c, v in d.items() if not c.startswith(self.prefix)}
+                if len(kept) > 1:  # rowkey plus ≥1 cell from another family
+                    out.append(kept)
+            else:
+                out.append(d)
+        self.src._docs[self.phys] = out
+        return len(hit_keys)
+
+    def overwrite(self, df) -> None:
+        keep = [
+            d for d in self.src._docs[self.phys]
+            if not any(c.startswith(self.prefix) for c in d)
+        ]
+        new = [self._fam_doc(r) for r in df.collect()]
+        # merge back into rows that still exist under other families
+        by_key = {d[self.rowkey]: d for d in new}
+        merged = []
+        for d in keep:
+            k = d.get(self.rowkey)
+            if k in by_key:
+                d = {**d, **by_key.pop(k)}
+            merged.append(d)
+        merged.extend(by_key.values())
+        self.src._docs[self.phys] = merged

@@ -70,3 +70,39 @@ def test_families_recompose_via_rowkey_join(eng):
         "WHERE a.logins > 5"
     ).collect()
     assert [tuple(r) for r in out] == [("Ann", 12)]
+
+
+def test_bigtable_family_mutations_rowkey_upsert(spark, tmp_path):
+    """BigTable mutation semantics through the engine (reference
+    sql_to_bt.go:242-396: SetCell per column keyed by the row key,
+    deletes remove this family's cells): INSERT upserts on the rowkey
+    within the family, a delete drops the row from THIS family table
+    while other families keep it."""
+    import json as _json
+
+    from dataux_spark import Engine
+
+    (tmp_path / "bt.json").write_text(_json.dumps(ROWS))
+    e = Engine(spark)
+    e.register_source(FamilyTableSource("btdml", {"bt_phys": f"file://{tmp_path}/bt.json"}))
+    # new rowkey appends into the family
+    r = e.sql('INSERT INTO profile (rowkey, name, age) VALUES ("u4", "Dee", 28)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM profile").collect()[0][0] == 4
+    # existing rowkey replaces this family's cells, count unchanged
+    r = e.sql('INSERT INTO profile (rowkey, name, age) VALUES ("u1", "Anna", 35)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM profile").collect()[0][0] == 4
+    assert [tuple(x) for x in e.sql(
+        'SELECT name, age FROM profile WHERE rowkey = "u1"').collect()] == [("Anna", 35)]
+    # ...and the activity family still sees u1 untouched
+    assert e.sql('SELECT logins FROM activity WHERE rowkey = "u1"').collect()[0][0] == 12
+    # delete from one family: row vanishes from profile, survives in activity
+    r = e.sql('DELETE FROM profile WHERE rowkey = "u2"')
+    assert r.affected == 1
+    assert e.sql('SELECT count(*) AS ct FROM profile WHERE rowkey = "u2"').collect()[0][0] == 0
+    assert e.sql('SELECT count(*) AS ct FROM activity WHERE rowkey = "u2"').collect()[0][0] == 1
+    # update read-modify-writes within the family
+    r = e.sql('UPDATE profile SET age = age + 1 WHERE rowkey = "u3"')
+    assert r.affected == 1
+    assert e.sql('SELECT age FROM profile WHERE rowkey = "u3"').collect()[0][0] == 52
