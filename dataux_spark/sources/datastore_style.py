@@ -142,10 +142,44 @@ class DatastoreStyleSource(Source):
     fresh_scan_per_query = True
     _registered_sessions: set[int] = set()
 
-    def __init__(self, name: str, endpoints: dict[str, str], push_log_dir: str | None = None):
+    def __init__(
+        self,
+        name: str,
+        endpoints: dict[str, str],
+        push_log_dir: str | None = None,
+        entity_keys: dict[str, str] | None = None,
+    ):
         self.name = name
         self.endpoints = dict(endpoints)
         self.push_log_dir = push_log_dir
+        # kind -> entity key property; a kind with a declared key accepts
+        # DML (the reference datastore mutator addresses entities by key)
+        self.entity_keys = dict(entity_keys or {})
+
+    # ------------------------------------------------------------- writes
+
+    def writable(self) -> bool:
+        return bool(self.entity_keys) and all(
+            self.endpoints[t].startswith("file://") for t in self.entity_keys
+        )
+
+    def mutator(self, spark: SparkSession, table: str):
+        """Datastore write semantics (reference sql_to_datastore.go:218-382:
+        Put(key, entity) upserts the entity at its KEY — the UPDATE path is
+        an explicit read-modify-write: fetch by key, apply SET, put back;
+        deletes are by key after the same query). Entity Put is keyed
+        always, so INSERT of an existing key replaces the entity."""
+        url = self.endpoints.get(table)
+        key = self.entity_keys.get(table)
+        if url is None or key is None or not url.startswith("file://"):
+            return None
+        from dataux_spark.sources.mongo_style import _DocMutator
+
+        class _EntityMutator(_DocMutator):
+            def put(self, batch, keys):
+                return super().put(batch, keys or [key])
+
+        return _EntityMutator(spark, url[len("file://"):])
 
     @classmethod
     def _ensure_format(cls, spark: SparkSession) -> None:

@@ -93,19 +93,59 @@ def test_insert_select_into_mongo_style(spark, tmp_path):
 
 
 def test_non_writable_source_rejects_dml(spark, tmp_path):
-    """A source tier without a mutator (datastore-style — the reference's
-    datastore mutator is read-modify-write through the entity API, not
-    implemented for this fixture tier) rejects DML with a read-only error
-    instead of mutating a shadow temp view."""
+    """Read-only tiers reject DML with a clear error instead of mutating a
+    shadow temp view: lytics-style (a query-only analytics API in the
+    reference — no mutator exists) and a datastore kind with no declared
+    entity key (the reference mutator addresses entities BY key; without
+    one there is nothing to Put against)."""
     from dataux_spark.sources.datastore_style import DatastoreStyleSource
+    from dataux_spark.sources.lytics_style import LyticsStyleSource
 
     (tmp_path / "ents.json").write_text(json.dumps([{"k": 1, "v": "a"}]))
     e = Engine(spark)
+    e.register_source(
+        LyticsStyleSource("lyro", {"lyro": f"file://{tmp_path}/ents.json"})
+    )
+    with pytest.raises(QueryError, match="read-only"):
+        e.sql('INSERT INTO lyro (k, v) VALUES (2, "b")')
     e.register_source(
         DatastoreStyleSource("dsro", {"dsro": f"file://{tmp_path}/ents.json"})
     )
     with pytest.raises(QueryError, match="read-only"):
         e.sql('INSERT INTO dsro (k, v) VALUES (2, "b")')
+
+
+def test_datastore_entity_put_roundtrip(spark, tmp_path):
+    """Datastore mutator semantics (sql_to_datastore.go:218-382): Put is
+    keyed by the entity key — INSERT of an existing key replaces the
+    entity; UPDATE is the reference's explicit read-modify-write; DELETE
+    removes by expression. Writes land in the backing kind."""
+    from dataux_spark.sources.datastore_style import DatastoreStyleSource
+
+    ents = [{"eid": "e1", "v": 10}, {"eid": "e2", "v": 20}]
+    (tmp_path / "kind.json").write_text(json.dumps(ents))
+    e = Engine(spark)
+    e.register_source(
+        DatastoreStyleSource(
+            "dsw", {"dsents": f"file://{tmp_path}/kind.json"},
+            entity_keys={"dsents": "eid"},
+        )
+    )
+    r = e.sql('INSERT INTO dsents (eid, v) VALUES ("e3", 30)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM dsents").collect()[0][0] == 3
+    # entity Put replaces on the key — no duplicate entity
+    r = e.sql('INSERT INTO dsents (eid, v) VALUES ("e1", 11)')
+    assert r.affected == 1
+    assert e.sql("SELECT count(*) AS ct FROM dsents").collect()[0][0] == 3
+    assert _rows(e.sql('SELECT v FROM dsents WHERE eid = "e1"')) == [(11,)]
+    r = e.sql('UPDATE dsents SET v = v * 2 WHERE eid = "e2"')
+    assert r.affected == 1
+    assert _rows(e.sql('SELECT v FROM dsents WHERE eid = "e2"')) == [(40,)]
+    r = e.sql("DELETE FROM dsents WHERE v > 25")
+    assert r.affected == 2
+    on_disk = json.loads((tmp_path / "kind.json").read_text())
+    assert sorted(d["eid"] for d in on_disk) == ["e1"]
 
 
 def test_cassandra_style_cql_upsert_roundtrip(spark, tmp_path):
