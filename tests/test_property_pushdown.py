@@ -111,3 +111,61 @@ def test_topk_and_count_pushdown_equivalence(eng, pred, desc, lim):
         eng.sql(c.format(t="ppdocs")).collect()[0][0]
         == eng.sql(c.format(t="pptwindocs")).collect()[0][0]
     )
+
+
+@pytest.fixture(scope="module")
+def eng_tiers(spark, tmp_path_factory):
+    """The same collection registered through THREE pushdown tiers with
+    different accept/decline surfaces (ES: partial filters incl. NOT +
+    whole-agg; Cassandra: key-gated only; Mongo: filters+limit) plus the
+    scan-only twin — every random shape splits differently per tier, and
+    all four must agree."""
+    from dataux_spark.infer import TableMeta
+    from dataux_spark.sources.cassandra_style import CassandraStyleSource
+    from dataux_spark.sources.es_style import EsStyleRestSource
+
+    d = tmp_path_factory.mktemp("prop_push_tiers")
+    (d / "docs.json").write_text(json.dumps(DOCS))
+    url = f"file://{d}/docs.json"
+    e = Engine(spark)
+    e.register_source(MongoStyleSource("t_mgo", {"tmgodocs": url}))
+    e.register_source(EsStyleRestSource("t_es", {"tesdocs": url}))
+    meta = TableMeta(name="tcassdocs", schema=None,
+                     partition_keys=["grp"], clustering_keys=["k"])
+    e.register_source(CassandraStyleSource("t_cass", {"tcassdocs": (url, meta)}))
+    e.register_source(RestJsonSource("t_twin", {"ttwindocs": url}))
+    return e
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=predicate)
+def test_all_tiers_agree_under_random_predicates(eng_tiers, pred):
+    """Cross-tier federation fuzz: identical SQL through the ES, Cassandra,
+    and Mongo pushdown tiers must equal the scan-only twin row-for-row —
+    whatever subset of the predicate each tier accepted."""
+    q = "SELECT k, score FROM {t} WHERE " + pred + " ORDER BY k LIMIT 60"
+    want = [tuple(r) for r in eng_tiers.sql(q.format(t="ttwindocs")).collect()]
+    for t in ("tmgodocs", "tesdocs", "tcassdocs"):
+        got = [tuple(r) for r in eng_tiers.sql(q.format(t=t)).collect()]
+        assert got == want, f"{t}: {pred}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=st.one_of(num_pred(), str_pred()))
+def test_es_whole_agg_pushdown_fuzz(eng_tiers, pred):
+    """The ES tier's whole-aggregation pushdown (accept-or-polyfill) must
+    match the twin for random predicates, grouped and ungrouped."""
+    a = ("SELECT count(*) AS ct, min(score) AS mn, max(score) AS mx, "
+         "sum(k) AS sk FROM {t} WHERE " + pred)
+    assert (
+        [tuple(r) for r in eng_tiers.sql(a.format(t="tesdocs")).collect()]
+        == [tuple(r) for r in eng_tiers.sql(a.format(t="ttwindocs")).collect()]
+    ), pred
+    g = ("SELECT grp, count(*) AS ct, sum(score) AS ss FROM {t} WHERE "
+         + pred + " GROUP BY grp ORDER BY grp")
+    assert (
+        [tuple(r) for r in eng_tiers.sql(g.format(t="tesdocs")).collect()]
+        == [tuple(r) for r in eng_tiers.sql(g.format(t="ttwindocs")).collect()]
+    ), pred
