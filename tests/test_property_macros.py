@@ -13,7 +13,7 @@ These are pure-python properties (no Spark for 1-2) so hypothesis can run
 hundreds of cases per second.
 """
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from dataux_spark.dialect import expand_macros
@@ -138,3 +138,56 @@ def test_qualified_rewrite_never_touches_literals_or_unknown(inner, qualify):
         assert _re.search(r"FROM\s+ftbl$", out)
     else:
         assert out == sql
+
+
+# --------------------------------------------------------- DML sequences
+
+_dml_op = st.one_of(
+    st.tuples(st.just("insert"), st.integers(0, 9), st.integers(0, 99)),
+    st.tuples(st.just("upsert"), st.integers(0, 9), st.integers(0, 99)),
+    st.tuples(st.just("delete_lt"), st.integers(0, 9), st.just(0)),
+    st.tuples(st.just("update_add"), st.integers(0, 9), st.integers(1, 5)),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(ops=st.lists(_dml_op, min_size=1, max_size=6), seq=st.integers(0, 10**9))
+def test_random_dml_sequences_match_model(spark, ops, seq):
+    """Random INSERT/UPSERT/DELETE/UPDATE sequences against a keyed memory
+    table must leave exactly the state a row-list model predicts — plain
+    INSERT appends (even duplicate keys), UPSERT replaces on the declared
+    key, DELETE/UPDATE hit the same predicate rows, and every statement's
+    affected-count matches the model's."""
+    from dataux_spark import Engine
+
+    t = f"dmlfuzz{seq % 100000}"
+    e = Engine(spark)
+    e.register_memory(
+        "dmlfz" + t,
+        {t: spark.createDataFrame([(0, 50)], "id long, v long")},
+        keys={t: ["id"]},
+    )
+    model = [(0, 50)]
+    for op, k, v in ops:
+        if op == "insert":
+            r = e.sql(f"INSERT INTO {t} (id, v) VALUES ({k}, {v})")
+            model.append((k, v))
+            assert r.affected == 1
+        elif op == "upsert":
+            r = e.sql(f"UPSERT INTO {t} (id, v) VALUES ({k}, {v})")
+            model = [m for m in model if m[0] != k] + [(k, v)]
+            assert r.affected == 1
+        elif op == "delete_lt":
+            r = e.sql(f"DELETE FROM {t} WHERE id < {k}")
+            hit = [m for m in model if m[0] < k]
+            model = [m for m in model if not m[0] < k]
+            assert r.affected == len(hit)
+        else:  # update_add
+            r = e.sql(f"UPDATE {t} SET v = v + {v} WHERE id >= {k}")
+            hit = [m for m in model if m[0] >= k]
+            model = [(i, val + v) if i >= k else (i, val) for i, val in model]
+            assert r.affected == len(hit)
+    got = sorted(tuple(r) for r in e.sql(f"SELECT id, v FROM {t}").collect())
+    assert got == sorted(model), (ops, got, sorted(model))
