@@ -169,3 +169,25 @@ def test_es_whole_agg_pushdown_fuzz(eng_tiers, pred):
         [tuple(r) for r in eng_tiers.sql(g.format(t="tesdocs")).collect()]
         == [tuple(r) for r in eng_tiers.sql(g.format(t="ttwindocs")).collect()]
     ), pred
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=st.one_of(num_pred(), str_pred()), how=st.sampled_from(["JOIN", "LEFT JOIN"]))
+def test_cross_tier_join_fuzz(eng_tiers, pred, how):
+    """Federated join fuzz — the reference's marquee feature: a join whose
+    two sides live in DIFFERENT pushdown tiers (ES x Cassandra), with a
+    random predicate pushed/declined independently per side, must match
+    the same join done twin x twin."""
+    import re as _re
+
+    apred = _re.sub(r"\b(k|score|grp|name|flag)\b", r"a.\1", pred)
+    q = (
+        "SELECT a.k, a.score, b.name FROM {l} a {how} {r} b "
+        "ON b.k = a.k AND ({pred}) ORDER BY a.k LIMIT 60"
+    )
+    got = [tuple(r) for r in eng_tiers.sql(
+        q.format(l="tesdocs", r="tcassdocs", how=how, pred=apred)).collect()]
+    want = [tuple(r) for r in eng_tiers.sql(
+        q.format(l="ttwindocs", r="ttwindocs", how=how, pred=apred)).collect()]
+    assert got == want, (how, apred)
