@@ -3377,6 +3377,90 @@ def corpus_clean_pipeline(spark, sf_dir):
     )
 
 
+def _training_prep_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, n_chars, toks,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM base WHERE len(toks) >= 30
+    ), u AS (
+      SELECT *, row_number() OVER (PARTITION BY fp
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM q
+    ), uq AS (
+      SELECT doc_id, lang, toks FROM u WHERE rn = 1
+    ), g AS (
+      SELECT doc_id AS _id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM uq
+    ), drops AS (
+      SELECT DISTINCT greatest(a._id, b._id) AS doc_id
+      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    ), surv AS (
+      SELECT doc_id, lang FROM uq
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ), samp AS (
+      SELECT doc_id, lang FROM surv
+      WHERE {f} < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                  ELSE 0.8 END
+    )
+    SELECT lang,
+           CASE WHEN {f} < 0.9 THEN 'train'
+                WHEN {f} < 0.95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id
+    FROM samp GROUP BY 1, 2
+    """
+
+
+@_q("training_prep_pipeline", _training_prep_oracle())
+def training_prep_pipeline(spark, sf_dir):
+    """The FULL training-data prep flow as one declarative plan — quality
+    gate → fingerprint dedup (keep best) → near-dup drop (exact-Jaccard
+    pairs within lang blocks, drop the larger id) → stratified language
+    resample → train/val/test split → per-(lang, split) roll-up. Every
+    stage is an operator used standalone elsewhere; composing them stays
+    lazy so Catalyst prunes/pipelines across stage boundaries. At 100 TB
+    the shapes are: scan projections, one digest window, the blocked
+    pair join, two hash-band filters, one small roll-up. The oracle
+    replays all six stages in SQL."""
+    from dataux_spark.operators.dedup import ngram_jaccard_pairs, tokens
+    from dataux_spark.operators.sampling import hash_split, stratified_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+        ).alias("fp"),
+    )
+    qual = base.filter(F.col("n_tokens") >= 30)
+    w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    uniq = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    drops = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    surv = uniq.join(drops, "doc_id", "left_anti")
+    samp = stratified_hash_sample(
+        surv, "lang", {"en": 0.5, "de": 1.0}, "doc_id", default_rate=0.8
+    )
+    return (
+        hash_split(samp, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
 # ------------------------------------------------------------------ export
 
 # The external driver oracle-checks only the FIRST 50 entries of queries()
@@ -3467,7 +3551,7 @@ _DRIVER_WINDOW: list[str] = [
 # pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
 # streaming_incremental_neardup, embedding_cluster_assign,
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
-# profile_columns, profile_histogram.
+# profile_columns, profile_histogram, training_prep_pipeline.
 
 
 def _export_order() -> list[str]:
