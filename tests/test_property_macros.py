@@ -191,3 +191,36 @@ def test_random_dml_sequences_match_model(spark, ops, seq):
             assert r.affected == len(hit)
     got = sorted(tuple(r) for r in e.sql(f"SELECT id, v FROM {t}").collect())
     assert got == sorted(model), (ops, got, sorted(model))
+
+
+# ------------------------------------------------------ malformed input
+
+_valid = [
+    "SELECT o_orderkey FROM orders WHERE o_orderkey = 42",
+    "SELECT count(*) AS ct FROM lineitem GROUP BY l_returnflag",
+    "SHOW TABLES",
+    "INSERT INTO nowhere (a) VALUES (1)",
+    'SET @x = "y"',
+]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(base=st.sampled_from(_valid), cut=st.integers(1, 40),
+       junk=st.sampled_from(["", " FROM", " )", " WHERE", " 'x", " ;;", " `"]))
+def test_malformed_sql_raises_queryerror_never_crashes(spark, base, cut, junk):
+    """Truncated/mangled statements must either run (if still valid) or
+    raise the engine's graceful QueryError — never a raw Py4J/analysis
+    traceback and never a crash. The reference's frontend has the same
+    contract: every protocol error becomes a MySQL error packet."""
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    e = Engine(spark)
+    e.register_parquet_dir("fuzzbad", "/root/testdata/sf0.001")
+    sql = base[: max(8, len(base) - cut)] + junk
+    try:
+        e.sql(sql)
+    except QueryError:
+        pass  # the contract: graceful, typed, message-bearing

@@ -202,6 +202,14 @@ CHECKS = {
         ("corpus shuffles only on (doc,term)/(doc) roll-ups",
          lambda p: p.count("Exchange hashpartitioning") <= 3),
     ],
+    "training_prep_pipeline": [
+        ("near-dup candidate join hash-based, never cartesian",
+         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("near-dup drop is an anti join", lambda p: "LeftAnti" in p),
+        ("fingerprint dedup is one keyed window", lambda p: "Window" in p),
+        ("sampling/split stages add no exchange of their own",
+         lambda p: p.count("Exchange hashpartitioning") <= 6),
+    ],
     "sample_stratified_lang": [
         # CASE-banded hash filter is a pure map over the scan
         ("zero shuffle", lambda p: "Exchange" not in p),
