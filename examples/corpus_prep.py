@@ -1,0 +1,62 @@
+"""The training-data prep flow as a runnable script — run with:
+
+    python3 examples/corpus_prep.py
+
+Profiles the corpus, then executes the composed prep pipeline (quality
+gate -> fingerprint dedup -> near-dup drop -> stratified resample ->
+train/val/test split) and writes the split manifests to a temp dir.
+Every stage is a library operator; see dataux_spark/operators/."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataux_spark import get_spark
+from dataux_spark.operators.dedup import ngram_jaccard_pairs, tokens
+from dataux_spark.operators.profile import column_profile, equi_width_histogram
+from dataux_spark.operators.sampling import hash_split, stratified_hash_sample
+from dataux_spark.queries import read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = get_spark("corpus-prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, SF_DIR, "documents")
+
+    print("== corpus profile ==")
+    column_profile(docs, ["doc_id", "n_chars", "lang", "source"]).show()
+    equi_width_histogram(docs, "n_chars", 8).show()
+
+    print("== prep pipeline ==")
+    base = docs.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))).alias("fp"),
+    ).filter(F.col("n_tokens") >= 30)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    uniq = base.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    drops = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    surv = uniq.join(drops, "doc_id", "left_anti")
+    samp = stratified_hash_sample(surv, "lang", {"en": 0.5, "de": 1.0}, "doc_id",
+                                  default_rate=0.8)
+    split = hash_split(samp, "doc_id")
+    split.groupBy("lang", "split").count().orderBy("lang", "split").show()
+
+    out = tempfile.mkdtemp(prefix="corpus_prep_")
+    split.select("doc_id", "lang", "split").write.partitionBy("split").parquet(f"{out}/manifest")
+    print(f"manifest written to {out}/manifest")
+
+
+if __name__ == "__main__":
+    main()
