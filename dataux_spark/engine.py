@@ -165,6 +165,39 @@ class Engine:
             from dataux_spark.sources.datastore_style import DatastoreStyleSource
 
             src = DatastoreStyleSource(
+                name,
+                conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
+                entity_keys=conf.get("entity_keys")
+                or conf.get("settings", {}).get("entity_keys"),
+            )
+        elif kind in ("cassandra", "cql"):
+            from dataux_spark.infer import TableMeta
+            from dataux_spark.sources.cassandra_style import CassandraStyleSource
+
+            tables = {}
+            for t, tc in (
+                conf.get("tables") or conf.get("settings", {}).get("tables") or {}
+            ).items():
+                tables[t] = (
+                    tc["url"],
+                    TableMeta(
+                        name=t,
+                        schema=None,
+                        partition_keys=list(tc.get("partition_keys") or []),
+                        clustering_keys=list(tc.get("clustering_keys") or []),
+                    ),
+                )
+            src = CassandraStyleSource(name, tables)
+        elif kind in ("bigtable", "bt"):
+            from dataux_spark.sources.bigtable_style import FamilyTableSource
+
+            src = FamilyTableSource(
+                name, conf.get("physical") or conf.get("settings", {}).get("physical") or {}
+            )
+        elif kind in ("kube", "rest"):
+            from dataux_spark.sources.rest import RestJsonSource
+
+            src = RestJsonSource(
                 name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
             )
         elif kind == "lytics":
@@ -188,6 +221,63 @@ class Engine:
             raise QueryError(f"unknown source type {kind!r}")
         self.register_source(src)
         return src
+
+    def dump_config(self) -> dict:
+        """Serialize the live registry back to load_config's declarative
+        shape, so a registry can be exported, versioned, and re-created
+        (`Engine().load_config(other.dump_config())`) — the reference's
+        confl config is the durable form of its schema registry
+        (models/config.go:40-72); this is the inverse direction. Memory
+        sources are omitted: their data lives only in this session, so no
+        config could faithfully re-create them."""
+        from dataux_spark.sources.bigtable_style import FamilyTableSource
+        from dataux_spark.sources.cassandra_style import CassandraStyleSource
+        from dataux_spark.sources.datastore_style import DatastoreStyleSource
+        from dataux_spark.sources.es_style import EsStyleRestSource
+        from dataux_spark.sources.file_source import CsvDirSource, JsonDirSource
+        from dataux_spark.sources.lytics_style import LyticsStyleSource
+        from dataux_spark.sources.mongo_style import MongoStyleSource
+        from dataux_spark.sources.rest import RestJsonSource
+
+        out: dict[str, dict] = {}
+        for name, src in self.sources.items():
+            if isinstance(src, CsvDirSource):
+                out[name] = {"type": "csv", "path": src.path}
+            elif isinstance(src, JsonDirSource):
+                out[name] = {"type": "json", "path": src.path}
+            elif isinstance(src, ParquetDirSource):
+                out[name] = {"type": "parquet", "path": src.path}
+            elif isinstance(src, MongoStyleSource):
+                out[name] = {"type": "mongo", "endpoints": dict(src.endpoints)}
+            elif isinstance(src, EsStyleRestSource):
+                out[name] = {"type": "elasticsearch", "endpoints": dict(src.endpoints)}
+            elif isinstance(src, DatastoreStyleSource):
+                c = {"type": "datastore", "endpoints": dict(src.endpoints)}
+                if src.entity_keys:
+                    c["entity_keys"] = dict(src.entity_keys)
+                out[name] = c
+            elif isinstance(src, LyticsStyleSource):
+                out[name] = {"type": "lytics", "endpoints": dict(src.endpoints)}
+            elif isinstance(src, CassandraStyleSource):
+                out[name] = {
+                    "type": "cassandra",
+                    "tables": {
+                        t: {
+                            "url": url,
+                            "partition_keys": list(meta.partition_keys),
+                            "clustering_keys": list(meta.clustering_keys),
+                        }
+                        for t, (url, meta) in src._tables.items()
+                    },
+                }
+            elif isinstance(src, FamilyTableSource):
+                out[name] = {"type": "bigtable", "physical": dict(src.physical)}
+            elif isinstance(src, DuckDBPassthroughSource):
+                out[name] = {"type": "passthrough", "tables": dict(src._paths)}
+            elif isinstance(src, RestJsonSource):
+                out[name] = {"type": "kube", "endpoints": dict(src.endpoints)}
+            # MemorySource and other session-only kinds: intentionally omitted
+        return {"sources": out, "default_schema": self.ctx.current_schema}
 
     def load_config(self, conf: dict) -> None:
         """Bootstrap the registry from a declarative config — the
@@ -390,6 +480,21 @@ class Engine:
             if m.group(3) is not None:  # LIKE filters column names
                 out = out.filter(F.col("Field").like(m.group(3)))
             return out
+        m = re.match(r"^\s*SHOW\s+CREATE\s+SOURCE\s+`?(\w+)`?\s*$", s, re.I)
+        if m:
+            # the DDL round-trip twin of `CREATE source ... WITH {json}`:
+            # the rendered statement re-creates the source via load_config
+            name = m.group(1)
+            conf = self.dump_config()["sources"].get(name)
+            if conf is None:
+                raise QueryError(
+                    f"unknown or non-serializable source {name!r} "
+                    "(memory sources have no durable config)"
+                )
+            stmt_txt = f"CREATE source {name} WITH {json.dumps(conf)}"
+            return self.spark.createDataFrame(
+                [(name, stmt_txt)], "Source STRING, `Create Source` STRING"
+            )
         m = self._SHOW_CREATE_RE.match(s)
         if m:
             return show_plans.show_create_table(self.spark, m.group(1))

@@ -54,6 +54,7 @@ class FamilyTableSource(Source):
         self.name = name
         self.rowkey = rowkey
         self.sep = sep
+        self.physical = dict(physical)  # original endpoints, for dump_config
         self._docs: dict[str, list[dict]] = {
             phys: _fetch_json(url) for phys, url in physical.items()
         }

@@ -204,3 +204,50 @@ def test_insert_select_lifts_default_page_cap(spark, tmp_path):
     assert e.sql("SELECT count(*) AS c FROM sink25").collect()[0].c == 25
     # the cap still applies to a FINAL plain read of the same table
     assert e.sql("SELECT id FROM mgomany").count() == 20
+
+
+def test_config_dump_load_roundtrip(spark, tmp_path):
+    """dump_config must serialize the live registry back to load_config's
+    shape so a second engine reproduces it: same sources, tiers, tables,
+    and key metadata; memory sources are omitted (session-only data).
+    SHOW CREATE SOURCE renders the same config as executable DDL."""
+    import json as _json
+
+    from dataux_spark.infer import TableMeta
+    from dataux_spark.sources.cassandra_style import CassandraStyleSource
+    from dataux_spark.sources.datastore_style import DatastoreStyleSource
+
+    (tmp_path / "a.json").write_text(_json.dumps([{"k": 1, "v": "x"}]))
+    e = Engine(spark)
+    e.register_source(MongoStyleSource("cfmgo", {"cfdocs": f"file://{tmp_path}/a.json"}))
+    e.register_source(
+        DatastoreStyleSource(
+            "cfds", {"cfents": f"file://{tmp_path}/a.json"}, entity_keys={"cfents": "k"}
+        )
+    )
+    meta = TableMeta(name="cfcass", schema=None,
+                     partition_keys=["k"], clustering_keys=["v"])
+    e.register_source(
+        CassandraStyleSource("cfcass", {"cfcass": (f"file://{tmp_path}/a.json", meta)})
+    )
+    e.register_memory(
+        "cfmem", {"cfmemt": spark.createDataFrame([(1,)], "x long")}
+    )
+    conf = e.dump_config()
+    assert set(conf["sources"]) == {"cfmgo", "cfds", "cfcass"}  # memory omitted
+    assert conf["sources"]["cfds"]["entity_keys"] == {"cfents": "k"}
+    # a fresh engine reproduces registry shape + pushdown metadata
+    e2 = Engine(spark)
+    e2.load_config(conf)
+    assert set(e2.sources) == set(conf["sources"])
+    assert e2.sources["cfcass"].meta("cfcass").clustering_keys == ["v"]
+    assert e2.sources["cfds"].entity_keys == {"cfents": "k"}
+    assert [tuple(r) for r in e2.sql("SELECT k, v FROM cfdocs").collect()] == [(1, "x")]
+    # SHOW CREATE SOURCE round-trips through the DDL path
+    row = e.sql("SHOW CREATE SOURCE cfmgo").collect()[0]
+    assert row[0] == "cfmgo" and row[1].startswith("CREATE source cfmgo WITH ")
+    e3 = Engine(spark)
+    e3.sql(row[1])
+    assert "cfmgo" in e3.sources
+    with pytest.raises(QueryError, match="non-serializable|unknown"):
+        e.sql("SHOW CREATE SOURCE cfmem")
