@@ -3377,6 +3377,42 @@ def corpus_clean_pipeline(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_rollup_merge",
+    # the streamed store must be LOSSLESS vs aggregating raw end-to-end,
+    # same contract (and same oracle) as the batch rollup entry
+    "SELECT date_trunc('hour', ts) AS bucket, event_type AS \"key\", "
+    "count(*) AS n_events, round(sum(value), 2) AS value_sum, "
+    "min(value) AS value_min, max(value) AS value_max "
+    "FROM events GROUP BY 1, 2",
+)
+def streaming_rollup_merge(spark, sf_dir):
+    """Streaming continuous-aggregate ingest (streaming/ops.py
+    streaming_rollup_ingest): events arrive as two micro-batches split by
+    event-id parity — so EVERY hourly bucket is split across batches —
+    each reducing to algebraic partials in its own replay-safe batch
+    partition; merged_rollup re-aggregates partials per bucket. Passing
+    the raw-aggregation oracle proves the split-bucket merge is
+    lossless."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dataux_stream_rollup_")
+    incoming, store = f"{root}/in", f"{root}/rollup"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/even.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/odd.parquet")
+    schema = spark.read.parquet(f"{incoming}/even.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_rollup_ingest(stream, store).awaitTermination()
+    return S.merged_rollup(spark, store)
+
+
 def _training_prep_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -3551,7 +3587,8 @@ _DRIVER_WINDOW: list[str] = [
 # pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
 # streaming_incremental_neardup, embedding_cluster_assign,
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
-# profile_columns, profile_histogram, training_prep_pipeline.
+# profile_columns, profile_histogram, training_prep_pipeline,
+# streaming_rollup_merge.
 
 
 def _export_order() -> list[str]:

@@ -4,6 +4,8 @@ from dataux_spark.streaming.ops import (
     stateful_user_counter,
     streaming_dedup,
     streaming_incremental_neardup,
+    streaming_rollup_ingest,
+    merged_rollup,
     stream_events,
     stream_stream_join,
     windowed_agg,
@@ -16,6 +18,8 @@ __all__ = [
     "stateful_user_counter",
     "streaming_dedup",
     "streaming_incremental_neardup",
+    "streaming_rollup_ingest",
+    "merged_rollup",
     "stream_stream_join",
     "run_to_memory",
 ]

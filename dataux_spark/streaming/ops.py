@@ -252,3 +252,55 @@ def streaming_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_rollup_ingest(
+    stream: DataFrame,
+    rollup_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+):
+    """Continuous-aggregate ingest — the streaming twin of
+    operators/rollup.refresh_rollup: each micro-batch reduces to its
+    algebraic (count/sum/min/max) partials and lands as its OWN batch
+    partition of the rollup store; readers merge partials per bucket
+    (merged_rollup below), so ingest never rewrites history and a bucket
+    split across micro-batches still aggregates exactly.
+
+    Replay-safe by layout: a batch writes mode("overwrite") into its
+    ingest_batch=<id> directory, so an at-least-once foreachBatch retry
+    replaces its own partials instead of double-counting them. At scale
+    the per-batch write is bucket-by-key-sized (map-side combined), and a
+    periodic compaction can fold old batch partitions together with
+    maintenance.compact. Returns the streaming query handle."""
+    from dataux_spark.operators.rollup import _bucket_agg
+
+    def _merge(bdf: DataFrame, batch_id: int) -> None:
+        (
+            _bucket_agg(bdf, ts_col, key_col, bucket)
+            .withColumn("bucket_date", F.to_date("bucket"))
+            .write.mode("overwrite")
+            .parquet(f"{rollup_path}/ingest_batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Merge-on-read over the streamed rollup store: re-aggregate the
+    algebraic partials per (bucket, key). Work is proportional to
+    bucket x key x batch-partition count, never raw rows."""
+    raw = spark.read.option("basePath", rollup_path).parquet(
+        f"{rollup_path}/ingest_batch=*"
+    )
+    return raw.groupBy("bucket", "key").agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("value_sum"), 2).alias("value_sum"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )

@@ -193,3 +193,48 @@ def test_streaming_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
         "no batch2 x batch1 pair — the per-micro-batch store commit "
         "is not taking effect"
     )
+
+
+def test_streaming_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """An at-least-once foreachBatch retry must not double-count: replaying
+    a batch overwrites its own ingest_batch partition, leaving the merged
+    rollup identical. Also pins merged == raw end-to-end aggregation when
+    every bucket is split across micro-batches."""
+    from dataux_spark.operators.rollup import _bucket_agg
+    from dataux_spark.queries import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    incoming, store = str(tmp_path / "in"), str(tmp_path / "rollup")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/b.parquet")
+    schema = spark.read.parquet(f"{incoming}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_rollup_ingest(stream, store).awaitTermination()
+    want = {
+        (r.bucket, r.key, r.n_events, round(r.value_sum, 2))
+        for r in _bucket_agg(ev, "ts", "event_type", "hour").collect()
+    }
+    got = {
+        (r.bucket, r.key, r.n_events, r.value_sum)
+        for r in S.merged_rollup(spark, store).collect()
+    }
+    assert got == want
+    # simulate a retry of batch 0: identical partials land in the same
+    # partition directory; the merged result must not change
+    (
+        _bucket_agg(
+            spark.read.parquet(f"{incoming}/a.parquet"), "ts", "event_type", "hour"
+        )
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/ingest_batch=0")
+    )
+    again = {
+        (r.bucket, r.key, r.n_events, r.value_sum)
+        for r in S.merged_rollup(spark, store).collect()
+    }
+    assert again == got
