@@ -822,3 +822,34 @@ def embedding_neardup_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def simhash_md5(df: DataFrame, content_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """Oracle-checkable SimHash twin: token hash = first 15 hex chars of
+    md5 (60 bits — fits signed 64-bit ranges in any engine), bit
+    extraction by integer div/mod, sign-sum per bit — so a SQL oracle can
+    replay the arithmetic bit-for-bit. The xxhash64-based simhash() above
+    stays the production variant (no string hashing pass); both share the
+    sign-sum construction, so value-checking this twin pins the whole
+    bit-pipeline shape. Same plan as simhash: one map-side-combined
+    groupBy on the doc id. Returns (_id, simhash bigint)."""
+    t = scan_parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+    ).select("_id", F.explode(tokens(F.col("_c"))).alias("tok"))
+    t = t.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy("_id").agg(*bit_sums)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term
+    return agg.select("_id", sh.alias("simhash"))

@@ -1963,6 +1963,47 @@ def streaming_incremental_neardup_pairs(spark, sf_dir):
     return spark.read.parquet(pairs).select("batch_id", "store_id", "jaccard")
 
 
+def _simhash_md5_oracle(bits: int = 60) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS _id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT _id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM t
+    ), s AS (
+      SELECT _id,
+             {sums}
+      FROM h GROUP BY _id
+    )
+    SELECT _id AS doc_id, CAST({packed} AS BIGINT) AS simhash FROM s
+    """
+
+
+@_q("dedup_simhash_md5", _simhash_md5_oracle())
+def dedup_simhash_md5(spark, sf_dir):
+    """Oracle-checkable SimHash twin (operators/dedup.simhash_md5): 60-bit
+    md5-derived token hashes, integer div/mod bit extraction, sign-sum —
+    the oracle replays every bit. Value-checking this pins the whole
+    sign-sum bit pipeline; the xxhash64 production variant
+    (dedup_simhash) shares the construction and keeps its banding/verify
+    invariants in tests."""
+    from dataux_spark.operators.dedup import simhash_md5
+
+    return simhash_md5(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select(F.col("_id").alias("doc_id"), "simhash")
+
+
 @_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + pigeonhole banding
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)."""
@@ -3588,7 +3629,7 @@ _DRIVER_WINDOW: list[str] = [
 # streaming_incremental_neardup, embedding_cluster_assign,
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
 # profile_columns, profile_histogram, training_prep_pipeline,
-# streaming_rollup_merge.
+# streaming_rollup_merge, dedup_simhash_md5.
 
 
 def _export_order() -> list[str]:

@@ -314,3 +314,26 @@ def test_scan_parallelize_widens_narrow_and_leaves_wide(spark, docs):
     )
     same = dedup.scan_parallelize(wide)
     assert same is wide  # identical object: no plan node added at all
+
+
+def test_simhash_md5_twin_near_dup_properties(spark):
+    """The oracle-checkable md5 twin must behave like a simhash: identical
+    docs hash identically, a small edit flips few of the 60 bits, and an
+    unrelated doc flips many."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "the quick brown fox jumps over the lazy cat again and again"),
+            (4, "completely different words about spark shuffle partitions here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    sh = {r._id: r.simhash for r in dedup.simhash_md5(df, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert sh[1] == sh[2]
+    assert 0 < ham(sh[1], sh[3]) <= 20
+    assert ham(sh[1], sh[4]) > ham(sh[1], sh[3])
