@@ -215,7 +215,9 @@ class Engine:
         elif kind in ("passthrough", "duckdb", "bigquery"):
             # FULL-tier remote engine (reference BigQuery backend)
             src = DuckDBPassthroughSource(
-                name, conf.get("tables") or conf.get("settings", {}).get("tables") or {}
+                name,
+                conf.get("tables") or conf.get("settings", {}).get("tables") or {},
+                db_path=conf.get("db_path") or conf.get("settings", {}).get("db_path"),
             )
         else:
             raise QueryError(f"unknown source type {kind!r}")
@@ -273,7 +275,12 @@ class Engine:
             elif isinstance(src, FamilyTableSource):
                 out[name] = {"type": "bigtable", "physical": dict(src.physical)}
             elif isinstance(src, DuckDBPassthroughSource):
-                out[name] = {"type": "passthrough", "tables": dict(src._paths)}
+                c: dict = {"type": "passthrough"}
+                if src._paths:
+                    c["tables"] = dict(src._paths)
+                if src.db_path:
+                    c["db_path"] = src.db_path
+                out[name] = c
             elif isinstance(src, RestJsonSource):
                 out[name] = {"type": "kube", "endpoints": dict(src.endpoints)}
             # MemorySource and other session-only kinds: intentionally omitted
@@ -422,6 +429,19 @@ class Engine:
                 # truncate an INSERT's input (p.Final contract)
                 embedded = lambda s: self._select(s, final=False)  # noqa: E731
                 if owner is not None and head != "MERGE":
+                    # FULL tier ships the whole DML statement to the remote
+                    # engine (reference BigQuery write path,
+                    # sql_to_bq.go:178-304) — there is no local truth to
+                    # polyfill a write against
+                    full_dml = getattr(owner, "execute_full_dml", None)
+                    if owner.tier is PushdownTier.FULL and full_dml is not None:
+                        n = full_dml(stmt_rw)
+                        if n is None:
+                            raise QueryError(
+                                f"source {owner.name!r} declined the statement "
+                                "and FULL-tier tables cannot be written locally"
+                            )
+                        return DmlResult(n)
                     return execute_source_dml(
                         self.spark, owner, target, stmt_rw,
                         select_runner=embedded,

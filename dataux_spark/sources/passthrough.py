@@ -29,22 +29,87 @@ from .base import PushdownTier, Source
 
 
 class DuckDBPassthroughSource(Source):
-    """A FULL-tier source backed by DuckDB over parquet files."""
+    """A FULL-tier source backed by DuckDB — over parquet files
+    (query-only), or over a persistent .duckdb database file (`db_path`),
+    which also accepts whole-statement DML the way the reference's
+    BigQuery backend executes writes remotely (streaming insert
+    sql_to_bq.go:178-304, DML shipped in the target dialect)."""
 
     tier = PushdownTier.FULL
     default_limit = 5000  # BigQuery-style cap (sql_to_bq.go default)
 
-    def __init__(self, name: str, table_paths: dict[str, str]):
+    def __init__(
+        self,
+        name: str,
+        table_paths: dict[str, str] | None = None,
+        db_path: str | None = None,
+    ):
         self.name = name
-        self._paths = dict(table_paths)
+        self._paths = dict(table_paths or {})
+        self.db_path = db_path
+        # db mode mutates remotely — re-register views per query so a
+        # declined-to-polyfill SELECT sees remote writes (read-your-writes)
+        self.fresh_scan_per_query = bool(db_path)
+        self._db_tables: list[str] = []
+        if db_path:
+            import duckdb
+
+            con = duckdb.connect(db_path)
+            try:
+                self._db_tables = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+            finally:
+                con.close()
+
+    def _connect(self):
+        import duckdb
+
+        if self.db_path:
+            return duckdb.connect(self.db_path)
+        con = duckdb.connect()
+        for t, p in self._paths.items():
+            con.execute(f'CREATE VIEW "{t}" AS SELECT * FROM read_parquet(?)', [p])
+        return con
 
     def tables(self) -> list[str]:
-        return list(self._paths)
+        return list(self._paths) + list(self._db_tables)
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         # The polyfill path: when passthrough declines, the engine plans the
-        # query in Spark over these DataFrames.
-        return spark.read.parquet(self._paths[table])
+        # query in Spark over these DataFrames. In db mode the table ships
+        # through Arrow — correct for the remote-engine stand-in, where the
+        # polyfill's own contract is "read the remote table"; a real
+        # connector streams this through its partitioned reader instead.
+        if table in self._paths:
+            return spark.read.parquet(self._paths[table])
+        con = self._connect()
+        try:
+            tbl = con.execute(f'SELECT * FROM "{table}"').fetch_arrow_table()
+        finally:
+            con.close()
+        return spark.createDataFrame(tbl.to_pandas())
+
+    def writable(self) -> bool:
+        return self.db_path is not None
+
+    def execute_full_dml(self, sql: str) -> int | None:
+        """Whole-statement remote DML (the FULL-tier analog of the mutator
+        contract): run the INSERT/UPDATE/DELETE natively and return the
+        affected-row count, or None to decline (unsupported syntax) — the
+        engine then rejects, since a FULL source's tables have no local
+        truth to polyfill a write against. DuckDB returns the count as the
+        statement's single result cell, exactly the affected-rows contract
+        the reference renders (results_mysql.go:295-348)."""
+        if not self.db_path:
+            return None
+        con = self._connect()
+        try:
+            cur = con.execute(self.to_native_sql(sql))
+            row = cur.fetchone()
+            return int(row[0]) if row else 0
+        except Exception:
+            return None
+        finally:
+            con.close()
 
     def to_native_sql(self, sql: str) -> str:
         """Dialect writer parity (expr.NewDialectWriter('\\'', '"')):

@@ -90,3 +90,46 @@ def test_create_source_ddl_passthrough(spark):
     eng.sql(f"CREATE SOURCE bq WITH {conf}")
     assert eng.sources["bq"].tier.value == "full"
     assert _rows(eng.sql("SELECT count(*) AS ct FROM customer"))[0][0] > 0
+
+
+def test_db_backed_passthrough_remote_dml(spark, tmp_path):
+    """FULL-tier remote writes (reference BigQuery write path,
+    sql_to_bq.go:178-304): the whole DML statement ships to the remote
+    engine, affected counts come back, and both read paths — native
+    whole-query pushdown AND the declined-to-polyfill Spark plan — see
+    the writes."""
+    import duckdb
+
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+    from dataux_spark.sources.passthrough import DuckDBPassthroughSource
+
+    db = str(tmp_path / "remote.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE bq_items (iid BIGINT, label VARCHAR, qty BIGINT)")
+    con.execute("INSERT INTO bq_items VALUES (1, 'a', 10), (2, 'b', 20)")
+    con.close()
+    e = Engine(spark)
+    e.register_source(DuckDBPassthroughSource("bqdb", db_path=db))
+    assert "bq_items" in e.sources["bqdb"].tables()
+    # remote INSERT (streaming-insert analog): affected count from the engine
+    r = e.sql("INSERT INTO bq_items (iid, label, qty) VALUES (3, 'c', 30)")
+    assert r.affected == 1
+    # native whole-query read sees it
+    assert e.sql("SELECT count(*) AS ct FROM bq_items").collect()[0][0] == 3
+    # remote UPDATE / DELETE with affected counts
+    assert e.sql("UPDATE bq_items SET qty = qty + 1 WHERE iid <= 2").affected == 2
+    assert e.sql("DELETE FROM bq_items WHERE label = 'b'").affected == 1
+    rows = sorted(tuple(r) for r in e.sql(
+        "SELECT iid, label, qty FROM bq_items").collect())
+    assert rows == [(1, "a", 11), (3, "c", 30)]
+    # ...and the write really lives in the remote database file
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM bq_items").fetchone()[0] == 2
+    con.close()
+    # a parquet-backed (query-only) passthrough still rejects writes
+    pq = str(tmp_path / "ro.parquet")
+    spark.createDataFrame([(1,)], "x long").write.parquet(pq)
+    e.register_source(DuckDBPassthroughSource("bqro", {"ro_items": pq}))
+    with pytest.raises(QueryError, match="read-only|declined"):
+        e.sql("INSERT INTO ro_items (x) VALUES (2)")
