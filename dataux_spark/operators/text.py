@@ -440,3 +440,16 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         F.col("_id").alias(id_col), "score", "rank"
     )
+
+
+def normalize_whitespace(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Whitespace/control normalization — the first pass of every corpus
+    cleaner: control characters (incl. tabs/newlines) and zero-width
+    code points become spaces, whitespace runs collapse to one space,
+    ends trim. Pure scan-projection regexp chain (JVM, zero shuffle).
+    Returns (id, text_norm)."""
+    c = F.regexp_replace(
+        F.col(content_col), "[\\p{Cc}\\u200B\\u200C\\u200D\\uFEFF]", " "
+    )
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.select(F.col(id_col), F.trim(c).alias("text_norm"))

@@ -2621,6 +2621,42 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "text_normalize_ws",
+    # plant control + zero-width characters deterministically, then both
+    # engines run the same two-regex normalization (RE2 and Java agree on
+    # \p{Cc} and the explicit zero-width code points)
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             text || chr(9) || '  zero' || chr(8203) || 'width' ||
+             chr(7) || ' end  ' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(t, '[\\p{Cc}\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
+                            ' ', 'g'),
+             '\\s+', ' ', 'g')) AS text_norm
+    FROM planted
+    """,
+)
+def text_normalize_ws(spark, sf_dir):
+    """Whitespace/control normalization (operators/text.normalize_whitespace)
+    — the first pass of every corpus cleaner, over text planted with tabs,
+    BEL, zero-width space, and trailing runs. Pure scan projection; the
+    oracle replays the identical regex chain."""
+    from dataux_spark.operators.text import normalize_whitespace
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\t  zero\u200bwidth\u0007 end  ")
+        ).alias("t"),
+    )
+    return normalize_whitespace(d, "t", "doc_id")
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"
@@ -3629,7 +3665,7 @@ _DRIVER_WINDOW: list[str] = [
 # streaming_incremental_neardup, embedding_cluster_assign,
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
 # profile_columns, profile_histogram, training_prep_pipeline,
-# streaming_rollup_merge, dedup_simhash_md5.
+# streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws.
 
 
 def _export_order() -> list[str]:
