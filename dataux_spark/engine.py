@@ -159,7 +159,9 @@ class Engine:
             from dataux_spark.sources.mongo_style import MongoStyleSource
 
             src = MongoStyleSource(
-                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+                name,
+                conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
+                push_log_dir=conf.get("push_log_dir"),
             )
         elif kind in ("datastore", "gcd"):
             from dataux_spark.sources.datastore_style import DatastoreStyleSource
@@ -167,6 +169,7 @@ class Engine:
             src = DatastoreStyleSource(
                 name,
                 conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
+                push_log_dir=conf.get("push_log_dir"),
                 entity_keys=conf.get("entity_keys")
                 or conf.get("settings", {}).get("entity_keys"),
             )
@@ -187,12 +190,15 @@ class Engine:
                         clustering_keys=list(tc.get("clustering_keys") or []),
                     ),
                 )
-            src = CassandraStyleSource(name, tables)
+            src = CassandraStyleSource(name, tables, push_log_dir=conf.get("push_log_dir"))
         elif kind in ("bigtable", "bt"):
             from dataux_spark.sources.bigtable_style import FamilyTableSource
 
             src = FamilyTableSource(
-                name, conf.get("physical") or conf.get("settings", {}).get("physical") or {}
+                name,
+                conf.get("physical") or conf.get("settings", {}).get("physical") or {},
+                rowkey=conf.get("rowkey", "rowkey"),
+                sep=conf.get("sep", ":"),
             )
         elif kind in ("kube", "rest"):
             from dataux_spark.sources.rest import RestJsonSource
@@ -204,13 +210,17 @@ class Engine:
             from dataux_spark.sources.lytics_style import LyticsStyleSource
 
             src = LyticsStyleSource(
-                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+                name,
+                conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
+                push_log_dir=conf.get("push_log_dir"),
             )
         elif kind in ("elasticsearch", "es"):
             from dataux_spark.sources.es_style import EsStyleRestSource
 
             src = EsStyleRestSource(
-                name, conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {}
+                name,
+                conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
+                push_log_dir=conf.get("push_log_dir"),
             )
         elif kind in ("passthrough", "duckdb", "bigquery"):
             # FULL-tier remote engine (reference BigQuery backend)
@@ -243,6 +253,13 @@ class Engine:
 
         out: dict[str, dict] = {}
         for name, src in self.sources.items():
+            def _opt(c: dict, s=src) -> dict:
+                # optional behavioral fields must survive the round-trip —
+                # silently dropping them would re-create a different source
+                if getattr(s, "push_log_dir", None):
+                    c["push_log_dir"] = s.push_log_dir
+                return c
+
             if isinstance(src, CsvDirSource):
                 out[name] = {"type": "csv", "path": src.path}
             elif isinstance(src, JsonDirSource):
@@ -250,18 +267,18 @@ class Engine:
             elif isinstance(src, ParquetDirSource):
                 out[name] = {"type": "parquet", "path": src.path}
             elif isinstance(src, MongoStyleSource):
-                out[name] = {"type": "mongo", "endpoints": dict(src.endpoints)}
+                out[name] = _opt({"type": "mongo", "endpoints": dict(src.endpoints)})
             elif isinstance(src, EsStyleRestSource):
-                out[name] = {"type": "elasticsearch", "endpoints": dict(src.endpoints)}
+                out[name] = _opt({"type": "elasticsearch", "endpoints": dict(src.endpoints)})
             elif isinstance(src, DatastoreStyleSource):
                 c = {"type": "datastore", "endpoints": dict(src.endpoints)}
                 if src.entity_keys:
                     c["entity_keys"] = dict(src.entity_keys)
-                out[name] = c
+                out[name] = _opt(c)
             elif isinstance(src, LyticsStyleSource):
-                out[name] = {"type": "lytics", "endpoints": dict(src.endpoints)}
+                out[name] = _opt({"type": "lytics", "endpoints": dict(src.endpoints)})
             elif isinstance(src, CassandraStyleSource):
-                out[name] = {
+                out[name] = _opt({
                     "type": "cassandra",
                     "tables": {
                         t: {
@@ -271,9 +288,14 @@ class Engine:
                         }
                         for t, (url, meta) in src._tables.items()
                     },
-                }
+                })
             elif isinstance(src, FamilyTableSource):
-                out[name] = {"type": "bigtable", "physical": dict(src.physical)}
+                c = {"type": "bigtable", "physical": dict(src.physical)}
+                if src.rowkey != "rowkey":
+                    c["rowkey"] = src.rowkey
+                if src.sep != ":":
+                    c["sep"] = src.sep
+                out[name] = c
             elif isinstance(src, DuckDBPassthroughSource):
                 c: dict = {"type": "passthrough"}
                 if src._paths:

@@ -363,20 +363,26 @@ def update_minhash_store(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Append a new batch's signatures to an existing store — the commit
     half of the probe-then-commit ingest cycle (probe:
     incremental_minhash_candidates). Append-only parquet, same layout as
     build_minhash_store, so the store grows by batch size per ingest and
-    probing stays independent of ingest history length."""
-    sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n)
-    sigs = sigs.persist()
+    probing stays independent of ingest history length. A caller running
+    probe AND commit on the same batch passes the (persisted) `sigs`
+    frame so the 64-hash stage runs once per batch, not twice."""
+    owned = sigs is None
+    if owned:
+        sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n)
+        sigs = sigs.persist()
     (
         _banded_rows(sigs, num_hashes, bands)
         .write.mode("append").partitionBy("band").parquet(f"{store_path}/bands")
     )
     sigs.select("_id", "_grams").write.mode("append").parquet(f"{store_path}/grams")
-    sigs.unpersist()
+    if owned:  # a caller-provided frame stays under the caller's lifetime
+        sigs.unpersist()
 
 
 def incremental_minhash_candidates(
@@ -388,12 +394,15 @@ def incremental_minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup detection for a NEW batch against the persisted store:
     batch signatures (computed fresh, batch-sized) bucket-join the store's
     banded keys, candidates verify with exact Jaccard against the store's
     shingle sets. Returns (batch_id, store_id, jaccard ≥ threshold) — the
     batch rows to drop (or cluster) before appending to the corpus.
+    `sigs` lets a probe-then-commit caller share one (persisted)
+    signature frame across both halves.
 
     Scale: the join is (batch bands ∪ store bands) slim rows shuffled on
     (band, bh) — Catalyst broadcasts the batch side when it is small (the
@@ -401,7 +410,9 @@ def incremental_minhash_candidates(
     ids via the verify join, never scanned wholesale. Probing cost is
     independent of how many batches were ingested before."""
     spark = batch.sparkSession
-    sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n)
+    shared_sigs = sigs is not None
+    if sigs is None:
+        sigs = minhash_signatures(batch, content_col, id_col, num_hashes, shingle_n)
     bb = _banded_rows(sigs, num_hashes, bands)
     sb = spark.read.parquet(f"{store_path}/bands")
     cand = (
@@ -411,10 +422,14 @@ def incremental_minhash_candidates(
         .dropDuplicates(["batch_id", "store_id"])
     )
     sg = spark.read.parquet(f"{store_path}/grams")
-    # Batch grams as an independent lazy frame, not a persist() of sigs —
-    # same no-hidden-cache rule as minhash_lsh_pairs; the shared scan +
-    # shingle prefix is a reused exchange within the one query.
-    batch_grams = gram_sets(batch, content_col, id_col, shingle_n)
+    # Batch grams: from the caller's persisted signature frame when one
+    # was shared (probe-then-commit — already materialized, no recompute),
+    # else an independent lazy frame, not a hidden persist() of sigs —
+    # same no-hidden-cache rule as minhash_lsh_pairs.
+    if shared_sigs:
+        batch_grams = sigs.select("_id", "_grams")
+    else:
+        batch_grams = gram_sets(batch, content_col, id_col, shingle_n)
     cand = (
         cand.join(
             batch_grams.select(F.col("_id").alias("batch_id"), F.col("_grams").alias("ga")),

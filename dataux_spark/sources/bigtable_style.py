@@ -164,18 +164,18 @@ class _BtMutator(SourceMutator):
         return len(hit_keys)
 
     def overwrite(self, df) -> None:
-        keep = [
-            d for d in self.src._docs[self.phys]
-            if not any(c.startswith(self.prefix) for c in d)
-        ]
+        # strip only THIS family's cells from every physical row (sibling
+        # families keep theirs); rows left with nothing but the key and no
+        # replacement drop out of the store
         new = [self._fam_doc(r) for r in df.collect()]
-        # merge back into rows that still exist under other families
         by_key = {d[self.rowkey]: d for d in new}
         merged = []
-        for d in keep:
+        for d in self.src._docs[self.phys]:
+            kept = {c: v for c, v in d.items() if not c.startswith(self.prefix)}
             k = d.get(self.rowkey)
             if k in by_key:
-                d = {**d, **by_key.pop(k)}
-            merged.append(d)
+                kept.update(by_key.pop(k))
+            if len(kept) > 1:  # rowkey plus ≥1 cell from any family
+                merged.append(kept)
         merged.extend(by_key.values())
         self.src._docs[self.phys] = merged

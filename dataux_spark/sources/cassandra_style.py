@@ -271,8 +271,10 @@ class CassandraStyleSource(Source):
         class _CqlMutator(_DocMutator):
             def put(self, batch, keys):
                 # primary-key upsert ALWAYS — plain INSERT is an upsert in
-                # CQL, so a caller's keys=None (append) is overridden with
-                # the table's partition+clustering keys
-                return super().put(batch, keys or pk)
+                # CQL, and the key is the table's partition+clustering
+                # columns, never the caller's (the engine's generic
+                # first-insert-column fallback would key an UPSERT on the
+                # partition column alone and wipe sibling clustering rows)
+                return super().put(batch, pk)
 
         return _CqlMutator(spark, url[len("file://"):])

@@ -177,7 +177,10 @@ class DatastoreStyleSource(Source):
 
         class _EntityMutator(_DocMutator):
             def put(self, batch, keys):
-                return super().put(batch, keys or [key])
+                # entity Put is keyed by the DECLARED entity key, never the
+                # caller's (the engine's first-insert-column fallback would
+                # upsert on an arbitrary property and replace wrong rows)
+                return super().put(batch, [key])
 
         return _EntityMutator(spark, url[len("file://"):])
 

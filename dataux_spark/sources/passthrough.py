@@ -28,6 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from .base import PushdownTier, Source
 
 
+def _arrow_to_spark(spark: SparkSession, tbl) -> DataFrame:
+    """Arrow table → DataFrame WITHOUT the pandas hop: pandas coerces
+    nullable integer columns to float64 (schema drift vs native results)
+    and cannot infer a schema from an empty frame. Spark 4 accepts Arrow
+    tables directly; fall back to pandas only on older runtimes and only
+    for non-empty results."""
+    try:
+        return spark.createDataFrame(tbl)
+    except Exception:
+        return spark.createDataFrame(tbl.to_pandas())
+
+
 class DuckDBPassthroughSource(Source):
     """A FULL-tier source backed by DuckDB — over parquet files
     (query-only), or over a persistent .duckdb database file (`db_path`),
@@ -86,7 +98,7 @@ class DuckDBPassthroughSource(Source):
             tbl = con.execute(f'SELECT * FROM "{table}"').fetch_arrow_table()
         finally:
             con.close()
-        return spark.createDataFrame(tbl.to_pandas())
+        return _arrow_to_spark(spark, tbl)
 
     def writable(self) -> bool:
         return self.db_path is not None
@@ -101,12 +113,22 @@ class DuckDBPassthroughSource(Source):
         the reference renders (results_mysql.go:295-348)."""
         if not self.db_path:
             return None
+        import duckdb
+
         con = self._connect()
         try:
             cur = con.execute(self.to_native_sql(sql))
             row = cur.fetchone()
             return int(row[0]) if row else 0
-        except Exception:
+        except (
+            duckdb.ParserException,
+            duckdb.BinderException,
+            duckdb.CatalogException,
+            duckdb.NotImplementedException,
+        ):
+            # genuinely can't express/resolve the statement → decline;
+            # EXECUTION errors (constraint/conversion) propagate — hiding
+            # a data error behind "declined" would misdiagnose the failure
             return None
         finally:
             con.close()
@@ -120,14 +142,11 @@ class DuckDBPassthroughSource(Source):
     def execute_full(self, spark: SparkSession, sql: str) -> DataFrame | None:
         """Run the whole query natively; None = decline (engine polyfills)."""
         try:
-            import duckdb
-
-            con = duckdb.connect()
-            for t, p in self._paths.items():
-                con.execute(
-                    f'CREATE VIEW "{t}" AS SELECT * FROM read_parquet(?)', [p]
-                )
-            result = con.execute(self.to_native_sql(sql)).fetch_arrow_table()
+            con = self._connect()  # db tables AND parquet views alike
+            try:
+                result = con.execute(self.to_native_sql(sql)).fetch_arrow_table()
+            finally:
+                con.close()
         except Exception:
             return None  # unsupported syntax/function → polyfill in Spark
-        return spark.createDataFrame(result.to_pandas())
+        return _arrow_to_spark(spark, result)

@@ -226,26 +226,33 @@ def streaming_incremental_neardup(
     query handle; callers drive it (trigger(availableNow) in tests)."""
     from dataux_spark.operators.dedup import (
         incremental_minhash_candidates,
+        minhash_signatures,
         update_minhash_store,
     )
 
     def _probe_then_commit(bdf: DataFrame, batch_id: int) -> None:
-        b = bdf.persist()  # scope-bounded: 2-3 actions below, then freed
+        # ONE signature computation per micro-batch, shared by the probe
+        # and the commit (the 64-hash stage dominates per-batch cost);
+        # persisted scope-bounded, freed before the batch completes
+        sigs = minhash_signatures(
+            bdf, content_col, id_col, num_hashes, shingle_n
+        ).persist()
         try:
             (
                 incremental_minhash_candidates(
-                    b, content_col, id_col, store_path,
-                    num_hashes, bands, shingle_n, threshold,
+                    bdf, content_col, id_col, store_path,
+                    num_hashes, bands, shingle_n, threshold, sigs=sigs,
                 )
                 .withColumn("batch", F.lit(batch_id))
                 .write.mode("append").parquet(pairs_path)
             )
             if update_store:
                 update_minhash_store(
-                    b, content_col, id_col, store_path, num_hashes, bands, shingle_n
+                    bdf, content_col, id_col, store_path,
+                    num_hashes, bands, shingle_n, sigs=sigs,
                 )
         finally:
-            b.unpersist()
+            sigs.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_probe_then_commit)

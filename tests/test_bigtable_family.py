@@ -106,3 +106,24 @@ def test_bigtable_family_mutations_rowkey_upsert(spark, tmp_path):
     r = e.sql('UPDATE profile SET age = age + 1 WHERE rowkey = "u3"')
     assert r.affected == 1
     assert e.sql('SELECT age FROM profile WHERE rowkey = "u3"').collect()[0][0] == 52
+
+
+def test_bigtable_update_preserves_sibling_families(spark, tmp_path):
+    """UPDATE routed through overwrite() must strip only THIS family's
+    cells: u1 has activity cells, and updating its profile row must leave
+    them untouched (regression: overwrite once dropped every doc that had
+    any cell in the updated family, destroying sibling families)."""
+    import json as _json
+
+    from dataux_spark import Engine
+
+    (tmp_path / "bt.json").write_text(_json.dumps(ROWS))
+    e = Engine(spark)
+    e.register_source(FamilyTableSource("btow", {"bt_p": f"file://{tmp_path}/bt.json"}))
+    r = e.sql('UPDATE profile SET age = 99 WHERE rowkey = "u1"')
+    assert r.affected == 1
+    assert e.sql('SELECT age FROM profile WHERE rowkey = "u1"').collect()[0][0] == 99
+    # sibling family survives for BOTH updated and untouched rows
+    assert e.sql("SELECT count(*) AS ct FROM activity").collect()[0][0] == 2
+    assert e.sql('SELECT logins FROM activity WHERE rowkey = "u1"').collect()[0][0] == 12
+    assert e.sql('SELECT logins FROM activity WHERE rowkey = "u2"').collect()[0][0] == 3

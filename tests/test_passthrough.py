@@ -133,3 +133,34 @@ def test_db_backed_passthrough_remote_dml(spark, tmp_path):
     e.register_source(DuckDBPassthroughSource("bqro", {"ro_items": pq}))
     with pytest.raises(QueryError, match="read-only|declined"):
         e.sql("INSERT INTO ro_items (x) VALUES (2)")
+
+
+def test_db_mode_native_pushdown_and_empty_table_polyfill(spark, tmp_path):
+    """Regression pair: (1) db-backed execute_full must connect to the
+    database file (it once opened an empty in-memory duckdb, silently
+    declining every query into the collect-the-table polyfill); (2) the
+    Arrow-direct load path must survive an emptied remote table and keep
+    nullable integers integral."""
+    import duckdb
+
+    from dataux_spark import Engine
+    from dataux_spark.sources.passthrough import DuckDBPassthroughSource
+
+    db = str(tmp_path / "r2.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE rt (k BIGINT, v BIGINT)")
+    con.execute("INSERT INTO rt VALUES (1, NULL), (2, 20)")
+    con.close()
+    e = Engine(spark)
+    src = DuckDBPassthroughSource("r2db", db_path=db)
+    e.register_source(src)
+    # native whole-query execution, not a decline
+    native = src.execute_full(spark, "SELECT count(*) AS ct FROM rt")
+    assert native is not None and native.collect()[0][0] == 2
+    # nullable BIGINT survives the Arrow hop as an integral type
+    lf = src.load(spark, "rt")
+    assert dict(lf.dtypes)["v"] == "bigint"
+    # empty the table remotely; both read paths must still work
+    assert e.sql("DELETE FROM rt WHERE k >= 1").affected == 2
+    assert e.sql("SELECT count(*) AS ct FROM rt").collect()[0][0] == 0
+    assert src.load(spark, "rt").count() == 0

@@ -251,3 +251,47 @@ def test_config_dump_load_roundtrip(spark, tmp_path):
     assert "cfmgo" in e3.sources
     with pytest.raises(QueryError, match="non-serializable|unknown"):
         e.sql("SHOW CREATE SOURCE cfmem")
+
+
+def test_cassandra_upsert_keys_on_full_primary_key(spark, tmp_path):
+    """Regression: UPSERT arrives with the engine's generic
+    first-insert-column key fallback (['device']); the CQL mutator must
+    override it with the FULL partition+clustering key, or the upsert
+    would wipe every row sharing the partition column."""
+    docs = [
+        {"device": "d1", "day": 1, "val": 10},
+        {"device": "d1", "day": 2, "val": 20},
+    ]
+    (tmp_path / "cassup.json").write_text(json.dumps(docs))
+    meta = TableMeta(name="cassup", schema=None,
+                     partition_keys=["device"], clustering_keys=["day"])
+    e = Engine(spark)
+    e.register_source(
+        CassandraStyleSource("cassup", {"cassup": (f"file://{tmp_path}/cassup.json", meta)})
+    )
+    r = e.sql('UPSERT INTO cassup (device, day, val) VALUES ("d1", 3, 7)')
+    assert r.affected == 1
+    rows = sorted(_rows(e.sql("SELECT device, day, val FROM cassup")))
+    assert rows == [("d1", 1, 10), ("d1", 2, 20), ("d1", 3, 7)]
+
+
+def test_datastore_upsert_keys_on_entity_key_regardless_of_column_order(spark, tmp_path):
+    """Regression: an UPSERT whose FIRST insert column is not the entity
+    key must still replace on the declared entity key, not on that
+    column's values."""
+    from dataux_spark.sources.datastore_style import DatastoreStyleSource
+
+    ents = [{"eid": "e1", "v": 10}, {"eid": "e2", "v": 10}]
+    (tmp_path / "ek.json").write_text(json.dumps(ents))
+    e = Engine(spark)
+    e.register_source(
+        DatastoreStyleSource(
+            "dsek", {"dsek": f"file://{tmp_path}/ek.json"}, entity_keys={"dsek": "eid"}
+        )
+    )
+    # v is the first insert column and collides with BOTH existing rows;
+    # only eid='e9' may be considered for replacement
+    r = e.sql('UPSERT INTO dsek (v, eid) VALUES (10, "e9")')
+    assert r.affected == 1
+    rows = sorted(_rows(e.sql("SELECT eid, v FROM dsek")))
+    assert rows == [("e1", 10), ("e2", 10), ("e9", 10)]
