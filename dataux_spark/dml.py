@@ -205,8 +205,12 @@ def execute_source_dml(spark: SparkSession, source, table: str, sql: str,
     m = _INSERT_RE.match(sql)
     if m:
         cols = [c.strip().strip("`") for c in m.group(3).split(",")]
-        batch = _align(_values_df(spark, cols, m.group(4).strip()),
-                       source.load(spark, table))
+        values = _values_df(spark, cols, m.group(4).strip())
+        target = source.load(spark, table)
+        # an EMPTIED doc collection infers a zero-column schema — aligning
+        # to it would silently drop every inserted value; the VALUES frame
+        # itself re-seeds the schema in that case
+        batch = _align(values, target) if target.columns else values
         upsert = m.group(1).upper() == "UPSERT"
         return DmlResult(mut.put(batch, (keys or [cols[0]]) if upsert else None))
     m = _INSERT_SELECT_RE.match(sql)
@@ -225,6 +229,8 @@ def execute_source_dml(spark: SparkSession, source, table: str, sql: str,
         # overwrite the table with only the matching rows (the scan-cache
         # trap, per-statement edition)
         base = source.load(spark, table)
+        if not base.columns:  # emptied collection: nothing to update
+            return DmlResult(0)
         affected = base.filter(F.expr(where)).count() if where else base.count()
         mut.overwrite(_update_projection(source.load(spark, table), set_clause, where))
         return DmlResult(affected)

@@ -375,6 +375,8 @@ class _DocMutator(SourceMutator):
         if cond is None:
             self._write([])
             return len(docs)
+        if not docs:  # emptied collection: the predicate matches nothing
+            return 0
         from dataux_spark.infer import infer_from_documents
 
         schema = infer_from_documents(docs)

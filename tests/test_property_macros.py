@@ -224,3 +224,46 @@ def test_malformed_sql_raises_queryerror_never_crashes(spark, base, cut, junk):
         e.sql(sql)
     except QueryError:
         pass  # the contract: graceful, typed, message-bearing
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(ops=st.lists(_dml_op, min_size=1, max_size=5), seq=st.integers(0, 10**9))
+def test_random_dml_sequences_match_model_doc_store(spark, tmp_path_factory, ops, seq):
+    """The same model-based DML fuzz through the DOC-STORE tier: the
+    mongo-style mutator (file-backed Put/DeleteExpression) must leave
+    exactly the state the row-list model predicts, with matching
+    affected-counts, under random statement sequences."""
+    import json as _json
+
+    from dataux_spark import Engine
+    from dataux_spark.sources.mongo_style import MongoStyleSource
+
+    d = tmp_path_factory.mktemp("dmlfz_doc")
+    t = f"mgfz{seq % 100000}"
+    (d / "c.json").write_text(_json.dumps([{"id": 0, "v": 50}]))
+    e = Engine(spark)
+    e.register_source(MongoStyleSource("s" + t, {t: f"file://{d}/c.json"}))
+    model = [(0, 50)]
+    for op, k, v in ops:
+        if op == "insert":
+            r = e.sql(f"INSERT INTO {t} (id, v) VALUES ({k}, {v})")
+            model.append((k, v))
+            assert r.affected == 1
+        elif op == "upsert":
+            r = e.sql(f"UPSERT INTO {t} (id, v) VALUES ({k}, {v})")
+            model = [m for m in model if m[0] != k] + [(k, v)]
+            assert r.affected == 1
+        elif op == "delete_lt":
+            r = e.sql(f"DELETE FROM {t} WHERE id < {k}")
+            hit = [m for m in model if m[0] < k]
+            model = [m for m in model if not m[0] < k]
+            assert r.affected == len(hit)
+        else:
+            r = e.sql(f"UPDATE {t} SET v = v + {v} WHERE id >= {k}")
+            hit = [m for m in model if m[0] >= k]
+            model = [(i, val + v) if i >= k else (i, val) for i, val in model]
+            assert r.affected == len(hit)
+    got = sorted(tuple(r) for r in e.sql(f"SELECT id, v FROM {t}").collect())
+    assert got == sorted(model), (ops, got, sorted(model))
