@@ -267,3 +267,57 @@ def test_random_dml_sequences_match_model_doc_store(spark, tmp_path_factory, ops
             assert r.affected == len(hit)
     got = sorted(tuple(r) for r in e.sql(f"SELECT id, v FROM {t}").collect())
     assert got == sorted(model), (ops, got, sorted(model))
+
+
+_cql_op = st.one_of(
+    st.tuples(st.just("insert"), st.integers(0, 2), st.integers(0, 3), st.integers(0, 99)),
+    st.tuples(st.just("delete_ge"), st.integers(0, 99), st.just(0), st.just(0)),
+    st.tuples(st.just("update_add"), st.integers(0, 2), st.just(0), st.integers(1, 5)),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(ops=st.lists(_cql_op, min_size=1, max_size=5), seq=st.integers(0, 10**9))
+def test_random_cql_sequences_match_model(spark, tmp_path_factory, ops, seq):
+    """CQL-semantics fuzz: a dict keyed by the FULL (partition, clustering)
+    key models the table — INSERT always replaces on that key (no
+    duplicates can exist), UPDATE applies per key, DELETE by predicate.
+    Affected counts and final state must match."""
+    import json as _json
+
+    from dataux_spark import Engine
+    from dataux_spark.infer import TableMeta
+    from dataux_spark.sources.cassandra_style import CassandraStyleSource
+
+    d = tmp_path_factory.mktemp("cqlfz")
+    t = f"cqlfz{seq % 100000}"
+    (d / "t.json").write_text(_json.dumps([{"p": 0, "c": 0, "v": 50}]))
+    meta = TableMeta(name=t, schema=None, partition_keys=["p"], clustering_keys=["c"])
+    e = Engine(spark)
+    e.register_source(CassandraStyleSource("s" + t, {t: (f"file://{d}/t.json", meta)}))
+    model = {(0, 0): 50}
+    for op, a, b, v in ops:
+        if not model:  # emptied table: schemaless edge covered elsewhere
+            break
+        if op == "insert":
+            r = e.sql(f"INSERT INTO {t} (p, c, v) VALUES ({a}, {b}, {v})")
+            model[(a, b)] = v  # CQL INSERT == upsert on the primary key
+            assert r.affected == 1
+        elif op == "delete_ge":
+            r = e.sql(f"DELETE FROM {t} WHERE v >= {a}")
+            hit = [k for k, val in model.items() if val >= a]
+            for k in hit:
+                del model[k]
+            assert r.affected == len(hit)
+        else:
+            r = e.sql(f"UPDATE {t} SET v = v + {v} WHERE p = {a}")
+            hit = [k for k in model if k[0] == a]
+            for k in hit:
+                model[k] += v
+            assert r.affected == len(hit)
+    got = sorted(tuple(r) for r in e.sql(f"SELECT p, c, v FROM {t}").collect())
+    want = sorted((p, c, v) for (p, c), v in model.items())
+    if model:
+        assert got == want, (ops, got, want)
