@@ -159,3 +159,29 @@ def stratified_hash_sample(
         expr = F.when(cond, F.lit(float(rate))) if expr is None else expr.when(cond, F.lit(float(rate)))
     rate_col = F.lit(float(default_rate)) if expr is None else expr.otherwise(F.lit(float(default_rate)))
     return df.filter(frac < rate_col)
+
+
+def grouped_hash_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int | str = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-controlled split: the hash band is computed on the GROUP
+    (source / domain / cluster id), not the row — every row of a group
+    lands in the same split, so near-duplicate documents from one source
+    cannot straddle train and test (the classic eval-leakage bug a
+    row-level split invites). Same zero-shuffle CASE-band mechanics as
+    hash_split; weights apply to groups, so realized row proportions
+    track group sizes."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    frac = hash_frac(group_col, seed)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        expr = F.when(frac < hi, name) if expr is None else expr.when(frac < hi, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)

@@ -1490,6 +1490,36 @@ def sample_temperature_mix(spark, sf_dir):
     )
 
 
+def _grouped_split_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("source")
+    return (
+        f"SELECT source, CASE WHEN {f} < 0.9 THEN 'train' "
+        f"WHEN {f} < 0.95 THEN 'val' ELSE 'test' END AS split, "
+        "count(*) AS ct, count(DISTINCT lang) AS n_langs "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+@_q("split_by_source", _grouped_split_oracle())
+def split_by_source(spark, sf_dir):
+    """Leakage-controlled split (sampling.grouped_hash_split): the band is
+    hashed on the SOURCE, so every document of a source shares a split and
+    near-dups within a source can never straddle train/test. The grouped
+    roll-up proves each source maps to exactly one split (one row per
+    source in the result); the oracle replays the group-keyed bucket
+    function bit-for-bit."""
+    from dataux_spark.operators.sampling import grouped_hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        grouped_hash_split(d, "source")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("ct"), F.countDistinct("lang").alias("n_langs"))
+    )
+
+
 def _stratified_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -3665,7 +3695,8 @@ _DRIVER_WINDOW: list[str] = [
 # streaming_incremental_neardup, embedding_cluster_assign,
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
 # profile_columns, profile_histogram, training_prep_pipeline,
-# streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws.
+# streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
+# split_by_source.
 
 
 def _export_order() -> list[str]:

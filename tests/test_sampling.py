@@ -127,3 +127,21 @@ def test_stratified_hash_sample_membership_rule(spark, sf_dir):
     assert kept.filter(F.col("lang") == "de").count() == n_de
     n_en = d.filter(F.col("lang") == "en").count()
     assert kept.filter(F.col("lang") == "en").count() < n_en
+
+
+def test_grouped_split_no_group_straddles(spark, sf_dir):
+    """Every group must land wholly in one split — the leakage guarantee —
+    and the assignment must be the group-keyed hash band."""
+    from dataux_spark.operators.sampling import grouped_hash_split, hash_frac
+
+    d = read_table(spark, sf_dir, "documents")
+    out = grouped_hash_split(d, "source")
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    ).collect()
+    assert per_group and all(r.n_splits == 1 for r in per_group)
+    fr = {r.source: r.f for r in d.select("source").distinct()
+          .withColumn("f", hash_frac("source")).collect()}
+    for r in out.select("source", "split").distinct().collect():
+        want = "train" if fr[r.source] < 0.9 else ("val" if fr[r.source] < 0.95 else "test")
+        assert r.split == want
