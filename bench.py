@@ -58,6 +58,9 @@ HEADLINE = [
     # representative of the new corpus-analysis surface
     "embedding_cluster_assign",
     "text_bm25_topk",
+    # the composed six-stage prep pipeline — the flagship composition,
+    # timed so a regression in any stage's plan shows up here
+    "training_prep_pipeline",
     "asof_join_events",
     "sessionize_stats",
     "range_join_price_bands",

