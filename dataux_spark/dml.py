@@ -324,7 +324,11 @@ def _resolve_select_batch(spark, m, target_df, select_runner=None):
                 f"INSERT column count {len(cols)} != SELECT column count {len(sel.columns)}"
             )
         sel = sel.toDF(*cols)
-    return _align(sel, target_df), sel.columns[0]
+    # an EMPTIED doc collection infers a zero-column target — aligning to
+    # it would drop every inserted value (same guard as the VALUES path);
+    # the select's own schema re-seeds the collection
+    batch = _align(sel, target_df) if target_df.columns else sel
+    return batch, sel.columns[0]
 
 
 def _insert_select(spark, store: TableStore, m, upsert: bool,

@@ -161,7 +161,8 @@ class Engine:
             src = MongoStyleSource(
                 name,
                 conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
-                push_log_dir=conf.get("push_log_dir"),
+                push_log_dir=conf.get("push_log_dir")
+                or conf.get("settings", {}).get("push_log_dir"),
             )
         elif kind in ("datastore", "gcd"):
             from dataux_spark.sources.datastore_style import DatastoreStyleSource
@@ -169,7 +170,8 @@ class Engine:
             src = DatastoreStyleSource(
                 name,
                 conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
-                push_log_dir=conf.get("push_log_dir"),
+                push_log_dir=conf.get("push_log_dir")
+                or conf.get("settings", {}).get("push_log_dir"),
                 entity_keys=conf.get("entity_keys")
                 or conf.get("settings", {}).get("entity_keys"),
             )
@@ -190,15 +192,20 @@ class Engine:
                         clustering_keys=list(tc.get("clustering_keys") or []),
                     ),
                 )
-            src = CassandraStyleSource(name, tables, push_log_dir=conf.get("push_log_dir"))
+            src = CassandraStyleSource(
+                name, tables,
+                push_log_dir=conf.get("push_log_dir")
+                or conf.get("settings", {}).get("push_log_dir"),
+            )
         elif kind in ("bigtable", "bt"):
             from dataux_spark.sources.bigtable_style import FamilyTableSource
 
             src = FamilyTableSource(
                 name,
                 conf.get("physical") or conf.get("settings", {}).get("physical") or {},
-                rowkey=conf.get("rowkey", "rowkey"),
-                sep=conf.get("sep", ":"),
+                rowkey=conf.get("rowkey")
+                or conf.get("settings", {}).get("rowkey") or "rowkey",
+                sep=conf.get("sep") or conf.get("settings", {}).get("sep") or ":",
             )
         elif kind in ("kube", "rest"):
             from dataux_spark.sources.rest import RestJsonSource
@@ -212,7 +219,8 @@ class Engine:
             src = LyticsStyleSource(
                 name,
                 conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
-                push_log_dir=conf.get("push_log_dir"),
+                push_log_dir=conf.get("push_log_dir")
+                or conf.get("settings", {}).get("push_log_dir"),
             )
         elif kind in ("elasticsearch", "es"):
             from dataux_spark.sources.es_style import EsStyleRestSource
@@ -220,7 +228,8 @@ class Engine:
             src = EsStyleRestSource(
                 name,
                 conf.get("endpoints") or conf.get("settings", {}).get("endpoints") or {},
-                push_log_dir=conf.get("push_log_dir"),
+                push_log_dir=conf.get("push_log_dir")
+                or conf.get("settings", {}).get("push_log_dir"),
             )
         elif kind in ("passthrough", "duckdb", "bigquery"):
             # FULL-tier remote engine (reference BigQuery backend)

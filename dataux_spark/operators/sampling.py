@@ -174,14 +174,6 @@ def grouped_hash_split(
     cannot straddle train and test (the classic eval-leakage bug a
     row-level split invites). Same zero-shuffle CASE-band mechanics as
     hash_split; weights apply to groups, so realized row proportions
-    track group sizes."""
-    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    frac = hash_frac(group_col, seed)
-    expr = None
-    hi = 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        hi += weights[name]
-        expr = F.when(frac < hi, name) if expr is None else expr.when(frac < hi, name)
-    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(split_col, expr)
+    track group sizes. Mechanically this IS hash_split banded on the
+    group column — one band implementation, two key semantics."""
+    return hash_split(df, group_col, weights, seed, split_col)

@@ -3598,7 +3598,13 @@ def training_prep_pipeline(spark, sf_dir):
     qual = base.filter(F.col("n_tokens") >= 30)
     w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     uniq = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    pairs = minhash_lsh_pairs(uniq, "text", "doc_id", shingle_n=3, threshold=0.5)
+    # bands=32 (r=2): P(a true j>=0.5 pair misses every band) = (1-j²)³²
+    # <= 1e-4 — the recall knob turned up so equality with the exact
+    # oracle is near-certain by construction, not a fixture accident;
+    # candidates are still exact-verified, so false positives are zero
+    pairs = minhash_lsh_pairs(
+        uniq, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3, threshold=0.5
+    )
     drops = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
     surv = uniq.join(drops, "doc_id", "left_anti")
     samp = stratified_hash_sample(

@@ -75,11 +75,22 @@ class DuckDBPassthroughSource(Source):
     def _connect(self):
         import duckdb
 
-        if self.db_path:
-            return duckdb.connect(self.db_path)
-        con = duckdb.connect()
+        # db mode still registers the parquet views: a source constructed
+        # with BOTH table_paths and db_path must serve whole-query pushdown
+        # for both table kinds on one connection
+        import os
+
+        con = duckdb.connect(self.db_path) if self.db_path else duckdb.connect()
         for t, p in self._paths.items():
-            con.execute(f'CREATE VIEW "{t}" AS SELECT * FROM read_parquet(?)', [p])
+            # a Spark-written "table.parquet" is a DIRECTORY of part files —
+            # glob it; literal (escaped) path because IF NOT EXISTS
+            # statements cannot carry prepared parameters in duckdb
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            lit = pat.replace("'", "''")
+            con.execute(
+                f'CREATE VIEW IF NOT EXISTS "{t}" AS '
+                f"SELECT * FROM read_parquet('{lit}')"
+            )
         return con
 
     def tables(self) -> list[str]:

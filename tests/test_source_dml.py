@@ -295,3 +295,19 @@ def test_datastore_upsert_keys_on_entity_key_regardless_of_column_order(spark, t
     assert r.affected == 1
     rows = sorted(_rows(e.sql("SELECT eid, v FROM dsek")))
     assert rows == [("e1", 10), ("e2", 10), ("e9", 10)]
+
+
+def test_insert_select_reseeds_emptied_collection(spark, tmp_path):
+    """Regression (review finding): INSERT..SELECT into an emptied doc
+    collection must re-seed the schema from the select, not align to the
+    zero-column target and write empty documents."""
+    (tmp_path / "mt.json").write_text(json.dumps([{"id": 1, "v": "x"}]))
+    e = Engine(spark)
+    e.register_source(MongoStyleSource("mgomt", {"mgomt": f"file://{tmp_path}/mt.json"}))
+    e.register_memory(
+        "mtsrc", {"mtrows": spark.createDataFrame([(7, "z")], "id long, v string")}
+    )
+    assert e.sql("DELETE FROM mgomt WHERE id >= 0").affected == 1
+    r = e.sql("INSERT INTO mgomt (id, v) SELECT id, v FROM mtrows")
+    assert r.affected == 1
+    assert _rows(e.sql("SELECT id, v FROM mgomt")) == [(7, "z")]
