@@ -1490,6 +1490,46 @@ def sample_temperature_mix(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_source_report",
+    # language entropy per source: -sum p ln p over the language mix —
+    # the mixture-health number a corpus dashboard leads with
+    """
+    WITH lc AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT source, sum(n) AS nt FROM lc GROUP BY source
+    )
+    SELECT lc.source,
+           CAST(max(tot.nt) AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           round(-sum((lc.n::DOUBLE / tot.nt) * ln(lc.n::DOUBLE / tot.nt)), 6)
+             AS lang_entropy
+    FROM lc JOIN tot USING (source)
+    GROUP BY lc.source
+    """,
+)
+def corpus_source_report(spark, sf_dir):
+    """Per-source corpus health report: document count, language count,
+    and language-mix entropy (-sum p ln p) — two map-side-combined
+    shuffles on tiny keys ((source, lang) then source), the dashboard
+    query a corpus pipeline fronts with."""
+    d = read_table(spark, sf_dir, "documents")
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w_tot = lc.groupBy("source").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    return (
+        lc.join(w_tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("nt").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
+
+
 def _grouped_split_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -3709,7 +3749,7 @@ _DRIVER_WINDOW: list[str] = [
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
 # profile_columns, profile_histogram, training_prep_pipeline,
 # streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
-# split_by_source.
+# split_by_source, corpus_source_report.
 
 
 def _export_order() -> list[str]:

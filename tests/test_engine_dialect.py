@@ -491,3 +491,19 @@ def test_grouped_terms_null_group_key(spark):
     assert nul.w1 and nul.w2  # both terms arrays present on the same row
     assert nul.w1[0].key == "x" and nul.w1[0]["count"] == 2
     assert nul.w2[0].key == "q" and nul.w2[0]["count"] == 2
+
+
+def test_driver_window_contract_pinned():
+    """The external correctness gate reads the FIRST 50 exported queries;
+    pin the contract so an accidental registry edit cannot silently
+    shuffle the gate: exactly 50 window slots, all registered, exported
+    first and in order, every one carrying a full value oracle."""
+    from dataux_spark import queries as Q
+
+    window = Q._DRIVER_WINDOW
+    assert len(window) == 50
+    exported = list(Q.queries())
+    assert exported[:50] == window
+    oracles = Q.oracle_sql()
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
