@@ -269,23 +269,25 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Candidate generation as ONE groupBy: collect each bucket's id list
+    # and expand in-bucket pairs with higher-order functions — a single
+    # shuffle on (band, bh) and a single pass over the corpus, where the
+    # aliased self-join formulation planned the whole signature pipeline
+    # TWICE (two scans, two shuffles, join). Bucket id lists are near-dup-
+    # group-sized by construction; `max_bucket` bounds the b² expansion of
+    # pathological boilerplate buckets (same cap semantics as before —
+    # such buckets contribute no pairs at all).
+    buckets = banded.groupBy("band", "bh").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
     if max_bucket is not None:
-        # bucket-size census on the slim (band, bh) keys — one small
-        # map-side-combined shuffle; hot buckets never reach the self-join
-        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
-        banded = (
-            banded.join(F.broadcast(sizes.filter(F.col("_bsz") > max_bucket)),
-                        ["band", "bh"], "left_anti")
-        )
-    a, b = banded.alias("a"), banded.alias("b")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify stage: re-attach shingles to the (much smaller) candidate set.
