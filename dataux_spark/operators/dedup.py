@@ -235,16 +235,16 @@ def minhash_lsh_pairs(
 
     Pipeline (all shuffles linear in corpus size):
       1. signatures (scan, no shuffle)
-      2. explode to (band_idx, band_hash, id) and self-join on the band
-         bucket → candidate pairs. With r = num_hashes/bands rows per band,
+      2. explode to (band_idx, band_hash, id), ONE groupBy on the bucket
+         key collecting each bucket's id list, in-bucket pair expansion →
+         candidate pairs. With r = num_hashes/bands rows per band,
          P(candidate) ≈ 1-(1-j^r)^bands — tuned so j≥threshold is caught
-         w.h.p. Bucket join is a shuffle on (band_idx, band_hash); hot
-         buckets (boilerplate docs) are the skew risk — AQE skew-join
-         handles moderate cases, extreme boilerplate should be pre-filtered
-         by exact dedup first. `max_bucket` is the hard backstop: buckets
-         larger than it are dropped from candidate generation entirely (a
-         b-doc bucket contributes b² pairs — one pathological boilerplate
-         bucket can dominate the whole join). Docs sharing such a bucket
+         w.h.p. One shuffle on (band_idx, band_hash), one corpus pass; hot
+         buckets (boilerplate docs) are the skew risk — `max_bucket` is
+         the hard backstop: buckets larger than it are dropped from
+         candidate generation entirely (a b-doc bucket contributes b²
+         pairs — one pathological boilerplate bucket can dominate the
+         stage). Docs sharing such a bucket
          still pair through their other bands unless they collide on EVERY
          hot band — i.e. near-exact boilerplate, which exact/fingerprint
          dedup upstream removes for a fraction of the cost.
