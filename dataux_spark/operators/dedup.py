@@ -732,13 +732,15 @@ def duplicated_span_stats(
     run of ≥ n tokens is caught because all its length-n sub-spans are.
 
     Plan, all linear: (1) per-doc distinct span hashes in the scan
-    projection (zero shuffle); (2) corpus census groupBy(span) — map-side
-    partial count, hash keys uniform by construction (md5), boilerplate
-    spans are exactly the high-count keys and the partial agg absorbs
-    them; (3) join spans back to the census on the span hash (shuffle
-    hash join — the census is corpus-sized, never broadcast) and one
-    groupBy(doc) roll-up. No pairwise stage exists anywhere, so cost is
-    O(total tokens), independent of how duplicated the corpus is.
+    projection (zero shuffle); (2) census as count-over-window on the
+    span key — the span stream shuffles ONCE on uniform md5 hashes and
+    is computed once (the groupBy-census + join-back form shuffled the
+    same full stream for the join anyway AND planned the explode twice);
+    (3) one groupBy(doc) roll-up. No pairwise stage exists anywhere, so
+    cost is O(total tokens), independent of how duplicated the corpus
+    is. A span duplicated across a large fraction of the corpus
+    concentrates its rows in one span partition — the same residence the
+    join-back form had; pre-filtering exact duplicates bounds it.
 
     Returns one row per doc: (id, n_spans, n_dup_spans, dup_span_frac)
     where n_spans counts DISTINCT spans and a span is "dup" if it appears
@@ -747,10 +749,15 @@ def duplicated_span_stats(
     d = scan_parallelize(
         df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
     ).select("_id", tokens(F.col("_c")).alias("_t"))
+    from pyspark.sql import Window as W
+
     spans = d.select("_id", F.explode(_span_hashes("_t", n)).alias("span"))
-    census = spans.groupBy("span").agg(F.count("*").alias("_nd"))
+    # census as a count-over-window on the span key: the same shuffle a
+    # groupBy(span) would cost, but the span stream is computed ONCE —
+    # the census+join-back form planned the whole explode pipeline twice
+    nd = F.count("*").over(W.partitionBy("span"))
     return (
-        spans.join(census, "span")
+        spans.withColumn("_nd", nd)
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_spans"),
