@@ -528,3 +528,69 @@ def cluster_profile(assignments: DataFrame) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe against an EXPLICIT centroid table — the deterministic,
+    oracle-checkable twin of ivf_topk (whose k-means-trained quantizer
+    keeps its recall tests): corpus rows live in their max-cosine cell,
+    each query probes its nprobe best cells, exact rerank within.
+
+    Same plan shape as production IVF, with the centroid table inlined as
+    literals (assign_to_centroids' zero-shuffle projection): corpus
+    assignment costs one scan pass, the query side broadcasts, rerank is
+    a per-query window. Ties break to the smaller centroid/neighbor id so
+    the result is engine-independent. Returns (query_id, neighbor_id,
+    cos, rank)."""
+    def structs():
+        cands = []
+        for cid, vec in centroids:
+            lit_vec = f"array({', '.join(f'cast({float(x)!r} as double)' for x in vec)})"
+            cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12
+            dot = F.expr(
+                f"aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
+                f"cast(0 as double), (acc, x) -> acc + x)"
+            )
+            cos = dot / (_norm("_v") * F.lit(cn))
+            cands.append(F.struct(cos.alias("cos"), F.lit(-int(cid)).alias("ncid")))
+        return F.array(*cands)
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("cnorm", _norm("_v"))
+        .withColumn("cell", (-F.array_max(structs())["ncid"]).cast("long"))
+        .select("neighbor_id", F.col("_v").alias("cv"), "cnorm", "cell")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("qnorm", _norm("_v"))
+        .withColumn("__structs", structs())
+        .withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"transform(slice(reverse(array_sort(__structs)), 1, {nprobe}), "
+                    "s -> CAST(-s.ncid AS BIGINT))"
+                )
+            ),
+        )
+        .select("query_id", F.col("_v").alias("qv"), "qnorm", "cell")
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2439,6 +2439,75 @@ def embedding_cluster_assign(spark, sf_dir):
     return assign_to_centroids(emb, "embedding", "vec_id", cents)
 
 
+@_q(
+    "ann_ivf_fixed_topk",
+    # fixed centroid cells (vec_id < 16) make the whole IVF pipeline —
+    # cell assignment, nprobe probing, rerank — SQL-replicable; ranks are
+    # computed on the ROUNDED cosine with id tie-breaks on both sides
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), s AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.vv, c.cvec) /
+             (sqrt(list_dot_product(v.vv, v.vv)) *
+              sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+      FROM v CROSS JOIN c
+    ), cellof AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s) t WHERE rn = 1
+    ), qc AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s WHERE vec_id < 5) t WHERE rn <= 2
+    ), cand AS (
+      SELECT q.query_id, m.vec_id AS neighbor_id
+      FROM qc q JOIN cellof m ON m.cell = q.cell AND m.vec_id != q.query_id
+    ), rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qv.vv, nv.vv) /
+                   (sqrt(list_dot_product(qv.vv, qv.vv)) *
+                    sqrt(list_dot_product(nv.vv, nv.vv))), 6) AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v nv ON nv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM rer
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_fixed_topk(spark, sf_dir):
+    """Oracle-checkable IVF twin (operators/similarity.ivf_fixed_topk):
+    explicit centroid cells (embeddings vec_id < 16) make assignment,
+    nprobe=2 probing, and rerank fully deterministic — the oracle
+    replays every stage in SQL. The k-means-trained ivf_topk stays the
+    production variant with its recall tests; this pins the probe and
+    rerank machinery value-exactly, completing the twin set (brute /
+    sign-band / IVF)."""
+    from dataux_spark.operators.similarity import ivf_fixed_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    return ivf_fixed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+        cents, k=5, nprobe=2,
+    )
+
+
 @_q("embedding_kmeans_clusters")  # rows-only: k-means training isn't plain-SQL
 def embedding_kmeans_clusters(spark, sf_dir):
     """Spherical k-means corpus clustering + per-cluster profile
@@ -3749,7 +3818,7 @@ _DRIVER_WINDOW: list[str] = [
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
 # profile_columns, profile_histogram, training_prep_pipeline,
 # streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
-# split_by_source, corpus_source_report.
+# split_by_source, corpus_source_report, ann_ivf_fixed_topk.
 
 
 def _export_order() -> list[str]:

@@ -219,3 +219,42 @@ def test_kmeans_clusters_partition_and_profile(emb):
         v = np.asarray(r.embedding, dtype=np.float64)
         v = v / np.linalg.norm(v)
         assert rows[r.vec_id] == int(np.argmax(cents @ v))
+
+
+def test_ivf_fixed_topk_probe_semantics(emb):
+    """The deterministic IVF twin must honor its own contract: results
+    come only from the query's nprobe best cells, each neighbor lives in
+    its argmax cell, and per-query ranks are contiguous with descending
+    cosine — all checked against a numpy recompute."""
+    import numpy as np
+
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    out = similarity.ivf_fixed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+        cents, k=5, nprobe=2,
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    c = np.asarray([v for _, v in cents])
+    cn = np.linalg.norm(c, axis=1)
+
+    def cells(v, n):
+        cos = (c @ v) / (cn * np.linalg.norm(v))
+        order = sorted(range(len(cents)), key=lambda i: (-cos[i], cents[i][0]))
+        return [cents[i][0] for i in order[:n]]
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True)
+        probed = set(cells(vecs[qid], 2))
+        for r in rows:
+            assert cells(vecs[r.neighbor_id], 1)[0] in probed
