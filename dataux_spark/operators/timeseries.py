@@ -216,3 +216,60 @@ def gap_fill_hourly(
             F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_hours: float = 24.0,
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step i when an event of
+    that type occurs AFTER their step-(i-1) reach time, all within
+    `within_hours` of their FIRST step-0 event. Reach time of each step
+    is the earliest qualifying event (the standard product-analytics
+    funnel definition), so the result is deterministic.
+
+    Plan: one filtered per-user min-aggregate per step, each followed by
+    an equi-join on the user id — len(steps) small keyed shuffles, no
+    window over the full event stream and nothing pairwise. At 100 TB
+    the per-step frames are user-cardinality-sized after their first
+    aggregate, so later stages never rescan raw events beyond the one
+    filtered pass each step needs. Returns (step, step_name, n_users)
+    with step 0-indexed and counts non-increasing."""
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_t0", F.col("_t"))
+    )
+    rows = [(0, steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            u.alias(user_col), t.alias("_ts")
+        )
+        cur = (
+            cur.join(nxt, user_col)
+            .filter(
+                (F.col("_ts") > F.col("_t"))
+                & (
+                    F.col("_ts")
+                    <= F.col("_t0") + F.expr(f"INTERVAL {int(within_hours * 3600)} SECONDS")
+                )
+            )
+            .groupBy(user_col, "_t0")
+            .agg(F.min("_ts").alias("_t"))
+            .select(user_col, "_t", "_t0")
+        )
+        rows.append((i, step, cur))
+    spark = events.sparkSession
+    out = None
+    for i, name, frame in rows:
+        part = frame.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -3363,6 +3363,49 @@ def events_gap_fill_hourly(spark, sf_dir):
 
 
 @_q(
+    "funnel_view_click_purchase",
+    # the same iterative reach-time definition in SQL: step-i reach = the
+    # earliest step-i event after the step-(i-1) reach, within 24h of the
+    # first step-0 event
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, s0.t0, min(e.ts) AS t1
+      FROM events e JOIN s0 ON s0.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t0
+        AND e.ts <= s0.t0 + INTERVAL 24 HOURS
+      GROUP BY e.user_id, s0.t0
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        AND e.ts <= s1.t0 + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    )
+    SELECT 0 AS step, 'view' AS step_name,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase within 24h
+    (operators/timeseries.funnel_counts): reach time per step is the
+    earliest qualifying event after the previous step's reach, bounded
+    by the first step's time — the standard product-analytics funnel,
+    as len(steps) keyed aggregates + joins, nothing pairwise."""
+    from dataux_spark.operators.timeseries import funnel_counts
+
+    return funnel_counts(
+        read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_q(
     "streaming_windowed_agg",
     "SELECT date_trunc('hour', ts) AS win_start, "
     "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, "
@@ -3818,7 +3861,8 @@ _DRIVER_WINDOW: list[str] = [
 # embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
 # profile_columns, profile_histogram, training_prep_pipeline,
 # streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
-# split_by_source, corpus_source_report, ann_ivf_fixed_topk.
+# split_by_source, corpus_source_report, ann_ivf_fixed_topk,
+# funnel_view_click_purchase.
 
 
 def _export_order() -> list[str]:

@@ -108,3 +108,28 @@ def test_gap_fill_hourly_dense_and_lossless(spark, sf_dir):
     raw_ct = ev.count()
     assert filled.agg(F.sum("ct")).first()[0] == raw_ct
     assert filled.filter(F.col("ct") == 0).count() > 0  # gaps existed and were filled
+
+
+def test_funnel_counts_monotone_and_ordered(spark):
+    """Funnel sanity on a hand-built stream: counts are non-increasing,
+    the order requirement is enforced (B before A does not count), and
+    the within-window bound applies from the FIRST step's time."""
+    import datetime as dt
+
+    from dataux_spark.operators.timeseries import funnel_counts
+
+    t = dt.datetime(2026, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t + dt.timedelta(minutes=minutes))
+
+    rows = [
+        ev(1, "A", 0), ev(1, "B", 10), ev(1, "C", 20),      # full conversion
+        ev(2, "A", 0), ev(2, "B", 5),                        # stops at B
+        ev(3, "B", 0), ev(3, "A", 10), ev(3, "C", 20),      # B BEFORE A: no B reach
+        ev(4, "A", 0), ev(4, "B", 30 * 60),                  # B outside 24h
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step_name: r.n_users for r in funnel_counts(
+        df, ["A", "B", "C"], within_hours=24.0).collect()}
+    assert out == {"A": 4, "B": 2, "C": 1}
