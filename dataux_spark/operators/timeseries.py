@@ -273,3 +273,29 @@ def funnel_counts(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cohort-retention triangle: a user's cohort is the day of
+    their first event; for each (cohort_day, age_days) count the distinct
+    users active again that day. Two keyed shuffles (per-user first-day,
+    then the (cohort, age) roll-up over the distinct user-day activity) —
+    the small-output analytics query every event warehouse fronts with.
+    Returns (cohort_day, age_days, n_users), age 0 = the cohort's size."""
+    day = F.to_date(F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    activity = events.select(F.col(user_col), day.alias("_d")).distinct()
+    return (
+        activity.join(firsts, user_col)
+        .select(
+            F.col("cohort_day"),
+            F.datediff(F.col("_d"), F.col("cohort_day")).alias("age_days"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "age_days")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

@@ -3363,6 +3363,31 @@ def events_gap_fill_hourly(spark, sf_dir):
 
 
 @_q(
+    "cohort_retention_daily",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS age_days,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_daily(spark, sf_dir):
+    """Daily cohort-retention triangle (operators/timeseries.
+    cohort_retention): cohort = first-activity day, counts of users
+    active again at each age. Two keyed shuffles, small output."""
+    from dataux_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
+@_q(
     "funnel_view_click_purchase",
     # the same iterative reach-time definition in SQL: step-i reach = the
     # earliest step-i event after the step-(i-1) reach, within 24h of the
@@ -3862,7 +3887,7 @@ _DRIVER_WINDOW: list[str] = [
 # profile_columns, profile_histogram, training_prep_pipeline,
 # streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
 # split_by_source, corpus_source_report, ann_ivf_fixed_topk,
-# funnel_view_click_purchase.
+# funnel_view_click_purchase, cohort_retention_daily.
 
 
 def _export_order() -> list[str]:

@@ -133,3 +133,24 @@ def test_funnel_counts_monotone_and_ordered(spark):
     out = {r.step_name: r.n_users for r in funnel_counts(
         df, ["A", "B", "C"], within_hours=24.0).collect()}
     assert out == {"A": 4, "B": 2, "C": 1}
+
+
+def test_cohort_retention_hand_built(spark):
+    import datetime as dt
+
+    from dataux_spark.operators.timeseries import cohort_retention
+
+    t = dt.datetime(2026, 3, 1)
+    rows = [
+        (1, t), (1, t + dt.timedelta(days=1)),              # day0 + day1
+        (2, t), (2, t),                                      # same-day dup: one activity
+        (3, t + dt.timedelta(days=1)),                       # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort_day), r.age_days): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        ("2026-03-01", 0): 2,
+        ("2026-03-01", 1): 1,
+        ("2026-03-02", 0): 1,
+    }
