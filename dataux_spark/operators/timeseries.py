@@ -299,3 +299,48 @@ def cohort_retention(
         .groupBy("cohort_day", "age_days")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Top event-type paths: sessionize, order each session's events
+    totally (ts, then id — deterministic under timestamp ties), slide an
+    n-gram window over the type sequence, count occurrences corpus-wide,
+    top-k. The classic navigation-path analysis; one session shuffle +
+    one path roll-up, the n-gram expansion all higher-order functions.
+    Returns (path, ct, rank) with 'a>b' path strings."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    seqs = (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct({ts_col}, {id_col}, "
+                f"{type_col} AS t))), x -> x.t)"
+            ).alias("_types")
+        )
+        .filter(F.size("_types") >= n)
+    )
+    grams = seqs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_types) - {n - 1}), "
+                f"i -> concat_ws('>', slice(_types, i, {n})))"
+            )
+        ).alias("path")
+    )
+    topk = (
+        grams.groupBy("path")
+        .agg(F.count("*").alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("path"))
+        .limit(k)
+    )
+    w = W.orderBy(F.col("ct").desc(), F.col("path"))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -3363,6 +3363,48 @@ def events_gap_fill_hourly(spark, sf_dir):
 
 
 @_q(
+    "session_paths_top",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), seqs AS (
+      SELECT list(event_type ORDER BY ts, event_id) AS types
+      FROM sess GROUP BY user_id, sid
+      HAVING count(*) >= 2
+    ), grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(types) - 1),
+               i -> array_to_string(types[i:i+1], '>'))) AS path
+      FROM seqs
+    ), counted AS (
+      SELECT path, count(*) AS ct FROM grams GROUP BY path
+    )
+    SELECT path, ct,
+           CAST(row_number() OVER (ORDER BY ct DESC, path) AS INT) AS rank
+    FROM counted ORDER BY ct DESC, path LIMIT 20
+    """,
+)
+def session_paths_top(spark, sf_dir):
+    """Top session navigation paths (operators/timeseries.session_paths):
+    30-min-gap sessions, totally-ordered type sequences, sliding 2-gram
+    counts, top-20. The oracle replays sessionization, ordering, and the
+    n-gram expansion."""
+    from dataux_spark.operators.timeseries import session_paths
+
+    return session_paths(read_table(spark, sf_dir, "events"), n=2, k=20)
+
+
+@_q(
     "cohort_retention_daily",
     """
     WITH firsts AS (
@@ -3887,7 +3929,7 @@ _DRIVER_WINDOW: list[str] = [
 # profile_columns, profile_histogram, training_prep_pipeline,
 # streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
 # split_by_source, corpus_source_report, ann_ivf_fixed_topk,
-# funnel_view_click_purchase, cohort_retention_daily.
+# funnel_view_click_purchase, cohort_retention_daily, session_paths_top.
 
 
 def _export_order() -> list[str]:

@@ -154,3 +154,28 @@ def test_cohort_retention_hand_built(spark):
         ("2026-03-01", 1): 1,
         ("2026-03-02", 0): 1,
     }
+
+
+def test_session_paths_hand_built(spark):
+    import datetime as dt
+
+    from dataux_spark.operators.timeseries import session_paths
+
+    t = dt.datetime(2026, 4, 1)
+
+    def ev(uid, eid, typ, minutes):
+        return (uid, eid, typ, t + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # session 1 of user 1: A > B > C
+        ev(1, 1, "A", 0), ev(1, 2, "B", 5), ev(1, 3, "C", 10),
+        # new session (gap > 30): A > B
+        ev(1, 4, "A", 120), ev(1, 5, "B", 125),
+        # user 2: single-event session contributes nothing
+        ev(2, 6, "Z", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {(r.path, r.ct) for r in session_paths(df, n=2, k=10).collect()}
+    assert got == {("A>B", 2), ("B>C", 1)}
