@@ -1,0 +1,66 @@
+"""Event-analytics tour — run with:
+
+    python3 examples/events_analytics.py
+
+Drives the time-series/event surface end to end on the bundled events
+table: sessionization, as-of enrichment, conversion funnel, cohort
+retention, session path analysis, the continuous-aggregate rollup, and
+the streaming ingest twin of the same rollup."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataux_spark import get_spark
+from dataux_spark import streaming as S
+from dataux_spark.operators.timeseries import (
+    cohort_retention,
+    funnel_counts,
+    session_paths,
+    session_stats,
+)
+from dataux_spark.queries import read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = get_spark("events-analytics")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = read_table(spark, SF_DIR, "events")
+
+    print("== sessions ==")
+    session_stats(ev).orderBy(F.desc("n_sessions")).show(5)
+
+    print("== conversion funnel (view -> click -> purchase, 24h) ==")
+    funnel_counts(ev, ["view", "click", "purchase"]).show()
+
+    print("== cohort retention (first 5 cohorts) ==")
+    cohort_retention(ev).orderBy("cohort_day", "age_days").show(10)
+
+    print("== top session paths ==")
+    session_paths(ev, n=2, k=8).show(truncate=False)
+
+    print("== streaming rollup ingest (two micro-batches) ==")
+    root = tempfile.mkdtemp(prefix="events_tour_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{root}/in/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{root}/in/b.parquet")
+    schema = spark.read.parquet(f"{root}/in/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in/*/")
+    )
+    S.streaming_rollup_ingest(stream, f"{root}/rollup").awaitTermination()
+    S.merged_rollup(spark, f"{root}/rollup").orderBy(F.desc("n_events")).show(5)
+    print("events tour complete")
+
+
+if __name__ == "__main__":
+    main()
