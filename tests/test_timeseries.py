@@ -179,3 +179,52 @@ def test_session_paths_hand_built(spark):
     )
     got = {(r.path, r.ct) for r in session_paths(df, n=2, k=10).collect()}
     assert got == {("A>B", 2), ("B>C", 1)}
+
+
+def test_sessionize_matches_python_model_under_random_streams(spark):
+    """Random event streams and random gap thresholds: Spark's
+    lag+flag+cumsum sessionization must equal a straightforward Python
+    scan over the per-user time-sorted events."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataux_spark.operators.timeseries import sessionize
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        offsets=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 500)),
+            min_size=1, max_size=25, unique=True,
+        ),
+        gap=st.integers(5, 120),
+    )
+    def run(offsets, gap):
+        t0 = dt.datetime(2026, 5, 1)
+        rows = [
+            (uid, i, t0 + dt.timedelta(minutes=m))
+            for i, (uid, m) in enumerate(sorted(set(offsets)))
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        got = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize(df, gap_minutes=float(gap)).collect()
+        }
+        model = {}
+        by_user = {}
+        for uid, eid, ts in rows:
+            by_user.setdefault(uid, []).append((ts, eid))
+        for uid, evs in by_user.items():
+            evs.sort()
+            sid, prev = 0, None
+            for ts, eid in evs:
+                if prev is None or (ts - prev).total_seconds() > gap * 60:
+                    sid += 1
+                model[(uid, eid)] = sid
+                prev = ts
+        assert got == model, (offsets, gap)
+
+    run()
