@@ -61,13 +61,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("cnorm", _norm("cv"))
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        joined.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(joined, k)
 
 
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
@@ -370,13 +364,7 @@ def ivf_topk(
         .withColumn("cell", F.explode(q_assign("qv")))
     )
     cand = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(cand, k)
 
 
 # --------------------------------------------------- persisted IVF index
@@ -455,6 +443,40 @@ def ivf_index_topk(
 
 # ------------------------------------------------------------- clustering
 
+def _centroid_structs(centroids: list[tuple[int, list[float]]]):
+    """Literal-centroid (cos, -cid) struct array scored against the `_v`
+    double-vector column with its precomputed norm in `_vn` — the shared
+    scoring core of assign_to_centroids, kmeans_clusters, and the
+    fixed-cell IVF twin. ONE place owns the zero-norm guard and the
+    smallest-id tie-break (array_max picks max cos, then max -cid = min
+    cid), so the oracle-checked twins cannot drift from the production
+    variants."""
+    cands = []
+    for cid, vec in centroids:
+        lit_vec = f"array({', '.join(f'cast({float(x)!r} as double)' for x in vec)})"
+        cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12
+        dot = F.expr(
+            f"aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, x) -> acc + x)"
+        )
+        cos = dot / (F.col("_vn") * F.lit(cn))
+        cands.append(F.struct(cos.alias("cos"), F.lit(-int(cid)).alias("ncid")))
+    return F.array(*cands)
+
+
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact rerank tail shared by every top-k variant: rounded double
+    cosine from (qv, qnorm) x (cv, cnorm), per-query window, ties to the
+    smaller neighbor id. Returns (query_id, neighbor_id, cos, rank)."""
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -477,17 +499,7 @@ def assign_to_centroids(
         F.col(id_col),
         _as_double(vec_col).alias("_v"),
     ).withColumn("_vn", _norm("_v"))
-    cands = []
-    for cid, vec in centroids:
-        lit_vec = f"array({', '.join(f'cast({float(x)!r} as double)' for x in vec)})"
-        cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12
-        dot = F.expr(
-            f"aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
-            f"cast(0 as double), (acc, x) -> acc + x)"
-        )
-        cos = dot / (F.col("_vn") * F.lit(cn))
-        cands.append(F.struct(cos.alias("cos"), F.lit(-int(cid)).alias("ncid")))
-    best = F.array_max(F.array(*cands))
+    best = F.array_max(_centroid_structs(centroids))
     return scored.withColumn("_b", best).select(
         F.col(id_col),
         (-F.col("_b.ncid")).cast("long").alias("cluster"),
@@ -550,29 +562,17 @@ def ivf_fixed_topk(
     a per-query window. Ties break to the smaller centroid/neighbor id so
     the result is engine-independent. Returns (query_id, neighbor_id,
     cos, rank)."""
-    def structs():
-        cands = []
-        for cid, vec in centroids:
-            lit_vec = f"array({', '.join(f'cast({float(x)!r} as double)' for x in vec)})"
-            cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12
-            dot = F.expr(
-                f"aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
-                f"cast(0 as double), (acc, x) -> acc + x)"
-            )
-            cos = dot / (_norm("_v") * F.lit(cn))
-            cands.append(F.struct(cos.alias("cos"), F.lit(-int(cid)).alias("ncid")))
-        return F.array(*cands)
-
+    structs = _centroid_structs(centroids)  # shared scorer: no drift vs assign_to_centroids
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
-        .withColumn("cnorm", _norm("_v"))
-        .withColumn("cell", (-F.array_max(structs())["ncid"]).cast("long"))
-        .select("neighbor_id", F.col("_v").alias("cv"), "cnorm", "cell")
+        .withColumn("_vn", _norm("_v"))
+        .withColumn("cell", (-F.array_max(structs)["ncid"]).cast("long"))
+        .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v"))
-        .withColumn("qnorm", _norm("_v"))
-        .withColumn("__structs", structs())
+        .withColumn("_vn", _norm("_v"))
+        .withColumn("__structs", structs)
         .withColumn(
             "cell",
             F.explode(
@@ -582,15 +582,9 @@ def ivf_fixed_topk(
                 )
             ),
         )
-        .select("query_id", F.col("_v").alias("qv"), "qnorm", "cell")
+        .select("query_id", F.col("_v").alias("qv"), F.col("_vn").alias("qnorm"), "cell")
     )
     cand = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(cand, k)

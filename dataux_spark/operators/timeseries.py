@@ -265,7 +265,6 @@ def funnel_counts(
             .select(user_col, "_t", "_t0")
         )
         rows.append((i, step, cur))
-    spark = events.sparkSession
     out = None
     for i, name, frame in rows:
         part = frame.agg(F.count("*").cast("bigint").alias("n_users")).select(
