@@ -391,11 +391,15 @@ def order_multi_offset(spark, sf_dir):
 def join_inner(spark, sf_dir):
     """2-way INNER equi-join — the reference's one join strategy
     (mgo_test.go:780-818, cross-source multi_backend_test.go:168-200).
-    customer is the small side → broadcast, no fact shuffle."""
+    customer is sf-scaled, so no forced broadcast: Catalyst/AQE picks a
+    broadcast join while the build side fits the threshold and degrades
+    to a shuffle join at scale instead of OOMing (the reference's
+    engine-side merge join exists for exactly this reason,
+    planner/executor.go:84-96)."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("ct"), _r2(F.sum("o_totalprice")).alias("total"))
     )
@@ -410,13 +414,15 @@ def join_inner(spark, sf_dir):
     "GROUP BY n.n_name",
 )
 def join_3way(spark, sf_dir):
-    """3-way join through two dims; both dims broadcast so the fact table
-    never shuffles for the join — only the final group-by key exchange."""
+    """3-way join through two dims. nation is constant-size → explicit
+    broadcast; supplier scales with the data, so its join strategy is
+    left to Catalyst/AQE (broadcast under threshold, shuffle join
+    beyond)."""
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("ct"), _r2(F.sum("l_extendedprice")).alias("volume"))
@@ -439,9 +445,12 @@ def join_5way_regional_revenue(spark, sf_dir):
     """TPC-H Q5 shape — 6-table join, structured so the region predicate
     reaches the big tables BEFORE the one large shuffle: region(ASIA)⋈nation
     is 5 rows, broadcast down to customer and supplier first (each shrinks
-    ~5×), so lineitem⋈orders — the only shuffle whose size scales with the
-    data — runs on pre-reduced sides. At 100 TB that ordering is a 5× cut
-    in shuffled bytes vs joining the dims last."""
+    ~5×), so the sf-scaled joins run on pre-reduced sides. Only the
+    constant-size region/nation frames carry explicit broadcast hints;
+    the sf-scaled sides (supplier, customer, orders, lineitem) are left
+    to Catalyst/AQE so the plan degrades to shuffle joins instead of
+    OOMing at 100×. At 100 TB the early region pruning is a 5× cut in
+    shuffled bytes vs joining the dims last."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
@@ -458,7 +467,7 @@ def join_5way_regional_revenue(spark, sf_dir):
     s2 = s.join(F.broadcast(asia), s.s_nationkey == asia.n_nationkey).select(
         "s_suppkey", "s_nationkey", "n_name"
     )
-    li2 = li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey).select(
+    li2 = li.join(s2, li.l_suppkey == s2.s_suppkey).select(
         "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name"
     )
     return (
@@ -484,8 +493,9 @@ def join_5way_regional_revenue(spark, sf_dir):
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: segment + two date filters, 3-way join, top-10 by
     revenue. Filters applied per-table BEFORE the joins (pushdown to each
-    scan); the segment dim side broadcasts; deterministic tie-break on
-    l_orderkey keeps the LIMIT boundary oracle-stable."""
+    scan); customer is sf-scaled so its join strategy is AQE's choice
+    (broadcast under threshold, shuffle join beyond); deterministic
+    tie-break on l_orderkey keeps the LIMIT boundary oracle-stable."""
     c = read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -493,7 +503,7 @@ def q3_shipping_priority(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -642,16 +652,17 @@ def q12_priority_lines(spark, sf_dir):
 )
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape (promotion effect): ratio of conditional to total
-    revenue in one aggregate pass. part broadcasts (dim side); the month
-    filter prunes lineitem at the scan so the broadcast join touches ~1/80
-    of the fact table."""
+    revenue in one aggregate pass. The month filter prunes lineitem at
+    the scan so the join touches ~1/80 of the fact table; part is
+    sf-scaled, so the join strategy is left to Catalyst/AQE rather than
+    force-broadcast."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -674,10 +685,11 @@ def q14_promo_revenue(spark, sf_dir):
 def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape (discounted revenue, disjunction of conjunctions).
     The equi-key p_partkey = l_partkey is common to every disjunct, so the
-    plan is a single broadcast hash join on partkey with the OR-of-ANDs as
-    the join residual — NOT a cartesian product; Catalyst also derives the
+    plan is a single hash join on partkey with the OR-of-ANDs as the join
+    residual — NOT a cartesian product; Catalyst also derives the
     per-side OR filters (brand-set on part, quantity envelope on lineitem)
-    and pushes them into the scans."""
+    and pushes them into the scans. part is sf-scaled → no forced
+    broadcast; AQE picks the strategy."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     clause = lambda brand, qlo, qhi, slo, shi: (  # noqa: E731
@@ -686,7 +698,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & F.col("p_size").between(slo, shi)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(
             clause("Brand#12", 1, 11, 1, 5)
             | clause("Brand#23", 10, 20, 1, 10)
@@ -747,11 +759,13 @@ def q22_dormant_customers(spark, sf_dir):
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape (volume shipping between two nations). Plan: the two
-    single-nation dims broadcast into supplier and customer→orders, cutting
-    both fact sides to ~1/12.5 of rows BEFORE the only real shuffle (the
-    lineitem⋈orders orderkey join); the nation-pair disjunction is a join
-    residual, not a cross join. Reference: INNER equi-join chain is the one
-    join strategy dataux has (planner/executor.go:84-96)."""
+    single-nation dims broadcast into supplier and customer→orders (nation
+    is constant-size → explicit hint), cutting both fact sides to ~1/12.5
+    of rows BEFORE the big lineitem⋈orders orderkey join; the nation-pair
+    disjunction is a join residual, not a cross join. The nation-filtered
+    supplier frame still scales with sf, so its join into lineitem is
+    AQE's choice. Reference: INNER equi-join chain is the one join
+    strategy dataux has (planner/executor.go:84-96)."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -772,7 +786,7 @@ def q7_volume_shipping(spark, sf_dir):
     ord_n = o.join(cust, o.o_custkey == cust.c_custkey).select("o_orderkey", "cust_nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(ord_n, li.l_orderkey == ord_n.o_orderkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .select(
@@ -804,10 +818,12 @@ def q7_volume_shipping(spark, sf_dir):
     ") GROUP BY o_year ORDER BY o_year",
 )
 def q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape (national market share): 8-table join tree. Every dim
-    (part-by-type, region→nation→customer, supplier→nation) broadcasts; the
-    only shuffle is lineitem⋈orders on orderkey. The share ratio is a
-    conditional-sum over the same aggregate pass — no second scan."""
+    """TPC-H Q8 shape (national market share): 8-table join tree. The
+    constant-size frames (region, nation) carry explicit broadcast hints;
+    the sf-scaled sides (type-filtered part, supplier⋈nation, customer,
+    orders) are AQE's choice so nothing force-broadcasts a frame that
+    grows with the data. The share ratio is a conditional-sum over the
+    same aggregate pass — no second scan."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     s = read_table(spark, sf_dir, "supplier")
@@ -830,8 +846,8 @@ def q8_market_share(spark, sf_dir):
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .join(ord_c, li.l_orderkey == ord_c.o_orderkey)
         .select("o_year", "nation", vol.alias("volume"))
         .groupBy("o_year")
@@ -907,7 +923,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -924,19 +940,21 @@ def q15_top_supplier(spark, sf_dir):
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape (small-quantity-order revenue): the correlated avg
     decorrelates to a per-partkey aggregate joined back. The brand filter
-    broadcasts into lineitem FIRST, so the per-part avg is computed only
-    over the brand's partkeys (semi-joined scan), not all of lineitem —
-    the decorrelated aggregate inherits the outer filter's pruning."""
+    reduces lineitem FIRST, so the per-part avg is computed only over the
+    brand's partkeys (semi-joined scan), not all of lineitem — the
+    decorrelated aggregate inherits the outer filter's pruning. Both the
+    brand-part frame and the per-partkey aggregate scale with sf, so
+    neither is force-broadcast."""
     p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    brand_li = li.join(p, li.l_partkey == p.p_partkey).drop("p_partkey")
     part_avg = brand_li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        brand_li.join(F.broadcast(part_avg), brand_li.l_partkey == F.col("pa_key"))
+        brand_li.join(part_avg, brand_li.l_partkey == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(_r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -979,7 +997,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     w = W.partitionBy("l_orderkey")
     waiting = (
-        li.join(F.broadcast(fo), li.l_orderkey == fo.o_orderkey)
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
         .withColumn("is_late", F.col("l_shipdate") > late_cut)
         .select("l_orderkey", "l_suppkey", "is_late")
         .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
@@ -991,7 +1009,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
     s = read_table(spark, sf_dir, "supplier")
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -2275,6 +2293,17 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+def _query_vecs(emb, n: int = 5):
+    """The ANN query set: the first n vectors by key. The `.limit(n)`
+    after the key filter keeps the same rows (vec_id is a key, so the
+    filter already selects exactly n) but records the cardinality bound
+    in the logical plan: the similarity operators broadcast the query
+    side, and the GlobalLimit is the plan-level proof that the broadcast
+    frame stays ≤n rows at ANY corpus scale —
+    tools/explain_audit.py's forced-broadcast audit keys on it."""
+    return emb.filter(F.col("vec_id") < n).limit(n)
+
+
 @_q(
     "ann_cosine_topk",
     """
@@ -2295,7 +2324,7 @@ def ann_cosine_topk(spark, sf_dir):
     from dataux_spark.operators.similarity import brute_force_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
+    return brute_force_topk(emb, _query_vecs(emb), "embedding", "vec_id", k=5)
 
 
 @_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
@@ -2308,7 +2337,7 @@ def ann_lsh_topk(spark, sf_dir):
     from dataux_spark.operators.similarity import lsh_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+    return lsh_topk(emb, _query_vecs(emb), "embedding", "vec_id",
                     k=5, dim=64)
 
 
@@ -2354,7 +2383,7 @@ def ann_signband_topk(spark, sf_dir):
     from dataux_spark.operators.similarity import signband_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return signband_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+    return signband_topk(emb, _query_vecs(emb), "embedding", "vec_id",
                          k=5, band_bits=4, dim=64)
 
 
@@ -2367,7 +2396,7 @@ def ann_ivf_topk(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+        emb, _query_vecs(emb), "embedding", "vec_id",
         k=5, n_centroids=16, nprobe=4,
     )
 
@@ -2389,7 +2418,7 @@ def ann_ivf_index_topk(spark, sf_dir):
     path = f"{tempfile.gettempdir()}/dataux_ivf_index_{slug}"
     build_ivf_index(emb, "embedding", "vec_id", path, n_centroids=16)
     return ivf_index_topk(
-        spark, path, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5, nprobe=4
+        spark, path, _query_vecs(emb), "embedding", "vec_id", k=5, nprobe=4
     )
 
 
@@ -2503,7 +2532,7 @@ def ann_ivf_fixed_topk(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
     ]
     return ivf_fixed_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+        emb, _query_vecs(emb), "embedding", "vec_id",
         cents, k=5, nprobe=2,
     )
 

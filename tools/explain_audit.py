@@ -219,6 +219,86 @@ CHECKS = {
 }
 
 
+# --- forced-broadcast hint audit ------------------------------------------
+# A user broadcast hint overrides Spark's size threshold unconditionally:
+# forced onto a frame that grows with the data it becomes an OOM at scale
+# instead of degrading to a shuffle join (the reference's engine-side merge
+# join is its ONLY join strategy for exactly this reason —
+# /root/reference/planner/executor.go:84-96). Rule enforced on EVERY
+# registered query's analyzed logical plan: a broadcast-hinted subtree may
+# touch an sf-scaled relation ONLY below a cardinality-reshaping node
+# (Aggregate / GlobalLimit / Deduplicate — scalar or bounded-domain outputs,
+# query sets, benchmark span sets; the boundedness argument lives in each
+# operator's docstring). A hint over a merely filtered/projected fact frame
+# is the failure this audit exists to catch.
+
+# Signature columns that identify an sf-scaled relation in the analyzed plan.
+_FACT_COLS = (
+    "l_orderkey", "o_orderkey", "c_custkey", "s_suppkey", "p_partkey",
+    "event_id", "doc_id", "vec_id",
+)
+_RESHAPE_NODES = ("Aggregate ", "GlobalLimit", "Deduplicate")
+
+
+def _hinted_subtrees(analyzed: str):
+    """Yield the subtree (list of lines) under each ResolvedHint node."""
+    lines = analyzed.splitlines()
+
+    def indent(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-":
+            i += 1
+        return i
+
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        d = indent(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        yield sub
+
+
+def _hint_violations(analyzed: str):
+    """Return hinted subtrees that scan a fact relation with no
+    cardinality-reshaping node above it (within the hinted subtree)."""
+    bad = []
+    for sub in _hinted_subtrees(analyzed):
+        reshape_seen = False
+        for line in sub:
+            stripped = line.lstrip(" :+-")
+            if any(stripped.startswith(n) for n in _RESHAPE_NODES):
+                reshape_seen = True
+            if stripped.startswith("Relation") and any(
+                c + "#" in line for c in _FACT_COLS
+            ) and not reshape_seen:
+                bad.append(sub[0].lstrip(" :+-")[:100])
+                break
+    return bad
+
+
+def run_hint_audit(spark, registry, sf_dir: str) -> int:
+    failed = 0
+    n_hints = 0
+    for name, fn in sorted(registry.items()):
+        try:
+            df = fn(spark, sf_dir)
+            analyzed = df._jdf.queryExecution().analyzed().toString()
+        except Exception as e:  # fixture-dependent entries that need a driver env
+            print(f"SKIP {name:36s} hint audit ({type(e).__name__})")
+            continue
+        n_hints += analyzed.count("ResolvedHint")
+        for v in _hint_violations(analyzed):
+            print(f"FAIL {name:36s} forced broadcast of sf-scaled frame: {v}")
+            failed += 1
+    print(f"hint audit: {len(registry)} queries, {n_hints} broadcast hints, "
+          f"{failed} forced onto sf-scaled frames")
+    return failed
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from dataux_spark import get_spark
@@ -233,6 +313,7 @@ def main() -> None:
             ok = pred(p)
             print(f"{'OK ' if ok else 'FAIL'} {name:28s} {desc}")
             failed += 0 if ok else 1
+    failed += run_hint_audit(spark, registry, sf_dir)
     print(f"\n{'ALL PLAN CHECKS PASS' if not failed else f'{failed} plan checks FAILED'}")
     sys.exit(1 if failed else 0)
 
