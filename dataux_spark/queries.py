@@ -3876,89 +3876,74 @@ def training_prep_pipeline(spark, sf_dir):
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-5 rotation (VERDICT r4 item 1): back to the RELATIONAL surface.
-    # The 42 LLM-pipeline entries got their verdicts in round 4; these 45
-    # relational/qlbridge entries were last driver-verified on rounds-1-3
-    # code, which predates the agg/topk pushdown + default-limit +
-    # scan-refresh engine changes. Exactly 50 slots: cardinality_approx is
-    # excluded (approximate by design — a slot would only buy a rows-only
-    # check; its exact twin count_distinct is in), as are four entries
-    # whose statement shape a same-family survivor already re-verifies
-    # (count_star→count_distinct, filter_between→filter_between_dates,
-    # join_3way→join_5way, cube_counts→rollup/grouping_sets).
-    "point_filter",
-    "filter_and_or",
-    "filter_like",
-    "filter_in",
-    "filter_between_dates",
-    "field_vs_field",
-    "count_distinct",
-    "agg_minmax_sum_avg",
-    "group_by_agg",
-    "revenue_filter",
-    "agg_over_expression",
-    "having",
-    "terms_topk",
-    "topk_order_limit",
-    "order_multi_offset",
+    # Round-6 rotation (VERDICT r5 item 2) — the FINAL coverage rotation:
+    # the 30 entries registered in round 5 that have never had a driver
+    # verdict fill the first 30 slots (all locally oracle-green via
+    # tools/check.py; embedding_kmeans_clusters is the one rows-only
+    # entry — approximate by design, its deterministic twin
+    # embedding_cluster_assign sits right next to it). A green round
+    # makes cumulative driver coverage 132/132 registered queries.
+    "epoch_shuffle_shards",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "bucketed_join_revenue",
+    "compaction_roundtrip",
+    "text_top_tfidf",
+    "text_unigram_pppl",
+    "dedup_incremental_batch",
+    "pushdown_datastore_ineq_topk",
+    "pushdown_lytics_filter",
+    "pushdown_bq_full_query",
+    "grouped_terms_topk",
+    "dedup_incremental_minhash",
+    "streaming_incremental_neardup",
+    "embedding_cluster_assign",
+    "embedding_kmeans_clusters",
+    "sample_stratified_lang",
+    "text_bm25_topk",
+    "profile_columns",
+    "profile_histogram",
+    "training_prep_pipeline",
+    "streaming_rollup_merge",
+    "dedup_simhash_md5",
+    "text_normalize_ws",
+    "split_by_source",
+    "corpus_source_report",
+    "ann_ivf_fixed_topk",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "session_paths_top",
+    # 20 canaries. First priority: every query whose PLAN changed this
+    # round — the ten headline joins that dropped forced broadcast hints
+    # (join_inner, q3, join_5way, q7, q8, q14, q15, q17, q19, q21) and
+    # ann_cosine_topk, whose query-set now carries an explicit limit.
+    # Then the standing regression canaries from the r5 brief:
+    # pricing_summary, qlbridge_builtins, dedup_minhash_lsh,
+    # ann_signband_topk, one pushdown entry, plus point_filter /
+    # group_by_agg / window_topk_per_group / dedup_span_stats as
+    # family representatives for scan-filter, aggregation, windowing,
+    # and span-census.
     "join_inner",
-    "pricing_summary",
-    "join_5way_regional_revenue",
     "q3_shipping_priority",
-    "q4_order_priority",
+    "join_5way_regional_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "set_intersect_except",
-    "distinct_projection",
-    "window_topk_per_group",
-    "rollup_counts",
-    "grouping_sets_counts",
-    "case_string_math",
-    "qlbridge_strfuncs",
+    "ann_cosine_topk",
+    "pricing_summary",
     "qlbridge_builtins",
-    # New or newly-oracle-able this round — must enter the window to get
-    # their first full verdicts: minhash-LSH's exact-Jaccard oracle, the
-    # deterministic sign-band ANN, the three entries that read tpch
-    # THROUGH registered pushdown sources (negotiation machinery under
-    # the driver gate), and the two new span-level corpus-hygiene
-    # operators (substring-dedup profile + benchmark decontamination).
-    # To stay at 50 slots, set_union and window_running_sum yield theirs
-    # to same-family survivors (set_intersect_except / window_topk) —
-    # window stays 43/50 relational (≥80% per the round-4 brief).
     "dedup_minhash_lsh",
     "ann_signband_topk",
     "pushdown_mongo_filter_topk",
-    "pushdown_es_group_agg",
-    "pushdown_cass_key_topk",
+    "point_filter",
+    "group_by_agg",
+    "window_topk_per_group",
     "dedup_span_stats",
-    "decontaminate_ngrams",
 ]
-# Registered later in round 5, still awaiting a first driver verdict
-# (all locally oracle-green via tools/check.py; rotate into the window
-# next round): epoch_shuffle_shards, skew_salted_agg, skew_salted_join,
-# bucketed_join_revenue, compaction_roundtrip, text_top_tfidf,
-# text_unigram_pppl, dedup_incremental_batch,
-# pushdown_datastore_ineq_topk, pushdown_lytics_filter,
-# pushdown_bq_full_query, grouped_terms_topk, dedup_incremental_minhash,
-# streaming_incremental_neardup, embedding_cluster_assign,
-# embedding_kmeans_clusters, sample_stratified_lang, text_bm25_topk,
-# profile_columns, profile_histogram, training_prep_pipeline,
-# streaming_rollup_merge, dedup_simhash_md5, text_normalize_ws,
-# split_by_source, corpus_source_report, ann_ivf_fixed_topk,
-# funnel_view_click_purchase, cohort_retention_daily, session_paths_top.
 
 
 def _export_order() -> list[str]:
