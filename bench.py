@@ -47,6 +47,13 @@ HEADLINE = [
     "window_topk_per_group",
     "events_hourly_agg",
     "text_quality",
+    # dedup_minhash_lsh sits ~1.2-1.6 s: the verify stage recomputes gram
+    # sets once per pair side (no cross-branch CSE without persist) — an
+    # ACCEPTED trade, measured against both alternatives in
+    # operators/dedup.py (single-join+groupBy reassembly shuffles wide
+    # gram arrays and loses ~30%; an internal persist leaks memory per
+    # call). The store-backed probe (dedup_incremental_minhash) is the
+    # production path and shares no recompute.
     "dedup_minhash_lsh",
     # round-5 addition: the Lee-et-al span census — a second dedup family
     # (substring-level) in the timed set, so its two-shuffle linear plan

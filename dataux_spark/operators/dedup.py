@@ -276,28 +276,36 @@ def minhash_lsh_pairs(
     # TWICE (two scans, two shuffles, join). Bucket id lists are near-dup-
     # group-sized by construction; `max_bucket` bounds the b² expansion of
     # pathological boilerplate buckets (same cap semantics as before —
-    # such buckets contribute no pairs at all).
+    # such buckets contribute no pairs at all). A window-count prefilter
+    # inside the same exchange (drop singleton buckets before any list is
+    # built) was measured interleaved against this form and LOST (~1.43 s
+    # vs ~1.22 s at sf0.1): the window's per-partition sort costs more
+    # than hash-aggregating the singleton lists it avoids.
     buckets = banded.groupBy("band", "bh").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
     if max_bucket is not None:
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    buckets = buckets.filter(F.size("_ids") >= 2)
     pair_expr = F.expr(
         "flatten(transform(_ids, (x, i) -> "
         "transform(slice(_ids, i + 2, size(_ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
     )
     cand = (
-        buckets.filter(F.size("_ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify stage: re-attach shingles to the (much smaller) candidate set.
-    # Deliberately an INDEPENDENT lazy frame rather than a persist() of
-    # sigs: grams are the cheap front half (one split+concat pass; the
-    # 64-hash stage is pruned out by Catalyst for this branch), and an
-    # operator that persists inside its builder leaks executor memory on
-    # every call until the session dies. A pipeline that wants the
+    # The gram frame appears twice (once per pair side), so the shingling
+    # pass runs twice here on top of the signature branch's — Spark has no
+    # cross-branch CSE without materialization. Measured alternatives both
+    # lose: a single-gram-join + pair-key groupBy reassembly ships the wide
+    # gram arrays through TWO exchanges (~1.59 s vs ~1.22 s interleaved at
+    # sf0.1 — this double join broadcasts the slim candidate set instead
+    # and never shuffles a gram array), and an operator-internal persist
+    # leaks executor memory on every call until the session dies. The
+    # recompute is the documented accepted trade; a pipeline that needs
     # signatures durable uses build_minhash_store — the explicit
-    # checkpoint table — instead of a hidden cache.
+    # checkpoint table — whose probe path shares no such recompute.
     grams = gram_sets(df, content_col, id_col, shingle_n)
     cand = (
         cand.join(grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
