@@ -299,6 +299,13 @@ class Engine:
                     },
                 })
             elif isinstance(src, FamilyTableSource):
+                # DML on a BT source mutates only the in-memory row store,
+                # not the fetch URLs a dump would reload from — a dumped-
+                # and-reloaded registry would silently revert those writes,
+                # so a mutated BT source is session-scoped and omitted,
+                # exactly like MemorySource (same rule, same reason).
+                if src._mutated:
+                    continue
                 c = {"type": "bigtable", "physical": dict(src.physical)}
                 if src.rowkey != "rowkey":
                     c["rowkey"] = src.rowkey

@@ -28,21 +28,29 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     Returns (column, n_rows, n_nulls, n_distinct, min_val, max_val),
     one row per requested column, in the requested order."""
     dtypes = dict(df.dtypes)
+    # column names are interpolated into column refs and the stack() SQL
+    # string: every reference is backticked (a bare string would be
+    # parsed as a dotted path) and the label is a quote-escaped literal,
+    # so names with quotes/spaces/dots/backticks survive as both
+    # identifiers and labels
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+    bt = lambda s: "`" + s.replace("`", "``") + "`"  # noqa: E731
     aggs = [F.count("*").alias("__n_rows")]
     for c in cols:
         base = dtypes[c].split("(")[0]
-        aggs.append(F.count(c).alias(f"__{c}__nn"))
-        aggs.append(F.countDistinct(c).alias(f"__{c}__nd"))
+        col = F.col(bt(c))
+        aggs.append(F.count(col).alias(f"__{c}__nn"))
+        aggs.append(F.countDistinct(col).alias(f"__{c}__nd"))
         if base in _NUMERIC:
-            aggs.append(F.min(c).cast("double").alias(f"__{c}__mn"))
-            aggs.append(F.max(c).cast("double").alias(f"__{c}__mx"))
+            aggs.append(F.min(col).cast("double").alias(f"__{c}__mn"))
+            aggs.append(F.max(col).cast("double").alias(f"__{c}__mx"))
     one = df.agg(*aggs)
     parts = []
     for c in cols:
         base = dtypes[c].split("(")[0]
-        mn = f"__{c}__mn" if base in _NUMERIC else "CAST(NULL AS DOUBLE)"
-        mx = f"__{c}__mx" if base in _NUMERIC else "CAST(NULL AS DOUBLE)"
-        parts.append(f"'{c}', __{c}__nn, __{c}__nd, {mn}, {mx}")
+        mn = bt(f"__{c}__mn") if base in _NUMERIC else "CAST(NULL AS DOUBLE)"
+        mx = bt(f"__{c}__mx") if base in _NUMERIC else "CAST(NULL AS DOUBLE)"
+        parts.append(f"'{esc(c)}', {bt(f'__{c}__nn')}, {bt(f'__{c}__nd')}, {mn}, {mx}")
     stacked = one.select(
         "__n_rows",
         F.expr(
@@ -69,15 +77,19 @@ def equi_width_histogram(
     than width_bucket, so an oracle on any engine can reproduce the exact
     boundary behavior by spelling the identical double arithmetic. The
     max value folds into the top bucket; empty buckets are absent (no
-    dense spine needed for a profile). Returns (bucket, lo, hi, ct)
-    ordered by bucket."""
+    dense spine needed for a profile). A constant column (min == max,
+    zero bucket width) is a defined single bucket [lo, lo] holding the
+    full non-null count, not the engine-dependent 0/0 fallout. Returns
+    (bucket, lo, hi, ct) ordered by bucket."""
     rng = df.agg(
         F.min(F.col(col)).cast("double").alias("__lo"),
         F.max(F.col(col)).cast("double").alias("__hi"),
     )
     x = F.col(col).cast("double")
     w = (F.col("__hi") - F.col("__lo")) / bins
-    bucket = F.least(F.lit(bins).cast("bigint"), (F.lit(1) + F.floor((x - F.col("__lo")) / w)).cast("bigint"))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(1).cast("bigint")).otherwise(
+        F.least(F.lit(bins).cast("bigint"), (F.lit(1) + F.floor((x - F.col("__lo")) / w)).cast("bigint"))
+    )
     return (
         df.filter(F.col(col).isNotNull())
         .join(F.broadcast(rng))

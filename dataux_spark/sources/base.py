@@ -23,6 +23,7 @@ engine-side. `Source.load()` receives optional hints for this.
 from __future__ import annotations
 
 import enum
+import os
 from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +183,40 @@ class Source(ABC):
         ft = self.files_table(spark)
         if ft is not None:
             ft.createOrReplaceTempView(f"{self.name}_files")
+
+
+#: Hard cap on rows a single DML statement may push through a doc-store
+#: mutator. Doc-store mutations are request-scale by the reference's
+#: per-row Put contract (backends/cassandra/sql_to_cql.go:246-361,
+#: bigtable's SetCell loop) — an `INSERT INTO mongo_tbl SELECT ... FROM
+#: lineitem` must fail with a clear error, not driver-OOM collecting a
+#: fact table. Raise via env for bulk fixture loads.
+DML_BATCH_CAP = int(os.environ.get("DATAUX_DML_BATCH_CAP", "100000"))
+
+
+class DmlBatchTooLarge(Exception):
+    """A DML batch exceeded DML_BATCH_CAP rows for a doc-store mutator."""
+
+
+def bounded_rows(batch: DataFrame, cap: int | None = None) -> "list":
+    """Stream a DML batch to the driver partition-at-a-time, refusing
+    corpus-scale inserts. `toLocalIterator()` bounds the in-flight
+    transfer to one partition (the executors never ship the whole frame
+    at once, and the count check aborts mid-stream), and the cap bounds
+    what the mutator itself accumulates — the stores behind these
+    mutators are remote row stores whose write API is per-row/per-page,
+    so a statement-scale batch is the contract, not a corpus copy."""
+    cap = DML_BATCH_CAP if cap is None else cap
+    rows = []
+    for r in batch.toLocalIterator():
+        rows.append(r)
+        if len(rows) > cap:
+            raise DmlBatchTooLarge(
+                f"DML batch exceeds {cap} rows for a doc-store mutator; "
+                "doc-store mutations are request-scale — write bulk data "
+                "to a warehouse-tier sink, or raise DATAUX_DML_BATCH_CAP"
+            )
+    return rows
 
 
 class SourceMutator(ABC):

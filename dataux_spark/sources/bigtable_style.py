@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from dataux_spark.infer import BT_SAMPLE_N, infer_family_tables
-from dataux_spark.sources.base import PushdownTier, Source, SourceMutator
+from dataux_spark.sources.base import (
+    PushdownTier,
+    Source,
+    SourceMutator,
+    bounded_rows,
+)
 from dataux_spark.sources.rest import _fetch_json
 
 
@@ -55,6 +60,9 @@ class FamilyTableSource(Source):
         self.rowkey = rowkey
         self.sep = sep
         self.physical = dict(physical)  # original endpoints, for dump_config
+        # set by the mutators: a mutated source diverges from its fetch
+        # URLs and becomes session-scoped for dump_config (see engine)
+        self._mutated = False
         self._docs: dict[str, list[dict]] = {
             phys: _fetch_json(url) for phys, url in physical.items()
         }
@@ -126,9 +134,11 @@ class _BtMutator(SourceMutator):
 
     def put(self, batch, keys) -> int:
         # rowkey-keyed always — BigTable mutations address a row key;
-        # existing cells of this family on that key are replaced
-        new = [self._fam_doc(r) for r in batch.collect()]
+        # existing cells of this family on that key are replaced, and a
+        # rowkey repeated WITHIN the batch collapses last-write-wins
+        new = [self._fam_doc(r) for r in bounded_rows(batch)]
         by_key = {d[self.rowkey]: d for d in new}
+        affected = len(by_key)
         docs = self.src._docs[self.phys]
         merged = []
         for d in docs:
@@ -140,8 +150,11 @@ class _BtMutator(SourceMutator):
             else:
                 merged.append(d)
         merged.extend(by_key.values())
+        self.src._mutated = True
         self.src._docs[self.phys] = merged
-        return len(new)
+        # affected = distinct rowkeys actually mutated, not batch rows —
+        # by_key collapses within-batch duplicates before any write
+        return affected
 
     def delete_where(self, cond) -> int:
         # evaluate the predicate over the family table view with Spark so
@@ -160,6 +173,7 @@ class _BtMutator(SourceMutator):
                     out.append(kept)
             else:
                 out.append(d)
+        self.src._mutated = True
         self.src._docs[self.phys] = out
         return len(hit_keys)
 
@@ -167,7 +181,7 @@ class _BtMutator(SourceMutator):
         # strip only THIS family's cells from every physical row (sibling
         # families keep theirs); rows left with nothing but the key and no
         # replacement drop out of the store
-        new = [self._fam_doc(r) for r in df.collect()]
+        new = [self._fam_doc(r) for r in bounded_rows(df)]
         by_key = {d[self.rowkey]: d for d in new}
         merged = []
         for d in self.src._docs[self.phys]:
@@ -178,4 +192,5 @@ class _BtMutator(SourceMutator):
             if len(kept) > 1:  # rowkey plus ≥1 cell from any family
                 merged.append(kept)
         merged.extend(by_key.values())
+        self.src._mutated = True
         self.src._docs[self.phys] = merged

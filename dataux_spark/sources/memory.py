@@ -55,7 +55,9 @@ class _MemoryMutator(SourceMutator):
         self.src, self.spark, self.table = src, spark, table
 
     def _commit(self, df: DataFrame) -> None:
-        rows = df.collect()
+        from dataux_spark.sources.base import bounded_rows
+
+        rows = bounded_rows(df)
         out = (
             self.spark.createDataFrame(rows, df.schema)
             if rows

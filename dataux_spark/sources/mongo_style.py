@@ -59,7 +59,12 @@ from pyspark.sql.datasource import (
 )
 
 from dataux_spark.infer import infer_from_documents
-from dataux_spark.sources.base import PushdownTier, Source, SourceMutator
+from dataux_spark.sources.base import (
+    PushdownTier,
+    Source,
+    SourceMutator,
+    bounded_rows,
+)
 from dataux_spark.sources.rest import _fetch_json, _flatten
 
 # The Find()-expressible subset (sql_to_mgo.go:395-664). Note the contrast
@@ -359,11 +364,15 @@ class _DocMutator(SourceMutator):
         return {k: v for k, v in row.asDict().items() if v is not None}
 
     def put(self, batch: DataFrame, keys: list[str] | None) -> int:
-        new = [self._row_doc(r) for r in batch.collect()]
+        new = [self._row_doc(r) for r in bounded_rows(batch)]
         docs = self._docs()
         if keys:
-            seen = {tuple(d.get(k) for k in keys) for d in new}
-            docs = [d for d in docs if tuple(d.get(k) for k in keys) not in seen]
+            # last-write-wins WITHIN the batch too (CQL/doc-store upsert
+            # semantics): an INSERT..SELECT whose result repeats a key
+            # must leave one row per key, not append both
+            by_key = {tuple(d.get(k) for k in keys): d for d in new}
+            new = list(by_key.values())
+            docs = [d for d in docs if tuple(d.get(k) for k in keys) not in by_key]
         self._write(docs + new)
         return len(new)
 
@@ -390,4 +399,4 @@ class _DocMutator(SourceMutator):
         return n
 
     def overwrite(self, df: DataFrame) -> None:
-        self._write([self._row_doc(r) for r in df.collect()])
+        self._write([self._row_doc(r) for r in bounded_rows(df)])

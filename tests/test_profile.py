@@ -36,3 +36,23 @@ def test_histogram_partitions_all_rows(spark, sf_dir):
     assert lo == float(stats[0]) and abs(hi - float(stats[1])) < 1e-6
     widths = {round(r.hi - r.lo, 4) for r in out}
     assert len(widths) == 1
+
+
+def test_histogram_constant_column_single_bucket(spark):
+    """min == max (zero bucket width) is a defined single bucket
+    [lo, lo] with the full non-null count — not 0/0 NaN fallout."""
+    df = spark.createDataFrame([(7.5,), (7.5,), (7.5,), (None,)], "x double")
+    out = equi_width_histogram(df, "x", 10).collect()
+    assert len(out) == 1
+    b = out[0]
+    assert (b.bucket, b.lo, b.hi, b.ct) == (1, 7.5, 7.5, 3)
+
+
+def test_column_profile_hostile_column_names(spark):
+    """Quotes, spaces, dots, and backticks in column names survive the
+    stack() interpolation as both identifiers and labels."""
+    df = spark.createDataFrame([(1, 2.0), (3, None)], ["o'brien col", "a.b c"])
+    rows = {r.col_name: r for r in column_profile(df, ["o'brien col", "a.b c"]).collect()}
+    assert rows["o'brien col"].n_distinct == 2
+    assert rows["a.b c"].n_nulls == 1
+    assert rows["a.b c"].max_val == 2.0

@@ -311,3 +311,73 @@ def test_insert_select_reseeds_emptied_collection(spark, tmp_path):
     r = e.sql("INSERT INTO mgomt (id, v) SELECT id, v FROM mtrows")
     assert r.affected == 1
     assert _rows(e.sql("SELECT id, v FROM mgomt")) == [(7, "z")]
+
+
+def test_doc_store_batch_cap_rejects_corpus_scale_insert(spark, tmp_path, monkeypatch):
+    """INSERT..SELECT from a fact-scale frame through a doc-store mutator
+    must fail with the documented cap error, never driver-collect the
+    whole batch (doc-store mutations are request-scale by the reference's
+    per-row Put contract, sql_to_cql.go:246-361). The batch streams
+    through toLocalIterator and aborts mid-stream at the cap."""
+    from dataux_spark.sources import base as src_base
+    from dataux_spark.sources.base import DmlBatchTooLarge
+
+    monkeypatch.setattr(src_base, "DML_BATCH_CAP", 50)
+    (tmp_path / "cap.json").write_text(json.dumps([{"k": 0, "v": "seed"}]))
+    e = Engine(spark)
+    e.register_source(MongoStyleSource("mgocap", {"mgocap": f"file://{tmp_path}/cap.json"}))
+    big = spark.range(0, 500).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    e.register_memory("capsrc", {"caprows": big})
+    with pytest.raises((DmlBatchTooLarge, QueryError), match="request-scale"):
+        e.sql("INSERT INTO mgocap (k, v) SELECT k, v FROM caprows")
+    # the store is untouched by the failed statement's partial stream
+    assert len(json.loads((tmp_path / "cap.json").read_text())) == 1
+    # under-cap batches still stream through fine
+    r = e.sql("INSERT INTO mgocap (k, v) SELECT k, v FROM caprows WHERE k < 10")
+    assert r.affected == 10
+
+
+def test_cql_within_batch_duplicate_keys_collapse_last_write_wins(spark, tmp_path):
+    """An INSERT..SELECT whose result repeats a (partition, clustering)
+    key must leave ONE row per key (CQL last-write-wins), not append
+    duplicates that violate the no-duplicate-primary-key invariant."""
+    (tmp_path / "cqldup.json").write_text(json.dumps([{"device": "d0", "day": 1, "val": 1}]))
+    meta = TableMeta(name="cqldup", schema=None,
+                     partition_keys=["device"], clustering_keys=["day"])
+    e = Engine(spark)
+    e.register_source(
+        CassandraStyleSource("cassdup", {"cqldup": (f"file://{tmp_path}/cqldup.json", meta)})
+    )
+    dup = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 1, 20), ("d1", 2, 30)],
+        "device string, day long, val long",
+    ).coalesce(1)
+    e.register_memory("dupsrc", {"duprows": dup})
+    e.sql("INSERT INTO cqldup (device, day, val) SELECT device, day, val FROM duprows")
+    rows = sorted(_rows(e.sql('SELECT device, day, val FROM cqldup WHERE device = "d1"')))
+    # exactly one row per primary key; (d1,1) kept a single value from the batch
+    assert [(d, day) for d, day, _ in rows] == [("d1", 1), ("d1", 2)]
+    assert rows[0][2] in (10, 20) and rows[1][2] == 30
+    on_disk = json.loads((tmp_path / "cqldup.json").read_text())
+    keys = [(d["device"], d["day"]) for d in on_disk]
+    assert len(keys) == len(set(keys))
+
+
+def test_bigtable_put_affected_counts_distinct_rowkeys(spark, tmp_path):
+    """A BT put batch with a repeated rowkey collapses last-write-wins;
+    the affected count reports rows actually mutated (distinct rowkeys),
+    not raw batch rows."""
+    from dataux_spark.sources.bigtable_style import FamilyTableSource
+
+    (tmp_path / "btdup.json").write_text(json.dumps(
+        [{"rowkey": "u1", "profile:name": "Ann"}]
+    ))
+    src = FamilyTableSource("btdup", {"bt_phys": f"file://{tmp_path}/btdup.json"})
+    e = Engine(spark)
+    e.register_source(src)
+    mut = src.mutator(spark, "profile")
+    batch = spark.createDataFrame(
+        [("u2", "Bo"), ("u2", "Cal"), ("u3", "Dee")], "rowkey string, name string"
+    ).coalesce(1)
+    assert mut.put(batch, None) == 2  # u2 collapsed, u3 new
+    assert e.sql("SELECT count(*) AS ct FROM profile").collect()[0][0] == 3
