@@ -24,6 +24,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dataux_spark import dialect
 from dataux_spark.dialect import SessionContext
@@ -360,7 +361,17 @@ class Engine:
 
     def add_function(self, name: str, fn, return_type=None) -> None:
         """Custom function registry (reference expr.FuncAdd,
-        mysql_functions.go:53-78)."""
+        mysql_functions.go:53-78). A plain Python callable is promoted to
+        an Arrow-batched pandas UDF (one JVM↔Python transfer per batch —
+        no row-at-a-time UDF ever reaches the session); a function that is
+        already a registered-UDF object (pandas_udf output) passes
+        through untouched."""
+        # a pandas_udf/udf product carries evalType; a bare callable doesn't
+        if callable(fn) and not hasattr(fn, "evalType"):
+            from dataux_spark.functions.registry import scalar_pandas_udf
+
+            fn = scalar_pandas_udf(fn, return_type or T.StringType())
+            return_type = None
         self.spark.udf.register(name, fn, return_type)
 
     def add_table_function(self, name: str, udtf_cls, return_type: str | None = None) -> None:

@@ -8,8 +8,8 @@ and exposes a custom-function registry as a first-class feature
 Spark-first: pyspark.sql.functions is a superset of qlbridge's builtins; we
 register *names* Spark lacks under the reference's spelling so reference
 queries run unchanged. Everything here is either a SQL-expression macro
-(JVM-side, codegen'd — preferred) or, only for the loose date parser, an
-Arrow-vectorized pandas UDF.
+(JVM-side, codegen'd — preferred) or an Arrow-batched pandas UDF — no
+row-at-a-time Python UDF is registered anywhere.
 
 Custom user functions: Engine.add_function(name, fn_or_sql) mirrors
 expr.FuncAdd (reference mysql_functions.go:53-78).
@@ -55,49 +55,86 @@ def _qb_strftime(ts: pd.Series, fmt: pd.Series) -> pd.Series:
     )
 
 
+def scalar_pandas_udf(fn, ret_type):
+    """Arrow-batched wrapper for a scalar Python function of any arity:
+    the batch crosses the JVM↔Python boundary ONCE as an Arrow record
+    batch (the ~10-100× win over a row-at-a-time UDF's per-row pickling);
+    the element loop stays Python because these are parity functions with
+    qlbridge's loose parse-what-you-can semantics, not numeric kernels.
+    NaN from pandas normalizes to None so scalar fns see SQL NULL."""
+
+    def u(*cols):
+        it = zip(*[c.where(pd.notna(c), None) for c in cols])
+        return pd.Series([fn(*xs) for xs in it], dtype=object)
+
+    return F.pandas_udf(u, ret_type)
+
+
+_pudf1 = _pudf2 = scalar_pandas_udf
+
+
 def register_all(spark: SparkSession) -> None:
     spark.udf.register("todate", _todate)
     spark.udf.register("qb_strftime", _qb_strftime)
-    spark.udf.register("seconds", _seconds, T.DoubleType())
+    spark.udf.register("seconds", _pudf1(_seconds, T.DoubleType()))
 
     # qlbridge-builtin spellings Spark lacks (qlbridge builtins loaded
     # wholesale at runtestserver.go:74; usage shapes in SURVEY §2.8).
     #
-    # OFF-HOT-PATH CONTRACT: everything registered below this line is a
-    # row-at-a-time Python UDF kept ONLY for dialect parity — interactive
-    # queries over short strings (useragent sniffing, url/email pulls,
-    # loose casts). None of them may appear inside a corpus-scale scan:
-    # the heavily-used names (exists/missing/cardinality/terms/cast/
-    # char_length/…) are dialect.py REWRITES that stay JVM-side, and the
-    # pipeline operators (operators/*.py) never call these. If one is
-    # ever needed over a 100 TB table, promote it to an Arrow-batched
-    # pandas UDF first (see _todate/_qb_strftime above for the pattern).
-    spark.udf.register("hasprefix", lambda s, p: s.startswith(p) if s is not None and p is not None else None, T.BooleanType())
-    spark.udf.register("hassuffix", lambda s, p: s.endswith(p) if s is not None and p is not None else None, T.BooleanType())
+    # Every registration below is an Arrow-batched pandas UDF (_pudf1/2) —
+    # no row-at-a-time Python UDF is registered anywhere. The heavily-used
+    # names (exists/missing/cardinality/terms/cast/char_length/…) remain
+    # dialect.py REWRITES that stay JVM-side and codegen'd; these shims
+    # cover the long tail (useragent sniffing, url/email pulls, loose
+    # casts), and batch-transfer once per Arrow batch even when a query
+    # does drag one across a large scan.
+    spark.udf.register(
+        "hasprefix",
+        _pudf2(lambda s, p: s.startswith(p) if isinstance(s, str) and p is not None else None,
+               T.BooleanType()),
+    )
+    spark.udf.register(
+        "hassuffix",
+        _pudf2(lambda s, p: s.endswith(p) if isinstance(s, str) and p is not None else None,
+               T.BooleanType()),
+    )
 
     # loose type-conversion family (qlbridge CastIntSafe-style semantics:
     # parse what you can, NULL on failure — never error)
-    spark.udf.register("toint", _toint, T.LongType())
-    spark.udf.register("tonumber", _tonumber, T.DoubleType())
-    spark.udf.register("tobool", _tobool, T.BooleanType())
+    spark.udf.register("toint", _pudf1(_toint, T.LongType()))
+    spark.udf.register("tonumber", _pudf1(_tonumber, T.DoubleType()))
+    spark.udf.register("tobool", _pudf1(_tobool, T.BooleanType()))
 
     # email / url extraction family (qlbridge email(), domain(), host(),
     # path(), qs() builtins)
-    spark.udf.register("email", lambda s: s.strip().lower() if isinstance(s, str) and "@" in s else None, T.StringType())
-    spark.udf.register("emaildomain", lambda s: s.strip().lower().rsplit("@", 1)[1] if isinstance(s, str) and "@" in s else None, T.StringType())
-    spark.udf.register("emailname", lambda s: s.strip().lower().rsplit("@", 1)[0] if isinstance(s, str) and "@" in s else None, T.StringType())
-    spark.udf.register("host", _host, T.StringType())
-    spark.udf.register("domain", _domain, T.StringType())
-    spark.udf.register("urlpath", _urlpath, T.StringType())
-    spark.udf.register("qs", _qs, T.StringType())
-    spark.udf.register("urldecode", _urldecode, T.StringType())
-    spark.udf.register("urlmain", _urlmain, T.StringType())
-    spark.udf.register("urlminusqs", _urlminusqs, T.StringType())
-    spark.udf.register("useragent", _useragent, T.StringType())
     spark.udf.register(
-        "useragent_map", _useragent_map, T.MapType(T.StringType(), T.StringType())
+        "email",
+        _pudf1(lambda s: s.strip().lower() if isinstance(s, str) and "@" in s else None,
+               T.StringType()),
     )
-    spark.udf.register("typewriter", _typewriter, T.StringType())
+    spark.udf.register(
+        "emaildomain",
+        _pudf1(lambda s: s.strip().lower().rsplit("@", 1)[1] if isinstance(s, str) and "@" in s else None,
+               T.StringType()),
+    )
+    spark.udf.register(
+        "emailname",
+        _pudf1(lambda s: s.strip().lower().rsplit("@", 1)[0] if isinstance(s, str) and "@" in s else None,
+               T.StringType()),
+    )
+    spark.udf.register("host", _pudf1(_host, T.StringType()))
+    spark.udf.register("domain", _pudf1(_domain, T.StringType()))
+    spark.udf.register("urlpath", _pudf1(_urlpath, T.StringType()))
+    spark.udf.register("qs", _pudf2(_qs, T.StringType()))
+    spark.udf.register("urldecode", _pudf1(_urldecode, T.StringType()))
+    spark.udf.register("urlmain", _pudf1(_urlmain, T.StringType()))
+    spark.udf.register("urlminusqs", _pudf2(_urlminusqs, T.StringType()))
+    spark.udf.register("useragent", _pudf2(_useragent, T.StringType()))
+    spark.udf.register(
+        "useragent_map",
+        _pudf1(_useragent_map, T.MapType(T.StringType(), T.StringType())),
+    )
+    spark.udf.register("typewriter", _pudf1(_typewriter, T.StringType()))
 
 
 def _typewriter(s):

@@ -497,13 +497,19 @@ def test_driver_window_contract_pinned():
     """The external correctness gate reads the FIRST 50 exported queries;
     pin the contract so an accidental registry edit cannot silently
     shuffle the gate: exactly 50 window slots, all registered, exported
-    first and in order, every one carrying a full value oracle."""
+    first and in order, every one carrying a full value oracle — except
+    the explicitly-listed approximate-by-design entries, which ride the
+    window rows-only for cumulative driver coverage with a deterministic
+    oracle-checked twin adjacent in the same window."""
     from dataux_spark import queries as Q
 
+    ROWS_ONLY_BY_DESIGN = {"embedding_kmeans_clusters"}  # twin: embedding_cluster_assign
     window = Q._DRIVER_WINDOW
     assert len(window) == 50
     exported = list(Q.queries())
     assert exported[:50] == window
     oracles = Q.oracle_sql()
-    missing = [n for n in window if n not in oracles]
+    missing = [n for n in window if n not in oracles and n not in ROWS_ONLY_BY_DESIGN]
     assert not missing, f"window entries without oracles: {missing}"
+    for n in ROWS_ONLY_BY_DESIGN:
+        assert n in window
