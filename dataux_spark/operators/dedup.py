@@ -49,9 +49,23 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
     arrives as thousands of file splits, the scan is already wider than
     the core count, and this is a NO-OP — the round-robin repartition
     only fires when the scan is narrower than defaultParallelism, so no
-    extra shuffle is ever added at scale."""
+    extra shuffle is ever added at scale.
+
+    Width probe, two tiers: `inputFiles()` first (a catalog listing —
+    file count never over-states scan width, splits only widen it), so a
+    corpus-scale scan short-circuits without the DataFrame→RDD plan
+    conversion the old probe forced on every operator call; only frames
+    with FEWER files than the target — the local/test shape, where probe
+    cost is irrelevant — fall through to the exact
+    `rdd.getNumPartitions()` check (which sees post-scan repartition/
+    coalesce operators the file count cannot)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file-backed plan: decide on the exact probe below
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
