@@ -453,3 +453,68 @@ def normalize_whitespace(df: DataFrame, content_col: str, id_col: str) -> DataFr
     )
     c = F.regexp_replace(c, r"\s+", " ")
     return df.select(F.col(id_col), F.trim(c).alias("text_norm"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (the C4 cleaning rule: a line
+    repeated across ≥ min_docs documents is template chrome — nav bars,
+    cookie banners, footers — and is dropped from every document).
+
+    Plan (linear, no pairwise stage anywhere):
+      1. posexplode lines per doc, trim, keep lines ≥ min_line_chars
+         (short lines — "Home", "1", "" — are exempt from the census AND
+         from removal: dropping every "yes" in a corpus is not cleaning)
+      2. census: count DISTINCT docs per line — one shuffle on the line
+         value; partial agg bounds it by per-partition distinct lines
+      3. frequent set (doc_count ≥ min_docs) joins back onto the line
+         rows by value — an equi-join Catalyst/AQE plans as broadcast
+         while the boilerplate set is small and as a shuffle join when a
+         100 TB crawl's template space outgrows the threshold (no forced
+         hint, per the round-6 rule)
+      4. reassemble surviving lines per doc in original order — one
+         shuffle on id
+
+    Returns (id, text_clean, n_lines, n_dropped); docs that were ALL
+    boilerplate survive with empty text_clean, preserving corpus
+    cardinality for downstream stage accounting.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("_pos", "_raw"),
+    ).select("_id", "_pos", F.trim(F.col("_raw")).alias("_line"))
+    cen = F.length("_line") >= min_line_chars
+    census = (
+        lines.filter(cen)
+        .groupBy("_line")
+        .agg(F.countDistinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_line", F.lit(True).alias("_boiler"))
+    )
+    tagged = lines.join(census, "_line", "left").withColumn(
+        "_drop", cen & F.coalesce(F.col("_boiler"), F.lit(False))
+    )
+    return (
+        tagged.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_drop"), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text_clean"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_drop").cast("bigint")).alias("n_dropped"),
+        )
+        .select(F.col("_id").alias(id_col), "text_clean", "n_lines", "n_dropped")
+    )

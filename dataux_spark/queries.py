@@ -2825,6 +2825,72 @@ def text_normalize_ws(spark, sf_dir):
     return normalize_whitespace(d, "t", "doc_id")
 
 
+@_q(
+    "text_remove_boilerplate",
+    # plant a per-language footer (every lang has ≥3 docs → boilerplate
+    # by the census) and a short exempt line; both engines census lines
+    # ≥10 chars across docs, drop those in ≥3 docs, and reassemble in
+    # original order. md5 keeps the compared payload slim.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             text || chr(10) ||
+             'copyright footer - all ' || lang || ' documents share this line'
+             || chr(10) || 'Home' AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, u.pos, u.line FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(t, chr(10)),
+                      (x, i) -> struct_pack(pos := i, line := trim(x)))) AS u
+        FROM base)
+    ),
+    census AS (
+      SELECT line FROM lines WHERE length(line) >= 10
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+    ),
+    tagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (length(l.line) >= 10 AND c.line IS NOT NULL) AS is_b
+      FROM lines l LEFT JOIN census c USING (line)
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS clean_md5,
+           count(*) AS n_lines,
+           sum(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style boilerplate-line removal
+    (operators/text.remove_boilerplate_lines): corpus-wide census of
+    lines ≥10 chars, drop lines shared by ≥3 docs, reassemble in order.
+    The fixture plants a per-language footer (boilerplate by census) and
+    a short 'Home' line (exempt); document bodies that are planted exact
+    dups also census out, which the oracle replays identically."""
+    from dataux_spark.operators.text import remove_boilerplate_lines
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("copyright footer - all "),
+                F.col("lang"),
+                F.lit(" documents share this line"),
+            ),
+            F.lit("Home"),
+        ).alias("t"),
+    )
+    out = remove_boilerplate_lines(d, "t", "doc_id", min_docs=3, min_line_chars=10)
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"), "n_lines", "n_dropped"
+    )
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"

@@ -280,3 +280,38 @@ def test_bm25_topk_ranking_properties(spark, sf_dir):
         no_hit, "text", "doc_id", ["spark", "query", "join"], k=5
     ).collect()
     assert out2 == []
+
+
+def test_remove_boilerplate_lines(spark):
+    """C4-style line census: lines >=10 chars shared by >=min_docs docs
+    drop everywhere; short lines are exempt both ways; order of the
+    surviving lines is preserved; an all-boilerplate doc survives with
+    empty text (corpus cardinality preserved)."""
+    from dataux_spark.operators.text import remove_boilerplate_lines
+
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (1, f"unique first body line\n{footer}\nHome"),
+        (2, f"{footer}\nanother unique body sentence\nHome"),
+        (3, f"third body text entirely its own\n{footer}"),
+        (4, footer),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "t", "doc_id", min_docs=3, min_line_chars=10
+        ).collect()
+    }
+    assert len(out) == 4  # no doc vanished
+    assert out[1].text_clean == "unique first body line\nHome"
+    assert out[2].text_clean == "another unique body sentence\nHome"
+    assert out[3].text_clean == "third body text entirely its own"
+    assert out[4].text_clean == ""
+    assert out[4].n_dropped == 1 and out[4].n_lines == 1
+    assert out[1].n_lines == 3 and out[1].n_dropped == 1
+    # below the doc threshold nothing drops
+    kept = remove_boilerplate_lines(
+        df, "t", "doc_id", min_docs=5, min_line_chars=10
+    ).agg({"n_dropped": "sum"}).collect()[0][0]
+    assert kept == 0
