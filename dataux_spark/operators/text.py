@@ -518,3 +518,44 @@ def remove_boilerplate_lines(
         )
         .select(F.col("_id").alias(id_col), "text_clean", "n_lines", "n_dropped")
     )
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    dim: int = 1024,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """FastText-shaped quality classifier plumbing: token → hashed
+    feature bucket → weight lookup → mean score → keep flag. The weights
+    here are a deterministic formula over the bucket id (so the oracle
+    can replay them bit-for-bit); a production classifier replaces the
+    formula with `element_at(<broadcast literal weight array>, bucket)`
+    — the identical plan shape, which is the point: model-scored quality
+    filtering runs entirely in the scan projection, zero shuffles, JVM
+    codegen, at any corpus scale.
+
+    bucket(t) = int(md5(t)[:8], 16) % dim  (md5-based so every engine
+    agrees); w_int(b) = ((b*37 + 11) % 97) - 48, an INTEGER in [-48, 48]
+    summed exactly (float folds are association-sensitive in the last
+    ulp, which flips round(·, 6) at boundaries — integer sums are not);
+    score = sum_w / 97 / n_tokens rounded to 6dp.
+    Returns (id, n_tokens, quality_score, keep)."""
+    d = df.select(
+        F.col(id_col), tokens(F.col(content_col)).alias("_toks")
+    )
+    w = (
+        f"aggregate(_toks, CAST(0 AS BIGINT), (acc, t) -> acc + "
+        f"((((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
+        f" * 37 + 11) % 97) - 48))"
+    )
+    score = F.round(
+        F.expr(w).cast("double") / 97.0 / F.greatest(F.size("_toks"), F.lit(1)), 6
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= threshold).cast("int").alias("keep"),
+    )

@@ -2891,6 +2891,47 @@ def text_remove_boilerplate(spark, sf_dir):
     )
 
 
+@_q(
+    "text_hashed_quality",
+    # deterministic stand-in weights over md5 feature buckets: both
+    # engines hash each token with md5, bucket mod 1024, apply the same
+    # weight formula, and fold in token order — bit-stable at 6dp
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             coalesce(list_sum(list_transform(toks, t ->
+               ((((CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT)
+                  % 1024) * 37 + 11) % 97) - 48))), 0) AS sum_w
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(sum_w AS DOUBLE) / 97.0 / greatest(n_tokens, 1), 6)
+             AS quality_score,
+           CAST(round(CAST(sum_w AS DOUBLE) / 97.0 / greatest(n_tokens, 1), 6)
+                >= 0.0 AS INT) AS keep
+    FROM s
+    """,
+)
+def text_hashed_quality(spark, sf_dir):
+    """FastText-shaped hashed-feature quality scorer
+    (operators/text.hashed_linear_quality): token → md5 bucket → weight →
+    mean score → keep flag, entirely in the scan projection (zero
+    shuffle, plan-audited). Deterministic weight formula stands in for a
+    broadcast learned-weight array — same plan shape either way."""
+    from dataux_spark.operators.text import hashed_linear_quality
+
+    return hashed_linear_quality(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        dim=1024, threshold=0.0,
+    )
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"

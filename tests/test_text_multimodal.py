@@ -315,3 +315,29 @@ def test_remove_boilerplate_lines(spark):
         df, "t", "doc_id", min_docs=5, min_line_chars=10
     ).agg({"n_dropped": "sum"}).collect()[0][0]
     assert kept == 0
+
+
+def test_hashed_linear_quality_deterministic_and_zero_shuffle(spark):
+    """The fastText-shaped scorer: deterministic scores (same input, same
+    score), token-count denominator, keep flag at the threshold, and a
+    plan with no exchange (scan projection only)."""
+    import contextlib
+    import io
+
+    from dataux_spark.operators.text import hashed_linear_quality
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz")],
+        "doc_id long, t string",
+    )
+    out = hashed_linear_quality(df, "t", "doc_id", dim=64, threshold=0.0)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].quality_score == rows[2].quality_score  # deterministic
+    assert rows[1].n_tokens == 3 and rows[3].n_tokens == 1
+    for r in rows.values():
+        assert -0.5 <= r.quality_score <= 0.5
+        assert r.keep == int(r.quality_score >= 0.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

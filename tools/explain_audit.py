@@ -210,6 +210,15 @@ CHECKS = {
         ("sampling/split stages add no exchange of their own",
          lambda p: p.count("Exchange hashpartitioning") <= 6),
     ],
+    "text_hashed_quality": [
+        # hashed-feature linear scoring is a pure scan projection: no
+        # join, no exchange — the model-scored-filtering plan shape that
+        # must hold when the weight formula becomes a broadcast array
+        ("zero shuffle", lambda p: "Exchange" not in p),
+        ("no join", lambda p: "Join" not in p),
+        ("columns pruned to id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
     "sample_stratified_lang": [
         # CASE-banded hash filter is a pure map over the scan
         ("zero shuffle", lambda p: "Exchange" not in p),
