@@ -2932,6 +2932,70 @@ def text_hashed_quality(spark, sf_dir):
     )
 
 
+@_q(
+    "url_canonical_dedup",
+    # plant deterministic URL spellings: uppercase scheme/host, www.,
+    # default port, tracking params in scrambled order, trailing slash —
+    # docs sharing (doc_id % 50) collapse to one canonical key; both
+    # engines replay the identical RE2 rule set
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.COM:443/Articles/Item' || CAST(doc_id % 50 AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '/?utm_source=news&b=2&a=1&fbclid=x#frag'
+                  ELSE '/' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+               '^[Ww][Ww][Ww]\\.', ''), ':(80|443)$', ''))
+             || regexp_replace(
+                  regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                  '/+$', '')
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+      FROM (
+        SELECT doc_id, url,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                 p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref|mc_[ce]id)=')
+                      AND p != '')), '&'), '') AS q
+        FROM planted)
+    )
+    SELECT url_canon, min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM canon GROUP BY url_canon
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """Crawl-prep URL hygiene (operators/web.py): canonicalize planted
+    URL spellings (scheme/host case, www., :443, tracking params in
+    scrambled order, trailing slash, fragment) and dedup on the
+    canonical key — one groupBy, keeper = min doc_id. The oracle replays
+    the identical RE2 rule set, so any canonicalization drift
+    hash-fails. NOTE the oracle lowercases host via an explicit [Ww]
+    class for the www-strip because it lowercases AFTER stripping; both
+    orders yield the same canonical host."""
+    from dataux_spark.operators.web import url_dedup_keepers
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/Articles/Item"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("/?utm_source=news&b=2&a=1&fbclid=x#frag"),
+            ).otherwise(F.lit("/")),
+        ).alias("url"),
+    )
+    return url_dedup_keepers(d, "url", "doc_id")
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"

@@ -341,3 +341,31 @@ def test_hashed_linear_quality_deterministic_and_zero_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_url_canonicalization_rules(spark):
+    """The full canonical rule set, one spelling per rule: scheme/host
+    case, www., default ports, trailing slash, fragment, tracking-param
+    removal, param sorting, malformed input -> empty key."""
+    from dataux_spark.operators.web import canonicalize_urls, url_dedup_keepers
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/A/B/?z=2&utm_source=m&a=1#frag"),
+        (2, "http://example.com:80/A/B?a=1&z=2"),          # same page, other spelling
+        (3, "http://example.com/A/B/?fbclid=abc&a=1&z=2"), # same again
+        (4, "http://other.org/path"),
+        (5, "not a url at all"),
+        (6, "http://example.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.url_canon for r in canonicalize_urls(df, "url", "id").collect()}
+    assert got[1] == got[2] == got[3] == "example.com/A/B?a=1&z=2"
+    assert got[4] == "other.org/path"
+    assert got[5] == ""                      # malformed: no guessing
+    assert got[6] == "example.com/CaseSensitive/Path"  # path case preserved
+    keepers = {
+        r.url_canon: (r.keeper_id, r.n_dups)
+        for r in url_dedup_keepers(df, "url", "id").collect()
+    }
+    assert keepers["example.com/A/B?a=1&z=2"] == (1, 3)
+    assert "" not in keepers  # unparseable rows never form a dedup group
