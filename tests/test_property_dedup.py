@@ -1,0 +1,107 @@
+"""Property fuzz for the corpus-hygiene operators against pure-Python
+models: the Spark plans (banded LSH candidate generation, corpus line
+census) must equal a direct brute-force recomputation on ANY corpus, not
+just the planted fixtures. Same style as the sessionization fuzz —
+few examples, each a full Spark round trip, so max_examples stays low.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# tiny vocab forces heavy shingle overlap → real near-dup structure
+_WORDS = ["red", "blue", "green", "fox", "dog", "jumps", "over", "lazy"]
+
+_doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+def _grams(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _exact_pairs(docs: list[str], threshold: float) -> set[tuple[int, int, float]]:
+    out = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = _grams(docs[a]), _grams(docs[b])
+            j = round(len(ga & gb) / len(ga | gb), 6)
+            if j >= threshold:
+                out.add((a, b, j))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus)
+def test_minhash_lsh_equals_exact_jaccard_on_random_corpora(spark, docs):
+    """With bands turned up (r=2 → miss probability ≤ (1-j²)³² ≤ 1e-4 at
+    j ≥ 0.5), banded LSH + exact verify must return exactly the
+    brute-force pair set — candidates are exact-verified, so false
+    positives are structurally impossible and the assertion is equality,
+    not containment."""
+    from dataux_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.jaccard)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == _exact_pairs(docs, 0.5)
+
+
+_line = st.sampled_from(
+    [
+        "subscribe to our newsletter today",   # censusable boilerplate
+        "all rights reserved worldwide",       # censusable boilerplate
+        "Home",                                # short → exempt
+        "",                                    # empty → exempt
+        "totally unique sentence one",
+        "another body line of text",
+        "yet another different line",
+    ]
+)
+_ldoc = st.lists(_line, min_size=1, max_size=5).map("\n".join)
+_lcorpus = st.lists(_ldoc, min_size=1, max_size=6)
+
+
+def _boiler_model(docs: list[str], min_docs: int, min_chars: int):
+    lines = [[ln.strip() for ln in d.split("\n")] for d in docs]
+    census: dict[str, set[int]] = {}
+    for i, ls in enumerate(lines):
+        for ln in ls:
+            if len(ln) >= min_chars:
+                census.setdefault(ln, set()).add(i)
+    boiler = {ln for ln, ids in census.items() if len(ids) >= min_docs}
+    out = {}
+    for i, ls in enumerate(lines):
+        kept = [ln for ln in ls if not (len(ln) >= min_chars and ln in boiler)]
+        dropped = len(ls) - len(kept)
+        out[i] = ("\n".join(kept), len(ls), dropped)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_lcorpus, min_docs=st.integers(min_value=2, max_value=4))
+def test_boilerplate_removal_matches_python_census(spark, docs, min_docs):
+    from dataux_spark.operators.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, t string"
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_dropped)
+        for r in remove_boilerplate_lines(
+            df, "t", "doc_id", min_docs=min_docs, min_line_chars=10
+        ).collect()
+    }
+    assert got == _boiler_model(docs, min_docs, 10)
