@@ -2,8 +2,9 @@
 
     python3 examples/corpus_prep.py
 
-Profiles the corpus, then executes the composed prep pipeline (quality
-gate -> fingerprint dedup -> near-dup drop -> stratified resample ->
+Profiles the corpus, then executes the composed prep pipeline (URL
+dedup -> boilerplate-line removal -> model-scored quality gate ->
+fingerprint dedup -> near-dup drop -> stratified resample ->
 train/val/test split) and writes the split manifests to a temp dir.
 Every stage is a library operator; see dataux_spark/operators/."""
 
@@ -34,6 +35,34 @@ def main() -> None:
     print("== corpus profile ==")
     column_profile(docs, ["doc_id", "n_chars", "lang", "source"]).show()
     equi_width_histogram(docs, "n_chars", 8).show()
+
+    print("== crawl hygiene: URL dedup, boilerplate lines, model score ==")
+    from dataux_spark.operators.text import (
+        hashed_linear_quality,
+        remove_boilerplate_lines,
+    )
+    from dataux_spark.operators.web import url_dedup_keepers
+
+    # the fixture has no URL column — derive a deterministic one the way
+    # a crawl manifest would carry it, then keep only URL-dedup keepers
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://www.site"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".com/doc/"), (F.col("doc_id") % 150).cast("string"),
+                 F.lit("/?utm_source=crawl")),
+    )
+    keepers = url_dedup_keepers(with_urls, "url", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    print(f"URL dedup: {docs.count()} docs -> {keepers.count()} keepers")
+    docs = docs.join(keepers, "doc_id")
+    cleaned = remove_boilerplate_lines(docs, "text", "doc_id", min_docs=3)
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    )
+    scored = hashed_linear_quality(docs, "text", "doc_id", threshold=-0.05)
+    scored.groupBy("keep").count().show()
+    docs = docs.join(scored.filter("keep = 1").select("doc_id"), "doc_id")
 
     print("== prep pipeline ==")
     base = docs.select(
