@@ -177,3 +177,49 @@ def grouped_hash_split(
     track group sizes. Mechanically this IS hash_split banded on the
     group column — one band implementation, two key semantics."""
     return hash_split(df, group_col, weights, seed, split_col)
+
+
+def token_budget_select(
+    df: DataFrame,
+    token_col: str,
+    budgets: dict[str, int],
+    group_col: str,
+    id_col: str,
+    order_col: str | None = None,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Exact data-mixture curation: per group, keep the best documents
+    until the group's TOKEN budget is spent (the way pretraining mixtures
+    are specified — "30B tokens of code, 5B of forum text" — as opposed
+    to the RATE-specified mixes temperature_resample/stratified_hash_sample
+    build). Docs are ranked by (order_col DESC, id) — quality-first,
+    deterministic tie-break — and a doc is kept iff the running token
+    total INCLUDING it stays within budget (so one oversized top doc
+    cannot overshoot; groups with budget 0 drop entirely).
+
+    One shuffle on the group key + a per-group running sum. The
+    within-group ordered cumsum is the cost at corpus scale — use this
+    for exact curation of bounded mixtures; rate-based hash sampling
+    (zero shuffle) remains the path when groups are petabyte-sized and
+    an approximate mixture suffices.
+
+    Returns the kept rows with `_cum_tokens` (running total) attached.
+    """
+    from pyspark.sql import Window as W
+
+    order = (
+        [F.col(order_col).desc(), F.col(id_col)] if order_col else [F.col(id_col)]
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    budget = F.coalesce(
+        *( [F.when(F.col(group_col) == k, F.lit(v)) for k, v in budgets.items()]
+           + [F.lit(default_budget)] )
+    )
+    return (
+        df.withColumn("_cum_tokens", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("_cum_tokens") <= budget)
+    )

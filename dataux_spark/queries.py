@@ -1604,6 +1604,50 @@ def sample_stratified_lang(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@_q(
+    "sample_token_budget",
+    # quality-first ranked cumsum per lang, kept while the running token
+    # total (inclusive) fits the lang's budget — both engines compute the
+    # identical integer window sum, so membership pins bit-for-bit
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x != '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, cum_tokens FROM c
+    WHERE cum_tokens <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500
+                        ELSE 500 END
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget mixture curation (sampling.token_budget_select): per
+    language, keep the longest documents until the language's token
+    budget is spent — mixtures specified in TOKENS ("3000 en, 1500 de"),
+    not rates. One shuffle on the group key + ordered running sum;
+    deterministic tie-break on doc_id."""
+    from dataux_spark.operators.sampling import token_budget_select
+    from dataux_spark.operators.dedup import tokens
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    out = token_budget_select(
+        d, "n_tok", {"en": 3000, "de": 1500}, "lang", "doc_id",
+        order_col="n_chars", default_budget=500,
+    )
+    return out.select(
+        "doc_id", "lang", F.col("_cum_tokens").alias("cum_tokens")
+    )
+
+
 def _epoch_shuffle_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 

@@ -145,3 +145,36 @@ def test_grouped_split_no_group_straddles(spark, sf_dir):
     for r in out.select("source", "split").distinct().collect():
         want = "train" if fr[r.source] < 0.9 else ("val" if fr[r.source] < 0.95 else "test")
         assert r.split == want
+
+
+def test_token_budget_select_exact_boundary(spark):
+    """Keep-while-cumsum-fits semantics: the doc that would overshoot the
+    budget is dropped even if later smaller docs would have fit (ranked
+    prefix, not knapsack); zero-budget groups drop entirely; tie-break on
+    id is deterministic."""
+    from dataux_spark.operators.sampling import token_budget_select
+
+    rows = [
+        # lang, id, quality(order), tokens
+        ("en", 1, 9.0, 50),
+        ("en", 2, 8.0, 40),
+        ("en", 3, 7.0, 30),   # cum 120 > 100 -> dropped
+        ("en", 4, 6.0, 5),    # later + smaller, still dropped (prefix rule)
+        ("de", 5, 5.0, 10),
+        ("zh", 6, 5.0, 10),   # default budget 0 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "lang string, id long, q double, tok long")
+    got = {
+        r.id: r._cum_tokens
+        for r in token_budget_select(
+            df, "tok", {"en": 100, "de": 10}, "lang", "id", order_col="q"
+        ).collect()
+    }
+    assert got == {1: 50, 2: 90, 5: 10}
+    # equal quality -> smaller id wins the remaining budget
+    tie = spark.createDataFrame(
+        [("en", 1, 1.0, 60), ("en", 2, 1.0, 60)], "lang string, id long, q double, tok long"
+    )
+    kept = [r.id for r in token_budget_select(
+        tie, "tok", {"en": 60}, "lang", "id", order_col="q").collect()]
+    assert kept == [1]
