@@ -4032,6 +4032,140 @@ def _training_prep_oracle():
     """
 
 
+@_q(
+    "corpus_hygiene_pipeline",
+    # the round-6 crawl-hygiene stages composed end-to-end; every stage's
+    # standalone oracle passes, and this replays the full chain so the
+    # composition (each stage feeding the next's input) is value-checked
+    """
+    WITH planted AS (
+      SELECT doc_id, lang, n_chars,
+             text || chr(10) ||
+             'copyright footer - all ' || lang || ' documents share this line'
+               AS t,
+             'HTTPS://WWW.Site' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.COM:443/Doc/' || CAST(doc_id % 150 AS VARCHAR) || '/' AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, lang, n_chars, t,
+             lower(regexp_replace(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+               '^[Ww][Ww][Ww]\\.', ''), ':(80|443)$', ''))
+             || regexp_replace(
+                  regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                  '/+$', '') AS url_canon
+      FROM planted
+    ),
+    kept AS (
+      SELECT * FROM canon
+      WHERE doc_id = (SELECT min(c2.doc_id) FROM canon c2
+                      WHERE c2.url_canon = canon.url_canon)
+    ),
+    lines AS (
+      SELECT doc_id, u.pos, u.line FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(t, chr(10)),
+                      (x, i) -> struct_pack(pos := i, line := trim(x)))) AS u
+        FROM kept)
+    ),
+    census AS (
+      SELECT line FROM lines WHERE length(line) >= 10
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+    ),
+    cleaned AS (
+      SELECT l.doc_id,
+             coalesce(string_agg(CASE WHEN NOT (length(l.line) >= 10
+                                               AND c.line IS NOT NULL)
+                                      THEN l.line END,
+                                 chr(10) ORDER BY l.pos), '') AS text_clean
+      FROM lines l LEFT JOIN census c USING (line) GROUP BY l.doc_id
+    ),
+    toks AS (
+      SELECT k.doc_id, k.lang, k.n_chars,
+             list_filter(regexp_split_to_array(lower(trim(c.text_clean)), '\\s+'),
+                         x -> x != '') AS tk
+      FROM kept k JOIN cleaned c USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_chars, len(tk) AS n_tok,
+             round(CAST(coalesce(list_sum(list_transform(tk, t ->
+                   ((((CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT)
+                      % 1024) * 37 + 11) % 97) - 48))), 0) AS DOUBLE)
+                   / 97.0 / greatest(len(tk), 1), 6) AS score
+      FROM toks
+    ),
+    gated AS (SELECT * FROM scored WHERE score >= -0.05),
+    budgeted AS (
+      SELECT doc_id, lang, score,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM gated
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(cum_tokens) AS BIGINT) AS tokens,
+           min(doc_id) AS min_id
+    FROM budgeted
+    WHERE cum_tokens <= CASE lang WHEN 'en' THEN 2500 ELSE 1200 END
+    GROUP BY lang
+    """,
+)
+def corpus_hygiene_pipeline(spark, sf_dir):
+    """The round-6 crawl-hygiene stages composed as ONE lazy plan:
+    URL-canonical dedup (keeper = min id) → corpus-wide boilerplate-line
+    removal (census over the kept docs) → fastText-shaped hashed quality
+    gate → per-language token-budget curation → per-lang roll-up. Each
+    stage is a standalone operator with its own green oracle; this entry
+    value-checks the COMPOSITION (stage outputs feeding the next stage's
+    census/score/budget inputs). Plan shapes: zero-shuffle projections
+    (canon, score), one dedup groupBy, one census shuffle + value join,
+    one reassembly shuffle, one group-key cumsum — all linear, nothing
+    pairwise."""
+    from dataux_spark.operators.sampling import token_budget_select
+    from dataux_spark.operators.text import (
+        hashed_linear_quality,
+        remove_boilerplate_lines,
+    )
+    from dataux_spark.operators.web import url_dedup_keepers
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("copyright footer - all "), F.col("lang"),
+                     F.lit(" documents share this line")),
+        ).alias("t"),
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".COM:443/Doc/"), (F.col("doc_id") % 150).cast("string"),
+            F.lit("/"),
+        ).alias("url"),
+    )
+    keep = url_dedup_keepers(docs, "url", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")
+    cleaned = remove_boilerplate_lines(kept, "t", "doc_id", min_docs=3)
+    scored = hashed_linear_quality(
+        cleaned.select("doc_id", F.col("text_clean").alias("tc")),
+        "tc", "doc_id", threshold=-0.05,
+    )
+    gated = (
+        scored.filter(F.col("keep") == 1)
+        .join(kept.select("doc_id", "lang", "n_chars"), "doc_id")
+    )
+    sel = token_budget_select(
+        gated, "n_tokens", {"en": 2500}, "lang", "doc_id",
+        order_col="quality_score", default_budget=1200,
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.max("_cum_tokens").cast("bigint").alias("tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 @_q("training_prep_pipeline", _training_prep_oracle())
 def training_prep_pipeline(spark, sf_dir):
     """The FULL training-data prep flow as one declarative plan — quality

@@ -219,6 +219,14 @@ CHECKS = {
         ("columns pruned to id+text",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "corpus_hygiene_pipeline": [
+        ("no all-pairs path anywhere", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("census join stays outer (exempt lines preserved)",
+         lambda p: "LeftOuter" in p),
+        ("budget cumsum is a keyed window",
+         lambda p: "Window" in p and "hashpartitioning(lang" in p),
+    ],
     "sample_stratified_lang": [
         # CASE-banded hash filter is a pure map over the scan
         ("zero shuffle", lambda p: "Exchange" not in p),
