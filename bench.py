@@ -68,6 +68,10 @@ HEADLINE = [
     # the composed six-stage prep pipeline — the flagship composition,
     # timed so a regression in any stage's plan shows up here
     "training_prep_pipeline",
+    # round-6 addition: the crawl-hygiene composition (URL dedup →
+    # boilerplate census → hashed quality gate → token budget) — the
+    # second composed pipeline in the timed set
+    "corpus_hygiene_pipeline",
     "asof_join_events",
     "sessionize_stats",
     "range_join_price_bands",

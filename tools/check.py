@@ -10,6 +10,13 @@ Usage: python3 tools/check.py [--vanilla] [sf_dir] [query ...]
 --vanilla: use a bare SparkSession (no dataux_spark.get_spark configs) —
 simulates the external driver, which builds its own session; catches
 queries that accidentally depend on our session configuration.
+
+NOTE on scale: the driver gate runs at sf0.01. Four oracles are
+quadratic BY CONSTRUCTION (exact all-pairs Jaccard as the value oracle
+for LSH outputs: dedup_minhash_lsh, dedup_ngram_jaccard, dedup_clusters,
+training_prep_pipeline) — at sf0.1+ skip them when sweeping (pass an
+explicit query list); the operators themselves are linear and their
+sf0.1 equivalence is pinned by tests/test_dedup.py instead.
 """
 
 from __future__ import annotations
