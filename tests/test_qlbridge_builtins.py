@@ -186,3 +186,37 @@ def test_typewriter(engine):
 def test_useragent_map(engine):
     m = one(engine, "useragent.map('Mozilla/5.0 (Windows NT 10.0) Chrome/120.0')")
     assert m == {"bot": "false", "browser": "chrome", "os": "windows"}
+
+
+def test_dialect_udfs_are_arrow_batched_not_row_at_a_time(engine):
+    """Every dialect shim is an Arrow-batched pandas UDF: the physical
+    plan must show ArrowEvalPython, never BatchEvalPython (the
+    row-at-a-time path whose per-row pickling is the 10-100x slow
+    path this registry explicitly bans)."""
+    import contextlib
+    import io
+
+    df = engine.sql(
+        "SELECT toint(CAST(c_custkey AS STRING)) AS i, email('A@B.com') AS e, "
+        "host('https://x.org/p') AS h, useragent('Chrome', 'browser') AS ua "
+        "FROM customer LIMIT 5"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_add_function_promotes_plain_callables_to_arrow(engine):
+    engine.add_function("shout2", lambda s: s.upper() + "!" if s else None)
+    import contextlib
+    import io
+
+    df = engine.sql("SELECT shout2(c_mktsegment) AS x FROM customer LIMIT 3")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BatchEvalPython" not in buf.getvalue()
+    assert all(r.x.endswith("!") for r in df.collect())
