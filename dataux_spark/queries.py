@@ -2095,6 +2095,68 @@ def streaming_incremental_neardup_pairs(spark, sf_dir):
     return spark.read.parquet(pairs).select("batch_id", "store_id", "jaccard")
 
 
+@_q(
+    "streaming_url_dedup",
+    # acceptance semantics in SQL: a canonical key is owned by the FIRST
+    # micro-batch that carries it (batch 0 = doc_id <= 250), and the
+    # keeper is the min doc_id within that owning batch — exactly the
+    # probe-then-commit contract the stream executes
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <= 250 THEN 0 ELSE 1 END AS b,
+             'site' || CAST(doc_id % 3 AS VARCHAR) || '.com/doc/' ||
+             CAST(doc_id % 150 AS VARCHAR) AS url_canon
+      FROM documents
+    ),
+    fb AS (SELECT url_canon, min(b) AS owner FROM planted GROUP BY url_canon)
+    SELECT p.url_canon,
+           min(p.doc_id) AS doc_id,
+           CAST(f.owner AS BIGINT) AS batch
+    FROM planted p JOIN fb f
+      ON p.url_canon = f.url_canon AND p.b = f.owner
+    GROUP BY p.url_canon, f.owner
+    """,
+)
+def streaming_url_dedup(spark, sf_dir):
+    """Structured-Streaming crawl-frontier URL dedup (streaming/ops.py
+    streaming_url_dedup_ingest): documents arrive as two one-file
+    micro-batches carrying planted URL spellings (uppercase host, www.,
+    :443, tracking param — all folded by canonicalization); each batch
+    keeps min-id-per-canonical-key, drops keys the store already
+    accepted, appends survivors, commits its keys. The oracle states the
+    end-to-end acceptance rule relationally: first-owning-batch wins,
+    min id within it."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".COM:443/doc/"), (F.col("doc_id") % 150).cast("string"),
+            F.lit("/?utm_source=crawl"),
+        ).alias("url"),
+    )
+    root = tempfile.mkdtemp(prefix="dataux_stream_url_")
+    store, accepted, incoming = f"{root}/store", f"{root}/accepted", f"{root}/in"
+    docs.filter(F.col("doc_id") <= 250).coalesce(1).write.parquet(f"{incoming}/b1.parquet")
+    docs.filter(F.col("doc_id") > 250).coalesce(1).write.parquet(f"{incoming}/b2.parquet")
+    schema = spark.read.parquet(f"{incoming}/b1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_url_dedup_ingest(stream, "url", "doc_id", store, accepted).awaitTermination()
+    # lazy read of the accepted sink; tmp root left for the OS reaper
+    # (same lifetime rationale as streaming_incremental_neardup_pairs)
+    return spark.read.parquet(accepted).select(
+        "url_canon", "doc_id", F.col("batch").cast("bigint").alias("batch")
+    )
+
+
 def _simhash_md5_oracle(bits: int = 60) -> str:
     sums = ",\n             ".join(
         f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"

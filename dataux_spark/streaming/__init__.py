@@ -5,6 +5,7 @@ from dataux_spark.streaming.ops import (
     streaming_dedup,
     streaming_incremental_neardup,
     streaming_rollup_ingest,
+    streaming_url_dedup_ingest,
     merged_rollup,
     stream_events,
     stream_stream_join,
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_incremental_neardup",
     "streaming_rollup_ingest",
+    "streaming_url_dedup_ingest",
     "merged_rollup",
     "stream_stream_join",
     "run_to_memory",

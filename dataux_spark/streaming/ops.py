@@ -311,3 +311,62 @@ def merged_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
         F.min("value_min").alias("value_min"),
         F.max("value_max").alias("value_max"),
     )
+
+
+def streaming_url_dedup_ingest(
+    stream: DataFrame,
+    url_col: str,
+    id_col: str,
+    store_path: str,
+    accepted_path: str,
+):
+    """Ingest-time URL dedup — the crawl-frontier filter: each
+    micro-batch canonicalizes its URLs (operators/web), keeps one row
+    per canonical key WITHIN the batch (min id), drops keys already in
+    the persisted canonical-key store (everything accepted before it —
+    history and earlier micro-batches alike), appends the survivors to
+    `accepted_path`, then commits their keys to the store so later
+    batches see them. Same probe-then-commit contract as
+    streaming_incremental_neardup: foreachBatch because the dedup state
+    is a per-corpus shared table, not per-query streaming state.
+
+    Replay caveat, by design: at-least-once foreachBatch retry re-probes
+    an already-committed batch — every key is then already in the store,
+    so the replay accepts nothing and re-appends nothing new to the
+    store (append of already-present keys is harmless for the dedup
+    decision: probes use a semi/anti join, duplicates in the store
+    change no outcome). Returns the streaming query handle."""
+    from dataux_spark.operators.web import canonical_url_col
+
+    def _probe_then_commit(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        canon = (
+            bdf.withColumn("url_canon", canonical_url_col(F.col(url_col)))
+            .filter(F.col("url_canon") != "")
+        )
+        # within-batch keeper: min id per canonical key
+        w_min = canon.groupBy("url_canon").agg(F.min(id_col).alias(id_col))
+        batch_keep = canon.join(w_min, ["url_canon", id_col])
+        try:
+            store = spark.read.parquet(store_path).select("url_canon")
+        except Exception:  # first batch: no store yet
+            store = None
+        fresh = (
+            batch_keep.join(store, "url_canon", "left_anti")
+            if store is not None
+            else batch_keep
+        )
+        fresh = fresh.persist()
+        try:
+            fresh.withColumn("batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(accepted_path)
+            fresh.select("url_canon").write.mode("append").parquet(store_path)
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_probe_then_commit)
+        .trigger(availableNow=True)
+        .start()
+    )

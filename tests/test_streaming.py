@@ -238,3 +238,48 @@ def test_streaming_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in S.merged_rollup(spark, store).collect()
     }
     assert again == got
+
+
+def test_streaming_url_dedup_ingest(spark, tmp_path):
+    """Crawl-frontier dedup across micro-batches: within-batch duplicate
+    canonical keys collapse to the min id, keys accepted by an earlier
+    micro-batch are dropped by later ones (store commit takes effect),
+    unparseable URLs never enter the store."""
+    stream_dir = str(tmp_path / "urls_in")
+    store = str(tmp_path / "url_store")
+    accepted = str(tmp_path / "accepted")
+    b1 = spark.createDataFrame(
+        [
+            (1, "https://www.siteA.com/x/?utm_source=m"),
+            (2, "HTTP://SITEA.COM/x"),            # same canon as 1 -> collapse
+            (3, "https://siteB.org/y/"),
+            (4, "not a url"),                      # unparseable -> dropped
+        ],
+        "id long, url string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (5, "http://sitea.com/x?fbclid=z"),    # already accepted in b1
+            (6, "https://siteC.net/z"),            # new
+            (7, "https://www.siteC.net/z"),        # same canon as 6 -> collapse
+        ],
+        "id long, url string",
+    )
+    b1.coalesce(1).write.parquet(f"{stream_dir}/f1.parquet")
+    b2.coalesce(1).write.parquet(f"{stream_dir}/f2.parquet")
+    schema = spark.read.parquet(f"{stream_dir}/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*/")
+    )
+    q = S.streaming_url_dedup_ingest(stream, "url", "id", store, accepted)
+    q.awaitTermination()
+    acc = {(r.id, r.url_canon) for r in spark.read.parquet(accepted).collect()}
+    assert acc == {
+        (1, "sitea.com/x"),
+        (3, "siteb.org/y"),
+        (6, "sitec.net/z"),
+    }
+    keys = {r.url_canon for r in spark.read.parquet(store).collect()}
+    assert keys == {"sitea.com/x", "siteb.org/y", "sitec.net/z"}
