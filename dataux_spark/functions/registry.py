@@ -70,18 +70,16 @@ def scalar_pandas_udf(fn, ret_type):
     return F.pandas_udf(u, ret_type)
 
 
-_pudf1 = _pudf2 = scalar_pandas_udf
-
 
 def register_all(spark: SparkSession) -> None:
     spark.udf.register("todate", _todate)
     spark.udf.register("qb_strftime", _qb_strftime)
-    spark.udf.register("seconds", _pudf1(_seconds, T.DoubleType()))
+    spark.udf.register("seconds", scalar_pandas_udf(_seconds, T.DoubleType()))
 
     # qlbridge-builtin spellings Spark lacks (qlbridge builtins loaded
     # wholesale at runtestserver.go:74; usage shapes in SURVEY §2.8).
     #
-    # Every registration below is an Arrow-batched pandas UDF (_pudf1/2) —
+    # Every registration below is an Arrow-batched pandas UDF —
     # no row-at-a-time Python UDF is registered anywhere. The heavily-used
     # names (exists/missing/cardinality/terms/cast/char_length/…) remain
     # dialect.py REWRITES that stay JVM-side and codegen'd; these shims
@@ -90,51 +88,51 @@ def register_all(spark: SparkSession) -> None:
     # does drag one across a large scan.
     spark.udf.register(
         "hasprefix",
-        _pudf2(lambda s, p: s.startswith(p) if isinstance(s, str) and p is not None else None,
+        scalar_pandas_udf(lambda s, p: s.startswith(p) if isinstance(s, str) and p is not None else None,
                T.BooleanType()),
     )
     spark.udf.register(
         "hassuffix",
-        _pudf2(lambda s, p: s.endswith(p) if isinstance(s, str) and p is not None else None,
+        scalar_pandas_udf(lambda s, p: s.endswith(p) if isinstance(s, str) and p is not None else None,
                T.BooleanType()),
     )
 
     # loose type-conversion family (qlbridge CastIntSafe-style semantics:
     # parse what you can, NULL on failure — never error)
-    spark.udf.register("toint", _pudf1(_toint, T.LongType()))
-    spark.udf.register("tonumber", _pudf1(_tonumber, T.DoubleType()))
-    spark.udf.register("tobool", _pudf1(_tobool, T.BooleanType()))
+    spark.udf.register("toint", scalar_pandas_udf(_toint, T.LongType()))
+    spark.udf.register("tonumber", scalar_pandas_udf(_tonumber, T.DoubleType()))
+    spark.udf.register("tobool", scalar_pandas_udf(_tobool, T.BooleanType()))
 
     # email / url extraction family (qlbridge email(), domain(), host(),
     # path(), qs() builtins)
     spark.udf.register(
         "email",
-        _pudf1(lambda s: s.strip().lower() if isinstance(s, str) and "@" in s else None,
+        scalar_pandas_udf(lambda s: s.strip().lower() if isinstance(s, str) and "@" in s else None,
                T.StringType()),
     )
     spark.udf.register(
         "emaildomain",
-        _pudf1(lambda s: s.strip().lower().rsplit("@", 1)[1] if isinstance(s, str) and "@" in s else None,
+        scalar_pandas_udf(lambda s: s.strip().lower().rsplit("@", 1)[1] if isinstance(s, str) and "@" in s else None,
                T.StringType()),
     )
     spark.udf.register(
         "emailname",
-        _pudf1(lambda s: s.strip().lower().rsplit("@", 1)[0] if isinstance(s, str) and "@" in s else None,
+        scalar_pandas_udf(lambda s: s.strip().lower().rsplit("@", 1)[0] if isinstance(s, str) and "@" in s else None,
                T.StringType()),
     )
-    spark.udf.register("host", _pudf1(_host, T.StringType()))
-    spark.udf.register("domain", _pudf1(_domain, T.StringType()))
-    spark.udf.register("urlpath", _pudf1(_urlpath, T.StringType()))
-    spark.udf.register("qs", _pudf2(_qs, T.StringType()))
-    spark.udf.register("urldecode", _pudf1(_urldecode, T.StringType()))
-    spark.udf.register("urlmain", _pudf1(_urlmain, T.StringType()))
-    spark.udf.register("urlminusqs", _pudf2(_urlminusqs, T.StringType()))
-    spark.udf.register("useragent", _pudf2(_useragent, T.StringType()))
+    spark.udf.register("host", scalar_pandas_udf(_host, T.StringType()))
+    spark.udf.register("domain", scalar_pandas_udf(_domain, T.StringType()))
+    spark.udf.register("urlpath", scalar_pandas_udf(_urlpath, T.StringType()))
+    spark.udf.register("qs", scalar_pandas_udf(_qs, T.StringType()))
+    spark.udf.register("urldecode", scalar_pandas_udf(_urldecode, T.StringType()))
+    spark.udf.register("urlmain", scalar_pandas_udf(_urlmain, T.StringType()))
+    spark.udf.register("urlminusqs", scalar_pandas_udf(_urlminusqs, T.StringType()))
+    spark.udf.register("useragent", scalar_pandas_udf(_useragent, T.StringType()))
     spark.udf.register(
         "useragent_map",
-        _pudf1(_useragent_map, T.MapType(T.StringType(), T.StringType())),
+        scalar_pandas_udf(_useragent_map, T.MapType(T.StringType(), T.StringType())),
     )
-    spark.udf.register("typewriter", _pudf1(_typewriter, T.StringType()))
+    spark.udf.register("typewriter", scalar_pandas_udf(_typewriter, T.StringType()))
 
 
 def _typewriter(s):
