@@ -4182,7 +4182,11 @@ def corpus_hygiene_pipeline(spark, sf_dir):
     census/score/budget inputs). Plan shapes: zero-shuffle projections
     (canon, score), one dedup groupBy, one census shuffle + value join,
     one reassembly shuffle, one group-key cumsum — all linear, nothing
-    pairwise."""
+    pairwise. Kept fully lazy here so Catalyst prunes across stages;
+    because Spark has no cross-branch CSE, the URL-dedup subtree is
+    recomputed where later stages re-join it — at corpus scale a
+    production run materializes each stage to the lake (the store-backed
+    pattern), trading that recompute for one write per stage."""
     from dataux_spark.operators.sampling import token_budget_select
     from dataux_spark.operators.text import (
         hashed_linear_quality,
