@@ -154,6 +154,53 @@ class TableStore:
         wd = self._backing[table]
         return [(v, f"{wd}/v{v:06d}") for v in range(self._version[table] + 1)]
 
+    def backed(self, table: str) -> bool:
+        return table in self._backing
+
+    def commit_where(self, table: str, where_sql: str, rewrite) -> None:
+        """File-pruned copy-on-write commit — the Delta/Iceberg COW
+        contract at file granularity: only the part-files that CONTAIN a
+        row matching `where_sql` are rewritten (through `rewrite`, a
+        DataFrame→DataFrame transform that must preserve non-matching
+        rows itself, e.g. the CASE-WHEN update projection or the delete
+        filter); every untouched file carries into the new version as a
+        filesystem hard link. A selective UPDATE/DELETE on a 100 TB
+        table therefore costs one predicate-pushed scan (row groups
+        pruned by parquet min/max) plus a rewrite of the matched files —
+        not a full-table rewrite. On an object store the links become
+        server-side copies; with sort_cols compaction
+        (maintenance.compact) clustering the predicate columns, the
+        matched-file set approaches the matched-row set."""
+        import os
+        from urllib.parse import urlparse
+
+        wd = self._backing[table]
+        cur_v = self._version[table]
+        src = f"{wd}/v{cur_v:06d}"
+        cur = self.spark.read.parquet(src)
+        hit = {
+            os.path.basename(urlparse(r[0]).path)
+            for r in cur.filter(F.expr(where_sql))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        v = cur_v + 1
+        dst = f"{wd}/v{v:06d}"
+        os.makedirs(dst, exist_ok=True)
+        kept = []
+        for name in os.listdir(src):
+            if name.startswith("part-") and not name.endswith(".crc") and name not in hit:
+                os.link(f"{src}/{name}", f"{dst}/{name}")
+                kept.append(name)
+        if hit:
+            sub = self.spark.read.parquet(*[f"{src}/{n}" for n in sorted(hit)])
+            rewrite(sub).write.mode("append").parquet(dst)
+        elif not kept:  # empty table edge: keep the version dir readable
+            cur.limit(0).write.mode("append").parquet(dst)
+        self._version[table] = v
+        self.spark.read.parquet(dst).createOrReplaceTempView(table)
+
     def commit(self, table: str, df: DataFrame) -> None:
         if table in self._backing:
             v = self._version[table] + 1
@@ -366,7 +413,14 @@ def _update(spark, store: TableStore, m) -> DmlResult:
     table, set_clause, where = m.group(1), m.group(2), m.group(3)
     df = store.current(table)
     affected = df.filter(F.expr(where)).count() if where else df.count()
-    store.commit(table, _update_projection(df, set_clause, where))
+    if where and store.backed(table):
+        # file-pruned COW: rewrite only part-files holding matched rows;
+        # the CASE-WHEN projection preserves non-matching rows within them
+        store.commit_where(
+            table, where, lambda sub: _update_projection(sub, set_clause, where)
+        )
+    else:
+        store.commit(table, _update_projection(df, set_clause, where))
     return DmlResult(affected)
 
 
@@ -440,5 +494,11 @@ def _delete(spark, store: TableStore, m) -> DmlResult:
         return DmlResult(n)
     cond = F.expr(where)
     n = df.filter(cond).count()
-    store.commit(table, df.filter(~cond | cond.isNull()))
+    if store.backed(table):
+        # file-pruned COW: untouched files link into the new version
+        store.commit_where(
+            table, where, lambda sub: sub.filter(~F.expr(where) | F.expr(where).isNull())
+        )
+    else:
+        store.commit(table, df.filter(~cond | cond.isNull()))
     return DmlResult(n)

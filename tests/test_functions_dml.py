@@ -180,3 +180,58 @@ def test_insert_select_append(spark, sf_dir):
     assert r2.affected == 5
     rows = e.sql("SELECT k, name FROM insel_target ORDER BY k").collect()
     assert len(rows) == 10 and sum(1 for r in rows if r.name is None) == 5
+
+
+def test_pruned_cow_rewrites_only_matched_files(spark, sf_dir, tmp_path):
+    """File-pruned copy-on-write: a selective UPDATE/DELETE on a
+    parquet-backed table rewrites ONLY the part-files containing matched
+    rows — untouched files carry into the new version as hard links
+    (same inode), while results and time travel stay exact."""
+    import os
+
+    work = tmp_path / "pruned_work"
+    # spread orders across many part files so pruning has something to skip
+    src = str(tmp_path / "orders_multi")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("orders_rw", src, str(work), keys=["o_orderkey"])
+    total = eng.sql("SELECT count(*) AS ct FROM orders_rw").collect()[0][0]
+    lo = eng.sql("SELECT min(o_orderkey) AS k FROM orders_rw").collect()[0][0]
+
+    r = eng.sql(f"UPDATE orders_rw SET o_orderstatus = 'Z' WHERE o_orderkey = {lo}")
+    assert r.affected == 1
+    assert eng.sql(
+        f"SELECT o_orderstatus FROM orders_rw WHERE o_orderkey = {lo}"
+    ).collect()[0][0] == "Z"
+    assert eng.sql("SELECT count(*) AS ct FROM orders_rw").collect()[0][0] == total
+
+    v0, v1 = work / "v000000", work / "v000001"
+    def parts(d):
+        return sorted(p for p in os.listdir(d) if p.startswith("part-") and not p.endswith(".crc"))
+    linked = [p for p in parts(v1) if p in parts(v0)
+              and os.stat(v1 / p).st_ino == os.stat(v0 / p).st_ino]
+    rewritten = [p for p in parts(v1) if p not in parts(v0)]
+    # range-partitioned on the key: exactly one file matched the point
+    # predicate, the other seven hard-linked through
+    assert len(linked) == 7 and rewritten
+    # time travel still sees the pre-update value
+    assert eng.sql(
+        f"SELECT o_orderstatus FROM orders_rw VERSION AS OF 0 WHERE o_orderkey = {lo}"
+    ).collect()[0][0] != "Z"
+
+    # selective DELETE prunes the same way
+    r = eng.sql(f"DELETE FROM orders_rw WHERE o_orderkey = {lo}")
+    assert r.affected == 1
+    assert eng.sql("SELECT count(*) AS ct FROM orders_rw").collect()[0][0] == total - 1
+    v2 = work / "v000002"
+    linked2 = [p for p in parts(v2)
+               if (v1 / p).exists() and os.stat(v2 / p).st_ino == os.stat(v1 / p).st_ino]
+    assert len(linked2) == 7
+    # whole-table UPDATE (no WHERE) still takes the full-rewrite path
+    r = eng.sql("UPDATE orders_rw SET o_orderpriority = '9-NONE'")
+    assert r.affected == total - 1
+    assert eng.sql(
+        "SELECT count(DISTINCT o_orderpriority) AS c FROM orders_rw"
+    ).collect()[0][0] == 1
