@@ -157,6 +157,98 @@ class TableStore:
     def backed(self, table: str) -> bool:
         return table in self._backing
 
+    def changes(self, table: str, v_from: int, v_to: int) -> DataFrame:
+        """CDC read between two committed versions — the Delta Change Data
+        Feed shape: the table's columns plus `_change_type` in
+        {'insert', 'delete', 'update_preimage', 'update_postimage'} and
+        `_commit_version` attributing each change to the commit that
+        produced it (adjacent snapshot pairs are diffed independently, so
+        attribution needs no log replay).
+
+        File-pruned: commit_where hard-links unchanged part-files into the
+        new version, and a file present in both snapshots under the same
+        (name, inode) is byte-identical — those files are skipped, so each
+        pair diff reads only the rewritten files. After a selective DML on
+        a 100 TB table, the CDC scan costs the changed data, not the table.
+
+        With declared keys (key-unique tables), a key present on both
+        sides with differing rows becomes an update_preimage/postimage
+        pair and identical rows drop out; without keys the diff is the
+        multiset EXCEPT ALL both ways (inserts + deletes only)."""
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        cur = self._version[table]
+        if not (0 <= v_from <= v_to <= cur):
+            raise KeyError(
+                f"version range [{v_from}, {v_to}] invalid for {table!r} (max {cur})"
+            )
+        base = self.version_of(table, v_from).limit(0)
+        empty = base.select(
+            "*",
+            F.lit("").alias("_change_type"),
+            F.lit(0).cast("int").alias("_commit_version"),
+        )
+        out = empty
+        for v in range(v_from + 1, v_to + 1):
+            d = self._diff_adjacent(table, v - 1, v)
+            out = out.unionByName(
+                d.select("*", F.lit(v).cast("int").alias("_commit_version"))
+            )
+        return out
+
+    def _diff_adjacent(self, table: str, va: int, vb: int) -> DataFrame:
+        """Diff two snapshots, skipping part-files shared by hard link."""
+        import os
+
+        wd = self._backing[table]
+        da, db = f"{wd}/v{va:06d}", f"{wd}/v{vb:06d}"
+
+        def parts(d):
+            return {
+                n: os.stat(f"{d}/{n}").st_ino
+                for n in os.listdir(d)
+                if n.startswith("part-") and not n.endswith(".crc")
+            }
+        pa, pb = parts(da), parts(db)
+        shared = {n for n, ino in pa.items() if pb.get(n) == ino}
+        only_a = sorted(set(pa) - shared)
+        only_b = sorted(set(pb) - shared)
+        schema_src = self.spark.read.parquet(db).limit(0)
+        old = (self.spark.read.parquet(*[f"{da}/{n}" for n in only_a])
+               if only_a else schema_src)
+        new = (self.spark.read.parquet(*[f"{db}/{n}" for n in only_b])
+               if only_b else schema_src)
+        cols = schema_src.columns
+        keys = self._keys.get(table)
+        if keys and all(k in cols for k in keys):
+            # presence markers, not key-isNotNull: a legitimately-NULL key
+            # column must not read as "absent" on a matched side
+            o = old.withColumn("__op", F.lit(1)).alias("__o")
+            n = new.withColumn("__np", F.lit(1)).alias("__n")
+            cond = None
+            for k in keys:
+                c = o[k].eqNullSafe(n[k])
+                cond = c if cond is None else (cond & c)
+            j = o.join(n, cond, "full_outer")
+            o_any, n_any = o["__op"].isNotNull(), n["__np"].isNotNull()
+            o_row = F.struct(*[o[c] for c in cols])
+            n_row = F.struct(*[n[c] for c in cols])
+            ins = j.filter(~o_any & n_any).select(
+                *[n[c] for c in cols], F.lit("insert").alias("_change_type"))
+            dele = j.filter(o_any & ~n_any).select(
+                *[o[c] for c in cols], F.lit("delete").alias("_change_type"))
+            upd = j.filter(o_any & n_any & ~o_row.eqNullSafe(n_row))
+            pre = upd.select(*[o[c] for c in cols],
+                             F.lit("update_preimage").alias("_change_type"))
+            post = upd.select(*[n[c] for c in cols],
+                              F.lit("update_postimage").alias("_change_type"))
+            return ins.unionByName(dele).unionByName(pre).unionByName(post)
+        ins = new.exceptAll(old).select(
+            "*", F.lit("insert").alias("_change_type"))
+        dele = old.exceptAll(new).select(
+            "*", F.lit("delete").alias("_change_type"))
+        return ins.unionByName(dele)
+
     def commit_where(self, table: str, where_sql: str, rewrite) -> None:
         """File-pruned copy-on-write commit — the Delta/Iceberg COW
         contract at file granularity: only the part-files that CONTAIN a

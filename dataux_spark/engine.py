@@ -79,6 +79,10 @@ _ALTER_SOURCE_RE = re.compile(
 _VERSION_AS_OF_RE = re.compile(
     r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
 )
+_TABLE_CHANGES_RE = re.compile(
+    r"\b(FROM|JOIN)\s+table_changes\s*\(\s*'?`?(\w+)'?`?\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
 _USE_RE = re.compile(r"^\s*USE\s+`?(\w+)`?\s*$", re.IGNORECASE)
 _TABLE_REF_RE = re.compile(r"(?:\bFROM|\bJOIN)\s+(`?[\w.]+`?)", re.IGNORECASE)
 
@@ -749,6 +753,7 @@ class Engine:
         if m and re.search(r"\bterms\s*\(", m.group("items"), re.I):
             return self._grouped_terms(m)
         stmt = self._resolve_time_travel(stmt)
+        stmt = self._resolve_table_changes(stmt)
         sql = dialect.rewrite(stmt, self.ctx, literal_dotted=self._literal_dotted_columns())
         sql = self._rewrite_array_in(sql)
         df = self._try_full_pushdown(sql)
@@ -803,6 +808,25 @@ class Engine:
             return f"{kw} {alias} AS {tbl}"
 
         return _VERSION_AS_OF_RE.sub(repl, stmt)
+
+    def _resolve_table_changes(self, stmt: str) -> str:
+        """`FROM table_changes(t, v0, v1)` → the CDC frame between two
+        committed versions (Delta Change Data Feed spelling): the table's
+        columns plus `_change_type` and `_commit_version`. Registers as
+        `t__changes_v0_v1` aliased back to `t` so qualified columns
+        resolve; the frame itself is file-pruned (TableStore.changes)."""
+        if not self.store._backing:
+            return stmt
+
+        def repl(m):
+            kw, tbl = m.group(1), m.group(2)
+            v0, v1 = int(m.group(3)), int(m.group(4))
+            df = self.store.changes(tbl, v0, v1)
+            alias = f"{tbl}__changes_{v0}_{v1}"
+            df.createOrReplaceTempView(alias)
+            return f"{kw} {alias} AS {tbl}"
+
+        return _TABLE_CHANGES_RE.sub(repl, stmt)
 
     def _try_full_pushdown(self, sql: str) -> DataFrame | None:
         """FULL-tier negotiation (reference: BigQuery whole-query pushdown,

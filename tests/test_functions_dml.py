@@ -235,3 +235,64 @@ def test_pruned_cow_rewrites_only_matched_files(spark, sf_dir, tmp_path):
     assert eng.sql(
         "SELECT count(DISTINCT o_orderpriority) AS c FROM orders_rw"
     ).collect()[0][0] == 1
+
+
+def test_table_changes_cdc(spark, sf_dir, tmp_path):
+    """table_changes(t, v0, v1) — Delta-CDF-shaped diff: per-commit
+    attribution, update pre/postimage pairs under declared keys, and
+    file pruning (hard-linked files never read)."""
+    src = str(tmp_path / "cdc_src")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "orders_cdc", src, str(tmp_path / "cdc_work"), keys=["o_orderkey"]
+    )
+    lo = eng.sql("SELECT min(o_orderkey) AS k FROM orders_cdc").collect()[0][0]
+    hi = eng.sql("SELECT max(o_orderkey) AS k FROM orders_cdc").collect()[0][0]
+    r_upd = eng.sql(
+        f"UPDATE orders_cdc SET o_orderpriority = '9-CDC' WHERE o_orderkey = {lo}"
+    )  # v1
+    r_del = eng.sql(f"DELETE FROM orders_cdc WHERE o_orderkey = {hi}")  # v2
+    eng.sql(
+        "INSERT INTO orders_cdc (o_orderkey, o_custkey, o_orderstatus, o_totalprice) "
+        "VALUES (999999001, 1, 'X', 1.0)"
+    )  # v3
+    rows = eng.sql(
+        "SELECT o_orderkey, _change_type, _commit_version "
+        "FROM table_changes(orders_cdc, 0, 3) "
+        "ORDER BY _commit_version, _change_type"
+    ).collect()
+    got = [(r._commit_version, r._change_type, r.o_orderkey) for r in rows]
+    assert (1, "update_preimage", lo) in got and (1, "update_postimage", lo) in got
+    assert (2, "delete", hi) in got
+    assert (3, "insert", 999999001) in got
+    # exactly these four changes: the update matched 1 row, rewrote 1 file,
+    # and that file's other (unchanged) rows must not leak into the feed
+    assert len(got) == 4, got
+    assert r_upd.affected == 1 and r_del.affected == 1
+    # windowed read: only the delete commit
+    only_v2 = eng.sql(
+        "SELECT _change_type FROM table_changes(orders_cdc, 1, 2)"
+    ).collect()
+    assert [r._change_type for r in only_v2] == ["delete"]
+    # empty window is a schema-stable empty frame
+    assert eng.sql("SELECT * FROM table_changes(orders_cdc, 2, 2)").count() == 0
+
+
+def test_table_changes_keyless_multiset(spark, sf_dir, tmp_path):
+    """Without declared keys the diff is the multiset EXCEPT ALL both
+    ways: updates surface as delete+insert, duplicates counted."""
+    src = str(tmp_path / "cdc_nk_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_nk", src, str(tmp_path / "cdc_nk_work"))
+    eng.sql("UPDATE region_nk SET r_name = 'ZZZ' WHERE r_regionkey = 0")
+    from collections import Counter
+
+    rows = eng.sql(
+        "SELECT r_regionkey, _change_type FROM table_changes(region_nk, 0, 1)"
+    ).collect()
+    c = Counter((r.r_regionkey, r._change_type) for r in rows)
+    assert c == Counter({(0, "insert"): 1, (0, "delete"): 1})
