@@ -899,3 +899,80 @@ def simhash_md5(df: DataFrame, content_col: str, id_col: str, bits: int = 60) ->
         )
         sh = term if sh is None else sh + term
     return agg.select("_id", sh.alias("simhash"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then
+    within each cluster drop every document whose cosine similarity to a
+    SMALLER-ID cluster-mate exceeds `threshold` — the deterministic
+    keep-first rule (the paper keeps one representative per
+    eps-neighborhood; keeper choice there is heuristic, here pinned to
+    the smallest id so any engine reproduces the exact keep set).
+
+    Scale shape (the paper's own recipe): quadratic work appears ONLY
+    within clusters, and k — the centroid count — is the knob that bounds
+    cluster size (they scale k with the corpus so n/k stays ~constant).
+    Assignment is the zero-shuffle literal-centroid projection
+    (similarity.assign_to_centroids); pairing is one shuffle on the
+    cluster key. With `max_cluster` set, clusters larger than the cap are
+    sub-blocked by a deterministic id-hash into ceil(n/max_cluster)
+    blocks — quadratic cost stays bounded at max_cluster² per block at
+    the price of missing cross-block pairs inside oversized clusters
+    (the max_bucket recall trade of minhash_lsh_pairs, documented there).
+
+    Returns (id, cluster, keep) for every input row; cosine is rounded
+    to 6 places BEFORE the threshold compare so the keep set is
+    reproducible across engines."""
+    from dataux_spark.operators.similarity import assign_to_centroids
+
+    assign = assign_to_centroids(df, vec_col, id_col, centroids)
+    v = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    ).withColumn(
+        "_vn", F.sqrt(F.expr("aggregate(_v, cast(0 as double), (acc, x) -> acc + x * x)"))
+    )
+    m = assign.select(id_col, "cluster").join(v, id_col)
+    if max_cluster is not None:
+        sizes = m.groupBy("cluster").agg(F.count("*").alias("_csz"))
+        m = m.join(F.broadcast(sizes), "cluster").withColumn(
+            "_blk",
+            F.when(
+                F.col("_csz") > max_cluster,
+                F.pmod(F.xxhash64(F.col(id_col)), F.ceil(F.col("_csz") / max_cluster)),
+            ).otherwise(F.lit(0)),
+        )
+    else:
+        m = m.withColumn("_blk", F.lit(0))
+    a = m.select(
+        F.col(id_col).alias("_aid"), F.col("cluster"), F.col("_blk"),
+        F.col("_v").alias("_av"), F.col("_vn").alias("_an"),
+    )
+    b = m.select(
+        F.col(id_col).alias("_bid"), F.col("cluster"), F.col("_blk"),
+        F.col("_v").alias("_bv"), F.col("_vn").alias("_bn"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_av, _bv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("_an") * F.col("_bn")), 6)
+    dropped = (
+        a.join(b, ["cluster", "_blk"])
+        .filter(F.col("_aid") < F.col("_bid"))
+        .filter(cos > threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return (
+        assign.select(id_col, "cluster")
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left_outer")
+        .select(id_col, "cluster", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

@@ -4280,6 +4280,69 @@ def training_prep_pipeline(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_semantic_keepset",
+    # SemDeDup keep-set over embeddings + 50 planted exact duplicates
+    # (vec_id+10000): centroids are the vec_id<8 subset, assignment and
+    # the within-cluster smaller-id-similar rule are spelled in plain SQL,
+    # cosines rounded to 6 places BEFORE the threshold compare both sides
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS vv
+      FROM embeddings WHERE vec_id < 50
+    ), c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), s AS (
+      SELECT b.vec_id, c.cid,
+             list_dot_product(b.vv, c.cvec) /
+             (sqrt(list_dot_product(b.vv, b.vv)) *
+              sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+      FROM base b CROSS JOIN c
+    ), asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s) t WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b2.vec_id FROM asg a1
+      JOIN asg a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      JOIN base b1 ON b1.vec_id = a1.vec_id
+      JOIN base b2 ON b2.vec_id = a2.vec_id
+      WHERE round(list_dot_product(b1.vv, b2.vv) /
+                  (sqrt(list_dot_product(b1.vv, b1.vv)) *
+                   sqrt(list_dot_product(b2.vv, b2.vv))), 6) > 0.95
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           (d.vec_id IS NULL) AS keep
+    FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic_keepset(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/dedup.semantic_dedup): nearest-
+    centroid clustering + within-cluster keep-first pruning at cos > 0.95.
+    The synthetic embeddings have no natural near-dups (max within-cluster
+    cos ≈ 0.49), so 50 exact duplicates are planted at vec_id+10000 — the
+    keep set must drop exactly the planted copies and keep everything
+    else, and the driver gate value-checks that, not just row counts."""
+    from dataux_spark.operators.dedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(planted)
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+    ]
+    return semantic_dedup(base, "embedding", "vec_id", cents, threshold=0.95)
+
+
 # --- DML / CDC through the engine -----------------------------------------
 
 @_q(
@@ -4406,7 +4469,10 @@ _DRIVER_WINDOW: list[str] = [
     # in every round since r1, while table_changes is a brand-new surface
     # that deserves the driver verdict more than a fifth confirmation
     "cdc_table_changes",
-    "group_by_agg",
+    # group_by_agg's slot goes to the new SemDeDup entry on the same
+    # argument: aggregation is still covered in-window by pricing_summary
+    # and the q-suite, while the semantic-dedup keep set is new surface
+    "dedup_semantic_keepset",
     "window_topk_per_group",
     "dedup_span_stats",
 ]

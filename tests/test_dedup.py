@@ -337,3 +337,49 @@ def test_simhash_md5_twin_near_dup_properties(spark):
     assert sh[1] == sh[2]
     assert 0 < ham(sh[1], sh[3]) <= 20
     assert ham(sh[1], sh[4]) > ham(sh[1], sh[3])
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """SemDeDup keep-first rule: planted exact copies (larger ids) drop,
+    originals and dissimilar docs keep; cluster labels come from the
+    literal-centroid assignment."""
+    import math
+
+    rows = []
+    for i in range(40):
+        ang = (i % 4) * math.pi / 2 + (i // 4) * 0.01  # 4 tight direction groups
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.1, 0.0]))
+    rows += [(1000 + i, vec) for i, vec in rows[:10]]  # planted copies
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<float>",
+    )
+    cents = [(c, [math.cos(c * math.pi / 2), math.sin(c * math.pi / 2), 0.0, 0.0])
+             for c in range(4)]
+    out = dedup.semantic_dedup(df, "embedding", "vec_id", cents, threshold=0.999)
+    keep = {r.vec_id: r.keep for r in out.collect()}
+    assert len(keep) == 50
+    # every planted copy has an identical smaller-id original -> dropped
+    assert all(not keep[1000 + i] for i in range(10))
+    # near-identical group members (0.01 rad apart) are below the 0.999
+    # threshold's reach only for distant pairs; the group seeds (i//4 == 0)
+    # have no smaller-id near-identical mate and must keep
+    assert keep[0] and keep[1] and keep[2] and keep[3]
+
+    # max_cluster sub-blocking: same keep-rule per block, deterministic
+    capped = dedup.semantic_dedup(
+        df, "embedding", "vec_id", cents, threshold=0.999, max_cluster=5
+    )
+    keep_capped = {r.vec_id: r.keep for r in capped.collect()}
+    assert len(keep_capped) == 50
+    # sub-blocking can only SPLIT comparison scopes: anything kept in the
+    # uncapped run stays kept (drops require a same-block smaller-id mate)
+    assert all(keep_capped[k] for k, v in keep.items() if v)
+    # determinism
+    keep_capped2 = {
+        r.vec_id: r.keep
+        for r in dedup.semantic_dedup(
+            df, "embedding", "vec_id", cents, threshold=0.999, max_cluster=5
+        ).collect()
+    }
+    assert keep_capped == keep_capped2
