@@ -559,3 +559,109 @@ def hashed_linear_quality(
         score.alias("quality_score"),
         (score >= threshold).cast("int").alias("keep"),
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    target_cond,
+    dim: int = 1024,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how target-like its hashed
+    n-gram feature distribution is, log w(x) = Σ_features log p̂_target(b)
+    − log p̂_raw(b). The canonical pretraining-data curation move: pick a
+    small trusted target set (here a predicate over the corpus itself —
+    in production, Wikipedia/books), fit two smoothed bag-of-hashed-grams
+    models, and weight raw docs by the likelihood ratio for resampling.
+
+    Features are DSIR's own: word unigrams + bigrams, hashed into `dim`
+    buckets with the md5-prefix bucket hash every engine reproduces
+    (hashed_linear_quality's scheme). Both models are add-one smoothed
+    over the full bucket spine, so unseen buckets contribute a finite
+    ratio instead of dropping terms. (Single-token docs contribute their
+    token twice — the bigram window degenerates to the unigram; the
+    oracle replays the same formula, see shingles().)
+
+    Plan shape at 100 TB: two map-side-combined bucket counts (dim-row
+    outputs), folded into ONE broadcast dim-row λ table (log-ratio per
+    bucket); scoring is explode → per-(doc,bucket) count → broadcast
+    join → doc roll-up. The corpus shuffles only on (doc, bucket) —
+    linear, key-uniform — and the model is O(dim), never vocabulary-
+    sized. Returns (id, n_grams, log_weight) with log_weight rounded to
+    6dp after the sum (FP-association drift is ~1e-13 on O(100)-term
+    sums; the precedent is unigram_logprob_scores)."""
+    from dataux_spark.operators.dedup import shingles
+
+    spark = df.sparkSession
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint") % dim
+    ).alias("bucket")
+
+    def exploded(frame):
+        # shingles() interpolates a column NAME into a SQL fragment, so
+        # the token array is materialized as `_toks` first
+        return (
+            frame.select(F.col(id_col).alias("_id"),
+                         tokens(F.col(content_col)).alias("_toks"))
+            .select("_id", F.explode(F.concat(F.col("_toks"),
+                                              shingles("_toks", 2))).alias("_g"))
+            .select("_id", bucket)
+        )
+
+    def bucket_counts(frame, name):
+        return exploded(frame).groupBy("bucket").agg(F.count("*").alias(name))
+
+    spine = spark.range(dim).select(F.col("id").alias("bucket"))
+    # persisted: the totals .first() materializes both count shuffles;
+    # the scoring join below reuses them instead of re-exploding the
+    # corpus twice (the λ table IS the fitted model — the artifact a
+    # production pipeline checkpoints; unigram_logprob_scores precedent)
+    lam = (
+        spine.join(bucket_counts(df.filter(target_cond), "tc"), "bucket", "left")
+        .join(bucket_counts(df, "rc"), "bucket", "left")
+        .select("bucket", F.coalesce("tc", F.lit(0)).alias("tc"),
+                F.coalesce("rc", F.lit(0)).alias("rc"))
+        .persist()
+    )
+    tot = lam.agg(F.sum("tc").alias("t"), F.sum("rc").alias("r")).first()
+    lam = lam.select(
+        "bucket",
+        (F.log((F.col("tc") + 1) / F.lit(float(tot.t + dim)))
+         - F.log((F.col("rc") + 1) / F.lit(float(tot.r + dim)))).alias("lam"),
+    )
+    return (
+        exploded(df)
+        .groupBy("_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.round(F.sum(F.col("tf") * F.col("lam")), 6).alias("log_weight"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def dsir_select_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    target_cond,
+    k: int,
+    dim: int = 1024,
+) -> DataFrame:
+    """Deterministic DSIR selection: rank raw docs by log importance
+    weight (ties to the smaller id) and keep the top k. The paper
+    resamples with Gumbel noise; a seeded Gumbel column drops in as an
+    extra sort key without changing the plan — deterministic rank is the
+    oracle-checkable spelling. Global top-k = TakeOrderedAndProject over
+    the dim-bounded weight frame, not a full sort."""
+    w = dsir_log_weights(df, content_col, id_col, target_cond, dim)
+    return (
+        w.orderBy(F.col("log_weight").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "n_grams", "log_weight")
+    )

@@ -3039,6 +3039,65 @@ def text_hashed_quality(spark, sf_dir):
 
 
 @_q(
+    "text_dsir_weights",
+    # DSIR importance weights: both engines hash unigram+bigram features
+    # with the md5-prefix bucket scheme, fit the same add-one-smoothed
+    # target (lang='en') and raw models over the full 1024-bucket spine,
+    # and sum per-doc log ratios — rounded to 6dp after the sum
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             list_concat(
+               toks,
+               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                              i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+             ) AS grams
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5(u.gr), 1, 8) AS UBIGINT) AS BIGINT)
+               % 1024 AS bucket
+      FROM g, UNNEST(grams) AS u(gr)
+    ),
+    tc AS (SELECT bucket, count(*) AS c FROM e WHERE lang = 'en' GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS c FROM e GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(c) FROM tc) AS t, (SELECT sum(c) FROM rc) AS r),
+    lam AS (
+      SELECT s.range AS bucket,
+             ln((coalesce(tc.c, 0) + 1)::DOUBLE / (tot.t + 1024))
+             - ln((coalesce(rc.c, 0) + 1)::DOUBLE / (tot.r + 1024)) AS lam
+      FROM range(1024) s CROSS JOIN tot
+      LEFT JOIN tc ON tc.bucket = s.range
+      LEFT JOIN rc ON rc.bucket = s.range
+    ),
+    d AS (SELECT doc_id, bucket, count(*) AS tf FROM e GROUP BY doc_id, bucket)
+    SELECT d.doc_id, CAST(sum(d.tf) AS BIGINT) AS n_grams,
+           round(sum(d.tf * lam.lam), 6) AS log_weight
+    FROM d JOIN lam USING (bucket) GROUP BY d.doc_id
+    """,
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/text.dsir_log_weights): hashed
+    unigram+bigram likelihood ratio of a target model (lang='en' docs)
+    over the raw-corpus model — the Data Selection with Importance
+    Resampling score (Xie et al., NeurIPS 2023). The oracle refits both
+    smoothed models in DuckDB and value-checks every doc's log weight."""
+    from dataux_spark.operators.text import dsir_log_weights
+
+    return dsir_log_weights(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        F.col("lang") == "en", dim=1024,
+    )
+
+
+@_q(
     "url_canonical_dedup",
     # plant deterministic URL spellings: uppercase scheme/host, www.,
     # default port, tracking params in scrambled order, trailing slash —

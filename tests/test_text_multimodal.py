@@ -369,3 +369,33 @@ def test_url_canonicalization_rules(spark):
     }
     assert keepers["example.com/A/B?a=1&z=2"] == (1, 3)
     assert "" not in keepers  # unparseable rows never form a dedup group
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """DSIR log-weights must rank docs sharing the target set's n-gram
+    distribution above off-target docs, and the deterministic top-k
+    selection must be stable across runs."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.text import dsir_log_weights, dsir_select_topk
+
+    target_text = "the quick brown fox jumps over the lazy dog"
+    off_text = "zzz qqq xxx vvv kkk www yyy jjj ppp mmm"
+    rows = (
+        [(i, target_text, "tgt") for i in range(10)]            # target set
+        + [(100 + i, target_text + " again", "raw") for i in range(5)]  # target-like
+        + [(200 + i, off_text, "raw") for i in range(5)]        # off-target
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, grp: string")
+    w = dsir_log_weights(df, "text", "doc_id", F.col("grp") == "tgt", dim=256)
+    by_id = {r.doc_id: r.log_weight for r in w.collect()}
+    assert len(by_id) == 20
+    assert min(by_id[100 + i] for i in range(5)) > max(by_id[200 + i] for i in range(5))
+
+    top = dsir_select_topk(df, "text", "doc_id", F.col("grp") == "tgt", k=15, dim=256)
+    sel = [r.doc_id for r in top.collect()]
+    assert len(sel) == 15 and all(200 + i not in sel for i in range(5))
+    sel2 = [r.doc_id for r in
+            dsir_select_topk(df, "text", "doc_id", F.col("grp") == "tgt",
+                             k=15, dim=256).collect()]
+    assert sel == sel2
