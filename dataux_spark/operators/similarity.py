@@ -588,3 +588,51 @@ def ivf_fixed_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     return _rerank_topk(cand, k)
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    max_cos: float | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k corpus
+    items MOST similar by cosine yet carrying a DIFFERENT label — the
+    standard negative-selection pass for training embedding/retrieval
+    models (dense retrievers mine BM25/ANN neighbors that aren't
+    positives; same shape here over the embedding column). `max_cos`
+    optionally drops near-duplicate "false negatives" (items so similar
+    they are probably mislabeled positives — the margin trick).
+
+    Plan: broadcast the anchor set (bounded by construction), one pass
+    over the corpus with the label inequality applied BEFORE the top-k
+    window, per-anchor row_number on (rounded cos desc, id). Same
+    scale shape as brute_force_topk: the corpus never shuffles except
+    for the per-anchor window on the (slim) scored frame; for web-scale
+    anchor sets swap candidate generation to signband_topk and keep this
+    as the rerank. Returns (query_id, neighbor_id, neighbor_label, cos,
+    rank)."""
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlabel"),
+        _as_double(vec_col).alias("qv"),
+    ).withColumn("qnorm", _norm("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("cnorm", _norm("cv"))
+    joined = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(~F.col("neighbor_label").eqNullSafe(F.col("qlabel")))
+    )
+    cos = F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = joined.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cos"))
+    if max_cos is not None:
+        scored = scored.filter(F.col("cos") <= max_cos)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2529,6 +2529,49 @@ def ann_ivf_index_topk(spark, sf_dir):
 
 
 @_q(
+    "ann_hard_negatives",
+    # per-anchor top-5 most-similar DIFFERENT-label items; ranks computed
+    # on the rounded cosine with neighbor-id tie-breaks on both sides
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), a AS (
+      SELECT vec_id, label, vv FROM v WHERE vec_id < 5
+    ), s AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             round(list_dot_product(c.vv, a.vv) /
+                   (sqrt(list_dot_product(c.vv, c.vv)) *
+                    sqrt(list_dot_product(a.vv, a.vv))), 6) AS cos
+      FROM v c CROSS JOIN a
+      WHERE c.vec_id != a.vec_id AND c.label IS DISTINCT FROM a.label
+    ), r AS (
+      SELECT query_id, neighbor_id, neighbor_label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos,
+           CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining
+    (operators/similarity.hard_negative_mining): for each anchor
+    (vec_id < 5), the 5 most-cosine-similar embeddings whose label
+    differs — the negative-selection pass of dense-retriever training.
+    Broadcast anchors, label inequality applied before the top-k window;
+    the DuckDB oracle value-checks every (anchor, negative, cos, rank)."""
+    from dataux_spark.operators.similarity import hard_negative_mining
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, _query_vecs(emb), "embedding", "vec_id", "label", k=5
+    )
+
+
+@_q(
     "embedding_cluster_assign",
     # Centroids are an explicit table subset (vec_id < 8), so the
     # assignment is deterministic and fully SQL-expressible: both sides

@@ -258,3 +258,35 @@ def test_ivf_fixed_topk_probe_semantics(emb):
         probed = set(cells(vecs[qid], 2))
         for r in rows:
             assert cells(vecs[r.neighbor_id], 1)[0] in probed
+
+
+def test_hard_negative_mining_excludes_same_label_and_margin(spark):
+    """Hard negatives: same-label items never appear; max_cos drops
+    near-duplicate false negatives; ranks are dense per anchor."""
+    import math
+
+    from dataux_spark.operators.similarity import hard_negative_mining
+
+    rows = []
+    for i in range(12):
+        ang = i * 0.5
+        rows.append((i, i % 3, [math.cos(ang), math.sin(ang), 0.5]))
+    # a different-label near-duplicate of anchor 0 (cos ~1): a false
+    # negative the margin must drop
+    rows.append((100, 1, [1.0, 0.0001, 0.5]))
+    df = spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id: long, label: int, embedding: array<float>",
+    )
+    anchors = df.filter("vec_id = 0")
+    out = hard_negative_mining(df, anchors, "embedding", "vec_id", "label", k=4)
+    got = [(r.neighbor_id, r.neighbor_label, r.rank) for r in
+           out.orderBy("rank").collect()]
+    assert all(lbl != 0 for _, lbl, _ in got)
+    assert [r for _, _, r in got] == [1, 2, 3, 4]
+    assert got[0][0] == 100  # the near-dup ranks first without a margin
+
+    margin = hard_negative_mining(
+        df, anchors, "embedding", "vec_id", "label", k=4, max_cos=0.99
+    )
+    assert all(r.neighbor_id != 100 for r in margin.collect())
