@@ -196,6 +196,52 @@ class TableStore:
             )
         return out
 
+    def follow_changes(self, table: str, sink_dir: str) -> int:
+        """Incremental CDC materialization — the change-feed follower a
+        downstream consumer (search index, cache, replica) tails. Each
+        call diffs only the commits since the persisted high-water mark
+        and lands each commit's changes as its OWN
+        `commit_version=<v>` partition of the sink, then advances the
+        mark. Exactly-once by layout, not by lock: a crash between write
+        and mark replays into mode("overwrite") of the same partition —
+        the streaming_rollup_ingest replay contract. Cost per call is
+        the file-pruned pair diffs of the new commits only; a follower
+        polling a 100 TB table pays for changed data, never a snapshot.
+        Returns the number of commits processed."""
+        import json
+        import os
+
+        cur = self._version[table]
+        hwm_path = f"{sink_dir}/_hwm.json"
+        last = -1
+        if os.path.exists(hwm_path):
+            with open(hwm_path) as f:
+                last = json.load(f)["version"]
+        if last < 0:
+            last = 0  # version 0 is the initial snapshot, not a change
+        for v in range(last + 1, cur + 1):
+            (
+                self._diff_adjacent(table, v - 1, v)
+                .write.mode("overwrite")
+                .parquet(f"{sink_dir}/commit_version={v}")
+            )
+        os.makedirs(sink_dir, exist_ok=True)
+        with open(hwm_path, "w") as f:
+            json.dump({"version": cur}, f)
+        return cur - last
+
+    def read_change_feed(self, sink_dir: str) -> DataFrame:
+        """Read a follower sink back: all materialized commits, with
+        `_commit_version` recovered from the partition directory (the
+        dir key drops the underscore — `_`-prefixed paths are invisible
+        to Spark's file listing)."""
+        return (
+            self.spark.read.option("basePath", sink_dir)
+            .parquet(f"{sink_dir}/commit_version=*")
+            .withColumnRenamed("commit_version", "_commit_version")
+            .withColumn("_commit_version", F.col("_commit_version").cast("int"))
+        )
+
     def _diff_adjacent(self, table: str, va: int, vb: int) -> DataFrame:
         """Diff two snapshots, skipping part-files shared by hard link."""
         import os

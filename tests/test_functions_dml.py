@@ -296,3 +296,45 @@ def test_table_changes_keyless_multiset(spark, sf_dir, tmp_path):
     ).collect()
     c = Counter((r.r_regionkey, r._change_type) for r in rows)
     assert c == Counter({(0, "insert"): 1, (0, "delete"): 1})
+
+
+def test_follow_changes_incremental_feed(spark, sf_dir, tmp_path):
+    """CDC follower: first call materializes all commits so far, later
+    calls only the new ones; the merged sink equals changes(0, cur)."""
+    src = str(tmp_path / "cdcf_src")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "orders_f", src, str(tmp_path / "cdcf_work"), keys=["o_orderkey"]
+    )
+    lo = eng.sql("SELECT min(o_orderkey) AS k FROM orders_f").collect()[0][0]
+    eng.sql(f"UPDATE orders_f SET o_orderstatus = 'Z' WHERE o_orderkey = {lo}")  # v1
+    eng.sql(f"DELETE FROM orders_f WHERE o_orderkey = {lo}")  # v2
+
+    sink = str(tmp_path / "cdcf_sink")
+    assert eng.store.follow_changes("orders_f", sink) == 2
+    feed = eng.store.read_change_feed(sink)
+    got = sorted((r._commit_version, r._change_type) for r in feed.collect())
+    assert got == [(1, "update_postimage"), (1, "update_preimage"), (2, "delete")]
+
+    # incremental: a new commit adds exactly one partition
+    eng.sql(
+        "INSERT INTO orders_f (o_orderkey, o_custkey, o_orderstatus, o_totalprice) "
+        "VALUES (999999002, 1, 'X', 2.0)"
+    )  # v3
+    assert eng.store.follow_changes("orders_f", sink) == 1
+    feed2 = eng.store.read_change_feed(sink)
+    assert feed2.filter("_commit_version = 3").collect()[0]._change_type == "insert"
+    # idempotent when nothing changed
+    assert eng.store.follow_changes("orders_f", sink) == 0
+    # the materialized feed matches the direct CDC read
+    direct = sorted(
+        (r._commit_version, r._change_type, r.o_orderkey)
+        for r in eng.store.changes("orders_f", 0, 3).collect()
+    )
+    via_sink = sorted(
+        (r._commit_version, r._change_type, r.o_orderkey) for r in feed2.collect()
+    )
+    assert direct == via_sink
