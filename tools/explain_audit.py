@@ -233,6 +233,26 @@ CHECKS = {
         ("columns pruned to id+stratum",
          lambda p: "ReadSchema: struct<doc_id:bigint,lang:string>" in p),
     ],
+    "dedup_semantic_keepset": [
+        # quadratic work only WITHIN clusters: the pair join is hash-keyed
+        # on the cluster id, never a cartesian over the corpus
+        ("pair join hash-keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("keep flag is an outer join against the drop set",
+         lambda p: "LeftOuter" in p),
+    ],
+    "text_dsir_weights": [
+        # the fitted model is a dim-row λ table: scoring joins it
+        # broadcast — the corpus-sized side never shuffles on the join
+        ("λ model joined broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "ann_hard_negatives": [
+        # anchors broadcast; per-anchor rank is one keyed window
+        ("anchor side broadcast", lambda p: "BroadcastExchange" in p),
+        ("rank is a keyed window",
+         lambda p: "Window" in p and "hashpartitioning(query_id" in p),
+    ],
 }
 
 
