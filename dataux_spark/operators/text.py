@@ -665,3 +665,106 @@ def dsir_select_topk(
         .limit(k)
         .select(id_col, "n_grams", "log_weight")
     )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    index_path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the BM25 inverted index on disk: posting lists
+    (term, doc, tf, dl) partitioned by a term-hash bucket, per-term
+    document frequencies in the same bucketed layout, 1-row corpus stats
+    alongside — the lexical-search serving layout (build_ivf_index's
+    contract for text). Build once, query many.
+
+    Scale: `tb` is a parquet PARTITION column, so a probe for q query
+    terms reads only their buckets' files via partition pruning — query
+    cost follows the probed posting lists, never the corpus. Bucket count
+    trades pruning granularity against small-file overhead; postings
+    within a bucket are one groupBy-shaped write (map-side combined)."""
+    d = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t")
+    ).select("_id", "_t", F.size("_t").cast("double").alias("dl"))
+    postings = (
+        d.select("_id", "dl", F.explode("_t").alias("term"))
+        .groupBy("_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    postings.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
+        f"{index_path}/postings"
+    )
+    spark = df.sparkSession
+    spark.read.parquet(f"{index_path}/postings").groupBy("tb", "term").agg(
+        F.count("*").cast("double").alias("n_t")
+    ).repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
+        f"{index_path}/termdf"
+    )
+    d.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
+def bm25_index_topk(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Query a persisted BM25 index: identical scoring (and bit-identical
+    results — asserted in tests) to the in-memory bm25_topk, but reading
+    ONLY the query terms' posting-list buckets. The term-bucket filter is
+    a literal IN over the partition column, so pruning happens at plan
+    time at the FILE level; the probed postings then filter to the exact
+    terms, join the (broadcast) pruned term-df and 1-row stats frames,
+    and roll up per-doc top-k."""
+    terms = sorted(set(query_terms))
+    tbs = sorted(
+        {
+            r.tb
+            for r in spark.createDataFrame([(t,) for t in terms], "term: string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("tb"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(terms))
+    )
+    n_t = (
+        spark.read.parquet(f"{index_path}/termdf")
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(terms))
+        .select("term", "n_t")
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    scored = (
+        postings.join(F.broadcast(n_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5))
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    topk = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(k)
+    w = W.orderBy(F.col("score").desc(), F.col("_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col), "score", "rank"
+    )

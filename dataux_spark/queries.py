@@ -2939,6 +2939,60 @@ def text_bm25_topk(spark, sf_dir):
 
 
 @_q(
+    "text_bm25_index_topk",
+    # identical oracle to text_bm25_topk: the persisted inverted index
+    # must return the exact same ranked set as the in-memory scorer
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), hits AS (
+      SELECT doc_id, unnest(t) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits WHERE term IN ('join', 'query', 'spark')
+      GROUP BY 1, 2
+    ), nt AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS n_t FROM tf GROUP BY 1
+    ), s AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n_docs - nt.n_t + 0.5) / (nt.n_t + 0.5)) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN nt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+    FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_index_topk(spark, sf_dir):
+    """Persisted-inverted-index BM25 lifecycle (operators/
+    text.build_bm25_index / bm25_index_topk): build the on-disk posting
+    lists partitioned by term-hash bucket, then probe — the probe reads
+    ONLY the query terms' buckets via partition pruning and must return
+    the exact ranked set of the in-memory scorer (same oracle as
+    text_bm25_topk)."""
+    import tempfile
+
+    from dataux_spark.operators.text import bm25_index_topk, build_bm25_index
+
+    slug = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    path = f"{tempfile.gettempdir()}/dataux_bm25_index_{slug}"
+    build_bm25_index(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", path
+    )
+    return bm25_index_topk(spark, path, ["spark", "query", "join"], "doc_id", k=10)
+
+
+@_q(
     "text_normalize_ws",
     # plant control + zero-width characters deterministically, then both
     # engines run the same two-regex normalization (RE2 and Java agree on

@@ -399,3 +399,40 @@ def test_dsir_weights_rank_target_like_docs(spark):
             dsir_select_topk(df, "text", "doc_id", F.col("grp") == "tgt",
                              k=15, dim=256).collect()]
     assert sel == sel2
+
+
+def test_bm25_index_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted BM25 index returns bit-identical results to the
+    in-memory scorer, and the probe plan prunes to the query terms'
+    partition buckets (reads a strict subset of the index files)."""
+    from dataux_spark.operators.text import (
+        bm25_index_topk,
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, "text", "doc_id", path, n_buckets=16)
+    terms = ["spark", "query", "join"]
+    mem = [(r.doc_id, r.score, r.rank) for r in
+           bm25_topk(docs, "text", "doc_id", terms, k=10).collect()]
+    idx = [(r.doc_id, r.score, r.rank) for r in
+           bm25_index_topk(spark, path, terms, "doc_id", k=10,
+                           n_buckets=16).collect()]
+    assert mem == idx
+
+    # pruning: the probed plan's postings scan lists only the tb buckets
+    # of the query terms, a strict subset of 16
+    probed = bm25_index_topk(spark, path, ["spark"], "doc_id", k=5, n_buckets=16)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[[^\]]*tb#\d+ = \d+[^\]]*\]", plan)
+    assert len(pf) >= 2  # both postings and termdf scans prune to one bucket
