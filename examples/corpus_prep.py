@@ -82,6 +82,30 @@ def main() -> None:
     split = hash_split(samp, "doc_id")
     split.groupBy("lang", "split").count().orderBy("lang", "split").show()
 
+    print("== target-aware selection (DSIR) + semantic dedup ==")
+    from dataux_spark.operators.dedup import semantic_dedup
+    from dataux_spark.operators.text import dsir_select_topk
+
+    picked = dsir_select_topk(
+        surv, "text", "doc_id", F.col("lang") == "en", k=200, dim=512
+    )
+    print(f"DSIR selection: {surv.count()} survivors -> {picked.count()} target-like")
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter("vec_id < 8").select("vec_id", "embedding").collect()
+    ]
+    sem = semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.95)
+    sem.groupBy("keep").count().show()
+
+    print("== lexical serving index (BM25, bucket-pruned probes) ==")
+    from dataux_spark.operators.text import bm25_index_topk, build_bm25_index
+
+    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    build_bm25_index(docs, "text", "doc_id", idx)
+    bm25_index_topk(spark, idx, ["spark", "query", "join"], "doc_id", k=5).show()
+
     out = tempfile.mkdtemp(prefix="corpus_prep_")
     split.select("doc_id", "lang", "split").write.partitionBy("split").parquet(f"{out}/manifest")
     print(f"manifest written to {out}/manifest")
