@@ -80,6 +80,13 @@ HEADLINE = [
     # (availableNow). In the bench so a streaming regression can never
     # again hide outside the timed set (rounds 1-3 shipped one).
     "streaming_windowed_agg",
+    # round-6 additions: the SemDeDup within-cluster prune (the one
+    # intentionally-quadratic-within-blocks stage — timed so cluster-size
+    # growth shows up), DSIR's broadcast-λ scoring, and contrastive
+    # hard-negative mining (broadcast-anchor scan shape)
+    "dedup_semantic_keepset",
+    "text_dsir_weights",
+    "ann_hard_negatives",
 ]
 
 
