@@ -71,3 +71,63 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
         .count()
         .withColumnRenamed("count", "rows")
     )
+
+
+def zorder_compact(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    zorder_cols: list[str],
+    target_mb: float = 128,
+    bits: int = 8,
+) -> int:
+    """Multi-dimension clustered rewrite — the OPTIMIZE ZORDER analog:
+    each z-order column is min/max-scaled to a `bits`-bit integer, the
+    per-column bits are interleaved into one Morton code, and the table
+    is range-partitioned + sorted by that code. Files then cover compact
+    hyper-rectangles of the key space, so parquet min/max footer stats
+    prune files for predicates on ANY subset of the z-order columns —
+    where sort_cols clustering serves only prefix predicates.
+
+    Fully distributed: one scalar min/max aggregate per column (folded in
+    as literals), then a pure projection — no global sort, no rank
+    window. Linear min/max scaling is the simplification vs Delta's
+    range-id scaling: heavily skewed columns waste code space (most rows
+    collapse into few cells); pre-transform such columns (log, bucket)
+    or fall back to sort_cols. Returns the output file count."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+    r = df.agg(*aggs).first()
+    cells = (1 << bits) - 1
+    scaled = []
+    for c in zorder_cols:
+        lo, hi = r[f"_mn_{c}"], r[f"_mx_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(cells),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * cells)
+                .cast("bigint"),
+            )
+        )
+    ncols = len(scaled)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * ncols + j
+            ).cast("bigint")
+    n = plan_file_count(src_path, target_mb)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(dest_path)
+    return n

@@ -44,3 +44,61 @@ def test_clustered_rewrite_prunes_by_range(spark, sf_dir, tmp_path):
     )
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev.hi <= cur.lo  # disjoint, ordered ranges
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: a box predicate narrow in the SECOND z-order
+    column touches fewer files than a single-column sort layout (where
+    every file spans the full second dimension); rows survive exactly."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.maintenance import compact, zorder_compact
+
+    src = str(tmp_path / "zsrc")
+    n = 40000
+    # independent dimensions: a 200x200 row-major grid (y must NOT be a
+    # function of x, or an x-sort accidentally confines y as well)
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 200).cast("double").alias("x"),
+        ((F.col("id") / 200).cast("bigint") % 200).cast("double").alias("y"),
+    )
+    df.write.parquet(src)
+
+    lin = str(tmp_path / "lin")
+    zor = str(tmp_path / "zor")
+    # force many small files so layout differences are visible
+    compact(spark, src, lin, target_mb=0.01, sort_cols=["x"])
+    zorder_compact(spark, src, zor, ["x", "y"], target_mb=0.01, bits=6)
+
+    # identical content
+    assert spark.read.parquet(zor).count() == n
+    assert (
+        spark.read.parquet(zor).agg(F.sum("id")).first()[0]
+        == spark.read.parquet(src).agg(F.sum("id")).first()[0]
+    )
+
+    def files_touched(path, cond):
+        return (
+            spark.read.parquet(path)
+            .filter(cond)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    def total_files(path):
+        import os
+
+        return sum(
+            1
+            for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+
+    box = (F.col("y") >= 10) & (F.col("y") < 20)  # narrow ONLY in y
+    lin_touch, zor_touch = files_touched(lin, box), files_touched(zor, box)
+    # x-sorted files all span the full y range; z-order confines y cells
+    assert lin_touch == total_files(lin)
+    assert zor_touch < total_files(zor)
+    assert zor_touch / total_files(zor) < 0.75
