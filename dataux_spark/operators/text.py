@@ -584,9 +584,11 @@ def dsir_log_weights(
     token twice — the bigram window degenerates to the unigram; the
     oracle replays the same formula, see shingles().)
 
-    Plan shape at 100 TB: two map-side-combined bucket counts (dim-row
-    outputs), folded into ONE broadcast dim-row λ table (log-ratio per
-    bucket); scoring is explode → per-(doc,bucket) count → broadcast
+    Plan shape at 100 TB: BOTH models fit in ONE map-side-combined bucket
+    count (the target membership rides the exploded rows as a flag, so
+    target count = a conditional sum in the same aggregate — one corpus
+    pass, not two), folded into ONE broadcast dim-row λ table (log-ratio
+    per bucket); scoring is explode → per-(doc,bucket) count → broadcast
     join → doc roll-up. The corpus shuffles only on (doc, bucket) —
     linear, key-uniform — and the model is O(dim), never vocabulary-
     sized. Returns (id, n_grams, log_weight) with log_weight rounded to
@@ -610,17 +612,25 @@ def dsir_log_weights(
             .select("_id", bucket)
         )
 
-    def bucket_counts(frame, name):
-        return exploded(frame).groupBy("bucket").agg(F.count("*").alias(name))
-
     spine = spark.range(dim).select(F.col("id").alias("bucket"))
-    # persisted: the totals .first() materializes both count shuffles;
-    # the scoring join below reuses them instead of re-exploding the
-    # corpus twice (the λ table IS the fitted model — the artifact a
-    # production pipeline checkpoints; unigram_logprob_scores precedent)
+    # BOTH bucket counts from one corpus pass: the target flag rides each
+    # exploded row; persisted so the totals .first() materializes the one
+    # count shuffle and the scoring join reuses it (the λ table IS the
+    # fitted model — the artifact a production pipeline checkpoints;
+    # unigram_logprob_scores precedent)
+    flagged = (
+        df.select(F.col(id_col).alias("_id"),
+                  target_cond.cast("long").alias("_tgt"),
+                  tokens(F.col(content_col)).alias("_toks"))
+        .select("_tgt", F.explode(F.concat(F.col("_toks"),
+                                           shingles("_toks", 2))).alias("_g"))
+        .select("_tgt", bucket)
+    )
+    counts = flagged.groupBy("bucket").agg(
+        F.sum("_tgt").alias("tc"), F.count("*").alias("rc")
+    )
     lam = (
-        spine.join(bucket_counts(df.filter(target_cond), "tc"), "bucket", "left")
-        .join(bucket_counts(df, "rc"), "bucket", "left")
+        spine.join(counts, "bucket", "left")
         .select("bucket", F.coalesce("tc", F.lit(0)).alias("tc"),
                 F.coalesce("rc", F.lit(0)).alias("rc"))
         .persist()
