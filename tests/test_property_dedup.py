@@ -105,3 +105,64 @@ def test_boilerplate_removal_matches_python_census(spark, docs, min_docs):
         ).collect()
     }
     assert got == _boiler_model(docs, min_docs, 10)
+
+
+# --- SemDeDup fuzz -----------------------------------------------------
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+).filter(lambda v: sum(x * x for x in v) > 1e-6)
+_vecs = st.lists(_vec, min_size=2, max_size=10)
+
+
+def _semantic_model(vecs, cents, threshold):
+    """Pure-Python replay of semantic_dedup: nearest centroid by cosine
+    (ties to smaller cid), drop iff a smaller-id cluster-mate has rounded
+    cosine > threshold."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return d / (na * nb)
+
+    assign = {}
+    for i, v in enumerate(vecs):
+        best = max(((cos(v, cv), -cid) for cid, cv in cents))
+        assign[i] = -best[1]
+    keep = {}
+    for i, v in enumerate(vecs):
+        dropped = any(
+            assign[j] == assign[i] and round(cos(vecs[j], v), 6) > threshold
+            for j in range(i)
+        )
+        keep[i] = not dropped
+    return assign, keep
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=_vecs)
+def test_semantic_dedup_equals_python_model_on_random_vectors(spark, vecs):
+    """The Spark keep set must equal the brute-force model on ANY vector
+    set — clustering tie-breaks, the rounded-cosine threshold compare,
+    and the smaller-id drop rule all replayed exactly."""
+    from dataux_spark.operators.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [-1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = {r.vec_id: (r.cluster, r.keep)
+           for r in semantic_dedup(df, "embedding", "vec_id", cents,
+                                   threshold=0.9).collect()}
+    # float32 storage: replay the model on the values Spark actually read
+    stored = {r.vec_id: list(r.embedding)
+              for r in df.select("vec_id", "embedding").collect()}
+    assign, keep = _semantic_model([stored[i] for i in range(len(vecs))],
+                                   cents, 0.9)
+    assert out == {i: (assign[i], keep[i]) for i in range(len(vecs))}
