@@ -500,28 +500,29 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return agg.select("_id", sh.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3, chunks: int = 4
+def hamming_pairs(
+    hashes: DataFrame, hash_col: str, max_hamming: int = 3, chunks: int = 4
 ) -> DataFrame:
-    """SimHash near-dup pairs within hamming distance ≤ max_hamming.
+    """Near-dup pairs within hamming distance ≤ max_hamming over ANY
+    64-bit fingerprint frame (_id, <hash_col>) — the shared candidate
+    core of simhash_pairs (text) and multimodal.phash_neardup_pairs
+    (images/audio).
 
     Candidate generation by pigeonhole banding: split the 64-bit hash into
-    `chunks` 16-bit pieces; any pair within distance ≤ chunks-1 must agree
-    on ≥1 chunk, so the join key is (chunk_idx, chunk_value) — linear
-    shuffle, no n². Verified with bit_count(xor). Returns
-    (id_a, id_b, hamming)."""
+    `chunks` pieces; any pair within distance ≤ chunks-1 must agree on ≥1
+    chunk, so the join key is (chunk_idx, chunk_value) — linear shuffle,
+    no n². Verified with bit_count(xor). Returns (id_a, id_b, hamming)."""
     width = 64 // chunks
-    sh = simhash(df, content_col, id_col)
     mask = (1 << width) - 1
-    banded = sh.select(
+    banded = hashes.select(
         "_id",
-        "simhash",
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * width)
+                        F.shiftright(F.col(hash_col), c * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
@@ -529,9 +530,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("_id", "simhash", "cc.chunk", "cc.cv")
+    ).select("_id", "_h", "cc.chunk", "cc.cv")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
     return (
         a.join(
             b,
@@ -542,6 +543,17 @@ def simhash_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), ham.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ≤ max_hamming —
+    simhash() fingerprints fed through the shared banded hamming join
+    (hamming_pairs). Returns (id_a, id_b, hamming)."""
+    return hamming_pairs(
+        simhash(df, content_col, id_col), "simhash", max_hamming, chunks
     )
 
 

@@ -153,3 +153,75 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.sample_rate").alias("sample_rate"),
         ),
     )
+
+
+PHASH_SCHEMA = "doc_id bigint, phash long"
+
+
+def _fake_luma_grid(payload: bytes) -> list[float]:
+    """Deterministic 64-cell stand-in for decode→grayscale→8x8 downsample:
+    md5-expanded payload bytes. Byte-identical payloads collide exactly;
+    a real decoder makes VISUALLY-near payloads collide nearly — either
+    way the downstream banding operates on a 64-bit fingerprint."""
+    import hashlib
+
+    cells: list[float] = []
+    h = payload or b"\x00"
+    while len(cells) < 64:
+        h = hashlib.md5(h).digest()
+        cells.extend(float(b) for b in h)
+    return cells[:64]
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes, str], list[float]] | None = None,
+) -> DataFrame:
+    """64-bit perceptual hash per (payload, meta) row — the image-dedup
+    fingerprint (pHash family): the decoder yields a 64-cell luma grid
+    (real deployment: decode → grayscale → 8x8 downsample, or DCT
+    low-frequency block for classic pHash), and bit i is set iff
+    grid[i] > mean(grid). Runs as Arrow-batched mapInPandas; payload
+    bytes never cross the driver. Returns (doc_id, phash)."""
+    dec = decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            mimes = pdf["meta"].map(lambda m: m["mime"] if m is not None else None)
+            for _id, payload, mime in zip(pdf[id_col], pdf["payload"], mimes):
+                b = bytes(payload) if payload is not None else b""
+                grid = dec(b, mime) if dec is not None else _fake_luma_grid(b)
+                mean = sum(grid) / len(grid)
+                h = 0
+                for i, v in enumerate(grid[:64]):
+                    if v > mean:
+                        h |= 1 << i
+                # store as signed 64-bit (Spark long)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    decoder: Callable[[bytes, str], list[float]] | None = None,
+) -> DataFrame:
+    """Multimodal near-dup pairs: perceptual hashes fed through the SAME
+    pigeonhole-banded hamming join as text SimHash
+    (dedup.hamming_pairs) — one decode pass, one linear banded shuffle,
+    never n² over payloads. Returns (id_a, id_b, hamming)."""
+    from dataux_spark.operators.dedup import hamming_pairs
+
+    hashes = perceptual_hash(df, id_col, decoder).select(
+        F.col(id_col).alias("_id"), "phash"
+    )
+    return hamming_pairs(hashes, "phash", max_hamming, chunks)

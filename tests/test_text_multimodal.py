@@ -436,3 +436,32 @@ def test_bm25_index_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
 
     pf = _re.findall(r"PartitionFilters: \[[^\]]*tb#\d+ = \d+[^\]]*\]", plan)
     assert len(pf) >= 2  # both postings and termdf scans prune to one bucket
+
+
+def test_phash_neardup_identical_payloads_pair(spark):
+    """Perceptual-hash near-dup: byte-identical payloads collide at
+    hamming 0 through the banded join; unrelated payloads (random fake
+    grids) stay below any reasonable threshold."""
+    from dataux_spark.operators.multimodal import (
+        attach_binary_payload,
+        perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the same exact image bytes live here"),
+            (2, "the same exact image bytes live here"),
+            (3, "completely different payload content A"),
+            (4, "another unrelated blob of bytes B"),
+        ],
+        "doc_id: long, text: string",
+    )
+    payloads = attach_binary_payload(df, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_neardup_pairs(payloads, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 0}
+    # the fingerprint itself is deterministic
+    h1 = {r.doc_id: r.phash for r in perceptual_hash(payloads).collect()}
+    h2 = {r.doc_id: r.phash for r in perceptual_hash(payloads).collect()}
+    assert h1 == h2 and h1[1] == h1[2] and h1[3] != h1[1]
