@@ -988,3 +988,50 @@ def semantic_dedup(
         .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left_outer")
         .select(id_col, "cluster", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Benchmark decontamination by embedding similarity — the semantic
+    complement of the n-gram `decontaminate` pass: a paraphrased or
+    reformatted eval item shares no 8-gram with its source, but its
+    embedding still sits next to it. Flags every corpus doc whose cosine
+    to ANY benchmark embedding exceeds `threshold` (rounded to 6dp
+    before the compare, so the flag set is engine-reproducible).
+
+    Scale shape: the benchmark side is tiny (eval sets), so it is
+    BROADCAST — the corpus is scanned once against the in-memory bench
+    vectors and never shuffles for the probe; the per-doc max-cosine
+    roll-up keys on the uniform doc id. Returns a total labeling:
+    (id, max_bench_cos, contaminated∈{0,1})."""
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    ).withColumn(
+        "_vn", F.sqrt(F.expr("aggregate(_v, cast(0 as double), (acc, x) -> acc + x * x)"))
+    )
+    b = benchmark.select(
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_bv")
+    ).withColumn(
+        "_bn", F.sqrt(F.expr("aggregate(_bv, cast(0 as double), (acc, x) -> acc + x * x)"))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_v, _bv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("_vn") * F.col("_bn")), 6)
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select("_id", cos.alias("_cos"))
+        .groupBy("_id")
+        .agg(F.max("_cos").alias("max_bench_cos"))
+        .select(
+            F.col("_id"),
+            "max_bench_cos",
+            (F.col("max_bench_cos") > threshold).cast("int").alias("contaminated"),
+        )
+    )

@@ -2572,6 +2572,46 @@ def ann_hard_negatives(spark, sf_dir):
 
 
 @_q(
+    "decontaminate_embeddings",
+    # benchmark = the vec_id<20 subset of the corpus itself, so its own
+    # members sit at cosine 1.0 (contaminated) and the synthetic corpus
+    # has no other pair above 0.9 — a fully deterministic flag set; both
+    # engines round the cosine to 6dp BEFORE max/compare
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), b AS (
+      SELECT vv AS bv FROM v WHERE vec_id < 20
+    ), s AS (
+      SELECT v.vec_id,
+             max(round(list_dot_product(v.vv, b.bv) /
+                       (sqrt(list_dot_product(v.vv, v.vv)) *
+                        sqrt(list_dot_product(b.bv, b.bv))), 6)) AS mx
+      FROM v CROSS JOIN b GROUP BY v.vec_id
+    )
+    SELECT vec_id, mx AS max_bench_cos, CAST(mx > 0.9 AS INT) AS contaminated
+    FROM s
+    """,
+)
+def decontaminate_embeddings(spark, sf_dir):
+    """Embedding-similarity benchmark decontamination
+    (operators/dedup.decontaminate_embeddings): flag corpus docs whose
+    max cosine to any benchmark embedding exceeds 0.9 — the semantic
+    complement of the n-gram decontaminate pass (paraphrased eval items
+    share no 8-gram but still sit next to their source in embedding
+    space). Benchmark side broadcast; the corpus never shuffles for the
+    probe. The oracle value-checks every doc's max benchmark cosine."""
+    from dataux_spark.operators.dedup import decontaminate_embeddings as dce
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20).limit(20)
+    out = dce(emb, bench, "embedding", "vec_id", threshold=0.9)
+    return out.select(
+        F.col("_id").alias("vec_id"), "max_bench_cos", "contaminated"
+    )
+
+
+@_q(
     "embedding_cluster_assign",
     # Centroids are an explicit table subset (vec_id < 8), so the
     # assignment is deterministic and fully SQL-expressible: both sides
