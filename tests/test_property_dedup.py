@@ -166,3 +166,70 @@ def test_semantic_dedup_equals_python_model_on_random_vectors(spark, vecs):
     assign, keep = _semantic_model([stored[i] for i in range(len(vecs))],
                                    cents, 0.9)
     assert out == {i: (assign[i], keep[i]) for i in range(len(vecs))}
+
+
+# --- DSIR fuzz ---------------------------------------------------------
+
+def _dsir_model(docs, target_flags, dim):
+    """Pure-Python replay of dsir_log_weights: md5-prefix bucket hash over
+    unigrams+bigrams (single-token docs double-count their token — the
+    shingles() degenerate window), add-one smoothing over the full spine."""
+    import hashlib
+    import math
+
+    def grams(text):
+        toks = text.lower().split()
+        bi = [" ".join(toks[i:i + 2]) for i in range(max(len(toks) - 1, 1))]
+        return toks + bi
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim
+
+    tc = [0] * dim
+    rc = [0] * dim
+    per_doc = []
+    for text, is_t in zip(docs, target_flags):
+        bs = [bucket(g) for g in grams(text)]
+        per_doc.append(bs)
+        for b in bs:
+            rc[b] += 1
+            if is_t:
+                tc[b] += 1
+    t_tot, r_tot = sum(tc), sum(rc)
+    lam = [
+        math.log((tc[b] + 1) / (t_tot + dim)) - math.log((rc[b] + 1) / (r_tot + dim))
+        for b in range(dim)
+    ]
+    out = {}
+    for i, bs in enumerate(per_doc):
+        from collections import Counter
+
+        c = Counter(bs)
+        out[i] = (len(bs), round(sum(n * lam[b] for b, n in sorted(c.items())), 6))
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus, flags=st.data())
+def test_dsir_weights_equal_python_model_on_random_corpora(spark, docs, flags):
+    """Spark DSIR log-weights must equal the brute-force model on ANY
+    corpus and ANY target subset — bucket hashing, smoothing, and the
+    degenerate bigram edge replayed exactly (6dp)."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.text import dsir_log_weights
+
+    tflags = [flags.draw(st.booleans(), label=f"t{i}") for i in range(len(docs))]
+    if not any(tflags):
+        tflags[0] = True
+    df = spark.createDataFrame(
+        [(i, d, bool(t)) for i, (d, t) in enumerate(zip(docs, tflags))],
+        "doc_id: long, text: string, is_target: boolean",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_log_weights(df, "text", "doc_id",
+                                  F.col("is_target"), dim=64).collect()
+    }
+    assert got == _dsir_model(docs, tflags, 64)
