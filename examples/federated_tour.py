@@ -71,6 +71,22 @@ def main() -> None:
     e.sql("SELECT id, score FROM crm_users WHERE id = 'u99'").show()
     print(e.sql("DELETE FROM crm_users WHERE id = 'u99'"))
 
+    print("== versioned table: time travel + CDC ==")
+    td = tempfile.mkdtemp(prefix="tour_cdc_")
+    spark = e.spark
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.parquet(f"{td}/src")
+    e.register_writable_parquet("region_rw", f"{td}/src", f"{td}/work",
+                                keys=["r_regionkey"])
+    print(e.sql("UPDATE region_rw SET r_name = 'EURASIA' WHERE r_regionkey = 3"))
+    print(e.sql("DELETE FROM region_rw WHERE r_regionkey = 4"))
+    e.sql("SELECT r_regionkey, r_name FROM region_rw VERSION AS OF 0 "
+          "WHERE r_regionkey >= 3").show()
+    e.sql("SELECT r_regionkey, r_name, _change_type, _commit_version "
+          "FROM table_changes(region_rw, 0, 2) "
+          "ORDER BY _commit_version, _change_type").show()
+    n = e.store.follow_changes("region_rw", f"{td}/feed")
+    print(f"CDC follower materialized {n} commits to {td}/feed")
+
     print("tour complete")
 
 
