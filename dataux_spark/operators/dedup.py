@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale corpus cleaning.
 
-Five dedup families, each designed for the 100 TB regime:
+The dedup families, each designed for the 100 TB regime:
 
   exact          — hash-groupBy on content digest. One shuffle on the
                    digest; digests are near-unique so no skew.
@@ -15,6 +15,11 @@ Five dedup families, each designed for the 100 TB regime:
                    a groupBy on (band, bandhash) — linear shuffles, no n².
   simhash        — 64-bit simhash + pigeonhole banding (k-bit hamming
                    radius → one of k+1 chunks equal), verified by hamming.
+  semantic       — SemDeDup: nearest-centroid clustering + within-cluster
+                   cosine pruning; quadratic only within clusters, k is
+                   the knob that bounds them. (The banded hamming join is
+                   shared with multimodal perceptual hashes via
+                   hamming_pairs.)
 
 Everything below is built-in Spark expressions (split / transform /
 array_min / xhash64 / groupBy) — no Python in the hot path; whole-stage
