@@ -131,3 +131,65 @@ def rollup_plus_tail(
             F.max("value_max").alias("value_max"),
         )
     )
+
+
+def build_distinct_rollup(
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    distinct_col: str = "user_id",
+    bucket: str = "hour",
+    lg_k: int = 12,
+) -> None:
+    """Sketch rollup for DISTINCT counts — the aggregate a count/sum/min/
+    max rollup cannot serve: COUNT(DISTINCT user) does not merge across
+    buckets (summing per-bucket distincts overcounts every returning
+    user). Stores a Datasketches HLL sketch per (bucket, key)
+    (hll_sketch_agg — JVM-side, mergeable binary partials); any query
+    window then unions the sketches (hll_union_agg) and estimates —
+    distinct-over-arbitrary-ranges from bucket-sized state, the
+    TimescaleDB/Druid approximate-rollup design.
+
+    Scale: state per (bucket, key) is ~2^lg_k bytes regardless of raw
+    cardinality; the build is one map-side-combined shuffle; range reads
+    prune bucket_date partitions at the listing level."""
+    (
+        events.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("distinct_sketch"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .repartition("bucket_date")
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(out_path)
+    )
+
+
+def distinct_over_range(
+    spark: SparkSession,
+    rollup_path: str,
+    start=None,
+    end=None,
+    by_key: bool = True,
+) -> DataFrame:
+    """Query the sketch rollup: union the bucket sketches in [start, end)
+    and estimate the distinct count — per key, or overall with one more
+    union. Work is proportional to the buckets touched (partition-pruned
+    by bucket_date), never the raw rows they summarize."""
+    r = spark.read.option("basePath", rollup_path).parquet(rollup_path)
+    if start is not None:
+        r = r.filter(F.col("bucket") >= start)
+    if end is not None:
+        r = r.filter(F.col("bucket") < end)
+    keys = ["key"] if by_key else []
+    out = r.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch")).alias("n_distinct_est"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return out.orderBy(*keys) if keys else out

@@ -70,3 +70,41 @@ def test_rollup_partitioned_by_date(spark, tmp_path):
 
     parts = [d for d in os.listdir(path) if d.startswith("bucket_date=")]
     assert len(parts) > 1  # listing-level pruning is real
+
+
+def test_distinct_rollup_merges_across_buckets(spark, sf_dir, tmp_path):
+    """HLL sketch rollup: per-key estimates within a few % of truth, and
+    the cross-bucket union deduplicates returning users (estimate tracks
+    the TRUE distinct, far below the sum of per-bucket distincts)."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.rollup import (
+        build_distinct_rollup,
+        distinct_over_range,
+    )
+    from dataux_spark.streaming.ops import stream_events  # noqa: F401  (events reader gotcha)
+    from dataux_spark.queries import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "droll")
+    build_distinct_rollup(ev, path, bucket="hour")
+
+    est = {r.key: r.n_distinct_est for r in
+           distinct_over_range(spark, path).collect()}
+    true = {r.event_type: r.d for r in
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(est) == set(true)
+    for k in true:
+        assert abs(est[k] - true[k]) / true[k] < 0.05
+    # the union must DEDUP across buckets: summing per-bucket distincts
+    # overcounts massively (every user returns hour after hour)
+    per_bucket_sum = (
+        ev.groupBy(F.date_trunc("hour", "ts"), "event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.sum("d")).first()[0]
+    )
+    overall = distinct_over_range(spark, path, by_key=False).first().n_distinct_est
+    true_overall = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(overall - true_overall) / true_overall < 0.05
+    assert per_bucket_sum > 3 * true_overall  # the naive merge is absurd
