@@ -343,3 +343,48 @@ def session_paths(
     )
     w = W.orderBy(F.col("ct").desc(), F.col("path"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    window: int = 50,
+    min_n: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags — the standard metric-monitoring
+    pass: each event's value is scored against the mean/stddev of its
+    key's `window` PRECEDING events (strictly before the current row, so
+    an outlier never masks itself), flagged when |z| > threshold. Rows
+    with fewer than `min_n` prior observations are unscored (z NULL) —
+    a cold key has no baseline.
+
+    Scale: ONE keyed window (shuffle on key_col, per-partition sort) —
+    the sessionization shape; stddev is the population form over the
+    frame and z is rounded to 6dp before the threshold compare so the
+    flag set reproduces on any engine. Ordering ties break by id.
+    Returns (id, key, ts, value, z, is_anomaly)."""
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-window, -1)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    sd = F.stddev_pop(F.col(value_col)).over(w)
+    n_prev = F.count(F.col(value_col)).over(w)
+    z = F.when(
+        (n_prev >= min_n) & (sd > 0),
+        F.round((F.col(value_col) - mean) / sd, 6),
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        z.alias("z"),
+        # unscored rows flag 0, not NULL — the output is a total labeling
+        F.coalesce((F.abs(z) > threshold).cast("int"), F.lit(0)).alias("is_anomaly"),
+    )

@@ -4539,6 +4539,44 @@ def dedup_semantic_keepset(spark, sf_dir):
     return semantic_dedup(base, "embedding", "vec_id", cents, threshold=0.95)
 
 
+@_q(
+    "events_zscore_anomalies",
+    # identical frame (50 preceding, excl. current), population stddev,
+    # z rounded to 6dp before the |z|>3 compare, ties broken by event_id
+    """
+    WITH s AS (
+      SELECT event_id, event_type AS key, value,
+             avg(value) OVER w AS m,
+             stddev_pop(value) OVER w AS sd,
+             count(value) OVER w AS np
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, key,
+           CASE WHEN np >= 10 AND sd > 0
+                THEN round((value - m) / sd, 6) END AS z,
+           coalesce(CAST(abs(CASE WHEN np >= 10 AND sd > 0
+                                  THEN round((value - m) / sd, 6) END) > 3.0
+                         AS INT), 0) AS is_anomaly
+    FROM s
+    """,
+)
+def events_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly flags over the events stream
+    (operators/timeseries.rolling_zscore_anomalies): each value scored
+    against its event-type's 50 preceding observations — one keyed
+    window, the metric-monitoring pass. The oracle replays the identical
+    frame and flag rule; cold keys (<10 priors) are unscored by design."""
+    from dataux_spark.operators.timeseries import rolling_zscore_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(
+        ev, "ts", "event_type", "value", "event_id",
+        window=50, min_n=10, threshold=3.0,
+    ).select("event_id", "key", "z", "is_anomaly")
+
+
 # --- DML / CDC through the engine -----------------------------------------
 
 @_q(
