@@ -115,6 +115,7 @@ class TableStore:
         self._keys: dict[str, list[str]] = {}
         self._backing: dict[str, str] = {}  # table -> workdir
         self._version: dict[str, int] = {}
+        self._first_version: dict[str, int] = {}  # advanced by vacuum()
 
     def set_keys(self, table: str, keys: list[str]) -> None:
         self._keys[table] = keys
@@ -143,8 +144,12 @@ class TableStore:
         if table not in self._backing:
             raise KeyError(f"table {table!r} is not version-backed")
         cur = self._version[table]
-        if not 0 <= v <= cur:
-            raise KeyError(f"version {v} out of range [0, {cur}] for {table!r}")
+        lo = self._first_version.get(table, 0)
+        if not lo <= v <= cur:
+            raise KeyError(
+                f"version {v} out of range [{lo}, {cur}] for {table!r}"
+                + (" (expired by vacuum)" if v < lo else "")
+            )
         return self.spark.read.parquet(f"{self._backing[table]}/v{v:06d}")
 
     def history(self, table: str) -> list[tuple[int, str]]:
@@ -152,7 +157,8 @@ class TableStore:
         if table not in self._backing:
             raise KeyError(f"table {table!r} is not version-backed")
         wd = self._backing[table]
-        return [(v, f"{wd}/v{v:06d}") for v in range(self._version[table] + 1)]
+        lo = self._first_version.get(table, 0)
+        return [(v, f"{wd}/v{v:06d}") for v in range(lo, self._version[table] + 1)]
 
     def backed(self, table: str) -> bool:
         return table in self._backing
@@ -178,9 +184,11 @@ class TableStore:
         if table not in self._backing:
             raise KeyError(f"table {table!r} is not version-backed")
         cur = self._version[table]
-        if not (0 <= v_from <= v_to <= cur):
+        lo = self._first_version.get(table, 0)
+        if not (lo <= v_from <= v_to <= cur):
             raise KeyError(
-                f"version range [{v_from}, {v_to}] invalid for {table!r} (max {cur})"
+                f"version range [{v_from}, {v_to}] invalid for {table!r}"
+                f" (available [{lo}, {cur}])"
             )
         base = self.version_of(table, v_from).limit(0)
         empty = base.select(
@@ -195,6 +203,35 @@ class TableStore:
                 d.select("*", F.lit(v).cast("int").alias("_commit_version"))
             )
         return out
+
+    def vacuum(self, table: str, retain_last: int = 1) -> int:
+        """Snapshot expiration — the VACUUM half of the COW lifecycle:
+        delete all but the newest `retain_last` version directories.
+        Safe against the file-pruned commits by construction: shared
+        part-files are HARD LINKS, so removing an old version dir only
+        drops one name — inodes still referenced by retained versions
+        survive untouched (on an object store: delete objects owned by
+        expired manifests only). Time travel to an expired version then
+        raises; current reads and the CDC feed over retained versions
+        are unaffected. Returns the number of versions removed."""
+        import shutil
+
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        retain_last = max(1, retain_last)
+        cur = self._version[table]
+        first_kept = max(0, cur - retain_last + 1)
+        wd = self._backing[table]
+        removed = 0
+        for v in range(first_kept):
+            path = f"{wd}/v{v:06d}"
+            import os
+
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                removed += 1
+        self._first_version[table] = first_kept
+        return removed
 
     def follow_changes(self, table: str, sink_dir: str) -> int:
         """Incremental CDC materialization — the change-feed follower a

@@ -452,6 +452,17 @@ class Engine:
             stmt = self._resolve_qualified_names(stmt)
             if head in ("SHOW", "DESCRIBE", "DESC"):
                 return self._show(stmt)
+            if head == "VACUUM":
+                m = re.match(
+                    r"^\s*VACUUM\s+`?(\w+)`?(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
+                    stmt, re.I,
+                )
+                if m:
+                    # snapshot expiration over the COW version store
+                    # (Delta's VACUUM, version-granularity retention)
+                    return DmlResult(
+                        self.store.vacuum(m.group(1), int(m.group(2) or 1))
+                    )
             if head == "EXPLAIN":
                 return self._explain(stmt)
             if head in ("CREATE", "DROP", "ALTER"):

@@ -338,3 +338,45 @@ def test_follow_changes_incremental_feed(spark, sf_dir, tmp_path):
         (r._commit_version, r._change_type, r.o_orderkey) for r in feed2.collect()
     )
     assert direct == via_sink
+
+
+def test_vacuum_expires_old_versions(spark, sf_dir, tmp_path):
+    """VACUUM: old version dirs are deleted, hard-linked files shared
+    with retained versions survive, time travel to expired versions
+    errors, current reads and SHOW VERSIONS reflect retention."""
+    import os
+
+    src = str(tmp_path / "vac_src")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "orders_vac", src, str(tmp_path / "vac_work"), keys=["o_orderkey"]
+    )
+    lo = eng.sql("SELECT min(o_orderkey) AS k FROM orders_vac").collect()[0][0]
+    eng.sql(f"UPDATE orders_vac SET o_orderstatus = 'A' WHERE o_orderkey = {lo}")  # v1
+    eng.sql(f"UPDATE orders_vac SET o_orderstatus = 'B' WHERE o_orderkey = {lo}")  # v2
+    total = eng.sql("SELECT count(*) AS ct FROM orders_vac").collect()[0][0]
+
+    r = eng.sql("VACUUM orders_vac RETAIN 2 VERSIONS")
+    assert r.affected == 1  # v0 removed, v1+v2 kept
+    work = tmp_path / "vac_work"
+    assert not (work / "v000000").exists() and (work / "v000001").exists()
+    # hard-linked files shared v1<-v2 still readable; current state intact
+    assert eng.sql("SELECT count(*) AS ct FROM orders_vac").collect()[0][0] == total
+    assert eng.sql(
+        f"SELECT o_orderstatus FROM orders_vac WHERE o_orderkey = {lo}"
+    ).collect()[0][0] == "B"
+    assert eng.sql(
+        f"SELECT o_orderstatus FROM orders_vac VERSION AS OF 1 WHERE o_orderkey = {lo}"
+    ).collect()[0][0] == "A"
+    # expired version unreachable, SHOW VERSIONS starts at 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="expired|out of range"):
+        eng.sql("SELECT count(*) AS c FROM orders_vac VERSION AS OF 0").collect()
+    vers = [r.version for r in eng.sql("SHOW VERSIONS FROM orders_vac").collect()]
+    assert vers == [1, 2]
+    # CDC over retained range still works
+    assert eng.store.changes("orders_vac", 1, 2).count() == 2
