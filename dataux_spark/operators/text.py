@@ -778,3 +778,41 @@ def bm25_index_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         F.col("_id").alias(id_col), "score", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+    hybrid-retrieval combiner: each input ranking contributes
+    1/(rrf_k + rank) per doc, summed across rankings; robust to
+    incomparable score scales (BM25 vs cosine), which is why it is the
+    default fusion in hybrid lexical+vector search. Inputs are (id, rank)
+    frames (any extra columns ignored); a doc absent from a ranking
+    simply contributes nothing.
+
+    Scale: each ranking is top-k-sized by construction (the expensive
+    retrieval already happened), so the union + groupBy is bounded by
+    k × len(rankings) rows — negligible next to the retrieval stages.
+    The RRF score is EXACT in double (a sum of dyadic-free rationals
+    computed identically everywhere) and rounded to 6dp before the final
+    rank; ties break to the smaller id. Returns (id, rrf_score, rank)."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    parts = [
+        r.select(F.col(id_col), (1.0 / (F.lit(rrf_k) + F.col("rank"))).alias("_c"))
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+    )
+    topk = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+    w = W.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -3033,6 +3033,82 @@ def text_bm25_index_topk(spark, sf_dir):
 
 
 @_q(
+    "hybrid_rrf_retrieval",
+    # hybrid lexical+vector retrieval: the BM25 top-10 and the cosine
+    # top-10 (query = vec_id 0's embedding) fused by reciprocal-rank
+    # 1/(60+rank); both input rankings replayed exactly (same oracles as
+    # text_bm25_topk / ann entries), RRF summed over ≤2 commutative terms
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), hits AS (
+      SELECT doc_id, unnest(t) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits WHERE term IN ('join', 'query', 'spark') GROUP BY 1, 2
+    ), nt AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS n_t FROM tf GROUP BY 1
+    ), bscore AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n_docs - nt.n_t + 0.5) / (nt.n_t + 0.5)) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN nt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    ), brank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bscore ORDER BY score DESC, doc_id LIMIT 10
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), q AS (
+      SELECT vv AS qv FROM v WHERE vec_id = 0
+    ), cscore AS (
+      SELECT v.vec_id AS doc_id,
+             round(list_dot_product(v.vv, q.qv) /
+                   (sqrt(list_dot_product(v.vv, v.vv)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      FROM v CROSS JOIN q WHERE v.vec_id != 0
+    ), crank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+      FROM cscore ORDER BY cos DESC, doc_id LIMIT 10
+    ), fused AS (
+      SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score FROM (
+        SELECT doc_id, rank FROM brank
+        UNION ALL SELECT doc_id, rank FROM crank
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid lexical+vector retrieval (operators/text.rrf_fuse):
+    reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the BM25
+    top-10 and the exact-cosine top-10 over the docs' embeddings — the
+    standard two-tower search combiner, robust to incomparable score
+    scales. Fusion cost is bounded by k x rankings, negligible next to
+    the retrieval stages (which carry their own audited scale shapes)."""
+    from dataux_spark.operators.similarity import brute_force_topk
+    from dataux_spark.operators.text import bm25_topk, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "text", "doc_id", ["spark", "query", "join"], k=10)
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0).limit(1), "embedding", "vec_id", k=10
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex.select("doc_id", "rank"), vec], "doc_id", k=10)
+
+
+@_q(
     "text_normalize_ws",
     # plant control + zero-width characters deterministically, then both
     # engines run the same two-regex normalization (RE2 and Java agree on
