@@ -4653,6 +4653,68 @@ def events_zscore_anomalies(spark, sf_dir):
     ).select("event_id", "key", "z", "is_anomaly")
 
 
+@_q(
+    "cdc_incremental_aggregate",
+    # incremental view maintenance: the oracle recomputes the FINAL-state
+    # aggregate declaratively (same three commits applied as relational
+    # transforms over the pristine parquet); exact DECIMAL(18,2) money
+    # arithmetic on both sides, one deterministic double conversion at
+    # the end
+    """
+    WITH f AS (
+      SELECT CASE WHEN o_orderstatus = 'P' AND o_totalprice > 150000
+                  THEN 'Z' ELSE o_orderstatus END AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 10000)
+      UNION ALL SELECT 'X', CAST(1.0 AS DECIMAL(18,2))
+    )
+    SELECT k AS key, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(v) AS DOUBLE) AS value_sum
+    FROM f GROUP BY k
+    """,
+)
+def cdc_incremental_aggregate(spark, sf_dir):
+    """Incremental view maintenance from the CDC feed
+    (operators/rollup.apply_cdc_delta): a per-status count/sum aggregate
+    is materialized at version 0, three commits are applied (UPDATE
+    moving rows across the key, DELETE, INSERT), and the stored
+    aggregate is maintained from table_changes(0, 3) ALONE — the
+    maintained result must equal a from-scratch recompute of the final
+    state, which is exactly what the oracle computes. Delta cost is
+    feed-sized; the table is never rescanned."""
+    import tempfile
+
+    from dataux_spark.engine import Engine
+    from dataux_spark.operators.rollup import apply_cdc_delta
+
+    td = tempfile.mkdtemp(prefix="cdc_ivm_")
+    read_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(f"{td}/src")
+    e = Engine(spark)
+    e.register_writable_parquet("ivm_orders", f"{td}/src", f"{td}/work",
+                                keys=["o_orderkey"])
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    base = (
+        e.store.version_of("ivm_orders", 0)
+        .groupBy(F.col("o_orderstatus").alias("key"))
+        .agg(F.count("*").alias("n_rows"), F.sum(money).alias("value_sum"))
+    )
+    e.sql("UPDATE ivm_orders SET o_orderstatus = 'Z' "
+          "WHERE o_orderstatus = 'P' AND o_totalprice > 150000")
+    e.sql("DELETE FROM ivm_orders WHERE o_orderstatus = 'F' AND o_totalprice < 10000")
+    e.sql("INSERT INTO ivm_orders (o_orderkey, o_custkey, o_orderstatus, o_totalprice) "
+          "VALUES (999999001, 1, 'X', 1.0)")
+    feed = e.store.changes("ivm_orders", 0, 3).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = apply_cdc_delta(base, feed, "o_orderstatus", "o_totalprice")
+    return out.select(
+        "key", "n_rows", F.col("value_sum").cast("double").alias("value_sum")
+    )
+
+
 # --- DML / CDC through the engine -----------------------------------------
 
 @_q(
