@@ -4839,7 +4839,12 @@ _DRIVER_WINDOW: list[str] = [
     "pushdown_mongo_filter_topk",
     # point_filter's slot goes to the new CDC entry: point_filter is green
     # in every round since r1, while table_changes is a brand-new surface
-    # that deserves the driver verdict more than a fifth confirmation
+    # that deserves the driver verdict more than a fifth confirmation.
+    # NEXT ROTATION (r7): the round-6 post-rotation additions still
+    # awaiting a driver verdict are ann_hard_negatives, text_dsir_weights,
+    # text_bm25_index_topk, decontaminate_embeddings,
+    # events_zscore_anomalies, hybrid_rrf_retrieval,
+    # cdc_incremental_aggregate (all locally green in tools/check.py).
     "cdc_table_changes",
     # group_by_agg's slot goes to the new SemDeDup entry on the same
     # argument: aggregation is still covered in-window by pricing_summary
