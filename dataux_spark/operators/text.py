@@ -816,3 +816,42 @@ def rrf_fuse(
     topk = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
     w = W.orderBy(F.col("rrf_score").desc(), F.col(id_col))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def chunk_documents(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    size: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG indexing
+    split (and the fixed-window variant of sequence packing): each doc
+    yields windows of `size` tokens starting every `stride` tokens
+    (stride < size ⇒ overlap of size-stride tokens, so a span near a cut
+    is whole in the next window). The last window starts at the final
+    stride boundary covering the tail; docs shorter than `size` yield
+    exactly one chunk.
+
+    Pure scan-projection higher-order functions — the explode fans out
+    ~n_tokens/stride rows per doc with zero shuffles; every chunk carries
+    (id, chunk_idx, n_tokens, chunk_text) for downstream embedding or
+    indexing."""
+    n_chunks = (
+        "greatest(cast(ceil((size(_toks) - " + str(size) + ") / "
+        + str(float(stride)) + ") as int) + 1, 1)"
+    )
+    wins = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> struct(i AS ci, slice(_toks, i * {stride} + 1, {size}) AS w))"
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(content_col)).alias("_toks"))
+        .select(id_col, F.explode(wins).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.col("_w.ci").alias("chunk_idx"),
+            F.size("_w.w").alias("n_tokens"),
+            F.concat_ws(" ", "_w.w").alias("chunk_text"),
+        )
+    )

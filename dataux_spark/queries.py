@@ -3033,6 +3033,45 @@ def text_bm25_index_topk(spark, sf_dir):
 
 
 @_q(
+    "text_chunk_windows",
+    # identical window arithmetic: n_chunks = ceil((len-32)/24)+1 (min 1),
+    # chunk i = tokens [i*24+1, i*24+32] — DuckDB list_slice is inclusive
+    # where Spark slice takes a length
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1, 1) AS nc
+      FROM t
+    ), e AS (
+      SELECT doc_id, i.gen AS chunk_idx,
+             list_slice(toks, i.gen * 24 + 1, i.gen * 24 + 32) AS w
+      FROM n, (SELECT unnest(generate_series(0, nc - 1)) AS gen) i(gen)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(w) AS INT) AS n_tokens,
+           array_to_string(w, ' ') AS chunk_text
+    FROM e
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (operators/text.chunk_documents):
+    32-token windows every 24 tokens — the RAG/retrieval indexing split,
+    a pure zero-shuffle scan projection. The oracle replays the exact
+    window arithmetic and every chunk's text."""
+    from dataux_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        size=32, stride=24,
+    )
+
+
+@_q(
     "hybrid_rrf_retrieval",
     # hybrid lexical+vector retrieval: the BM25 top-10 and the cosine
     # top-10 (query = vec_id 0's embedding) fused by reciprocal-rank

@@ -247,6 +247,12 @@ CHECKS = {
         ("λ model joined broadcast", lambda p: "BroadcastHashJoin" in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "events_zscore_anomalies": [
+        # one keyed window carries mean/stddev/count over the same frame
+        ("single keyed shuffle for the rolling stats",
+         lambda p: "hashpartitioning(event_type" in p),
+        ("no join at all", lambda p: "Join" not in p),
+    ],
     "ann_hard_negatives": [
         # anchors broadcast; per-anchor rank is one keyed window
         ("anchor side broadcast", lambda p: "BroadcastExchange" in p),
