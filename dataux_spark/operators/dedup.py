@@ -1040,3 +1040,69 @@ def decontaminate_embeddings(
             (F.col("max_bench_cos") > threshold).cast("int").alias("contaminated"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, content_col: str, id_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the cut half of Lee et al. ACL'22
+    (duplicated_span_stats is the measurement half): every token covered
+    by an n-token span occurring in ≥ min_docs distinct docs is dropped,
+    and each doc's text is rebuilt from the surviving tokens in order.
+    The canonical dedup for boilerplate sentences shared across pages
+    that document-level dedup cannot touch.
+
+    Scale shape — O(total tokens), no pairwise stage at any duplication
+    rate: the census is one groupBy on distinct-per-doc span hashes
+    (uniform 64-bit keys, map-side combine absorbs hot boilerplate
+    spans); positional spans join the (census-filtered) duplicated-hash
+    set on the same uniform key; coverage explodes to ≤ n rows per
+    duplicated span; the rebuild is one doc-keyed roll-up. Returns a
+    total labeling (id, n_tokens, n_kept, text_clean) — fully-removed
+    docs keep a row with n_kept = 0."""
+    d = scan_parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+    ).select("_id", tokens(F.col("_c")).alias("_toks"))
+    dup = (
+        d.select("_id", F.explode(_span_hashes("_toks", n)).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))  # hashes are distinct per doc
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    pos_spans = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+        f"i -> struct(i AS pos, "
+        f"substring(md5(concat_ws(' ', slice(_toks, i, {n}))), 1, 16) AS h))"
+    )
+    cov = (
+        d.select("_id", F.explode(pos_spans).alias("s"))
+        .select("_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .join(dup, "h")
+        .select("_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tpos"))
+        .distinct()
+    )
+    tokpos = d.select(
+        "_id", F.posexplode("_toks").alias("p0", "tk")
+    ).select("_id", (F.col("p0") + 1).alias("tpos"), "tk")
+    rebuilt = (
+        tokpos.join(cov, ["_id", "tpos"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(tpos, tk))), x -> x.tk)"),
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        d.select("_id", F.size("_toks").alias("n_tokens"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            "_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -2572,6 +2572,71 @@ def ann_hard_negatives(spark, sf_dir):
 
 
 @_q(
+    "dedup_span_removal",
+    # identical span census (distinct-per-doc 16-hex md5-prefix hashes of
+    # 8-token windows, duplicated = present in >=2 docs), identical
+    # coverage arithmetic (span at pos covers tokens pos..pos+7), text
+    # rebuilt from surviving tokens in order and md5'd for compare
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 7, 1)),
+               i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16))) AS hs
+      FROM t
+    ), census AS (
+      SELECT u.h FROM sh, UNNEST(hs) u(h) GROUP BY u.h HAVING count(*) >= 2
+    ), sp AS (
+      SELECT t.doc_id, i.gen AS pos,
+             substr(md5(array_to_string(toks[i.gen:i.gen+7], ' ')), 1, 16) AS h
+      FROM t, (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS gen) i
+    ), cov AS (
+      SELECT DISTINCT sp.doc_id, p.gen AS tpos
+      FROM sp JOIN census USING (h),
+           (SELECT unnest(generate_series(sp.pos, sp.pos + 7)) AS gen) p
+    ), tok AS (
+      SELECT t.doc_id, i.gen AS tpos, toks[i.gen] AS tk
+      FROM t, (SELECT unnest(generate_series(1, len(toks))) AS gen) i
+    ), kept AS (
+      SELECT tok.doc_id, tpos, tk FROM tok
+      ANTI JOIN cov ON cov.doc_id = tok.doc_id AND cov.tpos = tok.tpos
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY tpos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(r.text_clean, '')) AS clean_md5
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """Exact-substring span removal — the cut half of Lee et al. ACL'22
+    (operators/dedup.remove_duplicated_spans): every token covered by an
+    8-token span occurring verbatim in ≥2 docs is dropped and the text
+    rebuilt from the survivors (the synthetic corpus carries ~1000
+    naturally duplicated 8-spans, so the removal does real work). O(total
+    tokens), no pairwise stage; the oracle replays the census, the
+    coverage arithmetic, and every rebuilt text byte-for-byte (md5)."""
+    from dataux_spark.operators.dedup import remove_duplicated_spans
+
+    out = remove_duplicated_spans(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        n=8, min_docs=2,
+    )
+    return out.select(
+        F.col("_id").alias("doc_id"), "n_tokens", "n_kept",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+@_q(
     "decontaminate_embeddings",
     # benchmark = the vec_id<20 subset of the corpus itself, so its own
     # members sit at cosine 1.0 (contaminated) and the synthetic corpus

@@ -383,3 +383,26 @@ def test_semantic_dedup_drops_planted_copies(spark):
         ).collect()
     }
     assert keep_capped == keep_capped2
+
+
+def test_remove_duplicated_spans_cuts_shared_run(spark):
+    """The shared 8-token run is cut from every doc carrying it (all
+    covered positions, including overlap extensions), unique text
+    survives, fully-duplicated docs keep an n_kept=0 row."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"unique one {shared} tail one"),
+        (2, f"{shared} other words follow here"),
+        (3, shared),                       # fully removed
+        (4, "completely original text with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r._id: r for r in
+           dedup.remove_duplicated_spans(df, "text", "doc_id", n=8, min_docs=2)
+           .collect()}
+    assert len(out) == 4
+    assert out[1].text_clean == "unique one tail one"
+    assert out[2].text_clean == "other words follow here"
+    assert out[3].n_kept == 0 and out[3].text_clean == ""
+    assert out[4].text_clean == "completely original text with no shared spans at all"
+    assert out[1].n_tokens == 12 and out[1].n_kept == 4
