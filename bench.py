@@ -82,11 +82,13 @@ HEADLINE = [
     "streaming_windowed_agg",
     # round-6 additions: the SemDeDup within-cluster prune (the one
     # intentionally-quadratic-within-blocks stage — timed so cluster-size
-    # growth shows up), DSIR's broadcast-λ scoring, and contrastive
-    # hard-negative mining (broadcast-anchor scan shape)
+    # growth shows up), DSIR's broadcast-λ scoring, contrastive
+    # hard-negative mining (broadcast-anchor scan shape), and span
+    # removal (census + coverage + rebuild, the heaviest linear text op)
     "dedup_semantic_keepset",
     "text_dsir_weights",
     "ann_hard_negatives",
+    "dedup_span_removal",
 ]
 
 
