@@ -248,6 +248,8 @@ class TableStore:
         import json
         import os
 
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
         cur = self._version[table]
         hwm_path = f"{sink_dir}/_hwm.json"
         last = -1
@@ -256,6 +258,17 @@ class TableStore:
                 last = json.load(f)["version"]
         if last < 0:
             last = 0  # version 0 is the initial snapshot, not a change
+        floor = self._first_version.get(table, 0)
+        if last < floor:
+            # the commits (last, floor] no longer exist — silently
+            # skipping them would lose changes, so the follower must be
+            # reseeded from a full snapshot (the Delta CDF contract when
+            # VACUUM outruns a consumer)
+            raise KeyError(
+                f"change feed for {table!r} starts at version {floor} "
+                f"(earlier commits expired by vacuum); sink is at {last} — "
+                "reseed the consumer from a current snapshot"
+            )
         for v in range(last + 1, cur + 1):
             (
                 self._diff_adjacent(table, v - 1, v)
@@ -297,6 +310,12 @@ class TableStore:
         only_a = sorted(set(pa) - shared)
         only_b = sorted(set(pb) - shared)
         schema_src = self.spark.read.parquet(db).limit(0)
+        if not only_a and not only_b:
+            # no-op commit (e.g. a zero-match UPDATE hard-linked every
+            # file through): empty diff — and short-circuiting also
+            # avoids joining a frame to itself below (both fallbacks
+            # would otherwise BE schema_src → ambiguous self-join)
+            return schema_src.select("*", F.lit("").alias("_change_type"))
         old = (self.spark.read.parquet(*[f"{da}/{n}" for n in only_a])
                if only_a else schema_src)
         new = (self.spark.read.parquet(*[f"{db}/{n}" for n in only_b])

@@ -1029,15 +1029,24 @@ def decontaminate_embeddings(
         "aggregate(zip_with(_v, _bv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
     )
     cos = F.round(dot / (F.col("_vn") * F.col("_bn")), 6)
-    return (
+    scored = (
         c.crossJoin(F.broadcast(b))
         .select("_id", cos.alias("_cos"))
         .groupBy("_id")
         .agg(F.max("_cos").alias("max_bench_cos"))
+    )
+    # total labeling even at the edges: an EMPTY benchmark (or a NULL
+    # embedding) must yield contaminated = 0, not a vanished doc or a
+    # NULL flag — the left join back to the corpus ids guarantees it
+    return (
+        c.select("_id")
+        .join(scored, "_id", "left")
         .select(
             F.col("_id"),
             "max_bench_cos",
-            (F.col("max_bench_cos") > threshold).cast("int").alias("contaminated"),
+            F.coalesce(
+                (F.col("max_bench_cos") > threshold).cast("int"), F.lit(0)
+            ).alias("contaminated"),
         )
     )
 

@@ -97,6 +97,14 @@ def zorder_compact(
     or fall back to sort_cols. Returns the output file count."""
     from pyspark.sql import functions as F
 
+    if bits * len(zorder_cols) > 63:
+        # JVM shiftleft masks the shift count mod 64 — an overflowing
+        # interleave would silently wrap high bits onto low positions
+        # and corrupt the clustering instead of erroring
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(zorder_cols)}) must fit a "
+            "signed 64-bit code (<= 63 bits); lower bits or drop columns"
+        )
     df = spark.read.parquet(src_path)
     aggs = []
     for c in zorder_cols:
@@ -107,12 +115,20 @@ def zorder_compact(
     scaled = []
     for c in zorder_cols:
         lo, hi = r[f"_mn_{c}"], r[f"_mx_{c}"]
+        if lo is None or hi is None:
+            # all-NULL column (or empty table): the dimension carries no
+            # ordering information — contribute a constant cell
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
         span = (hi - lo) or 1.0
         scaled.append(
             F.least(
                 F.lit(cells),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * cells)
-                .cast("bigint"),
+                F.coalesce(
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * cells)
+                    .cast("bigint"),
+                    F.lit(0),  # NULL values sort into the lowest cell
+                ),
             )
         )
     ncols = len(scaled)

@@ -155,9 +155,6 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-PHASH_SCHEMA = "doc_id bigint, phash long"
-
-
 def _fake_luma_grid(payload: bytes) -> list[float]:
     """Deterministic 64-cell stand-in for decode→grayscale→8x8 downsample:
     md5-expanded payload bytes. Byte-identical payloads collide exactly;
@@ -183,8 +180,10 @@ def perceptual_hash(
     (real deployment: decode → grayscale → 8x8 downsample, or DCT
     low-frequency block for classic pHash), and bit i is set iff
     grid[i] > mean(grid). Runs as Arrow-batched mapInPandas; payload
-    bytes never cross the driver. Returns (doc_id, phash)."""
+    bytes never cross the driver. Returns (<id_col>, phash) — the id
+    column keeps its input name and type."""
     dec = decoder
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,9 +202,9 @@ def perceptual_hash(
                     h -= 1 << 64
                 ids.append(_id)
                 hashes.append(h)
-            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
 
-    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+    return df.mapInPandas(run, schema=f"`{id_col}` {id_type}, phash long")
 
 
 def phash_neardup_pairs(

@@ -183,10 +183,19 @@ def distinct_over_range(
     union. Work is proportional to the buckets touched (partition-pruned
     by bucket_date), never the raw rows they summarize."""
     r = spark.read.option("basePath", rollup_path).parquet(rollup_path)
+    # the range filter must ALSO hit the bucket_date PARTITION column —
+    # Spark cannot derive a partition predicate from the bucket one, and
+    # without it every date directory is listed and scanned
     if start is not None:
-        r = r.filter(F.col("bucket") >= start)
+        r = r.filter(
+            (F.col("bucket") >= start)
+            & (F.col("bucket_date") >= F.to_date(F.lit(start)))
+        )
     if end is not None:
-        r = r.filter(F.col("bucket") < end)
+        r = r.filter(
+            (F.col("bucket") < end)
+            & (F.col("bucket_date") <= F.to_date(F.lit(end)))
+        )
     keys = ["key"] if by_key else []
     out = r.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch")).alias("n_distinct_est"),

@@ -406,3 +406,22 @@ def test_remove_duplicated_spans_cuts_shared_run(spark):
     assert out[3].n_kept == 0 and out[3].text_clean == ""
     assert out[4].text_clean == "completely original text with no shared spans at all"
     assert out[1].n_tokens == 12 and out[1].n_kept == 4
+
+
+def test_decontaminate_embeddings_total_labeling_edges(spark):
+    """Empty benchmark and NULL embeddings still yield a total labeling
+    with contaminated = 0, never missing docs or NULL flags."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "vec_id: long, embedding: array<float>",
+    )
+    empty_bench = df.filter("vec_id < 0")
+    out = {r._id: (r.max_bench_cos, r.contaminated)
+           for r in dedup.decontaminate_embeddings(
+               df, empty_bench, "embedding", "vec_id", 0.9).collect()}
+    assert out == {1: (None, 0), 2: (None, 0), 3: (None, 0)}
+    bench = df.filter("vec_id = 1")
+    out2 = {r._id: r.contaminated
+            for r in dedup.decontaminate_embeddings(
+                df, bench, "embedding", "vec_id", 0.9).collect()}
+    assert out2 == {1: 1, 2: 0, 3: 0}

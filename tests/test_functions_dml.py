@@ -380,3 +380,33 @@ def test_vacuum_expires_old_versions(spark, sf_dir, tmp_path):
     assert vers == [1, 2]
     # CDC over retained range still works
     assert eng.store.changes("orders_vac", 1, 2).count() == 2
+
+
+def test_table_changes_zero_match_commit_is_empty_diff(spark, sf_dir, tmp_path):
+    """A commit that matched no rows hard-links every file through; the
+    CDC diff over it must be EMPTY, not an ambiguous-self-join error."""
+    src = str(tmp_path / "zm_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_zm", src, str(tmp_path / "zm_work"),
+                                  keys=["r_regionkey"])
+    r = eng.sql("UPDATE region_zm SET r_name = 'X' WHERE r_regionkey = 999")
+    assert r.affected == 0
+    assert eng.store.changes("region_zm", 0, 1).count() == 0
+    # follower handles the no-op commit too
+    assert eng.store.follow_changes("region_zm", str(tmp_path / "zm_sink")) == 1
+
+
+def test_follow_changes_behind_vacuum_floor_errors(spark, sf_dir, tmp_path):
+    """A follower whose mark predates the vacuum retention floor gets a
+    clear reseed error, never a FileNotFoundError on a deleted dir."""
+    src = str(tmp_path / "fv_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_fv", src, str(tmp_path / "fv_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("UPDATE region_fv SET r_name = 'A' WHERE r_regionkey = 0")  # v1
+    eng.sql("UPDATE region_fv SET r_name = 'B' WHERE r_regionkey = 1")  # v2
+    eng.sql("VACUUM region_fv RETAIN 1 VERSIONS")
+    with pytest.raises(KeyError, match="expired by vacuum"):
+        eng.store.follow_changes("region_fv", str(tmp_path / "fv_sink"))

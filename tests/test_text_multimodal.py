@@ -465,3 +465,19 @@ def test_phash_neardup_identical_payloads_pair(spark):
     h1 = {r.doc_id: r.phash for r in perceptual_hash(payloads).collect()}
     h2 = {r.doc_id: r.phash for r in perceptual_hash(payloads).collect()}
     assert h1 == h2 and h1[1] == h1[2] and h1[3] != h1[1]
+
+
+def test_phash_custom_id_column(spark):
+    """perceptual_hash must honor a non-default id column name and type."""
+    from dataux_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [("imgA", "payload one"), ("imgB", "payload one")],
+        "img_id: string, text: string",
+    )
+    wrapped = multimodal.attach_binary_payload(df, "text", "img_id")
+    hashes = {r.img_id: r.phash
+              for r in multimodal.perceptual_hash(wrapped, id_col="img_id").collect()}
+    assert hashes["imgA"] == hashes["imgB"]
+    pairs = multimodal.phash_neardup_pairs(wrapped, id_col="img_id").collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [("imgA", "imgB", 0)]
