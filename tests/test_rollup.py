@@ -108,3 +108,47 @@ def test_distinct_rollup_merges_across_buckets(spark, sf_dir, tmp_path):
     true_overall = ev.agg(F.countDistinct("user_id")).first()[0]
     assert abs(overall - true_overall) / true_overall < 0.05
     assert per_bucket_sum > 3 * true_overall  # the naive merge is absurd
+
+
+def test_apply_cdc_delta_sequential_equals_recompute(spark, sf_dir, tmp_path):
+    """IVM applied commit-by-commit from the follower sink converges to
+    the same aggregate as a from-scratch recompute of the final state —
+    the long-running-consumer shape (apply each feed partition as it
+    lands, never rescan the table)."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark import Engine
+    from dataux_spark.operators.rollup import apply_cdc_delta
+
+    src = str(tmp_path / "ivm_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_ivm", src, str(tmp_path / "ivm_work"),
+                                  keys=["r_regionkey"])
+    money = F.col("r_regionkey").cast("decimal(18,2)")  # any numeric works
+    agg = (
+        eng.store.version_of("region_ivm", 0)
+        .groupBy(F.col("r_name").alias("key"))
+        .agg(F.count("*").alias("n_rows"), F.sum(money).alias("value_sum"))
+    )
+    eng.sql("UPDATE region_ivm SET r_name = 'ZONE-A' WHERE r_regionkey <= 1")  # v1
+    eng.sql("DELETE FROM region_ivm WHERE r_regionkey = 4")                    # v2
+    eng.sql("INSERT INTO region_ivm (r_regionkey, r_name) VALUES (9, 'ZONE-A')")  # v3
+    sink = str(tmp_path / "ivm_sink")
+    assert eng.store.follow_changes("region_ivm", sink) == 3
+    feed = eng.store.read_change_feed(sink).withColumn(
+        "r_regionkey", F.col("r_regionkey").cast("decimal(18,2)")
+    )
+    for v in (1, 2, 3):  # apply each commit's partition in order
+        agg = apply_cdc_delta(
+            agg, feed.filter(F.col("_commit_version") == v), "r_name", "r_regionkey"
+        )
+    got = {r.key: (r.n_rows, float(r.value_sum)) for r in agg.collect()}
+    want = {
+        r.r_name: (r.n, float(r.s))
+        for r in eng.store.current("region_ivm")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"), F.sum(money).alias("s"))
+        .collect()
+    }
+    assert got == want
