@@ -204,6 +204,32 @@ class TableStore:
             )
         return out
 
+    def shallow_clone(self, table: str, new_table: str, workdir: str) -> None:
+        """Zero-copy table clone — Delta's SHALLOW CLONE on the COW
+        store: the new table's version 0 is the source's CURRENT
+        snapshot, materialized as hard links (no data movement, O(files)
+        driver work; on an object store, manifest references). The clone
+        then evolves independently: its commits write its own workdir,
+        and vacuum on either side is safe because links share inodes —
+        deleting one table's version dirs never touches bytes the other
+        still references. The instant-dev-copy / experiment-branch
+        primitive a 100 TB table needs."""
+        import os
+
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        src = f"{self._backing[table]}/v{self._version[table]:06d}"
+        dst = f"{workdir}/v000000"
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            if name.startswith("part-") and not name.endswith(".crc"):
+                os.link(f"{src}/{name}", f"{dst}/{name}")
+        self._backing[new_table] = workdir
+        self._version[new_table] = 0
+        if table in self._keys:
+            self._keys[new_table] = list(self._keys[table])
+        self.spark.read.parquet(dst).createOrReplaceTempView(new_table)
+
     def vacuum(self, table: str, retain_last: int = 1) -> int:
         """Snapshot expiration — the VACUUM half of the COW lifecycle:
         delete all but the newest `retain_last` version directories.

@@ -466,6 +466,15 @@ class Engine:
             if head == "EXPLAIN":
                 return self._explain(stmt)
             if head in ("CREATE", "DROP", "ALTER"):
+                m = re.match(
+                    r"^\s*CREATE\s+TABLE\s+`?(\w+)`?\s+SHALLOW\s+CLONE\s+`?(\w+)`?\s*;?\s*$",
+                    stmt, re.I,
+                )
+                if m:
+                    new_t, src_t = m.group(1), m.group(2)
+                    wd = f"{self.store._backing[src_t]}__clone_{new_t}"
+                    self.store.shallow_clone(src_t, new_t, wd)
+                    return None
                 m = _CREATE_SOURCE_RE.match(stmt)
                 if m:
                     return self.create_source(m.group(1), json.loads(m.group(2)))

@@ -410,3 +410,41 @@ def test_follow_changes_behind_vacuum_floor_errors(spark, sf_dir, tmp_path):
     eng.sql("VACUUM region_fv RETAIN 1 VERSIONS")
     with pytest.raises(KeyError, match="expired by vacuum"):
         eng.store.follow_changes("region_fv", str(tmp_path / "fv_sink"))
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, sf_dir, tmp_path):
+    """SHALLOW CLONE: v0 of the clone hard-links the source's current
+    snapshot (same inodes, no data copied); subsequent DML on either
+    side never leaks into the other; vacuum on the source leaves the
+    clone's bytes intact."""
+    import os
+
+    src = str(tmp_path / "cl_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_cl", src, str(tmp_path / "cl_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("UPDATE region_cl SET r_name = 'SRC-V1' WHERE r_regionkey = 0")  # v1
+    eng.sql("CREATE TABLE region_cl2 SHALLOW CLONE region_cl")
+
+    # zero-copy: every clone file shares an inode with a source-v1 file
+    v1 = str(tmp_path / "cl_work" / "v000001")
+    c0 = str(tmp_path / "cl_work") + "__clone_region_cl2/v000000"
+    src_inodes = {os.stat(f"{v1}/{n}").st_ino for n in os.listdir(v1)
+                  if n.startswith("part-") and not n.endswith(".crc")}
+    for n in os.listdir(c0):
+        if n.startswith("part-") and not n.endswith(".crc"):
+            assert os.stat(f"{c0}/{n}").st_ino in src_inodes
+
+    # independent evolution
+    eng.sql("UPDATE region_cl2 SET r_name = 'CLONE-V1' WHERE r_regionkey = 1")
+    assert eng.sql("SELECT r_name FROM region_cl WHERE r_regionkey = 1"
+                   ).collect()[0][0] != "CLONE-V1"
+    assert eng.sql("SELECT r_name FROM region_cl2 WHERE r_regionkey = 0"
+                   ).collect()[0][0] == "SRC-V1"
+    # vacuum the source hard: clone still reads fine
+    eng.sql("UPDATE region_cl SET r_name = 'SRC-V2' WHERE r_regionkey = 2")
+    eng.sql("VACUUM region_cl RETAIN 1 VERSIONS")
+    assert eng.sql("SELECT count(*) AS c FROM region_cl2").collect()[0][0] == 5
+    assert eng.sql("SELECT r_name FROM region_cl2 WHERE r_regionkey = 0"
+                   ).collect()[0][0] == "SRC-V1"
