@@ -9,6 +9,7 @@ from dataux_spark.streaming.ops import (
     merged_rollup,
     stream_events,
     stream_stream_join,
+    streaming_ewma_anomalies,
     windowed_agg,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "streaming_url_dedup_ingest",
     "merged_rollup",
     "stream_stream_join",
+    "streaming_ewma_anomalies",
     "run_to_memory",
 ]

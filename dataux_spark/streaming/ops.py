@@ -370,3 +370,68 @@ def streaming_url_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EWMA_STATE_SCHEMA = "n long, mean double, var double"
+EWMA_OUT_SCHEMA = (
+    "event_type string, event_id long, value double, z double, is_anomaly int"
+)
+
+
+def streaming_ewma_anomalies(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.1,
+    min_n: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming per-key anomaly flags — the online twin of
+    timeseries.rolling_zscore_anomalies: each key carries an EWMA
+    mean/variance state (West's exponentially-weighted update), every
+    incoming value is scored against the state BEFORE it is folded in
+    (an outlier never masks itself), and rows with fewer than min_n
+    prior observations are unscored. applyInPandasWithState keeps the
+    state three numbers per key — bounded regardless of stream length,
+    the property a watermark-windowed agg cannot give an unbounded-
+    lookback baseline.
+
+    Batch-order determinism: rows are scored in (micro-batch, id) order
+    within a key; in production the Kafka partition-by-key guarantees
+    per-key arrival order, which is the order the EWMA is defined over.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, mean, var = state.get() if state.exists else (0, 0.0, 0.0)
+        out = {"event_type": [], "event_id": [], "value": [], "z": [],
+               "is_anomaly": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            for _id, v in zip(pdf[id_col], pdf[value_col]):
+                v = float(v)
+                if n >= min_n and var > 0:
+                    z = round((v - mean) / (var ** 0.5), 6)
+                else:
+                    z = None
+                out["event_type"].append(key[0])
+                out["event_id"].append(int(_id))
+                out["value"].append(v)
+                out["z"].append(z)
+                out["is_anomaly"].append(
+                    int(z is not None and abs(z) > threshold)
+                )
+                if n == 0:
+                    mean, var = v, 0.0
+                else:
+                    d = v - mean
+                    mean += alpha * d
+                    var = (1 - alpha) * (var + alpha * d * d)
+                n += 1
+        state.update((n, mean, var))
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, EWMA_OUT_SCHEMA, EWMA_STATE_SCHEMA, "append", "NoTimeout"
+    )

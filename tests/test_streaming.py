@@ -283,3 +283,32 @@ def test_streaming_url_dedup_ingest(spark, tmp_path):
     }
     keys = {r.url_canon for r in spark.read.parquet(store).collect()}
     assert keys == {"sitea.com/x", "siteb.org/y", "sitec.net/z"}
+
+
+def test_streaming_ewma_anomalies_flags_planted_outlier(spark, tmp_path):
+    """A planted far outlier is flagged once the key has a baseline;
+    early rows (cold state) are unscored; state persists across rows."""
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "click", 10.0 + (i % 3)))  # tight baseline 10-12
+    rows.append((100, "click", 500.0))  # the outlier, id orders it last
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    src = str(tmp_path / "ewma_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .parquet(src)
+    )
+    out = S.run_to_memory(
+        S.streaming_ewma_anomalies(stream), "ewma_out", output_mode="append"
+    )
+    got = {r.event_id: (r.z, r.is_anomaly) for r in out.collect()}
+    assert len(got) == 41
+    # cold start: first 10 rows unscored
+    assert all(got[i][0] is None for i in range(10))
+    # baseline rows after warmup: not anomalous
+    assert all(got[i][1] == 0 for i in range(10, 40))
+    # the planted outlier is flagged
+    assert got[100][1] == 1 and abs(got[100][0]) > 3
