@@ -233,3 +233,50 @@ def test_dsir_weights_equal_python_model_on_random_corpora(spark, docs, flags):
                                   F.col("is_target"), dim=64).collect()
     }
     assert got == _dsir_model(docs, tflags, 64)
+
+
+# --- span removal fuzz -------------------------------------------------
+
+def _span_removal_model(docs, n, min_docs):
+    import hashlib
+
+    def spans(toks):
+        m = max(len(toks) - n + 1, 1)
+        return [
+            (i, hashlib.md5(" ".join(toks[i:i + n]).encode()).hexdigest()[:16])
+            for i in range(m)
+        ]
+
+    tok_lists = [d.lower().split() for d in docs]
+    owners = {}
+    for i, toks in enumerate(tok_lists):
+        for h in {h for _, h in spans(toks)}:
+            owners.setdefault(h, set()).add(i)
+    dup = {h for h, ds in owners.items() if len(ds) >= min_docs}
+    out = {}
+    for i, toks in enumerate(tok_lists):
+        covered = set()
+        for pos, h in spans(toks):
+            if h in dup:
+                covered.update(range(pos, pos + n))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out[i] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus)
+def test_span_removal_equals_python_model_on_random_corpora(spark, docs):
+    """remove_duplicated_spans must equal the brute-force model on ANY
+    corpus — census membership, coverage extents (incl. the short-doc
+    degenerate span), and rebuilt text all replayed exactly."""
+    from dataux_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r._id: (r.n_tokens, r.n_kept, r.text_clean)
+           for r in remove_duplicated_spans(df, "text", "doc_id",
+                                            n=3, min_docs=2).collect()}
+    assert got == _span_removal_model(docs, 3, 2)
