@@ -280,3 +280,57 @@ def test_span_removal_equals_python_model_on_random_corpora(spark, docs):
            for r in remove_duplicated_spans(df, "text", "doc_id",
                                             n=3, min_docs=2).collect()}
     assert got == _span_removal_model(docs, 3, 2)
+
+
+# --- CDC fuzz ----------------------------------------------------------
+
+_dml_ops = st.lists(
+    st.tuples(st.sampled_from(["upd", "del", "ins"]), st.integers(0, 6)),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_dml_ops)
+def test_cdc_feed_equals_snapshot_diff_on_random_dml(spark, tmp_path_factory, ops):
+    """Self-consistency of the file-pruned CDC: for ANY DML sequence,
+    every adjacent table_changes() diff must equal the brute-force diff
+    of the two full snapshots (keyed compare, update pairs included) —
+    zero-match commits, key churn, and re-inserts all covered."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark import Engine
+
+    tmp = tmp_path_factory.mktemp("cdcfuzz")
+    src = str(tmp / "src")
+    spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("v")
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("cdcf", src, str(tmp / "work"), keys=["k"])
+    next_key = 100
+    for op, arg in ops:
+        if op == "upd":
+            eng.sql(f"UPDATE cdcf SET v = v + 1 WHERE k % 7 = {arg}")
+        elif op == "del":
+            eng.sql(f"DELETE FROM cdcf WHERE k % 7 = {arg}")
+        else:
+            eng.sql(f"INSERT INTO cdcf (k, v) VALUES ({next_key}, 1.0)")
+            next_key += 1
+    cur = eng.store._version["cdcf"]
+    for v in range(1, cur + 1):
+        prev = {r.k: r.v for r in eng.store.version_of("cdcf", v - 1).collect()}
+        now = {r.k: r.v for r in eng.store.version_of("cdcf", v).collect()}
+        want = set()
+        for k in prev.keys() - now.keys():
+            want.add((k, prev[k], "delete"))
+        for k in now.keys() - prev.keys():
+            want.add((k, now[k], "insert"))
+        for k in prev.keys() & now.keys():
+            if prev[k] != now[k]:
+                want.add((k, prev[k], "update_preimage"))
+                want.add((k, now[k], "update_postimage"))
+        got = {(r.k, r.v, r._change_type)
+               for r in eng.store.changes("cdcf", v - 1, v).collect()}
+        assert got == want, (v, got, want)
