@@ -204,6 +204,31 @@ class TableStore:
             )
         return out
 
+    def optimize(self, table: str, zorder_cols: list[str] | None = None,
+                 target_mb: float = 128) -> int:
+        """Layout rewrite as a COW commit — Delta's OPTIMIZE [ZORDER BY]:
+        the current snapshot is compacted (and optionally Morton-code
+        clustered, operators/maintenance.zorder_compact) into the NEXT
+        version; rows are identical, so time travel spans the rewrite
+        and a CDC read across it is an EMPTY diff (the keyed diff drops
+        identical rows — data did not change, only layout). Returns the
+        output file count."""
+        from dataux_spark.operators.maintenance import compact, zorder_compact
+
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        wd = self._backing[table]
+        src = f"{wd}/v{self._version[table]:06d}"
+        v = self._version[table] + 1
+        dst = f"{wd}/v{v:06d}"
+        if zorder_cols:
+            n = zorder_compact(self.spark, src, dst, zorder_cols, target_mb)
+        else:
+            n = compact(self.spark, src, dst, target_mb)
+        self._version[table] = v
+        self.spark.read.parquet(dst).createOrReplaceTempView(table)
+        return n
+
     def shallow_clone(self, table: str, new_table: str, workdir: str) -> None:
         """Zero-copy table clone — Delta's SHALLOW CLONE on the COW
         store: the new table's version 0 is the source's CURRENT

@@ -452,6 +452,16 @@ class Engine:
             stmt = self._resolve_qualified_names(stmt)
             if head in ("SHOW", "DESCRIBE", "DESC"):
                 return self._show(stmt)
+            if head == "OPTIMIZE":
+                m = re.match(
+                    r"^\s*OPTIMIZE\s+`?(\w+)`?"
+                    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+                    stmt, re.I,
+                )
+                if m:
+                    cols = ([c.strip().strip("`") for c in m.group(2).split(",")]
+                            if m.group(2) else None)
+                    return DmlResult(self.store.optimize(m.group(1), cols))
             if head == "VACUUM":
                 m = re.match(
                     r"^\s*VACUUM\s+`?(\w+)`?(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",

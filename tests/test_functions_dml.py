@@ -448,3 +448,39 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, sf_dir, tmp_path):
     assert eng.sql("SELECT count(*) AS c FROM region_cl2").collect()[0][0] == 5
     assert eng.sql("SELECT r_name FROM region_cl2 WHERE r_regionkey = 0"
                    ).collect()[0][0] == "SRC-V1"
+
+
+def test_optimize_zorder_is_a_cow_commit(spark, sf_dir, tmp_path):
+    """OPTIMIZE rewrites layout as a new version: rows identical, CDC
+    across the rewrite is empty, time travel spans it, and a selective
+    predicate afterwards touches fewer files than before."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "opt_src")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(16).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("orders_opt", src, str(tmp_path / "opt_work"),
+                                  keys=["o_orderkey"])
+    total = eng.sql("SELECT count(*) AS c FROM orders_opt").collect()[0][0]
+    r = eng.sql("OPTIMIZE orders_opt ZORDER BY (o_orderkey, o_totalprice)")
+    assert r.affected >= 1
+    assert eng.sql("SELECT count(*) AS c FROM orders_opt").collect()[0][0] == total
+    # identical rows -> empty keyed CDC diff across the rewrite
+    assert eng.store.changes("orders_opt", 0, 1).count() == 0
+    # time travel still reaches the pre-optimize layout
+    assert eng.sql("SELECT count(*) AS c FROM orders_opt VERSION AS OF 0"
+                   ).collect()[0][0] == total
+    # clustering took effect: a key-range predicate touches a strict
+    # subset of the clustered files (pre-optimize random layout hits all)
+    def touched(ver_dir):
+        d = str(tmp_path / "opt_work" / ver_dir)
+        df = spark.read.parquet(d).filter(F.col("o_orderkey") < 100)
+        return (df.select(F.input_file_name()).distinct().count(),
+                len([f for f in os.listdir(d)
+                     if f.startswith("part-") and not f.endswith(".crc")]))
+    t0, n0 = touched("v000000")
+    t1, n1 = touched("v000001")
+    assert t0 == n0 and n0 == 16   # round-robin layout: every file hit
+    assert t1 < n1 or n1 == 1      # clustered: pruned (or fully compacted)
