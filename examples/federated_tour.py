@@ -86,6 +86,11 @@ def main() -> None:
           "ORDER BY _commit_version, _change_type").show()
     n = e.store.follow_changes("region_rw", f"{td}/feed")
     print(f"CDC follower materialized {n} commits to {td}/feed")
+    print(e.sql("OPTIMIZE region_rw"))  # layout rewrite as a COW commit
+    e.sql("CREATE TABLE region_dev SHALLOW CLONE region_rw")  # zero-copy branch
+    print(e.sql("UPDATE region_dev SET r_name = 'DEV' WHERE r_regionkey = 0"))
+    print(e.sql("VACUUM region_rw RETAIN 2 VERSIONS"))
+    e.sql("SHOW VERSIONS FROM region_rw").show()
 
     print("tour complete")
 
