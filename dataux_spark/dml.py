@@ -225,11 +225,19 @@ class TableStore:
             n = zorder_compact(self.spark, src, dst, zorder_cols, target_mb)
         else:
             n = compact(self.spark, src, dst, target_mb)
+        # layout-only marker: every file was rewritten under a new name,
+        # so the hard-link pruning in _diff_adjacent cannot see that the
+        # DATA is unchanged — without the marker a CDC read across this
+        # commit would full-outer-join the whole table against itself to
+        # produce a provably empty diff
+        with open(f"{dst}/_layout_only", "w"):
+            pass
         self._version[table] = v
         self.spark.read.parquet(dst).createOrReplaceTempView(table)
         return n
 
-    def shallow_clone(self, table: str, new_table: str, workdir: str) -> None:
+    def shallow_clone(self, table: str, new_table: str,
+                      workdir: str | None = None) -> None:
         """Zero-copy table clone — Delta's SHALLOW CLONE on the COW
         store: the new table's version 0 is the source's CURRENT
         snapshot, materialized as hard links (no data movement, O(files)
@@ -243,6 +251,12 @@ class TableStore:
 
         if table not in self._backing:
             raise KeyError(f"table {table!r} is not version-backed")
+        if workdir is None:
+            workdir = f"{self._backing[table]}__clone_{new_table}"
+        if new_table in self._backing or os.path.exists(f"{workdir}/v000000"):
+            raise ValueError(
+                f"clone target {new_table!r} already exists"
+            )
         src = f"{self._backing[table]}/v{self._version[table]:06d}"
         dst = f"{workdir}/v000000"
         os.makedirs(dst, exist_ok=True)
@@ -311,15 +325,23 @@ class TableStore:
             last = 0  # version 0 is the initial snapshot, not a change
         floor = self._first_version.get(table, 0)
         if last < floor:
-            # the commits (last, floor] no longer exist — silently
-            # skipping them would lose changes, so the follower must be
-            # reseeded from a full snapshot (the Delta CDF contract when
-            # VACUUM outruns a consumer)
-            raise KeyError(
-                f"change feed for {table!r} starts at version {floor} "
-                f"(earlier commits expired by vacuum); sink is at {last} — "
-                "reseed the consumer from a current snapshot"
-            )
+            if not os.path.exists(hwm_path):
+                # FRESH consumer: it has consumed nothing, so its base
+                # state is the oldest retained snapshot — seed at the
+                # floor (version_of(floor) is readable) and feed from
+                # there; only an EXISTING sink behind the floor has
+                # actually lost commits
+                last = floor
+            else:
+                # the commits (last, floor] no longer exist — silently
+                # skipping them would lose changes, so the follower must
+                # be reseeded from a full snapshot (the Delta CDF
+                # contract when VACUUM outruns a consumer)
+                raise KeyError(
+                    f"change feed for {table!r} starts at version {floor} "
+                    f"(earlier commits expired by vacuum); sink is at {last} "
+                    "— reseed the consumer from a current snapshot"
+                )
         for v in range(last + 1, cur + 1):
             (
                 self._diff_adjacent(table, v - 1, v)
@@ -349,6 +371,12 @@ class TableStore:
 
         wd = self._backing[table]
         da, db = f"{wd}/v{va:06d}", f"{wd}/v{vb:06d}"
+        if os.path.exists(f"{db}/_layout_only"):
+            # OPTIMIZE commit: rows identical by construction, only the
+            # file layout changed — empty diff at O(1), not a table-sized
+            # join proving emptiness
+            src0 = self.spark.read.parquet(db).limit(0)
+            return src0.select("*", F.lit("").alias("_change_type"))
 
         def parts(d):
             return {

@@ -481,9 +481,9 @@ class Engine:
                     stmt, re.I,
                 )
                 if m:
-                    new_t, src_t = m.group(1), m.group(2)
-                    wd = f"{self.store._backing[src_t]}__clone_{new_t}"
-                    self.store.shallow_clone(src_t, new_t, wd)
+                    # workdir defaults inside shallow_clone, which also
+                    # owns the not-version-backed / already-exists errors
+                    self.store.shallow_clone(m.group(2), m.group(1))
                     return None
                 m = _CREATE_SOURCE_RE.match(stmt)
                 if m:

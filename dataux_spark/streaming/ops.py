@@ -373,9 +373,6 @@ def streaming_url_dedup_ingest(
 
 
 EWMA_STATE_SCHEMA = "n long, mean double, var double"
-EWMA_OUT_SCHEMA = (
-    "event_type string, event_id long, value double, z double, is_anomaly int"
-)
 
 
 def streaming_ewma_anomalies(
@@ -397,41 +394,62 @@ def streaming_ewma_anomalies(
     the property a watermark-windowed agg cannot give an unbounded-
     lookback baseline.
 
-    Batch-order determinism: rows are scored in (micro-batch, id) order
-    within a key; in production the Kafka partition-by-key guarantees
-    per-key arrival order, which is the order the EWMA is defined over.
-    """
+    Batch-order determinism: a key's micro-batch arrives as MULTIPLE
+    Arrow chunks, so the chunks are concatenated and sorted ONCE before
+    folding — per-chunk sorting would score out of id order whenever a
+    batch spans chunks. In production the Kafka partition-by-key
+    guarantees per-key arrival order, which is the order the EWMA is
+    defined over.
+
+    A CONSTANT baseline (var == 0 after warmup) flags any deviating
+    value as anomalous with z NULL (the deviation is infinite-sigma —
+    stricter than the batch twin, whose oracle-pinned rule leaves sd=0
+    rows unscored). Output columns keep the caller's key/id names and
+    types; value/z are double, is_anomaly int."""
     import pandas as pd
+
+    key_t = stream.schema[key_col].dataType.simpleString()
+    id_t = stream.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{key_col}` {key_t}, `{id_col}` {id_t}, "
+        f"`{value_col}` double, z double, is_anomaly int"
+    )
 
     def update(key, pdfs, state):
         n, mean, var = state.get() if state.exists else (0, 0.0, 0.0)
-        out = {"event_type": [], "event_id": [], "value": [], "z": [],
+        out = {key_col: [], id_col: [], value_col: [], "z": [],
                "is_anomaly": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
-            for _id, v in zip(pdf[id_col], pdf[value_col]):
-                v = float(v)
-                if n >= min_n and var > 0:
-                    z = round((v - mean) / (var ** 0.5), 6)
-                else:
-                    z = None
-                out["event_type"].append(key[0])
-                out["event_id"].append(int(_id))
-                out["value"].append(v)
-                out["z"].append(z)
-                out["is_anomaly"].append(
-                    int(z is not None and abs(z) > threshold)
-                )
-                if n == 0:
-                    mean, var = v, 0.0
-                else:
-                    d = v - mean
-                    mean += alpha * d
-                    var = (1 - alpha) * (var + alpha * d * d)
-                n += 1
+        chunks = [pdf for pdf in pdfs]
+        batch = (pd.concat(chunks).sort_values(id_col) if len(chunks) > 1
+                 else chunks[0].sort_values(id_col)) if chunks else None
+        rows = zip(batch[id_col], batch[value_col]) if batch is not None else ()
+        for _id, v in rows:
+            v = float(v)
+            warm = n >= min_n
+            if warm and var > 0:
+                z = round((v - mean) / (var ** 0.5), 6)
+                flag = int(abs(z) > threshold)
+            elif warm and v != mean:
+                z = None  # infinite-sigma deviation from a constant
+                flag = 1
+            else:
+                z = None
+                flag = 0
+            out[key_col].append(key[0])
+            out[id_col].append(_id)
+            out[value_col].append(v)
+            out["z"].append(z)
+            out["is_anomaly"].append(flag)
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                d = v - mean
+                mean += alpha * d
+                var = (1 - alpha) * (var + alpha * d * d)
+            n += 1
         state.update((n, mean, var))
         yield pd.DataFrame(out)
 
     return stream.groupBy(key_col).applyInPandasWithState(
-        update, EWMA_OUT_SCHEMA, EWMA_STATE_SCHEMA, "append", "NoTimeout"
+        update, out_schema, EWMA_STATE_SCHEMA, "append", "NoTimeout"
     )

@@ -397,19 +397,59 @@ def test_table_changes_zero_match_commit_is_empty_diff(spark, sf_dir, tmp_path):
     assert eng.store.follow_changes("region_zm", str(tmp_path / "zm_sink")) == 1
 
 
-def test_follow_changes_behind_vacuum_floor_errors(spark, sf_dir, tmp_path):
-    """A follower whose mark predates the vacuum retention floor gets a
-    clear reseed error, never a FileNotFoundError on a deleted dir."""
+def test_follow_changes_vacuum_floor_semantics(spark, sf_dir, tmp_path):
+    """An EXISTING follower whose mark predates the vacuum floor gets a
+    clear reseed error (its commits are gone), never a FileNotFoundError;
+    a FRESH follower seeds at the floor — its base state is the oldest
+    retained snapshot — and can always start."""
     src = str(tmp_path / "fv_src")
     spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
     eng = Engine(spark)
     eng.register_writable_parquet("region_fv", src, str(tmp_path / "fv_work"),
                                   keys=["r_regionkey"])
+    stale = str(tmp_path / "fv_stale")
+    assert eng.store.follow_changes("region_fv", stale) == 0  # mark at v0
     eng.sql("UPDATE region_fv SET r_name = 'A' WHERE r_regionkey = 0")  # v1
     eng.sql("UPDATE region_fv SET r_name = 'B' WHERE r_regionkey = 1")  # v2
-    eng.sql("VACUUM region_fv RETAIN 1 VERSIONS")
+    eng.sql("VACUUM region_fv RETAIN 1 VERSIONS")  # floor = 2
     with pytest.raises(KeyError, match="expired by vacuum"):
-        eng.store.follow_changes("region_fv", str(tmp_path / "fv_sink"))
+        eng.store.follow_changes("region_fv", stale)
+    # fresh consumer: starts at the floor, nothing lost from ITS view
+    fresh = str(tmp_path / "fv_fresh")
+    assert eng.store.follow_changes("region_fv", fresh) == 0
+    eng.sql("UPDATE region_fv SET r_name = 'C' WHERE r_regionkey = 2")  # v3
+    assert eng.store.follow_changes("region_fv", fresh) == 1
+
+
+def test_shallow_clone_rejects_existing_target(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "ce_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_ce", src, str(tmp_path / "ce_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("CREATE TABLE region_ce2 SHALLOW CLONE region_ce")
+    with pytest.raises(Exception, match="already exists"):
+        eng.sql("CREATE TABLE region_ce2 SHALLOW CLONE region_ce")
+    with pytest.raises(Exception, match="not version-backed"):
+        eng.sql("CREATE TABLE nope SHALLOW CLONE region")  # plain view
+
+
+def test_optimize_commit_cdc_is_o1_marker(spark, sf_dir, tmp_path):
+    """The OPTIMIZE commit carries a layout-only marker, so the CDC diff
+    across it short-circuits without reading either snapshot."""
+    import os
+
+    src = str(tmp_path / "om_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_om", src, str(tmp_path / "om_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("OPTIMIZE region_om")
+    assert os.path.exists(str(tmp_path / "om_work" / "v000001" / "_layout_only"))
+    assert eng.store.changes("region_om", 0, 1).count() == 0
+    # a real commit after the optimize still diffs normally
+    eng.sql("UPDATE region_om SET r_name = 'X' WHERE r_regionkey = 0")
+    assert eng.store.changes("region_om", 1, 2).count() == 2
 
 
 def test_shallow_clone_is_zero_copy_and_independent(spark, sf_dir, tmp_path):
