@@ -285,7 +285,7 @@ def test_span_removal_equals_python_model_on_random_corpora(spark, docs):
 # --- CDC fuzz ----------------------------------------------------------
 
 _dml_ops = st.lists(
-    st.tuples(st.sampled_from(["upd", "del", "ins"]), st.integers(0, 6)),
+    st.tuples(st.sampled_from(["upd", "del", "ins", "opt"]), st.integers(0, 6)),
     min_size=1, max_size=5,
 )
 
@@ -315,6 +315,9 @@ def test_cdc_feed_equals_snapshot_diff_on_random_dml(spark, tmp_path_factory, op
             eng.sql(f"UPDATE cdcf SET v = v + 1 WHERE k % 7 = {arg}")
         elif op == "del":
             eng.sql(f"DELETE FROM cdcf WHERE k % 7 = {arg}")
+        elif op == "opt":
+            # layout-only commit interleaved: snapshots equal across it
+            eng.sql("OPTIMIZE cdcf")
         else:
             eng.sql(f"INSERT INTO cdcf (k, v) VALUES ({next_key}, 1.0)")
             next_key += 1
