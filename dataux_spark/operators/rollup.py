@@ -251,3 +251,37 @@ def apply_cdc_delta(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def scd2_history(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFrame:
+    """Slowly-changing-dimension type-2 derivation from a CDC feed — the
+    other classic feed consumer next to apply_cdc_delta: the version-0
+    snapshot plus every update postimage opens an attribute state, every
+    delete closes one, and each key's states get
+    [valid_from_version, valid_to_version) intervals (valid_to NULL =
+    current). Re-inserts after a delete open a fresh interval.
+
+    Plan: one union of the (base ∪ postimage ∪ tombstone) event rows and
+    ONE keyed window (lead over commit version per key) — feed-sized
+    work after the base scan, no self-join. Point-in-time dimension
+    lookups then join facts on key with
+    valid_from <= v < coalesce(valid_to, ∞) — the SCD-2 contract."""
+    from pyspark.sql import Window as W
+
+    cols = [c for c in base.columns if c not in ("_change_type", "_commit_version")]
+    opens = base.select(*cols, F.lit(0).alias("valid_from"),
+                        F.lit(0).alias("_tomb"))
+    post = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols, F.col("_commit_version").cast("int").alias("valid_from"),
+             F.lit(0).alias("_tomb"))
+    tomb = feed.filter(F.col("_change_type") == "delete").select(
+        *cols, F.col("_commit_version").cast("int").alias("valid_from"),
+        F.lit(1).alias("_tomb"))
+    ev = opens.unionByName(post).unionByName(tomb)
+    w = W.partitionBy(*keys).orderBy("valid_from", "_tomb")
+    return (
+        ev.withColumn("valid_to", F.lead("valid_from").over(w))
+        .filter(F.col("_tomb") == 0)
+        .drop("_tomb")
+    )

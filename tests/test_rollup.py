@@ -152,3 +152,52 @@ def test_apply_cdc_delta_sequential_equals_recompute(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_scd2_history_from_feed_reconstructs_every_version(spark, sf_dir, tmp_path):
+    """SCD-2 derivation: intervals open/close at the right commits, and
+    the point-in-time slice at EVERY version equals the actual snapshot
+    — the dimension-history contract."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark import Engine
+    from dataux_spark.operators.rollup import scd2_history
+
+    src = str(tmp_path / "scd_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_scd", src, str(tmp_path / "scd_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("UPDATE region_scd SET r_name = 'A1' WHERE r_regionkey = 0")  # v1
+    eng.sql("DELETE FROM region_scd WHERE r_regionkey = 1")               # v2
+    eng.sql("INSERT INTO region_scd (r_regionkey, r_name) VALUES (9, 'NEW')")  # v3
+    eng.sql("UPDATE region_scd SET r_name = 'A2' WHERE r_regionkey = 0")  # v4
+
+    hist = scd2_history(
+        eng.store.version_of("region_scd", 0),
+        eng.store.changes("region_scd", 0, 4),
+        ["r_regionkey"],
+    )
+    by_key = {}
+    for r in hist.collect():
+        by_key.setdefault(r.r_regionkey, []).append(
+            (r.valid_from, r.valid_to, r.r_name))
+    k0 = sorted(by_key[0], key=lambda t: t[0])
+    assert [(a, b) for a, b, _ in k0] == [(0, 1), (1, 4), (4, None)]
+    assert k0[1][2] == "A1" and k0[2][2] == "A2"
+    assert [(a, b) for a, b, _ in sorted(by_key[1])] == [(0, 2)]
+    assert [(a, b) for a, b, _ in sorted(by_key[9])] == [(3, None)]
+
+    # point-in-time slices reproduce every snapshot exactly
+    for v in range(5):
+        snap = {(r.r_regionkey, r.r_name)
+                for r in eng.store.version_of("region_scd", v)
+                .select("r_regionkey", "r_name").collect()}
+        asof = {
+            (r.r_regionkey, r.r_name)
+            for r in hist.filter(
+                (F.col("valid_from") <= v)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+            ).collect()
+        }
+        assert asof == snap, v
