@@ -285,3 +285,101 @@ def scd2_history(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFrame
         .filter(F.col("_tomb") == 0)
         .drop("_tomb")
     )
+
+
+def build_quantile_rollup(
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    bins: int = 128,
+) -> None:
+    """Histogram rollup for QUANTILES over arbitrary ranges — the third
+    member of the mergeable-state family (count/sum partials, HLL
+    distinct sketches, and now fixed-bin value histograms): per
+    (bucket, key), counts over `bins` equi-width bins of the value's
+    global [min, max]. Bin counts merge by plain summation, so any time
+    window's quantile comes from bucket-sized state — and unlike
+    percentile_approx partials, every step is deterministic, so an
+    external oracle can replay the estimate exactly.
+
+    Layout: (bucket, key, bin, ct) partitioned by bucket_date, plus a
+    one-row meta frame (vmin, vmax, bins) the query side reads back.
+    Build cost: one scalar min/max pass + one map-side-combined shuffle
+    bounded by bucket x key x bins."""
+    spark = events.sparkSession
+    mm = events.agg(
+        F.min(F.col(value_col).cast("double")).alias("vmin"),
+        F.max(F.col(value_col).cast("double")).alias("vmax"),
+    ).first()
+    vmin, vmax = float(mm.vmin), float(mm.vmax)
+    span = (vmax - vmin) or 1.0
+    b = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(value_col).cast("double") - vmin) / span * bins).cast("int"),
+    )
+    (
+        events.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("key"),
+            b.alias("bin"),
+        )
+        .agg(F.count("*").alias("ct"))
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .repartition("bucket_date")
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(f"{out_path}/hist")
+    )
+    spark.createDataFrame(
+        [(vmin, vmax, bins)], "vmin double, vmax double, bins int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
+
+
+def quantile_over_range(
+    spark: SparkSession,
+    rollup_path: str,
+    q: float,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Query the histogram rollup: merge bin counts over [start, end)
+    (partition-pruned by bucket_date, like the sibling rollups), then
+    per key pick the bin holding rank ceil(q * total) and interpolate
+    linearly inside it. Every step is plain deterministic arithmetic
+    (rounded to 6dp) — the estimate reproduces on any engine, with error
+    bounded by the bin width. Returns (key, n, q_est)."""
+    from pyspark.sql import Window as W
+
+    meta = spark.read.parquet(f"{rollup_path}/meta").first()
+    width = ((meta.vmax - meta.vmin) or 1.0) / meta.bins
+    r = spark.read.option("basePath", f"{rollup_path}/hist").parquet(
+        f"{rollup_path}/hist"
+    )
+    if start is not None:
+        r = r.filter((F.col("bucket") >= start)
+                     & (F.col("bucket_date") >= F.to_date(F.lit(start))))
+    if end is not None:
+        r = r.filter((F.col("bucket") < end)
+                     & (F.col("bucket_date") <= F.to_date(F.lit(end))))
+    merged = r.groupBy("key", "bin").agg(F.sum("ct").alias("ct"))
+    w = W.partitionBy("key").orderBy("bin")
+    wk = W.partitionBy("key")
+    ranked = (
+        merged.withColumn("cum", F.sum("ct").over(w))
+        .withColumn("total", F.sum("ct").over(wk))
+        .withColumn("target", F.ceil(F.lit(q) * F.col("total")))
+        .filter(F.col("cum") >= F.col("target"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    est = (
+        F.lit(meta.vmin)
+        + (F.col("bin") + (F.col("target") - (F.col("cum") - F.col("ct")))
+           / F.col("ct")) * F.lit(width)
+    )
+    return ranked.select(
+        "key", F.col("total").alias("n"), F.round(est, 6).alias("q_est")
+    )

@@ -4720,6 +4720,62 @@ def dedup_semantic_keepset(spark, sf_dir):
 
 
 @_q(
+    "rollup_quantile_range",
+    # the histogram rollup's estimate is fully deterministic (equi-width
+    # bins over the global min/max, rank = ceil(q*total), linear
+    # interpolation in the holding bin) — the oracle replays every step
+    """
+    WITH mm AS (
+      SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax
+      FROM events
+    ), e AS (
+      SELECT event_type AS key,
+             least(127, CAST(floor((CAST(value AS DOUBLE) - mm.vmin) /
+               (CASE WHEN mm.vmax - mm.vmin = 0 THEN 1.0
+                     ELSE mm.vmax - mm.vmin END) * 128) AS INT)) AS bin
+      FROM events CROSS JOIN mm
+    ), c AS (
+      SELECT key, bin, count(*) AS ct FROM e GROUP BY 1, 2
+    ), r AS (
+      SELECT key, bin, ct,
+             sum(ct) OVER (PARTITION BY key ORDER BY bin) AS cum,
+             sum(ct) OVER (PARTITION BY key) AS total
+      FROM c
+    ), p AS (
+      SELECT *, CAST(ceil(0.95 * total) AS BIGINT) AS target FROM r
+    ), f AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY bin) AS rn
+      FROM p WHERE cum >= target
+    )
+    SELECT key, CAST(total AS BIGINT) AS n,
+           round(mm.vmin + (bin + (target - (cum - ct)) / CAST(ct AS DOUBLE))
+                 * ((CASE WHEN mm.vmax - mm.vmin = 0 THEN 1.0
+                          ELSE mm.vmax - mm.vmin END) / 128), 6) AS q_est
+    FROM f CROSS JOIN mm WHERE rn = 1
+    """,
+)
+def rollup_quantile_range(spark, sf_dir):
+    """Histogram-quantile rollup lifecycle (operators/rollup.
+    build_quantile_rollup / quantile_over_range): per-(bucket, key)
+    fixed-bin value histograms — mergeable by summation, so any time
+    window's p95 comes from bucket-sized state; unlike percentile_approx
+    the whole estimate is deterministic and the oracle replays bin
+    assignment, rank selection, and interpolation exactly."""
+    import tempfile
+
+    from dataux_spark.operators.rollup import (
+        build_quantile_rollup,
+        quantile_over_range,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    slug = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    path = f"{tempfile.gettempdir()}/dataux_qroll_{slug}"
+    build_quantile_rollup(ev, path, bins=128)
+    return quantile_over_range(spark, path, q=0.95)
+
+
+@_q(
     "events_zscore_anomalies",
     # identical frame (50 preceding, excl. current), population stddev,
     # z rounded to 6dp before the |z|>3 compare, ties broken by event_id

@@ -201,3 +201,32 @@ def test_scd2_history_from_feed_reconstructs_every_version(spark, sf_dir, tmp_pa
             ).collect()
         }
         assert asof == snap, v
+
+
+def test_quantile_rollup_range_accuracy_and_merge(spark, sf_dir, tmp_path):
+    """Windowed quantile from merged bin counts tracks the exact
+    percentile within one bin width, for a sub-range of buckets."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.rollup import (
+        build_quantile_rollup,
+        quantile_over_range,
+    )
+    from dataux_spark.queries import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "qroll")
+    build_quantile_rollup(ev, path, bins=128)
+    mm = ev.agg(F.min(F.col("value").cast("double")),
+                F.max(F.col("value").cast("double"))).first()
+    bin_w = (mm[1] - mm[0]) / 128
+    start, end = "2024-01-05", "2024-01-10"
+    est = {r.key: r.q_est for r in
+           quantile_over_range(spark, path, 0.5, start, end).collect()}
+    sub = ev.filter((F.col("ts") >= start) & (F.col("ts") < end))
+    true = {r.event_type: r.p for r in
+            sub.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.5)").alias("p")).collect()}
+    assert set(est) == set(true)
+    for k in true:
+        assert abs(est[k] - true[k]) <= bin_w + 1e-9, (k, est[k], true[k])
