@@ -228,5 +228,8 @@ def test_quantile_rollup_range_accuracy_and_merge(spark, sf_dir, tmp_path):
             sub.groupBy("event_type")
             .agg(F.expr("percentile(value, 0.5)").alias("p")).collect()}
     assert set(est) == set(true)
+    # ceil(qN) ranking vs exact percentile's (n-1)q interpolation can
+    # differ by one rank, which may cross a bin boundary: 2 bin widths
+    # is the honest bound for an equi-width histogram estimate
     for k in true:
-        assert abs(est[k] - true[k]) <= bin_w + 1e-9, (k, est[k], true[k])
+        assert abs(est[k] - true[k]) <= 2 * bin_w + 1e-9, (k, est[k], true[k])
