@@ -325,12 +325,20 @@ class TableStore:
             last = 0  # version 0 is the initial snapshot, not a change
         floor = self._first_version.get(table, 0)
         if last < floor:
-            if not os.path.exists(hwm_path):
+            # "fresh" must mean the sink holds NOTHING — a consumer that
+            # crashed after writing commit partitions but before its
+            # first hwm write is mid-run, not fresh, and seeding it at
+            # the floor would leave a silent gap in its feed
+            has_partitions = os.path.isdir(sink_dir) and any(
+                name.startswith("commit_version=")
+                for name in os.listdir(sink_dir)
+            )
+            if not os.path.exists(hwm_path) and not has_partitions:
                 # FRESH consumer: it has consumed nothing, so its base
                 # state is the oldest retained snapshot — seed at the
                 # floor (version_of(floor) is readable) and feed from
-                # there; only an EXISTING sink behind the floor has
-                # actually lost commits
+                # there; only a sink that already holds commits behind
+                # the floor has actually lost data
                 last = floor
             else:
                 # the commits (last, floor] no longer exist — silently
@@ -371,12 +379,13 @@ class TableStore:
 
         wd = self._backing[table]
         da, db = f"{wd}/v{va:06d}", f"{wd}/v{vb:06d}"
+        schema_src = self.spark.read.parquet(db).limit(0)
+        empty_diff = schema_src.select("*", F.lit("").alias("_change_type"))
         if os.path.exists(f"{db}/_layout_only"):
             # OPTIMIZE commit: rows identical by construction, only the
             # file layout changed — empty diff at O(1), not a table-sized
             # join proving emptiness
-            src0 = self.spark.read.parquet(db).limit(0)
-            return src0.select("*", F.lit("").alias("_change_type"))
+            return empty_diff
 
         def parts(d):
             return {
@@ -388,13 +397,12 @@ class TableStore:
         shared = {n for n, ino in pa.items() if pb.get(n) == ino}
         only_a = sorted(set(pa) - shared)
         only_b = sorted(set(pb) - shared)
-        schema_src = self.spark.read.parquet(db).limit(0)
         if not only_a and not only_b:
             # no-op commit (e.g. a zero-match UPDATE hard-linked every
             # file through): empty diff — and short-circuiting also
             # avoids joining a frame to itself below (both fallbacks
             # would otherwise BE schema_src → ambiguous self-join)
-            return schema_src.select("*", F.lit("").alias("_change_type"))
+            return empty_diff
         old = (self.spark.read.parquet(*[f"{da}/{n}" for n in only_a])
                if only_a else schema_src)
         new = (self.spark.read.parquet(*[f"{db}/{n}" for n in only_b])

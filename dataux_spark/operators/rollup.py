@@ -133,6 +133,25 @@ def rollup_plus_tail(
     )
 
 
+def _bucket_range(r: DataFrame, start, end) -> DataFrame:
+    """[start, end) over a date-partitioned rollup. The range filter must
+    ALSO hit the bucket_date PARTITION column — Spark cannot derive a
+    partition predicate from the bucket one, and without it every date
+    directory is listed and scanned. Shared by every rollup query path so
+    the pruning trick cannot drift between them."""
+    if start is not None:
+        r = r.filter(
+            (F.col("bucket") >= start)
+            & (F.col("bucket_date") >= F.to_date(F.lit(start)))
+        )
+    if end is not None:
+        r = r.filter(
+            (F.col("bucket") < end)
+            & (F.col("bucket_date") <= F.to_date(F.lit(end)))
+        )
+    return r
+
+
 def build_distinct_rollup(
     events: DataFrame,
     out_path: str,
@@ -182,20 +201,10 @@ def distinct_over_range(
     and estimate the distinct count — per key, or overall with one more
     union. Work is proportional to the buckets touched (partition-pruned
     by bucket_date), never the raw rows they summarize."""
-    r = spark.read.option("basePath", rollup_path).parquet(rollup_path)
-    # the range filter must ALSO hit the bucket_date PARTITION column —
-    # Spark cannot derive a partition predicate from the bucket one, and
-    # without it every date directory is listed and scanned
-    if start is not None:
-        r = r.filter(
-            (F.col("bucket") >= start)
-            & (F.col("bucket_date") >= F.to_date(F.lit(start)))
-        )
-    if end is not None:
-        r = r.filter(
-            (F.col("bucket") < end)
-            & (F.col("bucket_date") <= F.to_date(F.lit(end)))
-        )
+    r = _bucket_range(
+        spark.read.option("basePath", rollup_path).parquet(rollup_path),
+        start, end,
+    )
     keys = ["key"] if by_key else []
     out = r.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch")).alias("n_distinct_est"),
@@ -314,7 +323,10 @@ def build_quantile_rollup(
         F.min(F.col(value_col).cast("double")).alias("vmin"),
         F.max(F.col(value_col).cast("double")).alias("vmax"),
     ).first()
-    vmin, vmax = float(mm.vmin), float(mm.vmax)
+    # empty / all-NULL input: write an empty-but-readable rollup (the
+    # sibling builders' behavior), not a TypeError on float(None)
+    vmin = float(mm.vmin) if mm.vmin is not None else 0.0
+    vmax = float(mm.vmax) if mm.vmax is not None else 0.0
     span = (vmax - vmin) or 1.0
     b = F.least(
         F.lit(bins - 1),
@@ -355,15 +367,12 @@ def quantile_over_range(
 
     meta = spark.read.parquet(f"{rollup_path}/meta").first()
     width = ((meta.vmax - meta.vmin) or 1.0) / meta.bins
-    r = spark.read.option("basePath", f"{rollup_path}/hist").parquet(
-        f"{rollup_path}/hist"
+    r = _bucket_range(
+        spark.read.option("basePath", f"{rollup_path}/hist").parquet(
+            f"{rollup_path}/hist"
+        ),
+        start, end,
     )
-    if start is not None:
-        r = r.filter((F.col("bucket") >= start)
-                     & (F.col("bucket_date") >= F.to_date(F.lit(start))))
-    if end is not None:
-        r = r.filter((F.col("bucket") < end)
-                     & (F.col("bucket_date") <= F.to_date(F.lit(end))))
     merged = r.groupBy("key", "bin").agg(F.sum("ct").alias("ct"))
     w = W.partitionBy("key").orderBy("bin")
     wk = W.partitionBy("key")

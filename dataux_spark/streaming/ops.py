@@ -408,6 +408,15 @@ def streaming_ewma_anomalies(
     types; value/z are double, is_anomaly int."""
     import pandas as pd
 
+    names = [key_col, id_col, value_col]
+    if len(set(names)) != 3 or {"z", "is_anomaly"} & set(names):
+        # the output dict keys these names next to the literal z /
+        # is_anomaly columns — a collision would silently merge entries
+        # and abort every micro-batch inside the executor
+        raise ValueError(
+            "key_col, id_col, and value_col must be distinct and must "
+            f"not be named 'z' or 'is_anomaly' (got {names})"
+        )
     key_t = stream.schema[key_col].dataType.simpleString()
     id_t = stream.schema[id_col].dataType.simpleString()
     out_schema = (

@@ -524,3 +524,24 @@ def test_optimize_zorder_is_a_cow_commit(spark, sf_dir, tmp_path):
     t1, n1 = touched("v000001")
     assert t0 == n0 and n0 == 16   # round-robin layout: every file hit
     assert t1 < n1 or n1 == 1      # clustered: pruned (or fully compacted)
+
+
+def test_follow_changes_crashed_sink_not_treated_as_fresh(spark, sf_dir, tmp_path):
+    """A sink holding commit partitions but no high-water mark (crashed
+    mid-first-run) is NOT fresh: behind the vacuum floor it must get the
+    reseed error, never a silent commit gap."""
+    import os
+
+    src = str(tmp_path / "cw_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_cw", src, str(tmp_path / "cw_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("UPDATE region_cw SET r_name = 'A' WHERE r_regionkey = 0")  # v1
+    sink = str(tmp_path / "cw_sink")
+    eng.store.follow_changes("region_cw", sink)
+    os.remove(f"{sink}/_hwm.json")  # simulate the crash window
+    eng.sql("UPDATE region_cw SET r_name = 'B' WHERE r_regionkey = 1")  # v2
+    eng.sql("VACUUM region_cw RETAIN 1 VERSIONS")  # floor = 2
+    with pytest.raises(KeyError, match="expired by vacuum"):
+        eng.store.follow_changes("region_cw", sink)
