@@ -59,6 +59,32 @@ def main() -> None:
     )
     S.streaming_rollup_ingest(stream, f"{root}/rollup").awaitTermination()
     S.merged_rollup(spark, f"{root}/rollup").orderBy(F.desc("n_events")).show(5)
+
+    print("== sketch rollups: distinct users + p95 over a range ==")
+    from dataux_spark.operators.rollup import (
+        build_distinct_rollup,
+        build_quantile_rollup,
+        distinct_over_range,
+        quantile_over_range,
+    )
+
+    build_distinct_rollup(ev, f"{root}/droll")
+    distinct_over_range(spark, f"{root}/droll").show()
+    build_quantile_rollup(ev, f"{root}/qroll")
+    quantile_over_range(spark, f"{root}/qroll", q=0.95).show()
+
+    print("== anomalies: rolling z-score (batch) + EWMA (streaming) ==")
+    from dataux_spark.operators.timeseries import rolling_zscore_anomalies
+
+    rolling_zscore_anomalies(ev, "ts", "event_type", "value", "event_id") \
+        .filter("is_anomaly = 1").show(5)
+    anomalies = S.run_to_memory(
+        S.streaming_ewma_anomalies(
+            spark.readStream.schema(schema).parquet(f"{root}/in/*/")
+        ),
+        "ewma_anoms", output_mode="append",
+    )
+    anomalies.groupBy("is_anomaly").count().show()
     print("events tour complete")
 
 
