@@ -12,6 +12,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -252,6 +253,14 @@ CHECKS = {
         ("single keyed shuffle for the rolling stats",
          lambda p: "hashpartitioning(event_type" in p),
         ("no join at all", lambda p: "Join" not in p),
+    ],
+    "text_bm25_index_topk": [
+        # the probe must prune the index to the query terms' buckets at
+        # PLAN time (partition filters on tb), for postings AND termdf
+        ("both index scans partition-pruned by term bucket",
+         lambda p: len(re.findall(r"PartitionFilters: \[[^\]]*tb#\d+", p)) >= 2),
+        ("no corpus-sized shuffle for the model join",
+         lambda p: "BroadcastHashJoin" in p),
     ],
     "ann_hard_negatives": [
         # anchors broadcast; per-anchor rank is one keyed window
