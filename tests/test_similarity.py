@@ -290,3 +290,41 @@ def test_hard_negative_mining_excludes_same_label_and_margin(spark):
         df, anchors, "embedding", "vec_id", "label", k=4, max_cos=0.99
     )
     assert all(r.neighbor_id != 100 for r in margin.collect())
+
+
+def test_hard_negatives_equal_python_model(spark):
+    """Brute-force model equality for hard-negative mining on a random-ish
+    fixed vector set: label exclusion, rounded-cos ranking, id tie-breaks."""
+    import math
+
+    from dataux_spark.operators.similarity import hard_negative_mining
+
+    rows = []
+    for i in range(30):
+        ang, lift = (i * 37) % 17 * 0.37, ((i * 13) % 7) * 0.1
+        rows.append((i, i % 3, [math.cos(ang), math.sin(ang), lift]))
+    df = spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id: long, label: int, embedding: array<float>",
+    )
+    stored = {r.vec_id: (r.label, list(r.embedding))
+              for r in df.collect()}  # float32-stored values
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    anchors = df.filter("vec_id < 3")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in hard_negative_mining(df, anchors, "embedding", "vec_id",
+                                         "label", k=4).collect()}
+    for q in range(3):
+        ql, qv = stored[q]
+        cands = sorted(
+            ((-cos(v, qv), i) for i, (l, v) in stored.items()
+             if i != q and l != ql)
+        )[:4]
+        for rank, (_, nid) in enumerate(cands, 1):
+            assert got[(q, rank)] == nid, (q, rank)
