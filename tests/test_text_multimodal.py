@@ -481,3 +481,23 @@ def test_phash_custom_id_column(spark):
     assert hashes["imgA"] == hashes["imgB"]
     pairs = multimodal.phash_neardup_pairs(wrapped, id_col="img_id").collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [("imgA", "imgB", 0)]
+
+
+def test_rrf_fuse_matches_model_and_handles_partial_overlap(spark):
+    """RRF: summed 1/(60+rank) across rankings, docs absent from one
+    ranking contribute only their present terms, ties break to id."""
+    from dataux_spark.operators.text import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id: long, rank: int")
+    r2 = spark.createDataFrame([(3, 1), (4, 2), (1, 3)], "doc_id: long, rank: int")
+    got = {(r.doc_id): (r.rrf_score, r.rank)
+           for r in rrf_fuse([r1, r2], "doc_id", k=4).collect()}
+    exp = {
+        1: round(1 / 61 + 1 / 63, 6),
+        2: round(1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        4: round(1 / 62, 6),
+    }
+    assert {k: v[0] for k, v in got.items()} == exp
+    # 1 and 3 tie exactly -> id order; 2 and 4 tie -> id order
+    assert [k for k, v in sorted(got.items(), key=lambda kv: kv[1][1])] == [1, 3, 2, 4]
