@@ -312,3 +312,34 @@ def test_streaming_ewma_anomalies_flags_planted_outlier(spark, tmp_path):
     assert all(got[i][1] == 0 for i in range(10, 40))
     # the planted outlier is flagged
     assert got[100][1] == 1 and abs(got[100][0]) > 3
+
+
+def test_streaming_ewma_constant_baseline_flags_deviation(spark, tmp_path):
+    """var == 0 after warmup: any deviating value is the most extreme
+    possible anomaly — flagged with z NULL, not silently unscored."""
+    import pandas as pd
+
+    rows = [(i, "tick", 5.0) for i in range(20)] + [(99, "tick", 6.0)]
+    src = str(tmp_path / "cewma")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    ).write.parquet(src)
+    out = S.run_to_memory(
+        S.streaming_ewma_anomalies(
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .parquet(src)
+        ),
+        "cewma_out", output_mode="append",
+    )
+    got = {r.event_id: (r.z, r.is_anomaly) for r in out.collect()}
+    assert got[99] == (None, 1)
+    assert all(got[i] == (None, 0) for i in range(10, 20))  # constant, warm
+    # column-name collision guard
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="distinct"):
+        S.streaming_ewma_anomalies(
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .parquet(src),
+            value_col="z",
+        )
