@@ -337,3 +337,31 @@ def test_cdc_feed_equals_snapshot_diff_on_random_dml(spark, tmp_path_factory, op
         got = {(r.k, r.v, r._change_type)
                for r in eng.store.changes("cdcf", v - 1, v).collect()}
         assert got == want, (v, got, want)
+
+
+# --- chunker fuzz ------------------------------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus, size=st.integers(2, 6), stride=st.integers(1, 5))
+def test_chunk_windows_equal_python_model(spark, docs, size, stride):
+    """chunk_documents must equal the window arithmetic on ANY corpus and
+    (size, stride) combination — including stride > size (gaps) and
+    docs shorter than one window."""
+    from dataux_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+           for r in chunk_documents(df, "text", "doc_id",
+                                    size=size, stride=stride).collect()}
+    want = {}
+    for i, d in enumerate(docs):
+        toks = d.lower().split()
+        import math
+        nc = max(math.ceil((len(toks) - size) / stride) + 1, 1)
+        for c in range(nc):
+            w = toks[c * stride: c * stride + size]
+            want[(i, c)] = (len(w), " ".join(w))
+    assert got == want
