@@ -365,3 +365,48 @@ def test_chunk_windows_equal_python_model(spark, docs, size, stride):
             w = toks[c * stride: c * stride + size]
             want[(i, c)] = (len(w), " ".join(w))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_dml_ops)
+def test_scd2_point_in_time_equals_snapshots_on_random_dml(
+    spark, tmp_path_factory, ops
+):
+    """SCD-2 derived from the feed must reconstruct EVERY version's
+    snapshot as a point-in-time slice, for ANY DML sequence (updates,
+    deletes, re-inserts, layout-only commits)."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark import Engine
+    from dataux_spark.operators.rollup import scd2_history
+
+    tmp = tmp_path_factory.mktemp("scdfuzz")
+    src = str(tmp / "src")
+    spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("v")
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("scdf", src, str(tmp / "work"), keys=["k"])
+    next_key = 100
+    for op, arg in ops:
+        if op == "upd":
+            eng.sql(f"UPDATE scdf SET v = v + 1 WHERE k % 7 = {arg}")
+        elif op == "del":
+            eng.sql(f"DELETE FROM scdf WHERE k % 7 = {arg}")
+        elif op == "opt":
+            eng.sql("OPTIMIZE scdf")
+        else:
+            eng.sql(f"INSERT INTO scdf (k, v) VALUES ({next_key}, 1.0)")
+            next_key += 1
+    cur = eng.store._version["scdf"]
+    hist = scd2_history(
+        eng.store.version_of("scdf", 0),
+        eng.store.changes("scdf", 0, cur),
+        ["k"],
+    ).collect()
+    for v in range(cur + 1):
+        snap = {(r.k, r.v) for r in eng.store.version_of("scdf", v).collect()}
+        asof = {(r.k, r.v) for r in hist
+                if r.valid_from <= v and (r.valid_to is None or r.valid_to > v)}
+        assert asof == snap, (v, asof, snap)
