@@ -319,12 +319,15 @@ def build_quantile_rollup(
     Build cost: one scalar min/max pass + one map-side-combined shuffle
     bounded by bucket x key x bins."""
     spark = events.sparkSession
+    # NULL values carry no quantile information and MUST be excluded
+    # before binning: least(bins-1, floor(NULL)) evaluates to bins-1
+    # (Spark's least skips NULLs), which would silently pile NULL rows
+    # into the top bin and inflate upper quantiles
+    events = events.filter(F.col(value_col).isNotNull())
     mm = events.agg(
         F.min(F.col(value_col).cast("double")).alias("vmin"),
         F.max(F.col(value_col).cast("double")).alias("vmax"),
     ).first()
-    # empty / all-NULL input: write an empty-but-readable rollup (the
-    # sibling builders' behavior), not a TypeError on float(None)
     vmin = float(mm.vmin) if mm.vmin is not None else 0.0
     vmax = float(mm.vmax) if mm.vmax is not None else 0.0
     span = (vmax - vmin) or 1.0
@@ -332,7 +335,7 @@ def build_quantile_rollup(
         F.lit(bins - 1),
         F.floor((F.col(value_col).cast("double") - vmin) / span * bins).cast("int"),
     )
-    (
+    hist = (
         events.groupBy(
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
             F.col(key_col).alias("key"),
@@ -340,11 +343,20 @@ def build_quantile_rollup(
         )
         .agg(F.count("*").alias("ct"))
         .withColumn("bucket_date", F.to_date("bucket"))
-        .repartition("bucket_date")
-        .write.mode("overwrite")
-        .partitionBy("bucket_date")
-        .parquet(f"{out_path}/hist")
     )
+    if mm.vmin is None:
+        # empty input: a zero-row PARTITIONED write leaves only _SUCCESS
+        # (unreadable — no schema to infer); the unpartitioned write of
+        # the empty frame keeps a schema-bearing part file so
+        # quantile_over_range returns an empty result instead of raising
+        hist.write.mode("overwrite").parquet(f"{out_path}/hist")
+    else:
+        (
+            hist.repartition("bucket_date")
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(f"{out_path}/hist")
+        )
     spark.createDataFrame(
         [(vmin, vmax, bins)], "vmin double, vmax double, bins int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")

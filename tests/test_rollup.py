@@ -233,3 +233,32 @@ def test_quantile_rollup_range_accuracy_and_merge(spark, sf_dir, tmp_path):
     # is the honest bound for an equi-width histogram estimate
     for k in true:
         assert abs(est[k] - true[k]) <= 2 * bin_w + 1e-9, (k, est[k], true[k])
+
+
+def test_quantile_rollup_null_and_empty_inputs(spark, tmp_path):
+    """NULL values are excluded from binning (they would otherwise pile
+    into the top bin via least()'s NULL-skipping); an empty input builds
+    a readable rollup that queries to an empty result."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.rollup import (
+        build_quantile_rollup,
+        quantile_over_range,
+    )
+
+    rows = [(i, "2024-01-01 00:00:00", "k",
+             float(i) if i < 10 else None) for i in range(100)]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts_s: string, event_type: string, value: double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    path = str(tmp_path / "nq")
+    build_quantile_rollup(ev, path, bins=16)
+    out = quantile_over_range(spark, path, q=0.5).collect()
+    # n counts only the 10 real values, and the median is near 4-5,
+    # nowhere near the top bin a NULL pile-up would produce
+    assert out[0].n == 10 and out[0].q_est < 7.0
+
+    empty = ev.filter("event_id < 0")
+    epath = str(tmp_path / "eq")
+    build_quantile_rollup(empty, epath, bins=16)
+    assert quantile_over_range(spark, epath, q=0.5).count() == 0

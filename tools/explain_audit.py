@@ -260,7 +260,8 @@ CHECKS = {
         ("both index scans partition-pruned by term bucket",
          lambda p: len(re.findall(r"PartitionFilters: \[[^\]]*tb#\d+", p)) >= 2),
         ("no corpus-sized shuffle for the model join",
-         lambda p: "BroadcastHashJoin" in p),
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+         and "ShuffledHashJoin" not in p),
     ],
     "ann_hard_negatives": [
         # anchors broadcast; per-anchor rank is one keyed window
