@@ -172,7 +172,13 @@ def build_distinct_rollup(
 
     Scale: state per (bucket, key) is ~2^lg_k bytes regardless of raw
     cardinality; the build is one map-side-combined shuffle; range reads
-    prune bucket_date partitions at the listing level."""
+    prune bucket_date partitions at the listing level.
+
+    Precondition: a non-empty events frame (a zero-row PARTITIONED write
+    leaves no schema-bearing file to read back). build_quantile_rollup
+    guards this for free off its min/max action; here an emptiness probe
+    would cost an extra job per build, so the contract is documented
+    instead."""
     (
         events.groupBy(
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
