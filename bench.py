@@ -162,7 +162,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "plans": plans,
         "sf": sf,
     }
     if errors:
@@ -172,6 +171,11 @@ def main() -> None:
         out["value"] = None
         out["incomplete"] = True
         out["errors"] = errors
+    # The plan-fingerprint map is for humans diffing rounds, not for the
+    # driver — at 32 queries it pushed the stdout line past the driver's
+    # output capture and BENCH_r06 lost its head ("parsed": null). Keep
+    # stdout to ONE compact line; fingerprints go to stderr.
+    print("BENCH_PLANS " + json.dumps(plans), file=sys.stderr)
     print(json.dumps(out))
 
 

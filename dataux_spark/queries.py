@@ -745,7 +745,8 @@ def q22_dormant_customers(spark, sf_dir):
     "q7_volume_shipping",
     "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM ("
     "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
-    "year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume "
+    "CAST(year(l_shipdate) AS INT) AS l_year, "
+    "l_extendedprice * (1 - l_discount) AS volume "
     "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
     "JOIN orders ON o_orderkey = l_orderkey "
     "JOIN customer ON c_custkey = o_custkey "
@@ -805,7 +806,8 @@ def q7_volume_shipping(spark, sf_dir):
     "q8_market_share",
     "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) "
     "/ sum(volume), 4) AS mkt_share FROM ("
-    "SELECT year(o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume, "
+    "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+    "l_extendedprice * (1 - l_discount) AS volume, "
     "n2.n_name AS nation "
     "FROM lineitem JOIN part ON p_partkey = l_partkey "
     "JOIN supplier ON s_suppkey = l_suppkey "
@@ -1104,7 +1106,8 @@ def distinct_projection(spark, sf_dir):
 @_q(
     "window_topk_per_group",
     "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
-    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "CAST(row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn "
     "FROM orders WHERE o_custkey < 50) t WHERE rn <= 2",
 )
 def window_topk_per_group(spark, sf_dir):
@@ -1217,7 +1220,7 @@ def case_string_math(spark, sf_dir):
     "md5(c_name) AS name_md5, "
     "sha256(c_name) AS name_sha256, "
     "base64(encode(c_name)) AS name_b64, "
-    "length(c_name) AS name_len, "
+    "CAST(length(c_name) AS INT) AS name_len, "
     "concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat "
     "FROM customer WHERE c_custkey <= 200",
 )
@@ -1284,7 +1287,7 @@ def qlbridge_strfuncs(spark, sf_dir):
 @_q(
     "qlbridge_datefuncs",
     "SELECT strftime(o_orderdate, '%Y-%m') AS ym, "
-    "(dayofweek(o_orderdate))*24 AS how, "
+    "CAST((dayofweek(o_orderdate))*24 AS INT) AS how, "
     "count(*) AS ct "
     "FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2",
 )
@@ -1622,7 +1625,7 @@ def sample_stratified_lang(spark, sf_dir):
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM t
     )
-    SELECT doc_id, lang, cum_tokens FROM c
+    SELECT doc_id, lang, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
     WHERE cum_tokens <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500
                         ELSE 500 END
     """,
@@ -1720,7 +1723,10 @@ def bucketed_join_revenue(spark, sf_dir):
 
 @_q(
     "compaction_roundtrip",
-    "SELECT lang, count(*) AS ct, sum(doc_id) AS id_sum, "
+    # CAST the integer sum: DuckDB types sum(BIGINT) as HUGEINT (int128)
+    # while Spark's sum-of-long is BIGINT — rows/schema/values all match but
+    # the driver's typed-value hash differs (CORRECTNESS_r06's one mismatch).
+    "SELECT lang, count(*) AS ct, CAST(sum(doc_id) AS BIGINT) AS id_sum, "
     "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang",
 )
 def compaction_roundtrip(spark, sf_dir):
@@ -2610,7 +2616,7 @@ def ann_hard_negatives(spark, sf_dir):
              string_agg(tk, ' ' ORDER BY tpos) AS text_clean
       FROM kept GROUP BY doc_id
     )
-    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+    SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
            CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
            md5(coalesce(r.text_clean, '')) AS clean_md5
     FROM t LEFT JOIN rebuilt r USING (doc_id)
@@ -3333,7 +3339,7 @@ def text_remove_boilerplate(spark, sf_dir):
                   % 1024) * 37 + 11) % 97) - 48))), 0) AS sum_w
       FROM t
     )
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
            round(CAST(sum_w AS DOUBLE) / 97.0 / greatest(n_tokens, 1), 6)
              AS quality_score,
            CAST(round(CAST(sum_w AS DOUBLE) / 97.0 / greatest(n_tokens, 1), 6)
@@ -3658,7 +3664,9 @@ def _materialize_docs(sf_dir: str, table: str) -> str:
 
 @_q(
     "pushdown_mongo_filter_topk",
-    "SELECT n_name, n_regionkey FROM nation "
+    # the doc-roundtrip source infers int64 (JSON has one integer type);
+    # the oracle reads the int32 parquet twin — cast so the typed hash agrees
+    "SELECT n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation "
     "WHERE n_regionkey >= 2 ORDER BY n_name LIMIT 10",
 )
 def pushdown_mongo_filter_topk(spark, sf_dir):
@@ -3684,7 +3692,8 @@ def pushdown_mongo_filter_topk(spark, sf_dir):
 
 @_q(
     "pushdown_es_group_agg",
-    "SELECT s_nationkey AS nk, count(*) AS ct, min(s_acctbal) AS min_bal, "
+    "SELECT CAST(s_nationkey AS BIGINT) AS nk, count(*) AS ct, "
+    "min(s_acctbal) AS min_bal, "
     "max(s_acctbal) AS max_bal FROM supplier GROUP BY s_nationkey",
 )
 def pushdown_es_group_agg(spark, sf_dir):
@@ -3763,7 +3772,8 @@ def pushdown_datastore_ineq_topk(spark, sf_dir):
 
 @_q(
     "pushdown_lytics_filter",
-    "SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 2 AND n_nationkey >= 8",
+    "SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey FROM nation "
+    "WHERE n_regionkey = 2 AND n_nationkey >= 8",
 )
 def pushdown_lytics_filter(spark, sf_dir):
     """tpch nation read THROUGH a registered lytics-style source: the
@@ -4380,7 +4390,9 @@ def corpus_clean_pipeline(spark, sf_dir):
     kept = stats.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return kept.agg(
         F.count("*").alias("n_kept"),
-        F.lit(total).alias("n_total"),
+        # lit() of a Python int infers IntegerType; count semantics are
+        # bigint (and the oracle's count(*) is) — cast so the typed hash agrees
+        F.lit(total).cast("bigint").alias("n_total"),
         F.countDistinct("fp").cast("bigint").alias("n_unique_fp"),
     )
 
@@ -4934,84 +4946,75 @@ def cdc_table_changes(spark, sf_dir):
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-6 rotation (VERDICT r5 item 2) — the FINAL coverage rotation:
-    # the 30 entries registered in round 5 that have never had a driver
-    # verdict fill the first 30 slots (all locally oracle-green via
-    # tools/check.py; embedding_kmeans_clusters is the one rows-only
-    # entry — approximate by design, its deterministic twin
-    # embedding_cluster_assign sits right next to it). A green round
-    # makes cumulative driver coverage 132/132 registered queries.
-    "epoch_shuffle_shards",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "bucketed_join_revenue",
+    # Round-7 rotation (VERDICT r6 item 1) — closes cumulative driver
+    # coverage at 150/150. Slots 1-16: the round-6 additions that have
+    # never had a driver verdict (all locally oracle-green via
+    # tools/check.py).
+    "ann_hard_negatives",
+    "text_dsir_weights",
+    "text_bm25_index_topk",
+    "decontaminate_embeddings",
+    "events_zscore_anomalies",
+    "hybrid_rrf_retrieval",
+    "cdc_incremental_aggregate",
+    "rollup_quantile_range",
+    "dedup_span_removal",
+    "text_chunk_windows",
+    "corpus_hygiene_pipeline",
+    "url_canonical_dedup",
+    "streaming_url_dedup",
+    "sample_token_budget",
+    "text_hashed_quality",
+    "text_remove_boilerplate",
+    # Slot 17: the repaired compaction_roundtrip — its r6 hash mismatch
+    # was the oracle spelling sum(doc_id) bare (DuckDB HUGEINT vs Spark
+    # BIGINT); the oracle now casts, and tools/check.py --types audits the
+    # whole registry for that class.
     "compaction_roundtrip",
-    "text_top_tfidf",
-    "text_unigram_pppl",
-    "dedup_incremental_batch",
-    "pushdown_datastore_ineq_topk",
+    # Slots 18-26: every query whose ORACLE changed in the r7 dtype sweep
+    # (int/bigint and hugeint casts) — values are unchanged by the casts,
+    # but a driver verdict on the new spellings is the hard signal.
+    "window_topk_per_group",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "qlbridge_builtins",
+    "qlbridge_datefuncs",
+    "pushdown_mongo_filter_topk",
+    "pushdown_es_group_agg",
     "pushdown_lytics_filter",
+    "corpus_clean_pipeline",
+    # Slots 27-33: the r6-brief-named canaries — historically drifting
+    # perf pair, the windowed q21 rewrite, the headline aggregate, and
+    # one pushdown entry per remaining tier.
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "q21_waiting_suppliers",
+    "pricing_summary",
+    "pushdown_cass_key_topk",
     "pushdown_bq_full_query",
-    "grouped_terms_topk",
-    "dedup_incremental_minhash",
-    "streaming_incremental_neardup",
-    "embedding_cluster_assign",
-    "embedding_kmeans_clusters",
-    "sample_stratified_lang",
-    "text_bm25_topk",
-    "profile_columns",
-    "profile_histogram",
-    "training_prep_pipeline",
-    "streaming_rollup_merge",
-    "dedup_simhash_md5",
-    "text_normalize_ws",
-    "split_by_source",
-    "corpus_source_report",
-    "ann_ivf_fixed_topk",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
-    "session_paths_top",
-    # 20 canaries. First priority: every query whose PLAN changed this
-    # round — the ten headline joins that dropped forced broadcast hints
-    # (join_inner, q3, join_5way, q7, q8, q14, q15, q17, q19, q21) and
-    # ann_cosine_topk, whose query-set now carries an explicit limit.
-    # Then the standing regression canaries from the r5 brief:
-    # pricing_summary, qlbridge_builtins, dedup_minhash_lsh,
-    # ann_signband_topk, one pushdown entry, plus point_filter /
-    # group_by_agg / window_topk_per_group / dedup_span_stats as
-    # family representatives for scan-filter, aggregation, windowing,
-    # and span-census.
+    "pushdown_datastore_ineq_topk",
+    # Slots 34-50: family representatives — one green veteran per surface
+    # family (scan-filter, aggregation, joins, sort/limit/offset, window,
+    # as-of, terms, dedup exact/LSH-sign/semantic, streaming, lakehouse
+    # CDC, skew, composed pipeline) so a regression anywhere in the stack
+    # shows up in the window.
+    "point_filter",
+    "group_by_agg",
     "join_inner",
     "q3_shipping_priority",
     "join_5way_regional_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "ann_cosine_topk",
-    "pricing_summary",
-    "qlbridge_builtins",
-    "dedup_minhash_lsh",
+    "topk_order_limit",
+    "order_multi_offset",
+    "asof_join_events",
+    "having",
+    "terms_topk",
+    "dedup_exact",
     "ann_signband_topk",
-    "pushdown_mongo_filter_topk",
-    # point_filter's slot goes to the new CDC entry: point_filter is green
-    # in every round since r1, while table_changes is a brand-new surface
-    # that deserves the driver verdict more than a fifth confirmation.
-    # NEXT ROTATION (r7): the round-6 post-rotation additions still
-    # awaiting a driver verdict are ann_hard_negatives, text_dsir_weights,
-    # text_bm25_index_topk, decontaminate_embeddings,
-    # events_zscore_anomalies, hybrid_rrf_retrieval,
-    # cdc_incremental_aggregate (all locally green in tools/check.py).
+    "streaming_rollup_merge",
     "cdc_table_changes",
-    # group_by_agg's slot goes to the new SemDeDup entry on the same
-    # argument: aggregation is still covered in-window by pricing_summary
-    # and the q-suite, while the semantic-dedup keep set is new surface
+    "training_prep_pipeline",
     "dedup_semantic_keepset",
-    "window_topk_per_group",
-    "dedup_span_stats",
+    "skew_salted_join",
 ]
 
 

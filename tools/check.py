@@ -5,11 +5,21 @@ matching oracle_sql() in DuckDB over the same parquet (tables registered as
 views), and compares: row count, column-name set, and order-insensitive
 cell values (exact; floats must match after the query's own rounding).
 
-Usage: python3 tools/check.py [--vanilla] [sf_dir] [query ...]
+Usage: python3 tools/check.py [--vanilla] [--types] [sf_dir] [query ...]
 
 --vanilla: use a bare SparkSession (no dataux_spark.get_spark configs) —
 simulates the external driver, which builds its own session; catches
 queries that accidentally depend on our session configuration.
+
+--types: column-TYPE audit instead of value comparison. The local value
+comparator normalizes cells to strings, but the driver's hash is typed —
+a DuckDB HUGEINT (what DuckDB types any sum over an integer column as)
+against Spark's BIGINT matches on rows, schema, and stringified values
+yet still hash-mismatches driver-side (CORRECTNESS_r06's
+compaction_roundtrip). This mode runs `DESCRIBE <oracle>` in DuckDB,
+takes the Spark query's schema, maps both into a common spelling, and
+flags every column where the two engines' types disagree, making that
+whole mismatch class structurally impossible.
 
 NOTE on scale: the driver gate runs at sf0.01. Four oracles are
 quadratic BY CONSTRUCTION (exact all-pairs Jaccard as the value oracle
@@ -60,6 +70,58 @@ def normalize(rows, cols):
     return out
 
 
+# Map each engine's type spelling into a shared vocabulary so the audit
+# compares semantics, not surface syntax. Unmapped spellings pass through
+# lowercased — a disagreement between two pass-throughs still flags.
+_DUCK_TYPE = {
+    "tinyint": "tinyint", "smallint": "smallint", "integer": "int",
+    "bigint": "bigint", "hugeint": "hugeint",  # no Spark equivalent
+    "utinyint": "smallint", "usmallint": "int", "uinteger": "bigint",
+    "ubigint": "hugeint",
+    "float": "float", "double": "double", "varchar": "string",
+    "date": "date", "timestamp": "timestamp", "boolean": "boolean",
+    "blob": "binary",
+}
+
+
+def _norm_duck_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.endswith("[]"):
+        return f"array<{_norm_duck_type(t[:-2])}>"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return _DUCK_TYPE.get(t, t)
+
+
+def _norm_spark_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_norm_spark_type(t[6:-1])}>"
+    # DuckDB's TIMESTAMP is zone-less — semantically Spark's timestamp_ntz.
+    # Parquet-written ntz columns hash identically driver-side (q3/q18/
+    # order_multi_offset green across rounds 1-6), so the audit treats the
+    # two spellings as one type.
+    if t == "timestamp_ntz":
+        return "timestamp"
+    return t
+
+
+def type_audit(name, sdf, con, osql):
+    """Return per-column type disagreements between Spark and DuckDB."""
+    duck = {
+        r[0]: _norm_duck_type(r[1])
+        for r in con.execute(f"DESCRIBE {osql}").fetchall()
+    }
+    spark_t = {f.name: _norm_spark_type(f.dataType.simpleString())
+               for f in sdf.schema.fields}
+    diffs = []
+    for col in sorted(set(duck) | set(spark_t)):
+        d, s = duck.get(col, "<absent>"), spark_t.get(col, "<absent>")
+        if d != s:
+            diffs.append(f"{col}: spark={s} oracle={d}")
+    return diffs
+
+
 def compare(name, sdf, con, osql):
     cols = sdf.columns
     t0 = time.time()
@@ -86,6 +148,9 @@ def main():
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    types_mode = "--types" in args
+    if types_mode:
+        args.remove("--types")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -116,6 +181,14 @@ def main():
         try:
             spark.catalog.clearCache()  # isolate queries (minhash persists etc.)
             sdf = fn(spark, sf_dir)
+            if types_mode:
+                if name in oracles:
+                    diffs = type_audit(name, sdf, con, oracles[name])
+                    status = "OK " if not diffs else "TYPE"
+                    print(f"{status} {name:32s} {diffs or ''}")
+                    if diffs:
+                        failed.append(name)
+                continue
             if name in oracles:
                 problems, secs, n = compare(name, sdf, con, oracles[name])
                 status = "OK " if not problems else "FAIL"
