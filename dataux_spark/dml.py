@@ -110,6 +110,9 @@ class TableStore:
           are on the classpath).
     """
 
+    # changes(): max union branches accumulated before a lineage cut
+    _CDC_UNION_BATCH = 32
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._keys: dict[str, list[str]] = {}
@@ -197,11 +200,25 @@ class TableStore:
             F.lit(0).cast("int").alias("_commit_version"),
         )
         out = empty
+        pending = 0
         for v in range(v_from + 1, v_to + 1):
             d = self._diff_adjacent(table, v - 1, v)
             out = out.unionByName(
                 d.select("*", F.lit(v).cast("int").alias("_commit_version"))
             )
+            pending += 1
+            if pending >= self._CDC_UNION_BATCH:
+                # Bound the plan: one union branch per commit is fine for
+                # tens of commits but a 10k-commit range would hand the
+                # driver a 10k-way union to analyze. Every BATCH commits,
+                # cut lineage by materializing the accumulated feed to
+                # executor block storage — the final plan is a union of at
+                # most BATCH live branches plus checkpoint scans. (Local
+                # checkpoints don't survive executor loss; a feed being
+                # tailed durably should use follow_changes, which lands
+                # each commit as its own sink partition instead.)
+                out = out.localCheckpoint(eager=True)
+                pending = 0
         return out
 
     def optimize(self, table: str, zorder_cols: list[str] | None = None,
@@ -452,21 +469,49 @@ class TableStore:
         server-side copies; with sort_cols compaction
         (maintenance.compact) clustering the predicate columns, the
         matched-file set approaches the matched-row set."""
+        cur = self._scan_with_file(table)
+        hit = self._hit_files(cur.filter(F.expr(where_sql)))
+        self._cow_commit(table, hit, rewrite)
+
+    def _current_path(self, table: str) -> str:
+        return f"{self._backing[table]}/v{self._version[table]:06d}"
+
+    def _scan_with_file(self, table: str) -> DataFrame:
+        """Current-version scan carrying a `__file` column. The column is
+        projected AT SCAN TIME because input_file_name() only resolves
+        inside the stage that reads the file — evaluated after a join
+        boundary it silently returns '' (the matched-file set would read
+        as empty and a pruned commit would drop the mutation)."""
+        return self.spark.read.parquet(self._current_path(table)).withColumn(
+            "__file", F.input_file_name()
+        )
+
+    @staticmethod
+    def _hit_files(matched: DataFrame) -> set[str]:
+        """Distinct part-file basenames of `matched`'s `__file` column
+        (from _scan_with_file; filters/joins downstream of the scan are
+        fine). The collect is a file-name set — O(files), never O(rows)."""
         import os
         from urllib.parse import urlparse
 
-        wd = self._backing[table]
-        cur_v = self._version[table]
-        src = f"{wd}/v{cur_v:06d}"
-        cur = self.spark.read.parquet(src)
-        hit = {
+        return {
             os.path.basename(urlparse(r[0]).path)
-            for r in cur.filter(F.expr(where_sql))
-            .select(F.input_file_name())
-            .distinct()
-            .collect()
+            for r in matched.select("__file").distinct().collect()
         }
-        v = cur_v + 1
+
+    def _cow_commit(self, table: str, hit: set[str], rewrite,
+                    append_df: DataFrame | None = None) -> None:
+        """Shared copy-on-write commit: hard-link every part-file NOT in
+        `hit` into the next version, rewrite the hit files through
+        `rewrite`, then append `append_df` (new rows with no source file,
+        e.g. MERGE inserts). `append_df` must be built against the
+        CURRENT version — it is evaluated while the old view still
+        stands."""
+        import os
+
+        wd = self._backing[table]
+        src = self._current_path(table)
+        v = self._version[table] + 1
         dst = f"{wd}/v{v:06d}"
         os.makedirs(dst, exist_ok=True)
         kept = []
@@ -474,11 +519,16 @@ class TableStore:
             if name.startswith("part-") and not name.endswith(".crc") and name not in hit:
                 os.link(f"{src}/{name}", f"{dst}/{name}")
                 kept.append(name)
+        wrote = False
         if hit:
             sub = self.spark.read.parquet(*[f"{src}/{n}" for n in sorted(hit)])
             rewrite(sub).write.mode("append").parquet(dst)
-        elif not kept:  # empty table edge: keep the version dir readable
-            cur.limit(0).write.mode("append").parquet(dst)
+            wrote = True
+        if append_df is not None:
+            append_df.write.mode("append").parquet(dst)
+            wrote = True
+        if not kept and not wrote:  # empty table edge: keep the dir readable
+            self.spark.read.parquet(src).limit(0).write.mode("append").parquet(dst)
         self._version[table] = v
         self.spark.read.parquet(dst).createOrReplaceTempView(table)
 
@@ -714,7 +764,17 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
       inserts   = source anti-join target (insert exprs applied)
     One keyed shuffle per leg; exactly the plan Delta generates. Affected =
     matched + inserted. Beyond-reference extension (reference stops at
-    UPSERT-by-key, SURVEY §3.3)."""
+    UPSERT-by-key, SURVEY §3.3).
+
+    Parquet-backed targets take Delta's two-phase pruned path instead of a
+    full-table rewrite: phase 1 semi-joins the target scan against the
+    source on the ON condition and collects input_file_name() — the set of
+    part-files holding ANY matched row; phase 2 rewrites only those files
+    (matched rows updated via the join, unmatched rows in the same files
+    carried by an anti-join), appends the insert leg, and hard-links every
+    untouched file into the new version. A selective MERGE on a 100 TB
+    table costs one pushed-down semi-join plus a rewrite of the matched
+    files — the same contract commit_where gives UPDATE/DELETE."""
     (target_name, talias, source_name, salias, cond,
      set_clause, ins_cols, ins_vals) = m.groups()
     talias = talias or target_name
@@ -729,19 +789,23 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
         assignments[col.strip().strip("`").split(".")[-1]] = expr.strip()
 
     tcols = store.current(target_name).schema.fields
-    matched = target.join(source, on, "inner")
-    n_matched = matched.count()
-    updated = matched.select(
-        *[
-            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
-            if f.name in assignments
-            else F.col(f"{talias}.{f.name}")
-            for f in tcols
-        ]
-    )
-    untouched = target.join(source, on, "left_anti").select(
-        *[F.col(f"{talias}.{f.name}") for f in tcols]
-    )
+
+    def updated_leg(t_frame):
+        return t_frame.join(source, on, "inner").select(
+            *[
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f"{talias}.{f.name}")
+                for f in tcols
+            ]
+        )
+
+    def untouched_leg(t_frame):
+        return t_frame.join(source, on, "left_anti").select(
+            *[F.col(f"{talias}.{f.name}") for f in tcols]
+        )
+
+    n_matched = target.join(source, on, "inner").count()
     if ins_cols:
         cols = [c.strip().strip("`") for c in ins_cols.split(",")]
         vals = _split_top_level(ins_vals)
@@ -762,7 +826,27 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
         ]
     inserts = source.join(target, on, "left_anti").select(*insert_sel)
     n_inserts = inserts.count()
-    store.commit(target_name, untouched.unionByName(updated).unionByName(inserts))
+    if store.backed(target_name):
+        # phase 1: part-files holding any matched target row (semi-join so
+        # multi-match source rows can't duplicate rows; __file is projected
+        # at scan time — input_file_name() is '' past a join boundary)
+        tscan = store._scan_with_file(target_name).alias(talias)
+        hit = store._hit_files(tscan.join(source, on, "left_semi"))
+        store._cow_commit(
+            target_name,
+            hit,
+            # phase 2: within the hit files only — matched rows through the
+            # update projection, co-resident unmatched rows carried as-is
+            lambda sub: updated_leg(sub.alias(talias)).unionByName(
+                untouched_leg(sub.alias(talias))
+            ),
+            append_df=inserts if n_inserts else None,
+        )
+    else:
+        store.commit(
+            target_name,
+            untouched_leg(target).unionByName(updated_leg(target)).unionByName(inserts),
+        )
     return DmlResult(n_matched + n_inserts)
 
 

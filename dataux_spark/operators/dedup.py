@@ -219,7 +219,8 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------------- minhash LSH
 
 def minhash_signatures(
-    df: DataFrame, content_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame, content_col: str, id_col: str, num_hashes: int = 64,
+    shingle_n: int = 3, grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i). Seeded by hashing the tuple (shingle, i) — no
@@ -230,8 +231,12 @@ def minhash_signatures(
     num_hashes separate transform+array_min traversals — same hash count,
     but one pass and no per-function intermediate arrays (~2-3× faster at
     equal output, asserted bit-identical when this replaced the 64-pass
-    form)."""
-    g = gram_sets(df, content_col, id_col, shingle_n)
+    form).
+
+    `grams` short-circuits the shingling: pass a (_id, _grams) frame the
+    caller already holds (typically persisted, so several dedup families
+    share ONE shingling pass) and df/content_col/shingle_n are ignored."""
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
     sig = F.expr(
         f"aggregate(_grams, array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
         f"(acc, s) -> zip_with(acc, transform(sequence(0, {num_hashes - 1}), "
@@ -249,6 +254,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -268,9 +274,21 @@ def minhash_lsh_pairs(
          hot band — i.e. near-exact boilerplate, which exact/fingerprint
          dedup upstream removes for a fraction of the cost.
       3. exact Jaccard on candidate pairs only (verify stage).
-    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    Returns (id_a, id_b, jaccard ≥ threshold).
+
+    `grams` (caller-owned, typically `gram_sets(...).persist()`): the
+    shingle frame appears in THREE branches of this plan (signatures +
+    both verify sides) and Spark has no cross-branch CSE, so without
+    materialization the shingling pass runs three times. An
+    operator-internal persist was rejected — the operator cannot know
+    when the last action on its lazily-returned result has run, so it
+    could only leak the cache — but a CALLER owns that lifecycle:
+    persist, call, action, unpersist. Pass it when the pairs feed a
+    same-session pipeline stage; leave it None for one-shot queries
+    where the recompute is the measured-cheaper trade (bench.py notes)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n)
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n, grams=g)
     # Candidate generation on SLIM rows (id, band, bandhash) only — the
     # shingle arrays must not ride through the 16× explode + shuffle
     # (they're ~100× the width of the key columns).
@@ -324,11 +342,11 @@ def minhash_lsh_pairs(
     # leaks executor memory on every call until the session dies. The
     # recompute is the documented accepted trade; a pipeline that needs
     # signatures durable uses build_minhash_store — the explicit
-    # checkpoint table — whose probe path shares no such recompute.
-    grams = gram_sets(df, content_col, id_col, shingle_n)
+    # checkpoint table — whose probe path shares no such recompute, and a
+    # same-session pipeline passes a persisted `grams` (docstring above).
     cand = (
-        cand.join(grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
-        .join(grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
+        cand.join(g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
+        .join(g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
     )
     jac = F.round(
         F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb")),

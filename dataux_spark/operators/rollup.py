@@ -160,6 +160,7 @@ def build_distinct_rollup(
     distinct_col: str = "user_id",
     bucket: str = "hour",
     lg_k: int = 12,
+    check_nonempty: bool = False,
 ) -> None:
     """Sketch rollup for DISTINCT counts — the aggregate a count/sum/min/
     max rollup cannot serve: COUNT(DISTINCT user) does not merge across
@@ -177,8 +178,15 @@ def build_distinct_rollup(
     Precondition: a non-empty events frame (a zero-row PARTITIONED write
     leaves no schema-bearing file to read back). build_quantile_rollup
     guards this for free off its min/max action; here an emptiness probe
-    would cost an extra job per build, so the contract is documented
-    instead."""
+    costs an extra job per build, so it's opt-in: pass
+    check_nonempty=True to fail fast with a clear error instead of
+    writing an unreadable rollup (a limit(1) probe — one row from one
+    partition, not a full count)."""
+    if check_nonempty and not events.limit(1).count():
+        raise ValueError(
+            "build_distinct_rollup: events frame is empty — a zero-row "
+            "partitioned write leaves no schema-bearing file to read back"
+        )
     (
         events.groupBy(
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),

@@ -223,3 +223,49 @@ def token_budget_select(
         df.withColumn("_cum_tokens", F.sum(F.col(token_col)).over(w))
         .filter(F.col("_cum_tokens") <= budget)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    by: str | None = None,
+    seed: int | str = 42,
+    priority_col: str = "_priority",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically — the
+    Efraimidis–Spirakis A-ES scheme: each row draws the stable uniform
+    u = hash_frac(id, seed) and takes priority u^(1/w); the k largest
+    priorities ARE a weighted sample without replacement (their proof:
+    P(row i first) = w_i / Σw). Quality-weighted corpus subsetting with
+    every hash-based guarantee of this module — reproducible across
+    cluster sizes and retries, stable under corpus growth (a new doc
+    never changes an existing doc's priority, only the cutoff), and
+    streaming-mergeable (top-k of a union = top-k of per-shard top-ks).
+
+    Weights must be > 0 (clamp upstream: greatest(w, 1e-9)).
+
+    Scale shape: priorities are a pure scan projection. Global top-k
+    (by=None) plans as TakeOrderedAndProject — per-partition heaps, no
+    full sort, no shuffle beyond the k-row gather. Per-group top-k plans
+    as one shuffle on the group key + row_number window. The A-ES merge
+    property is what makes this the 100 TB weighted sampler: each of
+    1000 executors keeps a k-heap; the driver-side merge never sees more
+    than 1000·k rows.
+    """
+    from pyspark.sql import Window as W
+
+    w_ = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pri = F.pow(hash_frac(id_col, seed), F.lit(1.0) / w_)
+    scored = df.withColumn(priority_col, pri)
+    if by is None:
+        return scored.orderBy(F.col(priority_col).desc(), F.col(id_col)).limit(k)
+    rn = F.row_number().over(
+        W.partitionBy(by).orderBy(F.col(priority_col).desc(), F.col(id_col))
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

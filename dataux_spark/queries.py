@@ -1651,6 +1651,42 @@ def sample_token_budget(spark, sf_dir):
     )
 
 
+def _weighted_priority_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    u = hash_frac_sql("doc_id", 42)
+    return (
+        "WITH p AS (SELECT doc_id, lang, "
+        f"pow({u}, 1.0 / greatest(n_chars, 1)) AS pri FROM documents), "
+        "r AS (SELECT doc_id, lang, pri, row_number() OVER ("
+        "PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn FROM p) "
+        "SELECT doc_id, lang, round(pri, 6) AS priority FROM r WHERE rn <= 20"
+    )
+
+
+@_q("sample_weighted_priority", _weighted_priority_oracle())
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted sampling without replacement
+    (sampling.weighted_priority_sample) — Efraimidis–Spirakis A-ES:
+    priority = u^(1/w) with the module's stable md5 uniform as u and
+    document length as the weight w, top 20 per language. The oracle
+    recomputes the identical priority arithmetic in DuckDB, so both
+    MEMBERSHIP and the priority values gate bit-for-bit (to the shared
+    6dp rounding). Plan: scan-projection priorities + one shuffle on the
+    group key; the A-ES top-k merge property is what lets 1000 executors
+    each keep a k-heap at 100 TB."""
+    from dataux_spark.operators.sampling import weighted_priority_sample
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("double").alias("w"),
+    )
+    out = weighted_priority_sample(d, "doc_id", "w", 20, by="lang")
+    return out.select(
+        "doc_id", "lang", F.round(F.col("_priority"), 6).alias("priority")
+    )
+
+
 def _epoch_shuffle_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -5006,7 +5042,11 @@ _DRIVER_WINDOW: list[str] = [
     "topk_order_limit",
     "order_multi_offset",
     "asof_join_events",
-    "having",
+    # having's veteran slot goes to the round-7 A-ES weighted sampler:
+    # HAVING stays covered by pricing_summary/group_by_agg in-window,
+    # while the new entry needs its first driver verdict to keep
+    # cumulative coverage complete
+    "sample_weighted_priority",
     "terms_topk",
     "dedup_exact",
     "ann_signband_topk",

@@ -405,7 +405,14 @@ def streaming_ewma_anomalies(
     value as anomalous with z NULL (the deviation is infinite-sigma —
     stricter than the batch twin, whose oracle-pinned rule leaves sd=0
     rows unscored). Output columns keep the caller's key/id names and
-    types; value/z are double, is_anomaly int."""
+    types; value/z are double, is_anomaly int.
+
+    The fold stays a scalar Python loop on purpose: the EWMA recurrence
+    IS vectorizable via cumulative (1-alpha)^i weights, but that form
+    underflows past a few thousand rows per (key, batch) and its
+    re-association drifts from the fold at the 6dp the tests pin; per-key
+    micro-batches at anomaly cadences are small, so the loop costs
+    microseconds where the closed form costs exactness."""
     import pandas as pd
 
     names = [key_col, id_col, value_col]

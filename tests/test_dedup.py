@@ -425,3 +425,18 @@ def test_decontaminate_embeddings_total_labeling_edges(spark):
             for r in dedup.decontaminate_embeddings(
                 df, bench, "embedding", "vec_id", 0.9).collect()}
     assert out2 == {1: 1, 2: 0, 3: 0}
+
+
+def test_minhash_lsh_pairs_with_caller_owned_grams(docs):
+    """Passing a persisted gram frame produces bit-identical pairs to the
+    self-computed path (the grams= reuse variant must be a pure
+    plan-shape change, never a semantic one)."""
+    from dataux_spark.operators.dedup import gram_sets, minhash_lsh_pairs
+
+    base = minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    g = gram_sets(docs, "text", "doc_id").persist()
+    try:
+        reused = minhash_lsh_pairs(docs, "text", "doc_id", grams=g).collect()
+    finally:
+        g.unpersist()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, reused))

@@ -262,3 +262,26 @@ def test_quantile_rollup_null_and_empty_inputs(spark, tmp_path):
     epath = str(tmp_path / "eq")
     build_quantile_rollup(empty, epath, bins=16)
     assert quantile_over_range(spark, epath, q=0.5).count() == 0
+
+
+def test_distinct_rollup_nonempty_guard(spark, tmp_path):
+    """The opt-in check_nonempty flag fails fast on an empty events frame
+    (whose partitioned write would otherwise land an unreadable rollup),
+    and stays out of the way for non-empty builds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators.rollup import build_distinct_rollup
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", "view", 7)],
+        "event_id: long, ts_s: string, event_type: string, user_id: long",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    path = str(tmp_path / "ok")
+    build_distinct_rollup(ev, path, check_nonempty=True)
+    assert spark.read.parquet(path).count() == 1
+
+    with pytest.raises(ValueError, match="empty"):
+        build_distinct_rollup(
+            ev.filter("event_id < 0"), str(tmp_path / "bad"), check_nonempty=True
+        )

@@ -178,3 +178,47 @@ def test_token_budget_select_exact_boundary(spark):
     kept = [r.id for r in token_budget_select(
         tie, "tok", {"en": 60}, "lang", "id", order_col="q").collect()]
     assert kept == [1]
+
+
+def test_weighted_priority_sample_properties(spark):
+    """A-ES weighted sampling: (a) priorities are stable under corpus
+    growth — new rows never change an existing row's priority, only the
+    cutoff; (b) weight bias is real — heavily-weighted rows are sampled
+    far more often than light ones; (c) the shard-merge property holds —
+    top-k of the union equals top-k of the per-shard top-ks."""
+    from dataux_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(i, 10.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id: long, w: double")
+
+    # (a) growth stability: same ids keep identical priorities
+    small = weighted_priority_sample(df.filter("id < 500"), "id", "w", 500)
+    big = weighted_priority_sample(df, "id", "w", 1000)
+    p_small = {r.id: r._priority for r in small.collect()}
+    p_big = {r.id: r._priority for r in big.collect()}
+    assert all(p_big[i] == p for i, p in p_small.items())
+
+    # (b) weight bias: 10%% of rows carry 10x weight => they hold far
+    # more than 10%% of a k=200 sample (expected share w/(w+9) ~ 53%%)
+    top = weighted_priority_sample(df, "id", "w", 200).collect()
+    heavy = sum(1 for r in top if r.w == 10.0)
+    assert heavy > 60  # 3x their population share; far above noise
+
+    # (c) merge property: union top-k == top-k of per-shard top-ks
+    shards = [df.filter(f"id % 4 = {s}") for s in range(4)]
+    merged_input = shards[0].sparkSession.createDataFrame(
+        [r for s in shards
+         for r in weighted_priority_sample(s, "id", "w", 50).collect()],
+        weighted_priority_sample(shards[0], "id", "w", 50).schema,
+    )
+    from_merge = {r.id for r in
+                  merged_input.orderBy(F.col("_priority").desc(), "id")
+                  .limit(50).collect()}
+    direct = {r.id for r in weighted_priority_sample(df, "id", "w", 50).collect()}
+    assert from_merge == direct
+
+    # global top-k path plans as a sort-limit (TakeOrderedAndProject),
+    # never a full sort
+    plan = weighted_priority_sample(df, "id", "w", 50)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
