@@ -45,12 +45,23 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+WHERE\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+# MERGE splits header and clause list: the header pins target/source/ON,
+# then _MERGE_CLAUSE_RE walks the ordered WHEN clauses (Delta's grammar —
+# any number of WHEN [NOT] MATCHED [AND <cond>] THEN UPDATE SET…/DELETE/
+# INSERT…, first-match-wins per row).
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+`?(\w+)`?\s+(?:AS\s+)?(\w+)?\s*"
     r"USING\s+`?(\w+)`?\s+(?:AS\s+)?(\w+)?\s*"
     r"ON\s+(.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)\s*$",
+    r"(WHEN\s+(?:NOT\s+)?MATCHED\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSE_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"(?:UPDATE\s+SET\s+(.+?)"
+    r"|(DELETE)"
+    r"|INSERT\s*(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|(\*)))\s*"
+    r"(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -756,46 +767,118 @@ def _update(spark, store: TableStore, m) -> DmlResult:
 
 
 def _merge(spark, store: TableStore, m) -> DmlResult:
-    """MERGE INTO target USING source ON cond WHEN MATCHED THEN UPDATE SET
-    ... WHEN NOT MATCHED THEN INSERT (...) VALUES (...) — the Delta/Iceberg
-    MERGE shape, executed as the classic join-rewrite:
-      matched   = target ⋈ source (update exprs applied)
+    """MERGE INTO target USING source ON cond — Delta's full clause
+    grammar: any number of ordered WHEN MATCHED [AND cond] THEN UPDATE
+    SET …/DELETE and WHEN NOT MATCHED [AND cond] THEN INSERT …/INSERT *
+    clauses, first-match-wins per row (a matched row takes the FIRST
+    matched clause whose condition holds, or carries unchanged if none;
+    an unmatched source row inserts through the first not-matched clause
+    whose condition holds, or is dropped). Executed as the classic
+    join-rewrite:
+      matched   = target ⋈ source → per-column CASE chains over the
+                  ordered clause conditions (DELETE clauses become a
+                  filter on the same chain)
       unmatched = target anti-join source (kept as-is)
-      inserts   = source anti-join target (insert exprs applied)
-    One keyed shuffle per leg; exactly the plan Delta generates. Affected =
-    matched + inserted. Beyond-reference extension (reference stops at
-    UPSERT-by-key, SURVEY §3.3).
+      inserts   = source anti-join target → clause-chained projection
+    One keyed shuffle per leg; exactly the plan Delta generates.
+    Affected = updated + deleted + inserted. Beyond-reference extension
+    (reference stops at UPSERT-by-key, SURVEY §3.3).
 
     Parquet-backed targets take Delta's two-phase pruned path instead of a
     full-table rewrite: phase 1 semi-joins the target scan against the
     source on the ON condition and collects input_file_name() — the set of
-    part-files holding ANY matched row; phase 2 rewrites only those files
-    (matched rows updated via the join, unmatched rows in the same files
-    carried by an anti-join), appends the insert leg, and hard-links every
+    part-files holding ANY matched row (a superset of the affected rows;
+    clause conditions are applied by the rewrite itself); phase 2 rewrites
+    only those files, appends the insert leg, and hard-links every
     untouched file into the new version. A selective MERGE on a 100 TB
     table costs one pushed-down semi-join plus a rewrite of the matched
     files — the same contract commit_where gives UPDATE/DELETE."""
-    (target_name, talias, source_name, salias, cond,
-     set_clause, ins_cols, ins_vals) = m.groups()
+    target_name, talias, source_name, salias, cond, clause_text = m.groups()
     talias = talias or target_name
     salias = salias or source_name
     target = store.current(target_name).alias(talias)
     source = store.current(source_name).alias(salias)
     on = F.expr(cond)
-
-    assignments = {}
-    for part in _split_top_level(set_clause):
-        col, expr = part.split("=", 1)
-        assignments[col.strip().strip("`").split(".")[-1]] = expr.strip()
-
     tcols = store.current(target_name).schema.fields
+    src_cols = set(store.current(source_name).columns)
 
-    def updated_leg(t_frame):
-        return t_frame.join(source, on, "inner").select(
+    # ---- parse the ordered clause list
+    matched_clauses = []      # (cond_expr|None, assignments|None for DELETE)
+    not_matched_clauses = []  # (cond_expr|None, insert_sel column list)
+    spans = []
+    for cm in _MERGE_CLAUSE_RE.finditer(clause_text):
+        spans.append(cm.span())
+        neg, ccond, setc, delete_kw, ins_cols, ins_vals, ins_star = cm.groups()
+        if neg:
+            if setc or delete_kw:
+                raise ValueError("MERGE: WHEN NOT MATCHED supports INSERT only")
+            if ins_star or ins_cols is None:  # INSERT *
+                sel = [
+                    F.col(f"{salias}.{f.name}").cast(f.dataType).alias(f.name)
+                    if f.name in src_cols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in tcols
+                ]
+            else:
+                vmap = dict(zip(
+                    [c.strip().strip("`") for c in ins_cols.split(",")],
+                    _split_top_level(ins_vals),
+                ))
+                sel = [
+                    F.expr(vmap[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in vmap
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in tcols
+                ]
+            not_matched_clauses.append((ccond, sel))
+        else:
+            if ins_cols is not None or ins_star:
+                raise ValueError("MERGE: WHEN MATCHED supports UPDATE/DELETE only")
+            if delete_kw:
+                matched_clauses.append((ccond, None))
+            else:
+                assignments = {}
+                for part in _split_top_level(setc):
+                    col, expr = part.split("=", 1)
+                    assignments[col.strip().strip("`").split(".")[-1]] = expr.strip()
+                matched_clauses.append((ccond, assignments))
+    parsed = "".join(clause_text[a:b] for a, b in spans)
+    if not spans or len(parsed.strip()) != len(clause_text.strip()):
+        raise ValueError(f"unsupported MERGE clause list: {clause_text[:120]}")
+
+    # ---- first-match-wins machinery over the matched join
+    def _chain_conditions():
+        """Yield (applicable, is_delete, assignments) per clause, where
+        `applicable` = this clause's condition AND no earlier clause
+        fired — evaluated against the (target ⋈ source) row."""
+        prev = F.lit(False)
+        for ccond, assignments in matched_clauses:
+            c = F.expr(ccond) if ccond else F.lit(True)
+            yield (c & ~prev), assignments is None, assignments
+            prev = prev | c
+
+    def matched_transform(t_frame):
+        """target ⋈ source → delete-filter + per-column CASE projection.
+        Rows matching no clause condition carry unchanged (they still
+        live in a rewritten file on the pruned path)."""
+        j = t_frame.join(source, on, "inner")
+        delete_cond = F.lit(False)
+        col_chain = {f.name: None for f in tcols}
+        for applicable, is_delete, assignments in _chain_conditions():
+            if is_delete:
+                delete_cond = delete_cond | applicable
+                continue
+            for name, expr in assignments.items():
+                prevc = col_chain[name]
+                col_chain[name] = (
+                    F.when(applicable, F.expr(expr)) if prevc is None
+                    else prevc.when(applicable, F.expr(expr))
+                )
+        return j.filter(~delete_cond).select(
             *[
-                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
-                if f.name in assignments
-                else F.col(f"{talias}.{f.name}")
+                (col_chain[f.name].otherwise(F.col(f"{talias}.{f.name}"))
+                 .cast(f.dataType) if col_chain[f.name] is not None
+                 else F.col(f"{talias}.{f.name}")).alias(f.name)
                 for f in tcols
             ]
         )
@@ -805,27 +888,45 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
             *[F.col(f"{talias}.{f.name}") for f in tcols]
         )
 
-    n_matched = target.join(source, on, "inner").count()
-    if ins_cols:
-        cols = [c.strip().strip("`") for c in ins_cols.split(",")]
-        vals = _split_top_level(ins_vals)
-        vmap = dict(zip(cols, vals))
-        insert_sel = [
-            F.expr(vmap[f.name]).cast(f.dataType).alias(f.name)
-            if f.name in vmap
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in tcols
-        ]
-    else:  # INSERT * — source columns by name
-        src_cols = set(store.current(source_name).columns)
-        insert_sel = [
-            F.col(f"{salias}.{f.name}").cast(f.dataType).alias(f.name)
-            if f.name in src_cols
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in tcols
-        ]
-    inserts = source.join(target, on, "left_anti").select(*insert_sel)
-    n_inserts = inserts.count()
+    # ---- affected counts (updated/deleted over the full matched join)
+    j_full = target.join(source, on, "inner")
+    delete_any, update_any = F.lit(False), F.lit(False)
+    for applicable, is_delete, _assignments in _chain_conditions():
+        if is_delete:
+            delete_any = delete_any | applicable
+        else:
+            update_any = update_any | applicable
+    counted = j_full.select(
+        F.sum(update_any.cast("long")).alias("u"),
+        F.sum(delete_any.cast("long")).alias("d"),
+    ).collect()[0] if matched_clauses else None
+    n_updated = int(counted.u or 0) if counted else 0
+    n_deleted = int(counted.d or 0) if counted else 0
+
+    # ---- insert leg: first-match-wins over the not-matched clauses
+    unmatched_src = source.join(target, on, "left_anti")
+    if not_matched_clauses:
+        insert_any = F.lit(False)
+        ins_chain = [None] * len(tcols)
+        prev = F.lit(False)
+        for ccond, sel in not_matched_clauses:
+            c = F.expr(ccond) if ccond else F.lit(True)
+            applicable = c & ~prev
+            prev = prev | c
+            insert_any = insert_any | applicable
+            for i, col_expr in enumerate(sel):
+                ins_chain[i] = (
+                    F.when(applicable, col_expr) if ins_chain[i] is None
+                    else ins_chain[i].when(applicable, col_expr)
+                )
+        inserts = unmatched_src.filter(insert_any).select(
+            *[ch.otherwise(F.lit(None)).cast(f.dataType).alias(f.name)
+              for ch, f in zip(ins_chain, tcols)]
+        )
+        n_inserts = inserts.count()
+    else:
+        inserts, n_inserts = None, 0
+
     if store.backed(target_name):
         # phase 1: part-files holding any matched target row (semi-join so
         # multi-match source rows can't duplicate rows; __file is projected
@@ -836,18 +937,18 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
             target_name,
             hit,
             # phase 2: within the hit files only — matched rows through the
-            # update projection, co-resident unmatched rows carried as-is
-            lambda sub: updated_leg(sub.alias(talias)).unionByName(
+            # clause chain, co-resident unmatched rows carried as-is
+            lambda sub: matched_transform(sub.alias(talias)).unionByName(
                 untouched_leg(sub.alias(talias))
             ),
             append_df=inserts if n_inserts else None,
         )
     else:
-        store.commit(
-            target_name,
-            untouched_leg(target).unionByName(updated_leg(target)).unionByName(inserts),
-        )
-    return DmlResult(n_matched + n_inserts)
+        out = untouched_leg(target).unionByName(matched_transform(target))
+        if inserts is not None:
+            out = out.unionByName(inserts)
+        store.commit(target_name, out)
+    return DmlResult(n_updated + n_deleted + n_inserts)
 
 
 def _delete(spark, store: TableStore, m) -> DmlResult:

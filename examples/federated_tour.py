@@ -86,6 +86,18 @@ def main() -> None:
           "ORDER BY _commit_version, _change_type").show()
     n = e.store.follow_changes("region_rw", f"{td}/feed")
     print(f"CDC follower materialized {n} commits to {td}/feed")
+    # Delta-grammar MERGE (clauses are ordered, first-match-wins); on a
+    # backed table only the part-files holding matched rows rewrite
+    e.register_memory("tour_mrg", {"region_feed": spark.createDataFrame(
+        [(0, "AFRICA-2"), (99, "ATLANTIS")], "rid long, rname string")})
+    print(e.sql(
+        "MERGE INTO region_rw t USING region_feed s ON t.r_regionkey = s.rid "
+        "WHEN MATCHED AND s.rname LIKE '%-2' THEN UPDATE SET r_name = s.rname "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name) VALUES (s.rid, s.rname)"
+    ))
+    e.sql("SELECT r_regionkey, r_name FROM region_rw "
+          "WHERE r_regionkey IN (0, 99)").show()
     print(e.sql("OPTIMIZE region_rw"))  # layout rewrite as a COW commit
     e.sql("CREATE TABLE region_dev SHALLOW CLONE region_rw")  # zero-copy branch
     print(e.sql("UPDATE region_dev SET r_name = 'DEV' WHERE r_regionkey = 0"))

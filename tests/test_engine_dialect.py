@@ -497,19 +497,16 @@ def test_driver_window_contract_pinned():
     """The external correctness gate reads the FIRST 50 exported queries;
     pin the contract so an accidental registry edit cannot silently
     shuffle the gate: exactly 50 window slots, all registered, exported
-    first and in order, every one carrying a full value oracle — except
-    the explicitly-listed approximate-by-design entries, which ride the
-    window rows-only for cumulative driver coverage with a deterministic
-    oracle-checked twin adjacent in the same window."""
+    first and in order, every one carrying a full value oracle (the
+    round-7 rotation carries no rows-only entries — the approximate-by-
+    design ones all received their driver verdicts in rounds 5-6, each
+    with a green deterministic twin)."""
     from dataux_spark import queries as Q
 
-    ROWS_ONLY_BY_DESIGN = {"embedding_kmeans_clusters"}  # twin: embedding_cluster_assign
     window = Q._DRIVER_WINDOW
     assert len(window) == 50
     exported = list(Q.queries())
     assert exported[:50] == window
     oracles = Q.oracle_sql()
-    missing = [n for n in window if n not in oracles and n not in ROWS_ONLY_BY_DESIGN]
+    missing = [n for n in window if n not in oracles]
     assert not missing, f"window entries without oracles: {missing}"
-    for n in ROWS_ONLY_BY_DESIGN:
-        assert n in window

@@ -645,3 +645,81 @@ def test_cdc_long_range_bounded_plan(spark, sf_dir, tmp_path, monkeypatch):
     assert all(sorted(v) == ["update_postimage", "update_preimage"]
                for v in by_commit.values())
     assert set(by_commit) == set(range(1, n_commits + 1))
+
+
+def test_merge_multi_clause_delta_grammar(spark):
+    """Delta's full MERGE clause set: ordered WHEN MATCHED [AND cond]
+    UPDATE/DELETE + conditional INSERT, first-match-wins per row; rows
+    matching no clause condition carry unchanged; unmatched source rows
+    failing every insert condition are dropped."""
+    eng = Engine(spark)
+    target = spark.createDataFrame(
+        [Row(id=1, name="a", qty=10), Row(id=2, name="b", qty=20),
+         Row(id=3, name="c", qty=30), Row(id=4, name="d", qty=40)]
+    )
+    source = spark.createDataFrame(
+        [Row(id=1, name="a2", qty=100),   # matched, qty>=50 -> DELETE
+         Row(id=2, name="b2", qty=5),     # matched, qty<50  -> UPDATE
+         Row(id=3, name="c2", qty=-1),    # matched, neither cond -> carried
+         Row(id=8, name="h", qty=80),     # unmatched, qty>=50 -> INSERT
+         Row(id=9, name="i", qty=3)]      # unmatched, qty<50 -> dropped
+    )
+    eng.register_memory("mc", {"mc_tgt": target, "mc_src": source})
+    r = eng.sql(
+        "MERGE INTO mc_tgt t USING mc_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty >= 50 THEN DELETE "
+        "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET name = s.name, qty = t.qty + s.qty "
+        "WHEN NOT MATCHED AND s.qty >= 50 THEN INSERT (id, name, qty) VALUES (s.id, s.name, s.qty)"
+    )
+    assert r.affected == 3  # 1 updated + 1 deleted + 1 inserted
+    rows = {r.id: (r.name, r.qty) for r in eng.sql("SELECT * FROM mc_tgt").collect()}
+    assert rows == {2: ("b2", 25), 3: ("c", 30), 4: ("d", 40), 8: ("h", 80)}
+
+    # first-match-wins ORDER: flip the two matched clauses and id=1
+    # (qty 100 > 0) now hits UPDATE before the DELETE clause can fire
+    eng.register_memory("mc2", {"mc2_tgt": target, "mc2_src": source})
+    eng.sql(
+        "MERGE INTO mc2_tgt t USING mc2_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = s.qty "
+        "WHEN MATCHED AND s.qty >= 50 THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows2 = {r.id: r.qty for r in eng.sql("SELECT * FROM mc2_tgt").collect()}
+    assert rows2[1] == 100 and 9 in rows2  # updated not deleted; INSERT * unconditional
+
+    # garbage clause text is rejected, not silently ignored (the engine
+    # wraps the parse ValueError in its graceful QueryError)
+    import pytest as _pt
+    with _pt.raises(Exception, match="unsupported MERGE clause"):
+        eng.sql("MERGE INTO mc_tgt t USING mc_src s ON t.id = s.id "
+                "WHEN MATCHED THEN FROBNICATE")
+
+
+def test_merge_delete_clause_pruned_on_backed_table(spark, sf_dir, tmp_path):
+    """WHEN MATCHED THEN DELETE on a parquet-backed target goes through
+    the same pruned COW path: only files holding matched rows rewrite."""
+    import os
+
+    src = str(tmp_path / "md_src")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "orders_md", src, str(tmp_path / "md_work"), keys=["o_orderkey"]
+    )
+    total = eng.sql("SELECT count(*) AS ct FROM orders_md").collect()[0][0]
+    lo = eng.sql("SELECT min(o_orderkey) AS k FROM orders_md").collect()[0][0]
+    eng.register_memory("md_mem", {"md_keys": spark.createDataFrame(
+        [Row(k=int(lo))], "k long")})
+    r = eng.sql("MERGE INTO orders_md t USING md_keys s ON t.o_orderkey = s.k "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN NOT MATCHED AND s.k < 0 THEN INSERT (o_orderkey) VALUES (s.k)")
+    assert r.affected == 1
+    assert eng.sql("SELECT count(*) AS ct FROM orders_md").collect()[0][0] == total - 1
+    v0, v1 = tmp_path / "md_work" / "v000000", tmp_path / "md_work" / "v000001"
+    parts = lambda d: {p for p in os.listdir(d)
+                       if p.startswith("part-") and not p.endswith(".crc")}
+    linked = [p for p in parts(v1) & parts(v0)
+              if os.stat(v1 / p).st_ino == os.stat(v0 / p).st_ino]
+    assert len(linked) == 7
