@@ -636,3 +636,83 @@ def hard_negative_mining(
         scored = scored.filter(F.col("cos") <= max_cos)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# int8 quantization — the memory-bound ANN path
+
+
+def quantize_vectors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    id_alias: str,
+    qv_col: str = "qv",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q[i] = floor(x[i]·scale + 0.5) — spelled as an explicit half-up
+    floor, NOT round(), so the DuckDB oracle can reproduce the identical
+    integer lattice (library round() half-even/half-away variance would
+    otherwise flip lattice points). Values land in [-127, 127] and are
+    cast tinyint: 4× narrower than float32 in the shuffle/cache byte
+    stream, which is the resource that prices ANN at 100 TB — the
+    standard faiss SQ8 trade (~<1% cosine recall loss at 8 bits).
+    Zero vectors quantize to zeros (scale guard 1e-12).
+
+    Returns (id_alias, qv tinyint[], qscale double) — qscale carried for
+    callers that need the dequantized dot; cosine cancels it."""
+    x = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    maxabs = F.expr(
+        f"aggregate(transform({vec_col}, x -> abs(cast(x as double))), "
+        f"cast(0 as double), (acc, x) -> greatest(acc, x))"
+    )
+    return (
+        df.select(F.col(id_col).alias(id_alias), x.alias("_x"),
+                  F.greatest(maxabs, F.lit(1e-12)).alias("_m"))
+        .select(
+            id_alias,
+            F.expr(
+                "transform(_x, x -> cast(floor(x * (127.0 / _m) + 0.5) as tinyint))"
+            ).alias(qv_col),
+            (F.lit(127.0) / F.col("_m")).alias(scale_col),
+        )
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — brute_force_topk's
+    memory-bound twin: both sides quantize (scan projection), the ≤n-row
+    query side broadcasts, and the integer dot runs in codegen over
+    tinyint arrays (widened per-element, never materialized as doubles).
+    Per-vector scales cancel in the cosine, so the score is
+    dot(q_c, q_q) / (|q_c|·|q_q|) on the integer lattice. Same
+    (query_id, neighbor_id, cos, rank) contract as the exact baseline;
+    recall loss is the quantization error only (asserted ≥0.9 overlap
+    vs brute force in tests)."""
+    q = quantize_vectors(queries, vec_col, id_col, "query_id", "qv_q")
+    c = quantize_vectors(corpus, vec_col, id_col, "neighbor_id", "qv_c")
+    qn = F.sqrt(F.expr(
+        "aggregate(qv_q, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
+    cn = F.sqrt(F.expr(
+        "aggregate(qv_c, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
+    j = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.expr("aggregate(zip_with(qv_c, qv_q, (x, y) -> cast(x as double) * y), "
+                       "cast(0 as double), (acc, x) -> acc + x)")
+                / (F.greatest(cn, F.lit(1e-12)) * F.greatest(qn, F.lit(1e-12))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

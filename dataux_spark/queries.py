@@ -2475,6 +2475,57 @@ def ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, _query_vecs(emb), "embedding", "vec_id", k=5)
 
 
+@_q(
+    "ann_quantized_topk",
+    # the oracle reproduces the int8 lattice exactly: same per-vector
+    # scale 127/max|x|, same explicit half-up floor (library round()
+    # would diverge half-even vs half-away), integer dots are exact in
+    # doubles (<=64*127^2), so membership, cosine, and rank all pin
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS mx
+      FROM base
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x * (127.0 / mx) + 0.5)) AS q
+      FROM m
+    ), qn AS (
+      SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qz
+    ), qq AS (
+      SELECT vec_id AS query_id, q AS vq, nrm AS qnorm FROM qn WHERE vec_id < 5
+    ), cc AS (
+      SELECT vec_id AS neighbor_id, q AS vc, nrm AS cnorm FROM qn
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(vc, vq) /
+                   (greatest(cnorm, 1e-12) * greatest(qnorm, 1e-12)), 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_dot_product(vc, vq) /
+                 (greatest(cnorm, 1e-12) * greatest(qnorm, 1e-12)), 6) DESC,
+               neighbor_id) AS INT) AS rank
+      FROM cc JOIN qq ON neighbor_id != query_id
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Cosine top-5 over int8-quantized embeddings
+    (similarity.quantized_topk) — the memory-bound ANN path: tinyint
+    arrays are 4x narrower than float32 through cache and shuffle, the
+    resource that prices brute-force ANN at 100 TB (faiss SQ8). The
+    oracle replays the identical quantization lattice and integer dots,
+    so this is a FULL value check of the quantized pipeline, not a
+    recall bound; recall vs the exact baseline is asserted separately in
+    tests."""
+    from dataux_spark.operators.similarity import quantized_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _query_vecs(emb), "embedding", "vec_id", k=5)
+
+
 @_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
 def ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 with exact rerank
@@ -5048,7 +5099,11 @@ _DRIVER_WINDOW: list[str] = [
     # cumulative coverage complete
     "sample_weighted_priority",
     "terms_topk",
-    "dedup_exact",
+    # dedup_exact's veteran slot goes to the round-7 int8-quantized ANN:
+    # the dedup family keeps three in-window representatives
+    # (minhash_lsh, span_removal, semantic_keepset) while the quantized
+    # lattice needs its first driver verdict
+    "ann_quantized_topk",
     "ann_signband_topk",
     "streaming_rollup_merge",
     "cdc_table_changes",

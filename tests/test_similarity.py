@@ -328,3 +328,33 @@ def test_hard_negatives_equal_python_model(spark):
         )[:4]
         for rank, (_, nid) in enumerate(cands, 1):
             assert got[(q, rank)] == nid, (q, rank)
+
+
+def test_quantized_topk_recall_and_lattice(emb, spark):
+    """int8-quantized cosine top-k: (a) high overlap with the exact
+    float baseline (quantization error only — no candidate pruning);
+    (b) the quantized values really live on the int8 lattice and the
+    scale inverts them to ~the original vector; (c) zero vectors are
+    safe."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk_map(similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=K))
+    quant = _topk_map(similarity.quantized_topk(emb, q, "embedding", "vec_id", k=K))
+    overlap = sum(len(exact[k_] & quant[k_]) for k_ in exact) / (len(exact) * K)
+    assert overlap >= 0.9, overlap
+
+    qz = similarity.quantize_vectors(emb, "embedding", "vec_id", "vid").collect()
+    import math
+    for r in qz[:50]:
+        assert all(-127 <= v <= 127 for v in r.qv)
+        assert max(abs(v) for v in r.qv) == 127  # scale saturates the lattice
+        assert math.isfinite(r.qscale) and r.qscale > 0
+
+    # zero vector: quantizes to zeros, cosine guard keeps scores finite
+    z = spark.createDataFrame([(99991, [0.0] * 8), (99992, [1.0] * 8)],
+                              "vec_id: long, embedding: array<double>")
+    rz = similarity.quantize_vectors(z, "embedding", "vec_id", "vid").collect()
+    zq = {r.vid: r.qv for r in rz}
+    assert all(v == 0 for v in zq[99991])
+    out = similarity.quantized_topk(z, z.filter("vec_id = 99991"),
+                                    "embedding", "vec_id", k=1).collect()
+    assert len(out) == 1 and math.isfinite(out[0].cos)
