@@ -1,0 +1,123 @@
+"""Property-based fuzzing of the MERGE clause machinery.
+
+MERGE is the one DML statement with genuinely compositional semantics —
+an ordered clause list, per-clause conditions, three action kinds, and
+first-match-wins resolution per row. The example tests pin specific
+shapes; here hypothesis drives random clause programs against a plain-
+Python reference model of Delta's semantics:
+
+  - matched (t, s) pairs take the FIRST matched clause whose condition
+    holds: UPDATE projects, DELETE drops, no-applicable-clause carries
+    the target row unchanged;
+  - unmatched source rows insert through the first not-matched clause
+    whose condition holds, else vanish;
+  - unmatched target rows always carry.
+
+Source ids are generated unique, so the join never fans out and the
+model stays a function (multi-match duplication is engine-documented
+behavior, not semantics worth fuzzing).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataux_spark import Engine
+
+# clause programs: (kind, threshold|None, action)
+#   kind 'm'  -> WHEN MATCHED [AND s.qty >= thr] THEN UPDATE/DELETE
+#   kind 'nm' -> WHEN NOT MATCHED [AND s.qty >= thr] THEN INSERT
+matched_clause = st.tuples(
+    st.just("m"),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=60)),
+    st.one_of(
+        st.just("delete"),
+        st.integers(min_value=-3, max_value=3),  # UPDATE SET qty = s.qty + c
+    ),
+)
+not_matched_clause = st.tuples(
+    st.just("nm"),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=60)),
+    st.just("insert"),
+)
+programs = st.tuples(
+    st.lists(matched_clause, min_size=0, max_size=3),
+    st.lists(not_matched_clause, min_size=0, max_size=2),
+).filter(lambda p: p[0] or p[1])
+
+targets = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 50)), min_size=0, max_size=8,
+    unique_by=lambda t: t[0],
+)
+sources = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 50)), min_size=0, max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+def _model(target, source, mclauses, nmclauses):
+    src_by_id = {s[0]: s for s in source}
+    tgt_ids = {t[0] for t in target}
+    out = []
+    for tid, tqty in target:
+        s = src_by_id.get(tid)
+        if s is None:
+            out.append((tid, tqty))
+            continue
+        action = None
+        for _, thr, act in mclauses:
+            if thr is None or s[1] >= thr:
+                action = act
+                break
+        if action is None:
+            out.append((tid, tqty))
+        elif action == "delete":
+            pass
+        else:
+            out.append((tid, s[1] + action))
+    for sid, sqty in source:
+        if sid in tgt_ids:
+            continue
+        for _, thr, _act in nmclauses:
+            if thr is None or sqty >= thr:
+                out.append((sid, sqty))
+                break
+    return sorted(out)
+
+
+def _sql(mclauses, nmclauses):
+    parts = []
+    for _, thr, act in mclauses:
+        cond = "" if thr is None else f" AND s.qty >= {thr}"
+        if act == "delete":
+            parts.append(f"WHEN MATCHED{cond} THEN DELETE")
+        else:
+            parts.append(f"WHEN MATCHED{cond} THEN UPDATE SET qty = s.qty + {act}")
+    for _, thr, _act in nmclauses:
+        cond = "" if thr is None else f" AND s.qty >= {thr}"
+        parts.append(f"WHEN NOT MATCHED{cond} THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+    return (
+        "MERGE INTO pm_tgt t USING pm_src s ON t.id = s.id " + " ".join(parts)
+    )
+
+
+@pytest.fixture(scope="module")
+def peng(spark):
+    return Engine(spark)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(target=targets, source=sources, program=programs)
+def test_merge_first_match_wins_matches_model(peng, target, source, program):
+    mclauses, nmclauses = program
+    spark = peng.spark
+    peng.register_memory("pm", {
+        "pm_tgt": spark.createDataFrame(target or [(None, None)],
+                                        "id int, qty int").filter("id IS NOT NULL"),
+        "pm_src": spark.createDataFrame(source or [(None, None)],
+                                        "id int, qty int").filter("id IS NOT NULL"),
+    })
+    peng.sql(_sql(mclauses, nmclauses))
+    got = sorted((r.id, r.qty) for r in peng.sql("SELECT * FROM pm_tgt").collect())
+    assert got == _model(target, source, mclauses, nmclauses)
