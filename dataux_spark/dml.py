@@ -297,6 +297,39 @@ class TableStore:
             self._keys[new_table] = list(self._keys[table])
         self.spark.read.parquet(dst).createOrReplaceTempView(new_table)
 
+    def restore(self, table: str, v: int) -> int:
+        """Delta's RESTORE TABLE … TO VERSION AS OF v: make snapshot v
+        the table's NEW current state by committing it forward — history
+        is preserved (the restore IS a commit, so time travel still
+        reaches everything between v and the pre-restore head, exactly
+        Delta's behavior). Because snapshots are immutable part-file
+        sets, the restore commit is O(files) hard links — never a data
+        copy, even for a 100 TB table. A CDC read across the restore
+        commit reports the honest row-level delta (the keyed diff of the
+        pre-restore head vs the restored snapshot). Returns the new
+        version number."""
+        import os
+
+        if table not in self._backing:
+            raise KeyError(f"table {table!r} is not version-backed")
+        cur = self._version[table]
+        lo = self._first_version.get(table, 0)
+        if not lo <= v <= cur:
+            raise KeyError(
+                f"version {v} out of range [{lo}, {cur}] for {table!r}"
+                + (" (expired by vacuum)" if v < lo else "")
+            )
+        wd = self._backing[table]
+        src, new_v = f"{wd}/v{v:06d}", cur + 1
+        dst = f"{wd}/v{new_v:06d}"
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            if name.startswith("part-") and not name.endswith(".crc"):
+                os.link(f"{src}/{name}", f"{dst}/{name}")
+        self._version[table] = new_v
+        self.spark.read.parquet(dst).createOrReplaceTempView(table)
+        return new_v
+
     def vacuum(self, table: str, retain_last: int = 1) -> int:
         """Snapshot expiration — the VACUUM half of the COW lifecycle:
         delete all but the newest `retain_last` version directories.

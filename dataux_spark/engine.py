@@ -473,6 +473,15 @@ class Engine:
                     return DmlResult(
                         self.store.vacuum(m.group(1), int(m.group(2) or 1))
                     )
+            if head == "RESTORE":
+                m = re.match(
+                    r"^\s*RESTORE\s+TABLE\s+`?(\w+)`?\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+                    stmt, re.I,
+                )
+                if m:
+                    # Delta's RESTORE: commit snapshot v forward as the new
+                    # head (O(files) hard links; history preserved)
+                    return DmlResult(self.store.restore(m.group(1), int(m.group(2))))
             if head == "EXPLAIN":
                 return self._explain(stmt)
             if head in ("CREATE", "DROP", "ALTER"):
@@ -604,7 +613,10 @@ class Engine:
         m = self._SHOW_VARS_RE.match(s)
         if m:
             return show_plans.show_variables(self.spark, self.ctx, m.group(1))
-        m = re.match(r"^\s*SHOW\s+VERSIONS\s+(?:FROM|FOR)\s+`?(\w+)`?\s*$", s, re.I)
+        # DESCRIBE HISTORY t is Delta's spelling of the same listing
+        m = re.match(
+            r"^\s*(?:SHOW\s+VERSIONS\s+(?:FROM|FOR)|DESCRIBE\s+HISTORY|DESC\s+HISTORY)"
+            r"\s+`?(\w+)`?\s*$", s, re.I)
         if m:
             hist = self.store.history(m.group(1))
             return self.spark.createDataFrame(hist, "version INT, path STRING")

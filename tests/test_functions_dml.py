@@ -723,3 +723,51 @@ def test_merge_delete_clause_pruned_on_backed_table(spark, sf_dir, tmp_path):
     linked = [p for p in parts(v1) & parts(v0)
               if os.stat(v1 / p).st_ino == os.stat(v0 / p).st_ino]
     assert len(linked) == 7
+
+
+def test_restore_to_version_and_describe_history(spark, sf_dir, tmp_path):
+    """RESTORE TABLE t TO VERSION AS OF v commits snapshot v forward as
+    the new head: O(files) hard links (no data copy), history preserved
+    across the restore (Delta semantics), CDC across the restore commit
+    reports the honest delta, and vacuum-expired versions refuse.
+    DESCRIBE HISTORY is the Delta spelling of SHOW VERSIONS."""
+    import os
+
+    src = str(tmp_path / "rs_src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    eng = Engine(spark)
+    eng.register_writable_parquet("region_rs", src, str(tmp_path / "rs_work"),
+                                  keys=["r_regionkey"])
+    eng.sql("UPDATE region_rs SET r_name = 'X1' WHERE r_regionkey = 1")  # v1
+    eng.sql("DELETE FROM region_rs WHERE r_regionkey = 2")               # v2
+    assert eng.sql("SELECT count(*) AS c FROM region_rs").collect()[0][0] == 4
+
+    r = eng.sql("RESTORE TABLE region_rs TO VERSION AS OF 0")
+    assert r.affected == 3  # the new head version number
+    # state is the v0 snapshot again
+    assert eng.sql("SELECT count(*) AS c FROM region_rs").collect()[0][0] == 5
+    assert eng.sql("SELECT r_name FROM region_rs WHERE r_regionkey = 1"
+                   ).collect()[0][0] != "X1"
+    # O(files): the restored version holds hard links of v0's files
+    w = tmp_path / "rs_work"
+    parts = lambda d: {p for p in os.listdir(d)
+                       if p.startswith("part-") and not p.endswith(".crc")}
+    assert all(os.stat(w / "v000003" / p).st_ino == os.stat(w / "v000000" / p).st_ino
+               for p in parts(w / "v000003"))
+    # history preserved: time travel still reaches the pre-restore head
+    assert eng.sql("SELECT count(*) AS c FROM region_rs VERSION AS OF 2"
+                   ).collect()[0][0] == 4
+    # Delta spelling of the version listing
+    hist = eng.sql("DESCRIBE HISTORY region_rs").collect()
+    assert [h.version for h in hist] == [0, 1, 2, 3]
+    # CDC across the restore: the delete is undone (insert) and the
+    # update rolled back (pre/post pair)
+    kinds = sorted(r._change_type for r in eng.store.changes("region_rs", 2, 3).collect())
+    assert kinds == ["insert", "update_postimage", "update_preimage"]
+    # out-of-range / vacuumed versions refuse with the range error
+    import pytest as _pt
+    with _pt.raises(Exception, match="out of range"):
+        eng.sql("RESTORE TABLE region_rs TO VERSION AS OF 9")
+    eng.sql("VACUUM region_rs RETAIN 2 VERSIONS")
+    with _pt.raises(Exception, match="expired by vacuum"):
+        eng.sql("RESTORE TABLE region_rs TO VERSION AS OF 0")
