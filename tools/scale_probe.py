@@ -6,7 +6,10 @@ ones, much less on fixed-output aggregations) is evidence the plan has no
 super-linear term (no cartesian blowup, no driver-side loop, no per-row
 Python hot path). Run occasionally; paste the table into SCALE.md.
 
-    python3 tools/scale_probe.py [sf_small] [sf_big]
+    python3 tools/scale_probe.py [sf_small] [sf_big] [query ...]
+
+Extra args restrict the probe to the named registered queries (default:
+the bench HEADLINE set).
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from bench import HEADLINE  # the same query set the driver benches
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = sys.argv[3:] or HEADLINE
     runs = int(os.environ.get("BENCH_RUNS", "3"))
 
     from dataux_spark import get_spark
@@ -47,7 +51,7 @@ def main() -> None:
 
     print(f"{'query':34s} {'t(small)':>9s} {'t(big)':>9s} {'ratio':>6s}")
     ratios = []
-    for name in HEADLINE:
+    for name in names:
         ts, tb = run(name, small), run(name, big)
         r = tb / ts if ts > 0 else float("inf")
         ratios.append(r)
