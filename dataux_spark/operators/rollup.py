@@ -418,3 +418,98 @@ def quantile_over_range(
     return ranked.select(
         "key", F.col("total").alias("n"), F.round(est, 6).alias("q_est")
     )
+
+
+# --------------------------------------------------------------------------
+# heavy-hitters rollup — the fourth sketch family (after algebraic, HLL,
+# histogram-quantile): mergeable per-bucket top-K summaries
+
+
+def build_topk_rollup(
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    bucket: str = "hour",
+    capacity: int = 16,
+) -> None:
+    """Heavy-hitters rollup — per time bucket, keep only the `capacity`
+    most frequent items (count desc, item asc — a DETERMINISTIC
+    truncation, so the whole sketch is oracle-reproducible) plus two
+    numbers summarizing what was dropped: the dropped maximum (the error
+    bound any absent item's count is below) and the dropped mass. This
+    is the mergeable SpaceSaving/Misra-Gries summary shape: "top pages
+    per hour" state that answers top-k over ARBITRARY ranges from
+    bucket-sized state.
+
+    Scale: one map-side-combined shuffle for the (bucket, item) counts,
+    then a WindowGroupLimit-optimized per-bucket top-K — per-partition
+    partial heaps before the exchange, so the window shuffle carries
+    O(buckets x capacity), not the raw item universe. State per bucket
+    is capacity rows regardless of cardinality; range reads prune
+    bucket_date partitions at the listing level."""
+    from pyspark.sql import Window as W
+
+    counts = events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(item_col).alias("item"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("item"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") <= capacity).drop("rn")
+    dropped = (
+        ranked.filter(F.col("rn") > capacity)
+        .groupBy("bucket")
+        .agg(F.max("cnt").alias("dropped_max"),
+             F.sum("cnt").alias("dropped_mass"))
+    )
+    (
+        kept.join(dropped, "bucket", "left")
+        .fillna(0, subset=["dropped_max", "dropped_mass"])
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .repartition("bucket_date")
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(out_path)
+    )
+
+
+def topk_over_range(
+    spark: SparkSession,
+    rollup_path: str,
+    k: int = 10,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Query the heavy-hitters rollup: merge the per-bucket top-K
+    summaries in [start, end) into global count BOUNDS per item —
+    est_min = the item's summed kept counts (everything it provably
+    did), est_max = est_min + the dropped_max of every bucket where the
+    item is ABSENT from the summary (it could have hidden under each
+    bucket's truncation line, never above it). Items ranked by est_min
+    with the item id as the tie-break; any item whose true range count
+    exceeds max(dropped_max) over the range is guaranteed present —
+    the standard mergeable-summary guarantee. Work is proportional to
+    buckets x capacity, never the raw events."""
+    r = _bucket_range(
+        spark.read.option("basePath", rollup_path).parquet(rollup_path),
+        start, end,
+    )
+    total_dmax = r.select("bucket", "dropped_max").distinct().agg(
+        F.sum("dropped_max").alias("_total_dmax")
+    )
+    per_item = r.groupBy("item").agg(
+        F.sum("cnt").alias("est_min"),
+        F.sum("dropped_max").alias("_present_dmax"),
+    )
+    return (
+        per_item.crossJoin(F.broadcast(total_dmax))
+        .select(
+            "item",
+            "est_min",
+            (F.col("est_min") + F.col("_total_dmax") - F.col("_present_dmax"))
+            .alias("est_max"),
+        )
+        .orderBy(F.col("est_min").desc(), "item")
+        .limit(k)
+    )

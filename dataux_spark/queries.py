@@ -5022,6 +5022,143 @@ def cdc_table_changes(spark, sf_dir):
     )
 
 
+@_q(
+    "rollup_topk_range",
+    # the oracle replays the sketch EXACTLY — per-bucket counts, the
+    # deterministic capacity-8 truncation (count desc, item asc), each
+    # bucket's dropped_max, then the range merge into [est_min, est_max]
+    # bounds — so the driver gate checks the approximate summary's whole
+    # contract, not just its top-k membership
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS bucket, user_id AS item,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT bucket, item, cnt, row_number() OVER (
+        PARTITION BY bucket ORDER BY cnt DESC, item) AS rn
+      FROM counts
+    ), km AS (
+      SELECT k.bucket, k.item, k.cnt, coalesce(d.dropped_max, 0) AS dm
+      FROM (SELECT bucket, item, cnt FROM ranked WHERE rn <= 8) k
+      LEFT JOIN (SELECT bucket, max(cnt) AS dropped_max FROM ranked
+                 WHERE rn > 8 GROUP BY bucket) d USING (bucket)
+    ), total AS (
+      SELECT CAST(sum(dm) AS BIGINT) AS tdm
+      FROM (SELECT DISTINCT bucket, dm FROM km)
+    ), per_item AS (
+      SELECT item, CAST(sum(cnt) AS BIGINT) AS est_min,
+             CAST(sum(dm) AS BIGINT) AS pdm
+      FROM km GROUP BY item
+    )
+    SELECT item, est_min,
+           est_min + (SELECT tdm FROM total) - pdm AS est_max
+    FROM per_item ORDER BY est_min DESC, item LIMIT 10
+    """,
+)
+def rollup_topk_range(spark, sf_dir):
+    """Heavy-hitters rollup, built then range-queried
+    (rollup.build_topk_rollup/topk_over_range) — the fourth sketch
+    family: per-hour capacity-8 top-item summaries with dropped-max
+    error bounds, merged over the full range into per-item
+    [est_min, est_max] count bounds and ranked. Deterministic
+    truncation makes the whole approximate pipeline oracle-checkable.
+    Scale shape: one map-side-combined count shuffle + a
+    WindowGroupLimit top-K per bucket at build; range reads touch
+    buckets x capacity rows, partition-pruned by bucket_date."""
+    import tempfile
+
+    from dataux_spark.operators.rollup import build_topk_rollup, topk_over_range
+
+    path = tempfile.mkdtemp(prefix="dataux_topk_rollup_") + "/r"
+    ev = read_table(spark, sf_dir, "events")
+    build_topk_rollup(ev, path, item_col="user_id", capacity=8)
+    return topk_over_range(spark, path, k=10)
+
+
+@_q(
+    "dml_merge_result",
+    # the oracle replays Delta's first-match-wins MERGE semantics in plain
+    # SQL over the pristine parquet: matched rows resolve through the
+    # ordered clause conditions (>200k delete, >150k re-prioritize, else
+    # tag), unmatched targets carry, the conditional insert leg appends —
+    # then both engines aggregate the FINAL table state
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_custkey < 50
+      UNION ALL
+      SELECT 900000000 + c_custkey, c_acctbal FROM customer WHERE c_custkey <= 20
+    ), matched AS (
+      SELECT t.o_orderkey,
+             CASE WHEN s.p > 200000 THEN NULL
+                  WHEN s.p > 150000 THEN 'M-HIGH'
+                  ELSE 'M-LOW' END AS pri,
+             t.o_totalprice
+      FROM orders t JOIN src s ON t.o_orderkey = s.k
+    ), final AS (
+      SELECT t.o_orderkey, t.o_orderpriority AS pri, t.o_totalprice
+      FROM orders t ANTI JOIN src s ON t.o_orderkey = s.k
+      UNION ALL
+      SELECT o_orderkey, pri, o_totalprice FROM matched WHERE pri IS NOT NULL
+      UNION ALL
+      SELECT s.k, 'M-NEW', s.p FROM src s
+      ANTI JOIN orders t ON t.o_orderkey = s.k
+      WHERE s.p > 1000
+    )
+    SELECT pri AS o_orderpriority, count(*) AS ct,
+           round(sum(o_totalprice), 2) AS total
+    FROM final GROUP BY pri
+    """,
+)
+def dml_merge_result(spark, sf_dir):
+    """Multi-clause MERGE end-to-end through Engine.sql(), driver-gated:
+    orders copied into a writable COW table, a mixed feed merged in
+    (ordered WHEN MATCHED DELETE / conditional UPDATE / fallback UPDATE +
+    conditional INSERT, first-match-wins — Delta's full grammar), then
+    the FINAL table state aggregated. The oracle replays the clause
+    resolution in plain SQL, so the driver gate fails if clause order,
+    condition evaluation, the file-pruned rewrite, or the insert leg
+    drops or duplicates a single row. Scale shape: the merge itself is
+    the two-phase pruned COW commit (semi-join hit-file set, matched
+    files rewritten, rest hard-linked — dml._merge)."""
+    import tempfile
+
+    from dataux_spark.engine import Engine
+
+    td = tempfile.mkdtemp(prefix="mrg_q_")
+    src = f"{td}/src"
+    read_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(src)
+    e = Engine(spark)
+    e.register_writable_parquet("mrg_orders", src, f"{td}/work", keys=["o_orderkey"])
+    feed = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+        .unionByName(
+            read_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 20)
+            .select((F.lit(900000000) + F.col("c_custkey")).alias("k"),
+                    F.col("c_acctbal").alias("p"))
+        )
+    )
+    e.register_memory("mrg_feed_src", {"mrg_feed": feed})
+    e.sql(
+        "MERGE INTO mrg_orders t USING mrg_feed s ON t.o_orderkey = s.k "
+        "WHEN MATCHED AND s.p > 200000 THEN DELETE "
+        "WHEN MATCHED AND s.p > 150000 THEN UPDATE SET o_orderpriority = 'M-HIGH' "
+        "WHEN MATCHED THEN UPDATE SET o_orderpriority = 'M-LOW' "
+        "WHEN NOT MATCHED AND s.p > 1000 THEN INSERT "
+        "(o_orderkey, o_orderpriority, o_totalprice) VALUES (s.k, 'M-NEW', s.p)"
+    )
+    return e.sql(
+        "SELECT o_orderpriority, count(*) AS ct, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM mrg_orders GROUP BY o_orderpriority"
+    )
+
+
 # ------------------------------------------------------------------ export
 
 # The external driver oracle-checks only the FIRST 50 entries of queries()
@@ -5086,11 +5223,18 @@ _DRIVER_WINDOW: list[str] = [
     # CDC, skew, composed pipeline) so a regression anywhere in the stack
     # shows up in the window.
     "point_filter",
-    "group_by_agg",
+    # group_by_agg's veteran slot goes to the round-7 driver-gated MERGE
+    # entry (aggregation stays covered in-window by pricing_summary and
+    # the q-suite; MERGE's full clause grammar is new surface the oracle
+    # gate can now check end-to-end)
+    "dml_merge_result",
     "join_inner",
     "q3_shipping_priority",
     "join_5way_regional_revenue",
-    "topk_order_limit",
+    # topk_order_limit's veteran slot goes to the round-7 heavy-hitters
+    # rollup (sort/limit stays covered in-window by order_multi_offset
+    # and terms_topk; the fourth sketch family is new surface)
+    "rollup_topk_range",
     "order_multi_offset",
     "asof_join_events",
     # having's veteran slot goes to the round-7 A-ES weighted sampler:

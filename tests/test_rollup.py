@@ -285,3 +285,33 @@ def test_distinct_rollup_nonempty_guard(spark, tmp_path):
         build_distinct_rollup(
             ev.filter("event_id < 0"), str(tmp_path / "bad"), check_nonempty=True
         )
+
+
+def test_topk_rollup_bounds_are_sound(spark, sf_dir, tmp_path):
+    """Heavy-hitters rollup soundness: for EVERY item in the summary the
+    true range count sits inside [est_min, est_max]; est_min is exact
+    for items kept in every bucket; and any item whose true count
+    exceeds the summed dropped bound is guaranteed present in the
+    merged top-k input (the mergeable-summary guarantee)."""
+    from dataux_spark.operators.rollup import build_topk_rollup, topk_over_range
+    from dataux_spark.queries import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "hh")
+    build_topk_rollup(ev, path, item_col="user_id", capacity=4)  # truncate hard
+    merged = topk_over_range(spark, path, k=10**9).collect()  # all summary items
+    truth = {r.user_id: r.cnt for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert merged, "summary is empty"
+    tight = 0
+    for r in merged:
+        assert r.est_min <= truth[r.item] <= r.est_max, (r, truth[r.item])
+        tight += int(r.est_min == truth[r.item])
+    # capacity-4 truncation is real: not every bound can be tight
+    total_dmax = max(r.est_max - r.est_min for r in merged)
+    assert total_dmax > 0
+    # guarantee: items heavier than the total dropped bound are present
+    present = {r.item for r in merged}
+    for item, cnt in truth.items():
+        if cnt > total_dmax:
+            assert item in present, (item, cnt, total_dmax)
