@@ -855,3 +855,77 @@ def chunk_documents(
             F.concat_ws(" ", "_w.w").alias("chunk_text"),
         )
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    min_count: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation mining — top-k adjacent-bigram PMI over the corpus:
+    pmi(a,b) = log2( (c(a,b) · N) / (c(a) · c(b)) ) with N = total
+    bigram occurrences, keeping bigrams seen ≥ min_count times (PMI is
+    noise for rare pairs). The vocabulary-curation staple: high-PMI
+    pairs are the multi-word units a tokenizer should keep whole.
+
+    Plan shape: bigram arrays are built JVM-side per document
+    (zip_with over two slices of the token array — no window, no
+    shuffle), then ONE bigram count groupBy, one unigram count groupBy,
+    and two hash joins attaching the word counts to the surviving
+    (≥ min_count) bigrams — the joined side is vocabulary-sized, never
+    corpus-sized, and the ≥ min_count filter shrinks the bigram side
+    before either join. N rides a 1-row broadcast. Division spelled
+    (cb·N)/(ca·cb-product) in that exact order so the DuckDB oracle's
+    doubles agree bit-for-bit before the shared 6dp rounding.
+
+    Scan-count note: Spark has no cross-branch CSE, so the lazily-
+    composed plan scans the corpus four times (bigram counts, N, each
+    unigram join side) — every scan column-pruned to the text column.
+    A pipeline running this hot should persist the tokenized frame (or
+    the vocabulary-sized unigram counts) and cut that to one corpus
+    pass; as a one-shot query the extra pruned scans are the measured-
+    cheaper trade vs operator-internal persistence (the same reasoning
+    as minhash_lsh_pairs' grams=)."""
+    from dataux_spark.operators.dedup import tokens
+
+    t = df.select(F.col(id_col), tokens(F.col(content_col)).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bigrams = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(_toks, 1, size(_toks) - 1), "
+                "slice(_toks, 2, size(_toks) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    unigrams = df.select(
+        F.explode(tokens(F.col(content_col))).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("cw"))
+    bc = (
+        bigrams.groupBy("bigram").agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    nb = bigrams.agg(F.count("*").cast("double").alias("_nb"))
+    scored = (
+        bc.crossJoin(F.broadcast(nb))
+        .withColumn("_wa", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("_wb", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(unigrams.select(F.col("w").alias("_wa"), F.col("cw").alias("_ca")), "_wa")
+        .join(unigrams.select(F.col("w").alias("_wb"), F.col("cw").alias("_cb")), "_wb")
+        .select(
+            "bigram",
+            "pair_count",
+            F.round(
+                F.log2(
+                    (F.col("pair_count").cast("double") * F.col("_nb"))
+                    / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(k)

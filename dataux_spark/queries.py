@@ -5023,6 +5023,51 @@ def cdc_table_changes(spark, sf_dir):
 
 
 @_q(
+    "text_collocations_pmi",
+    # the oracle mirrors the operator term by term: same tokenization,
+    # same adjacent-bigram construction, same (cb*N)/(ca*cb) operand
+    # order inside log2, same 6dp rounding and (pmi desc, bigram) order
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT u.b AS bigram FROM (SELECT toks FROM t WHERE len(toks) >= 2) tt,
+        UNNEST(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) u(b)
+    ), ug AS (
+      SELECT u.w AS w, count(*) AS cw FROM t, UNNEST(toks) u(w) GROUP BY u.w
+    ), bc AS (
+      SELECT bigram, count(*) AS pair_count FROM bg GROUP BY bigram
+      HAVING count(*) >= 3
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg)
+    SELECT bigram, pair_count,
+           round(log2((CAST(pair_count AS DOUBLE) * (SELECT nb FROM n)) /
+                      (CAST(a.cw AS DOUBLE) * CAST(b.cw AS DOUBLE))), 6) AS pmi
+    FROM bc
+    JOIN ug a ON a.w = split_part(bigram, ' ', 1)
+    JOIN ug b ON b.w = split_part(bigram, ' ', 2)
+    ORDER BY pmi DESC, bigram LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Top-50 adjacent-bigram PMI collocations over the documents corpus
+    (text.collocations_pmi) — the vocabulary-curation staple: high-PMI
+    pairs are the multi-word units a tokenizer should keep whole. Plan:
+    JVM zip_with bigram arrays (no window), two count groupBys, two
+    vocabulary-sized hash joins after the >=min_count shrink, N on a
+    1-row broadcast."""
+    from dataux_spark.operators.text import collocations_pmi
+
+    return collocations_pmi(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        min_count=3, k=50,
+    )
+
+
+@_q(
     "rollup_topk_range",
     # the oracle replays the sketch EXACTLY — per-bucket counts, the
     # deterministic capacity-8 truncation (count desc, item asc), each
@@ -5228,7 +5273,10 @@ _DRIVER_WINDOW: list[str] = [
     # the q-suite; MERGE's full clause grammar is new surface the oracle
     # gate can now check end-to-end)
     "dml_merge_result",
-    "join_inner",
+    # join_inner's veteran slot goes to the round-7 PMI collocations
+    # entry (the join family keeps five in-window representatives: q3,
+    # join_5way, q7, q8, q21, plus skew_salted_join)
+    "text_collocations_pmi",
     "q3_shipping_priority",
     "join_5way_regional_revenue",
     # topk_order_limit's veteran slot goes to the round-7 heavy-hitters

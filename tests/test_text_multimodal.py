@@ -501,3 +501,26 @@ def test_rrf_fuse_matches_model_and_handles_partial_overlap(spark):
     assert {k: v[0] for k, v in got.items()} == exp
     # 1 and 3 tie exactly -> id order; 2 and 4 tie -> id order
     assert [k for k, v in sorted(got.items(), key=lambda kv: kv[1][1])] == [1, 3, 2, 4]
+
+
+def test_collocations_pmi_math_and_determinism(spark):
+    """PMI on a tiny constructed corpus: the always-adjacent pair scores
+    the closed-form log2(cab*N/(ca*cb)); independent-ish pairs score
+    lower; result is deterministic and capped at k."""
+    import math
+
+    from dataux_spark.operators.text import collocations_pmi
+
+    rows = [(i, "new york " + ("a b " if i % 2 else "b c ") * 3) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = collocations_pmi(df, "text", "doc_id", min_count=3, k=10).collect()
+    by_bg = {r.bigram: r for r in out}
+    ny = by_bg["new york"]
+    # counts: 'new york' 12 times; 'new' 12, 'york' 12; N = total bigrams
+    n_total = sum(len(t.split()) - 1 for _, t in rows)
+    want = round(math.log2(12 * n_total / (12 * 12)), 6)
+    assert ny.pair_count == 12 and abs(ny.pmi - want) < 1e-6
+    # 'york a' / 'york b' cross-boundary pairs are rarer and score lower
+    assert all(r.pmi <= ny.pmi for r in out)
+    again = collocations_pmi(df, "text", "doc_id", min_count=3, k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
