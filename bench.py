@@ -102,6 +102,21 @@ HEADLINE = [
     "text_dsir_weights",
     "ann_hard_negatives",
     "dedup_span_removal",
+    # round-7 additions (set grows 32 -> 36: per-query medians remain
+    # comparable to r5/r6; the TOTAL is not — compare totals only over
+    # the shared 32): A-ES weighted sampling (WindowGroupLimit top-k,
+    # 0.55 s), int8-quantized ANN (the memory-bound path, 1.20 s),
+    # heavy-hitters rollup (build + range merge, 2.05 s), PMI
+    # collocations (4 pruned corpus scans, the documented no-CSE trade,
+    # 0.96 s). dml_merge_result stays OUT of the timed set on purpose:
+    # its 2.65 s median is ~90% setup (copying orders into a fresh COW
+    # table per invocation), which measures parquet write throughput,
+    # not engine behavior — correctness stays driver-gated via its
+    # queries() entry.
+    "sample_weighted_priority",
+    "ann_quantized_topk",
+    "rollup_topk_range",
+    "text_collocations_pmi",
 ]
 
 
