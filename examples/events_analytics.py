@@ -73,6 +73,14 @@ def main() -> None:
     build_quantile_rollup(ev, f"{root}/qroll")
     quantile_over_range(spark, f"{root}/qroll", q=0.95).show()
 
+    print("== heavy hitters: per-hour capacity-8 summaries, range-merged ==")
+    from dataux_spark.operators.rollup import build_topk_rollup, topk_over_range
+
+    build_topk_rollup(ev, f"{root}/hhroll", item_col="user_id", capacity=8)
+    # [est_min, est_max] bound each user's true range count; items heavier
+    # than the summed truncation line are guaranteed present
+    topk_over_range(spark, f"{root}/hhroll", k=5).show()
+
     print("== anomalies: rolling z-score (batch) + EWMA (streaming) ==")
     from dataux_spark.operators.timeseries import rolling_zscore_anomalies
 
