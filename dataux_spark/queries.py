@@ -1461,6 +1461,92 @@ def profile_histogram(spark, sf_dir):
     return equi_width_histogram(read_table(spark, sf_dir, "documents"), "n_chars", 10)
 
 
+_QUALITY_RULES_SQL = [
+    # (name, predicate, action) — the oracle spells each predicate
+    # identically; violation = NOT coalesce(pred, FALSE) on both engines
+    # (NULL predicate result counts as a violation, the strict side of
+    # CHECK-constraint three-valued logic)
+    ("text_nonempty", "text IS NOT NULL AND length(text) > 0", "warn"),
+    ("len_in_range", "n_chars BETWEEN 60 AND 500", "drop"),
+    ("lang_known", "lang IN ('en','es','de','fr')", "drop"),
+    ("chars_consistent", "n_chars = length(text)", "fail"),
+]
+
+
+def _quality_rules():
+    from dataux_spark.operators.quality import Expectation
+
+    return [Expectation(n, p, a) for n, p, a in _QUALITY_RULES_SQL]
+
+
+@_q(
+    "quality_expectations_report",
+    "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule, '{a}' AS action, count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN NOT coalesce({p}, FALSE) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_violations, "
+        f"round(CAST(sum(CASE WHEN NOT coalesce({p}, FALSE) THEN 1 ELSE 0 END) "
+        "AS DOUBLE) * 100.0 / greatest(count(*), 1), 4) AS violation_pct "
+        "FROM documents"
+        for n, p, a in _QUALITY_RULES_SQL
+    ),
+)
+def quality_expectations_report(spark, sf_dir):
+    """Declarative data-contract report (operators/quality.py
+    expectation_report) — the Delta-Live-Tables EXPECT shape: four named
+    rules over documents, each a JVM boolean inside ONE scan projection,
+    the whole set folded into a single conditional-sum aggregate row and
+    stack()-pivoted to per-rule stats. Adding a rule adds a column to
+    the partial aggregate, not a pass. The oracle recomputes each rule's
+    violation count independently."""
+    from dataux_spark.operators.quality import expectation_report
+
+    return expectation_report(
+        read_table(spark, sf_dir, "documents"), _quality_rules()
+    )
+
+
+@_q(
+    "quality_quarantine_rows",
+    """
+    SELECT doc_id, lang, n_chars,
+           array_to_string(list_sort(list_filter([
+             CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0,
+                  FALSE) THEN 'text_nonempty' END,
+             CASE WHEN NOT coalesce(n_chars BETWEEN 60 AND 500, FALSE)
+                  THEN 'len_in_range' END,
+             CASE WHEN NOT coalesce(lang IN ('en','es','de','fr'), FALSE)
+                  THEN 'lang_known' END,
+             CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                  THEN 'chars_consistent' END
+           ], x -> x IS NOT NULL)), ',') AS violations
+    FROM documents
+    WHERE NOT coalesce(n_chars BETWEEN 60 AND 500, FALSE)
+       OR NOT coalesce(lang IN ('en','es','de','fr'), FALSE)
+       OR NOT coalesce(n_chars = length(text), FALSE)
+    ORDER BY doc_id
+    """,
+)
+def quality_quarantine_rows(spark, sf_dir):
+    """The quarantine half of the gate (operators/quality.py
+    split_on_expectations): rows breaking any drop/fail rule, each
+    carrying the sorted array of EVERY contract it broke (warn included
+    — the quarantine record tells the row's whole story), flattened to a
+    comma-joined string for the cross-engine hash. One projected scan,
+    zero shuffles before the display sort."""
+    from dataux_spark.operators.quality import split_on_expectations
+
+    _, bad = split_on_expectations(
+        read_table(spark, sf_dir, "documents"), _quality_rules()
+    )
+    return (
+        bad.select(
+            "doc_id", "lang", "n_chars",
+            F.array_join("violations", ",").alias("violations"),
+        ).orderBy("doc_id")
+    )
+
+
 def _sampling_oracles():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -5267,7 +5353,10 @@ _DRIVER_WINDOW: list[str] = [
     # as-of, terms, dedup exact/LSH-sign/semantic, streaming, lakehouse
     # CDC, skew, composed pipeline) so a regression anywhere in the stack
     # shows up in the window.
-    "point_filter",
+    # point_filter's veteran slot goes to the round-7 expectations
+    # report (scan-filter stays covered in-window by every pushdown
+    # entry; the quality gate is new surface needing its first verdict)
+    "quality_expectations_report",
     # group_by_agg's veteran slot goes to the round-7 driver-gated MERGE
     # entry (aggregation stays covered in-window by pricing_summary and
     # the q-suite; MERGE's full clause grammar is new surface the oracle
@@ -5296,7 +5385,10 @@ _DRIVER_WINDOW: list[str] = [
     # (minhash_lsh, span_removal, semantic_keepset) while the quantized
     # lattice needs its first driver verdict
     "ann_quantized_topk",
-    "ann_signband_topk",
+    # ann_signband_topk's veteran slot goes to the quarantine half of
+    # the round-7 quality gate (the ANN family keeps three in-window
+    # representatives: cosine, quantized, hard_negatives)
+    "quality_quarantine_rows",
     "streaming_rollup_merge",
     "cdc_table_changes",
     "training_prep_pipeline",
