@@ -388,3 +388,81 @@ def rolling_zscore_anomalies(
         # unscored rows flag 0, not NULL — the output is a total labeling
         F.coalesce((F.abs(z) > threshold).cast("int"), F.lit(0)).alias("is_anomaly"),
     )
+
+
+def match_sequence(
+    events: DataFrame,
+    pattern: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within_hours: float = 24.0,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite ordered sequence detection: one match per
+    pattern[0] anchor event, chained GREEDILY — stage i+1 binds to the
+    FIRST event of that type strictly after the bound stage-i event
+    (first-next, the funnel_counts step rule, not earliest-feasible), and
+    the match survives if the whole chain completes within
+    `within_hours` of the anchor. Overlapping matches are allowed (each
+    anchor reports its own chain); repeated types in the pattern bind to
+    distinct events because each hop is strictly-after.
+
+    Plan: ONE shuffle (user_col) + one per-partition sort, then a
+    backward fold over the pattern — each stage is a min-of-struct over
+    the UNBOUNDED FOLLOWING frame (the struct's first field is the sort
+    key, so min() picks the earliest following stage event and its
+    already-computed chain tail rides along in the second field). No
+    self-joins, no state machine in Python: pattern length k costs k
+    window aggregates over the same sorted partition, and Spark plans
+    them in one Window node run. "Strictly after" is the lexicographic
+    (ts, id) order, so equal-timestamp events still chain
+    deterministically and an oracle can spell the identical row-value
+    comparison.
+
+    Returns (user, start_ts, end_ts, duration_sec) per match, one row
+    per completed anchor. 100 TB: cost is the sessionize shape — a
+    single keyed exchange; the window state per partition is O(1) per
+    row per stage.
+    """
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two stages")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    rid = F.col(id_col)
+    w = (
+        W.partitionBy(u)
+        .orderBy(t, rid)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    # backward fold: e = chain-end ts, defined exactly on rows of the
+    # current stage's type. Membership in the min-of-struct frame is
+    # gated on the TYPE alone (not e IS NOT NULL): greedy first-next
+    # must bind to the earliest following stage event even when that
+    # event's own tail is incomplete — the null tail then fails THIS
+    # anchor, exactly like the funnel rule and the lateral-join oracle.
+    # The struct's (ts, id) head fields are never null, so min() never
+    # compares the nullable tail.
+    nxt = pattern[-1]
+    e = F.when(ty == nxt, t)
+    for stage in reversed(pattern[:-1]):
+        later = F.when(ty == nxt, F.struct(t.alias("s"), rid.alias("i"), e.alias("e")))
+        first_later = F.min(later).over(w)
+        e = F.when(ty == stage, first_later["e"])
+        nxt = stage
+    out = events.withColumn("__end", e).filter(
+        (ty == pattern[0])
+        & F.col("__end").isNotNull()
+        & (
+            F.unix_micros(F.col("__end").cast("timestamp")) - F.unix_micros(t.cast("timestamp"))
+            <= int(within_hours * 3600) * 1_000_000
+        )
+    )
+    dur = (
+        F.unix_micros(F.col("__end").cast("timestamp")) - F.unix_micros(t.cast("timestamp"))
+    ) / 1_000_000.0
+    return out.select(
+        u.alias("user"),
+        t.alias("start_ts"),
+        F.col("__end").alias("end_ts"),
+        F.round(dur, 6).alias("duration_sec"),
+    )

@@ -4338,6 +4338,51 @@ def funnel_view_click_purchase(spark, sf_dir):
 
 
 @_q(
+    "sequence_match_vcp",
+    # the oracle is the greedy chain spelled as lateral joins: stage i+1
+    # = the FIRST event of its type strictly after the bound stage-i
+    # event in (ts, event_id) order — the identical row-value
+    # comparison the window fold uses — with the anchor kept only when
+    # the chain completes inside the window
+    """
+    SELECT a.user_id AS user, a.ts AS start_ts, c.cts AS end_ts,
+           round(date_diff('microsecond', a.ts, c.cts) / 1000000.0, 6)
+             AS duration_sec
+    FROM events a
+    LEFT JOIN LATERAL (
+      SELECT b.ts AS bts, b.event_id AS bid FROM events b
+      WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        AND (b.ts, b.event_id) > (a.ts, a.event_id)
+      ORDER BY b.ts, b.event_id LIMIT 1
+    ) b ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT c2.ts AS cts FROM events c2
+      WHERE c2.user_id = a.user_id AND c2.event_type = 'purchase'
+        AND (c2.ts, c2.event_id) > (b.bts, b.bid)
+      ORDER BY c2.ts, c2.event_id LIMIT 1
+    ) c ON TRUE
+    WHERE a.event_type = 'view' AND c.cts IS NOT NULL
+      AND date_diff('microsecond', a.ts, c.cts) <= 86400000000
+    """,
+)
+def sequence_match_vcp(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence detection
+    (operators/timeseries.match_sequence): every view anchor whose
+    greedy first-next click then first-next purchase chain completes
+    within 24h, with per-match duration. ONE user-keyed shuffle + one
+    sort; each pattern stage is a min-of-struct over the FOLLOWING
+    frame, so there is no self-join and no Python state machine — the
+    lateral-join oracle replays the same greedy binding rule."""
+    from dataux_spark.operators.timeseries import match_sequence
+
+    return match_sequence(
+        read_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_hours=24.0,
+    )
+
+
+@_q(
     "streaming_windowed_agg",
     "SELECT date_trunc('hour', ts) AS win_start, "
     "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, "
@@ -5373,7 +5418,10 @@ _DRIVER_WINDOW: list[str] = [
     # and terms_topk; the fourth sketch family is new surface)
     "rollup_topk_range",
     "order_multi_offset",
-    "asof_join_events",
+    # asof_join_events' veteran slot goes to the round-7 sequence
+    # matcher (the time-series family stays represented in-window by
+    # events_zscore_anomalies; as-of has green r4/r5 verdicts)
+    "sequence_match_vcp",
     # having's veteran slot goes to the round-7 A-ES weighted sampler:
     # HAVING stays covered by pricing_summary/group_by_agg in-window,
     # while the new entry needs its first driver verdict to keep

@@ -228,3 +228,88 @@ def test_sessionize_matches_python_model_under_random_streams(spark):
         assert got == model, (offsets, gap)
 
     run()
+
+
+def _ev(spark, rows):
+    # rows: (event_id, second_offset, user_id, event_type)
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=base + dt.timedelta(seconds=s),
+                user_id=u,
+                event_type=t,
+            )
+            for i, s, u, t in rows
+        ]
+    )
+
+
+def test_match_sequence_greedy_first_next(spark):
+    # user 1: view@0, click@10, click@20, purchase@30 -> ONE match per
+    # anchor; greedy binds click@10, then first purchase after it
+    df = _ev(
+        spark,
+        [(1, 0, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "click"), (4, 30, 1, "purchase")],
+    )
+    out = TS.match_sequence(df, ["view", "click", "purchase"], within_hours=1.0).collect()
+    assert len(out) == 1
+    assert out[0].duration_sec == 30.0
+
+
+def test_match_sequence_greedy_binding_controls_window(spark):
+    # first-next click is EARLY, making the chain end late vs the window
+    # measured from the anchor; a feasible later click would not rescue
+    # it under greedy (here both fail; asserts the greedy end, not a
+    # feasible one, decides)
+    df = _ev(
+        spark,
+        [(1, 0, 1, "view"), (2, 1, 1, "click"), (3, 5000, 1, "purchase")],
+    )
+    # within 1h: purchase at 5000s > 3600s after anchor -> no match
+    assert TS.match_sequence(df, ["view", "click", "purchase"], within_hours=1.0).count() == 0
+    # within 2h it completes
+    out = TS.match_sequence(df, ["view", "click", "purchase"], within_hours=2.0).collect()
+    assert len(out) == 1 and out[0].duration_sec == 5000.0
+
+
+def test_match_sequence_overlapping_anchors_share_tail(spark):
+    df = _ev(
+        spark,
+        [(1, 0, 1, "view"), (2, 5, 1, "view"), (3, 10, 1, "click"), (4, 20, 1, "purchase")],
+    )
+    out = TS.match_sequence(df, ["view", "click", "purchase"], within_hours=1.0)
+    assert sorted(r.duration_sec for r in out.collect()) == [15.0, 20.0]
+
+
+def test_match_sequence_repeated_types_bind_distinct_events(spark):
+    df = _ev(spark, [(1, 0, 1, "click"), (2, 10, 1, "click")])
+    out = TS.match_sequence(df, ["click", "click"], within_hours=1.0).collect()
+    # anchor@0 chains to click@10; anchor@10 has no later click
+    assert len(out) == 1 and out[0].duration_sec == 10.0
+
+
+def test_match_sequence_equal_ts_ties_break_by_id(spark):
+    # click shares the anchor's timestamp but has a LARGER id -> it is
+    # strictly-after in (ts, id) order and the chain completes
+    df = _ev(spark, [(1, 0, 1, "view"), (2, 0, 1, "click"), (3, 5, 1, "purchase")])
+    out = TS.match_sequence(df, ["view", "click", "purchase"], within_hours=1.0).collect()
+    assert len(out) == 1 and out[0].duration_sec == 5.0
+    # reversed ids: the click is before the anchor in (ts, id) -> no match
+    df2 = _ev(spark, [(2, 0, 1, "view"), (1, 0, 1, "click"), (3, 5, 1, "purchase")])
+    assert TS.match_sequence(df2, ["view", "click", "purchase"], within_hours=1.0).count() == 0
+
+
+def test_match_sequence_users_isolated(spark):
+    df = _ev(spark, [(1, 0, 1, "view"), (2, 10, 2, "click"), (3, 20, 1, "purchase")])
+    assert TS.match_sequence(df, ["view", "click", "purchase"], within_hours=1.0).count() == 0
+
+
+def test_match_sequence_single_shuffle_plan(spark):
+    df = _ev(spark, [(1, 0, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "purchase")])
+    plan = (
+        TS.match_sequence(df, ["view", "click", "purchase"], within_hours=1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1 and "Join" not in plan
