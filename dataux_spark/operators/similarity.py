@@ -716,3 +716,144 @@ def quantized_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# product quantization — the code-compressed ANN path (faiss PQ/ADC shape)
+
+
+def pq_codebooks_from_seeds(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seed_ids: list[int],
+    n_subspaces: int,
+) -> list[list[list[float]]]:
+    """Derive a PQ codebook from SEED ROWS of the corpus itself:
+    codebook[j][c] = subspace-j slice of the vector whose id is
+    seed_ids[c]. k-means-trained codebooks give better distortion but
+    are nondeterministic; seed-derived ones make the whole
+    encode→ADC-score pipeline exactly reproducible by any engine that
+    can read the same table (the ivf_fixed_topk philosophy, pushed down
+    to the codebook itself). The collect is bounded by len(seed_ids) —
+    codebook-sized, like the literal centroid sets.
+
+    Returns [n_subspaces][n_codes][sub_dim] doubles."""
+    rows = (
+        df.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
+        .select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        .collect()
+    )
+    by_id = {r._id: list(r._v) for r in rows}
+    missing = [s for s in seed_ids if s not in by_id]
+    if missing:
+        raise ValueError(f"seed ids not found in corpus: {missing}")
+    dim = len(by_id[seed_ids[0]])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    d = dim // n_subspaces
+    return [
+        [by_id[s][j * d : (j + 1) * d] for s in seed_ids]
+        for j in range(n_subspaces)
+    ]
+
+
+def _lit_vec(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vals) + ")"
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    id_alias: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """PQ encoding as a pure scan projection: each vector becomes
+    n_subspaces small int codes — the code of the nearest codebook
+    entry (squared L2, rounded 6dp, ties to the smaller code) per
+    subspace slice. Zero shuffles, zero UDFs: per subspace the argmin is
+    the array_max-of-(−dist, −code)-struct idiom shared with the
+    centroid scorers. At 100 TB the point is the byte stream: m codes
+    replace dim floats (64-d float32 → 4 codes is a 64× cache/shuffle
+    compression), which is what makes corpus-side ANN state resident at
+    scale. Returns (id_alias, pq_codes array<int>)."""
+    d = len(codebooks[0][0])
+    code_exprs = []
+    for j, cb in enumerate(codebooks):
+        lo = j * d + 1
+        cands = ", ".join(
+            "named_struct('nd', -round(aggregate(zip_with("
+            f"slice(_x, {lo}, {d}), {_lit_vec(vec)}, "
+            "(x, y) -> (x - y) * (x - y)), cast(0 as double), "
+            f"(acc, x) -> acc + x), 6), 'nc', {-c})"
+            for c, vec in enumerate(cb)
+        )
+        code_exprs.append(f"CAST(-array_max(array({cands})).nc AS INT)")
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        _as_double(vec_col).alias("_x"),
+    ).select(
+        id_alias,
+        F.expr("array(" + ", ".join(code_exprs) + ")").alias(code_col),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    scored through its codes only — score(q, x) ≈ Σ_j q_subj ·
+    codebook[j][code_j(x)] — while queries stay full-precision. Each
+    query precomputes its m×n_codes lookup table of partial dots in ONE
+    projection (JVM higher-order functions), the ≤n-query LUT frame
+    broadcasts, and scoring a corpus row is m array lookups + adds in
+    codegen — no float vectors move for the corpus at all, which is the
+    entire PQ bargain at 100 TB. Deterministic given the codebook, so
+    the whole approximate pipeline is oracle-checkable end to end.
+    Returns (query_id, neighbor_id, adc_score, rank)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    lut_rows = []
+    for j, cb in enumerate(codebooks):
+        lo = j * d + 1
+        dots = ", ".join(
+            f"aggregate(zip_with(slice(_x, {lo}, {d}), {_lit_vec(vec)}, "
+            "(x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+            for vec in cb
+        )
+        lut_rows.append(f"array({dots})")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_x")
+    ).select(
+        "query_id",
+        F.expr("array(" + ", ".join(lut_rows) + ")").alias("_lut"),
+    )
+    c = pq_encode(corpus, vec_col, id_col, "neighbor_id", codebooks)
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(pq_codes, _lut, "
+                    "(code, row) -> element_at(row, code + 1)), "
+                    "cast(0 as double), (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("adc_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2612,6 +2612,80 @@ def ann_quantized_topk(spark, sf_dir):
     return quantized_topk(emb, _query_vecs(emb), "embedding", "vec_id", k=5)
 
 
+_PQ_SEEDS = [3, 17, 42, 99]  # codebook[j][c] = subspace slice of seed c
+
+
+@_q(
+    "ann_pq_adc_topk",
+    # the oracle replays the WHOLE PQ pipeline: seed-derived codebooks
+    # read straight from the table, per-subspace argmin encoding
+    # (rounded 6dp squared-L2, ties to the smaller code), the per-query
+    # ADC lookup table, and the j-ordered score fold — every double sum
+    # is an index-ordered list fold, matching Spark's aggregate() order
+    """
+    WITH seeds(code, vid) AS (VALUES (0, 3), (1, 17), (2, 42), (3, 99)),
+    subs(j) AS (VALUES (0), (1), (2), (3)),
+    cb AS (
+      SELECT s.code, subs.j,
+             (e.embedding::DOUBLE[])[(subs.j*16+1):(subs.j*16+16)] AS cvec
+      FROM seeds s JOIN embeddings e ON e.vec_id = s.vid, subs
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dists AS (
+      SELECT c.vec_id, cb.j, cb.code,
+             round(list_sum(list_transform(range(1, 17),
+               i -> (v[cb.j*16+i] - cvec[i]) * (v[cb.j*16+i] - cvec[i]))),
+               6) AS rd
+      FROM corpus c, cb
+    ),
+    enc AS (
+      SELECT vec_id, j, (array_agg(code ORDER BY rd, code))[1] AS code
+      FROM dists GROUP BY vec_id, j
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.code,
+             list_sum(list_transform(range(1, 17),
+               i -> v[cb.j*16+i] * cvec[i])) AS pdot
+      FROM corpus q, cb WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list(l.pdot ORDER BY l.j)), 6) AS adc_score
+      FROM enc e
+      JOIN lut l ON l.j = e.j AND l.code = e.code
+                AND l.query_id != e.vec_id
+      GROUP BY l.query_id, e.vec_id
+      HAVING count(*) = 4
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, adc_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_score DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-5 (similarity.pq_encode/pq_adc_topk)
+    — the code-compressed ANN path: the corpus collapses to 4 int codes
+    per vector (64× narrower than float32), queries keep full precision
+    and score through a per-query 4×4 lookup table of partial dots.
+    Codebooks are seed-derived (subspace slices of four fixed corpus
+    rows — pq_codebooks_from_seeds), making encode + ADC fully
+    deterministic: the oracle recomputes the identical pipeline from
+    the same table. Plan: encode is a zero-shuffle scan projection,
+    the ≤5-row LUT frame broadcasts, scoring is m lookups per corpus
+    row in codegen, one per-query top-k window."""
+    from dataux_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks_from_seeds(emb, "embedding", "vec_id", _PQ_SEEDS, 4)
+    return pq_adc_topk(emb, _query_vecs(emb), "embedding", "vec_id", cbs, k=5)
+
+
 @_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
 def ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 with exact rerank
@@ -5440,7 +5514,10 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_rollup_merge",
     "cdc_table_changes",
     "training_prep_pipeline",
-    "dedup_semantic_keepset",
+    # dedup_semantic_keepset's veteran slot (green r6, 550-row full
+    # oracle) goes to the round-7 PQ/ADC entry; the dedup family keeps
+    # minhash_lsh and span_removal in-window
+    "ann_pq_adc_topk",
     "skew_salted_join",
 ]
 

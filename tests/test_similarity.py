@@ -358,3 +358,80 @@ def test_quantized_topk_recall_and_lattice(emb, spark):
     out = similarity.quantized_topk(z, z.filter("vec_id = 99991"),
                                     "embedding", "vec_id", k=1).collect()
     assert len(out) == 1 and math.isfinite(out[0].cos)
+
+
+def test_pq_encode_seed_rows_round_trip(emb, spark):
+    # a corpus row that IS a seed encodes to its own code in every
+    # subspace (distance 0 to itself)
+    seeds = [3, 17, 42, 99]
+    cbs = similarity.pq_codebooks_from_seeds(emb, "embedding", "vec_id", seeds, 4)
+    assert len(cbs) == 4 and all(len(cb) == 4 and len(cb[0]) == 16 for cb in cbs)
+    codes = {
+        r.vid: list(r.pq_codes)
+        for r in similarity.pq_encode(
+            emb.filter(F.col("vec_id").isin(seeds)), "embedding", "vec_id", "vid", cbs
+        ).collect()
+    }
+    for c, s in enumerate(seeds):
+        assert codes[s] == [c, c, c, c], (s, codes[s])
+
+
+def test_pq_encode_tie_breaks_to_smaller_code(spark):
+    # two identical codebook entries: the smaller code must win
+    cbs = [[[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]]
+    df = spark.createDataFrame([(1, [1.0, 0.05])], "vec_id: long, embedding: array<double>")
+    r = similarity.pq_encode(df, "embedding", "vec_id", "vid", cbs).collect()[0]
+    assert list(r.pq_codes) == [0]
+
+
+def test_pq_adc_exact_on_reconstructable_vectors(spark):
+    # corpus vectors composed EXACTLY of codebook entries: ADC score ==
+    # the true dot product (the approximation error is exactly the
+    # reconstruction error, zero here)
+    cbs = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[2.0, 0.0], [0.0, 2.0]],
+    ]
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 2.0, 0.0]), (11, [0.0, 1.0, 0.0, 2.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id: long, embedding: array<double>"
+    )
+    out = {
+        r.neighbor_id: r.adc_score
+        for r in similarity.pq_adc_topk(
+            corpus, queries, "embedding", "vec_id", cbs, k=2
+        ).collect()
+    }
+    assert out[10] == 1.0 * 1 + 3.0 * 2  # q . [1,0,2,0]
+    assert out[11] == 2.0 * 1 + 4.0 * 2  # q . [0,1,0,2]
+
+
+def test_pq_adc_ranks_against_true_dot(emb):
+    # with a seed-derived codebook the ADC ordering should broadly agree
+    # with the exact dot ordering: the true nearest neighbor set and the
+    # ADC top set must overlap (loose bound - 4x4 codebooks are coarse)
+    seeds = [3, 17, 42, 99]
+    cbs = similarity.pq_codebooks_from_seeds(emb, "embedding", "vec_id", seeds, 4)
+    q = emb.filter(F.col("vec_id") < 5)
+    adc = _topk_map(similarity.pq_adc_topk(emb, q, "embedding", "vec_id", cbs, k=25))
+    exact = _topk_map(similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=25))
+    overlap = sum(len(exact[k] & adc[k]) for k in exact) / (len(exact) * 25)
+    assert overlap > 0.1, overlap
+
+
+def test_pq_encode_zero_shuffle_plan(emb):
+    seeds = [3, 17, 42, 99]
+    cbs = similarity.pq_codebooks_from_seeds(emb, "embedding", "vec_id", seeds, 4)
+    plan = (
+        similarity.pq_encode(emb, "embedding", "vec_id", "vid", cbs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pq_missing_seed_raises(emb):
+    with pytest.raises(ValueError, match="seed ids not found"):
+        similarity.pq_codebooks_from_seeds(emb, "embedding", "vec_id", [3, 10**9], 4)
