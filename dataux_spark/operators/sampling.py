@@ -269,3 +269,27 @@ def weighted_priority_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str | Column,
+    id_col: str,
+    k: int,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Per-group diversity cap: keep at most k rows per group, selected
+    by the stable md5 order (hash_frac asc, id tiebreak) — the standard
+    web-corpus "no domain dominates" pass. Deterministic and
+    growth-stable like every sampler here: a new row never evicts an
+    existing keeper unless it hashes into the group's top-k. ONE
+    shuffle on the group key; Spark plans the rank filter as
+    WindowGroupLimit (per-partition partial top-k before the exchange),
+    so a hot group never materializes beyond k per map partition."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    rn = F.row_number().over(
+        W.partitionBy(g).orderBy(hash_frac(id_col, seed), F.col(id_col))
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")

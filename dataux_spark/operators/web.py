@@ -80,3 +80,74 @@ def url_dedup_keepers(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
             F.count("*").alias("n_dups"),
         )
     )
+
+
+#: multi-part public suffixes recognized by the built-in eTLD+1 rule.
+#: Deliberately a SHORT built-in set covering the common ccTLD second
+#: levels: real deployments broadcast-join the full Mozilla public
+#: suffix list as a table; the extraction rule below is unchanged
+#: either way (longest matching suffix + one label).
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.za", "com.ar", "com.tr", "co.kr",
+)
+
+
+def host_col(url):
+    """Lowercased host of a URL column, any port stripped. Empty string
+    when no scheme://host prefix parses (same degradation contract as
+    canonical_url_col)."""
+    host = F.lower(F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def registered_domain_col(url, suffixes: tuple[str, ...] = MULTI_PART_SUFFIXES):
+    """Column expression: the registered domain (eTLD+1) of a URL — the
+    grouping key of domain-level corpus curation (per-domain quality
+    stats, blocklists, diversity caps). Rule: if the host's last two
+    labels form a known multi-part suffix, keep three labels, else keep
+    two; hosts with ≤2 labels pass through whole. Pure JVM split/array
+    ops in the scan projection — zero shuffles, and an oracle can
+    replay the identical rule."""
+    host = host_col(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    dom = F.when(n <= 2, host).otherwise(
+        F.when(last2.isin(*suffixes), last3).otherwise(last2)
+    )
+    return F.when(host == "", F.lit("")).otherwise(dom)
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    metric_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain corpus health: doc count, distinct hosts,
+    distinct canonical URLs, and (optionally) the mean of a quality
+    metric — the table a curation pass filters against (domain caps,
+    low-quality-domain blocklists a la C4/RefinedWeb). ONE groupBy on
+    the domain key; host/canonical/domain are all scan-projection
+    expressions. Unparseable URLs (empty domain) are excluded. Returns
+    (domain, n_docs, n_hosts, n_urls[, avg_metric])."""
+    base = df.select(
+        F.col(id_col),
+        registered_domain_col(F.col(url_col)).alias("domain"),
+        host_col(F.col(url_col)).alias("_host"),
+        canonical_url_col(F.col(url_col)).alias("_canon"),
+        *([F.col(metric_col)] if metric_col else []),
+    ).filter(F.col("domain") != "")
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_host").alias("n_hosts"),
+        F.countDistinct("_canon").alias("n_urls"),
+    ]
+    if metric_col:
+        aggs.append(F.round(F.avg(metric_col), 6).alias("avg_metric"))
+    return base.groupBy("domain").agg(*aggs)

@@ -1773,6 +1773,33 @@ def sample_weighted_priority(spark, sf_dir):
     )
 
 
+def _cap_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id")
+    return (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER ("
+        f"PARTITION BY source ORDER BY {f}, doc_id) AS rn "
+        "FROM documents) t WHERE rn <= 7"
+    )
+
+
+@_q("sample_group_cap", _cap_oracle())
+def sample_group_cap(spark, sf_dir):
+    """Per-group diversity cap (sampling.cap_per_group): at most 7 docs
+    per source, chosen by the stable md5 order — the web-curation "no
+    domain dominates the corpus" pass, here keyed on the source column
+    (at crawl scale the key is registered_domain_col). Growth-stable
+    (a new doc never evicts a keeper unless it hashes into the top-7)
+    and retry-reproducible; ONE group-key shuffle with WindowGroupLimit
+    partial top-k map-side. The oracle replays the identical md5 rank."""
+    from dataux_spark.operators.sampling import cap_per_group
+
+    d = read_table(spark, sf_dir, "documents")
+    return cap_per_group(d, "source", "doc_id", 7).select("doc_id", "source")
+
+
 def _epoch_shuffle_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -3731,6 +3758,89 @@ def url_canonical_dedup(spark, sf_dir):
     return url_dedup_keepers(d, "url", "doc_id")
 
 
+@_q(
+    "web_domain_rollup",
+    # planted hosts exercise the eTLD+1 rule: www.-prefixed co.uk,
+    # subdomained .com, bare com.au, bare .com — the first three keep
+    # an extra label only when the 2-label suffix is multi-part. The
+    # oracle replays host extraction, the suffix rule, and the
+    # (no-params-planted) canonical form
+    """
+    WITH planted AS (
+      SELECT doc_id, n_chars,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://www.site' || CAST(doc_id % 6 AS VARCHAR)
+                      || '.co.uk/p/' || CAST(doc_id % 40 AS VARCHAR)
+          WHEN 1 THEN 'https://blog.site' || CAST(doc_id % 6 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+          WHEN 2 THEN 'http://site' || CAST(doc_id % 6 AS VARCHAR)
+                      || '.com.au/p/' || CAST(doc_id % 40 AS VARCHAR)
+          ELSE 'https://site' || CAST(doc_id % 6 AS VARCHAR)
+               || '.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+        END AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, n_chars,
+        regexp_replace(lower(regexp_extract(url,
+          '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '') AS host,
+        regexp_replace(lower(regexp_replace(regexp_extract(url,
+          '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':(80|443)$', '')),
+          '^www\\.', '')
+        || regexp_replace(regexp_extract(url,
+             '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
+          AS canon
+      FROM planted
+    ),
+    dom AS (
+      SELECT doc_id, n_chars, host, canon,
+        CASE
+          WHEN len(string_split(host, '.')) <= 2 THEN host
+          WHEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+               IN ('co.uk', 'org.uk', 'gov.uk', 'ac.uk', 'co.jp', 'ne.jp',
+                   'or.jp', 'com.au', 'net.au', 'org.au', 'com.br', 'com.cn',
+                   'com.mx', 'co.in', 'co.za', 'com.ar', 'com.tr', 'co.kr')
+            THEN string_split(host, '.')[-3] || '.' ||
+                 string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+          ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        END AS domain
+      FROM parsed
+    )
+    SELECT domain, count(*) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
+           round(avg(n_chars), 6) AS avg_metric
+    FROM dom WHERE domain != '' GROUP BY domain
+    """,
+)
+def web_domain_rollup(spark, sf_dir):
+    """Per-registered-domain corpus health (operators/web.py
+    registered_domain_col + domain_rollup) — the table domain-level
+    curation filters against (per-domain caps, low-quality blocklists a
+    la C4/RefinedWeb). Planted URL spellings cover the eTLD+1 rule's
+    branches (multi-part ccTLD suffixes, subdomains, www, ports,
+    trailing slash); extraction is pure JVM split/regexp in the scan
+    projection and the rollup is ONE groupBy on the domain key."""
+    from dataux_spark.operators.web import domain_rollup
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.concat(F.lit("https://www.site"), (F.col("doc_id") % 6).cast("string"), F.lit(".co.uk/p/"), (F.col("doc_id") % 40).cast("string")),
+                    F.concat(F.lit("https://blog.site"), (F.col("doc_id") % 6).cast("string"), F.lit(".com/p/"), (F.col("doc_id") % 40).cast("string")),
+                    F.concat(F.lit("http://site"), (F.col("doc_id") % 6).cast("string"), F.lit(".com.au/p/"), (F.col("doc_id") % 40).cast("string")),
+                    F.concat(F.lit("https://site"), (F.col("doc_id") % 6).cast("string"), F.lit(".com/p/"), (F.col("doc_id") % 40).cast("string"), F.lit("/")),
+                ),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ).alias("url")
+        ).alias("url"),
+    )
+    return domain_rollup(d, "url", "doc_id", metric_col="n_chars")
+
+
 _PII_PLANT_SPARK = (
     "concat(text, ' contact user', doc_id, '@example.com or +1-555-0199 ip 10.0.0.', "
     "CAST(doc_id % 255 AS STRING), ' ssn 123-45-6789')"
@@ -5491,7 +5601,10 @@ _DRIVER_WINDOW: list[str] = [
     # rollup (sort/limit stays covered in-window by order_multi_offset
     # and terms_topk; the fourth sketch family is new surface)
     "rollup_topk_range",
-    "order_multi_offset",
+    # order_multi_offset's veteran slot (green r5) goes to the round-7
+    # per-group cap sampler; sort/limit/offset stays covered by the
+    # ranked rollup_topk_range and the q-suite's ordered outputs
+    "sample_group_cap",
     # asof_join_events' veteran slot goes to the round-7 sequence
     # matcher (the time-series family stays represented in-window by
     # events_zscore_anomalies; as-of has green r4/r5 verdicts)
@@ -5501,7 +5614,9 @@ _DRIVER_WINDOW: list[str] = [
     # while the new entry needs its first driver verdict to keep
     # cumulative coverage complete
     "sample_weighted_priority",
-    "terms_topk",
+    # terms_topk's veteran slot (green r5; the grouped variant is green
+    # r6) goes to the round-7 eTLD+1 domain rollup
+    "web_domain_rollup",
     # dedup_exact's veteran slot goes to the round-7 int8-quantized ANN:
     # the dedup family keeps three in-window representatives
     # (minhash_lsh, span_removal, semantic_keepset) while the quantized

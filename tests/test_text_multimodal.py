@@ -524,3 +524,54 @@ def test_collocations_pmi_math_and_determinism(spark):
     assert all(r.pmi <= ny.pmi for r in out)
     again = collocations_pmi(df, "text", "doc_id", min_count=3, k=10).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_registered_domain_rule_branches(spark):
+    from dataux_spark.operators.web import domain_rollup, registered_domain_col
+
+    cases = [
+        (1, "https://www.example.co.uk/a", "example.co.uk"),     # multi-part suffix
+        (2, "https://deep.sub.example.co.uk/a", "example.co.uk"),
+        (3, "http://blog.example.com/a", "example.com"),          # plain TLD
+        (4, "https://example.com:8080/a", "example.com"),         # any port stripped
+        (5, "https://localhost/a", "localhost"),                  # <=2 labels pass through
+        (6, "not a url", ""),                                     # unparseable -> ''
+        (7, "https://a.b.site.com.au/x", "site.com.au"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id: long, url: string")
+    got = {
+        r.id: r.dom
+        for r in df.select("id", registered_domain_col(F.col("url")).alias("dom")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    # rollup: example.com has two hosts (blog., bare) and the
+    # unparseable row is excluded
+    roll = {r.domain: r for r in domain_rollup(df, "url", "id").collect()}
+    assert set(roll) == {"example.co.uk", "example.com", "localhost", "site.com.au"}
+    assert roll["example.com"].n_docs == 2 and roll["example.com"].n_hosts == 2
+    assert roll["example.co.uk"].n_hosts == 2  # www-stripped canon, distinct hosts
+
+
+def test_cap_per_group_deterministic_and_bounded(spark, sf_dir):
+    from dataux_spark.operators.sampling import cap_per_group
+    from dataux_spark.queries import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = cap_per_group(d, "source", "doc_id", 3)
+    sizes = {r.source: r.ct for r in out.groupBy("source").agg(F.count("*").alias("ct")).collect()}
+    orig = {r.source: r.ct for r in d.groupBy("source").agg(F.count("*").alias("ct")).collect()}
+    for s, n in orig.items():
+        assert sizes[s] == min(3, n), (s, sizes[s], n)
+    # determinism + growth stability: rerun picks the identical keepers,
+    # and a keeper set from a SUBSET never invents new keepers beyond
+    # hash order (drop one group entirely; others unchanged)
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in cap_per_group(d, "source", "doc_id", 3).collect())
+    assert ids1 == ids2
+    sub = cap_per_group(d.filter(F.col("source") != "src0"), "source", "doc_id", 3)
+    assert sorted(r.doc_id for r in sub.collect()) == [
+        i for i in ids1
+        if i in {r.doc_id for r in d.filter(F.col("source") != "src0").select("doc_id").collect()}
+    ]
