@@ -1773,6 +1773,57 @@ def sample_weighted_priority(spark, sf_dir):
     )
 
 
+def _pagerank_iter_sql(i: int) -> str:
+    # one unrolled power-method iteration: dangling mass, contribution
+    # sums, then the damped update — the same three steps (and the same
+    # 9dp per-iteration rounding) the Spark loop performs
+    p = i - 1
+    return (
+        f"d{i} AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r{p} r "
+        f"LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL), "
+        f"c{i} AS (SELECT e.dst, sum(r.rank / od.outdeg) AS csum FROM e "
+        f"JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src "
+        f"GROUP BY e.dst), "
+        f"r{i} AS (SELECT n.node, round(0.15 / (SELECT n FROM nn) + 0.85 * "
+        f"(coalesce(c.csum, 0) + (SELECT dmass FROM d{i}) / (SELECT n FROM nn)), 9) "
+        f"AS rank FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)"
+    )
+
+
+@_q(
+    "graph_pagerank",
+    # planted link graph over documents: 7 out-edges per surviving src
+    # (CRT on doc_id mod 30/7/3), multiples of 5 stripped of out-edges
+    # so the dangling-mass path is exercised (node 15 leaves the graph
+    # entirely — only ever a src). Three unrolled iterations replay the
+    # Spark loop exactly, 9dp rounding and all.
+    "WITH e AS (SELECT DISTINCT doc_id % 30 AS src, "
+    "(doc_id % 7) * 4 + (doc_id % 3) AS dst "
+    "FROM documents WHERE doc_id % 5 != 0), "
+    "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+    "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), "
+    "r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes), "
+    + ", ".join(_pagerank_iter_sql(i) for i in (1, 2, 3))
+    + " SELECT node, rank FROM r3",
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py) over a planted
+    directed link graph — the web-graph centrality signal crawl
+    curation feeds into domain trust scores. Three power-method rounds
+    with uniform dangling-mass redistribution; each round is one
+    contribution shuffle plus two broadcast 1-row aggregates, ranks
+    rounded 9dp per round so the whole trajectory is engine-exact."""
+    from dataux_spark.operators.graph import pagerank
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = d.filter(F.col("doc_id") % 5 != 0).select(
+        (F.col("doc_id") % 30).alias("src"),
+        ((F.col("doc_id") % 7) * 4 + (F.col("doc_id") % 3)).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
 def _cap_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
@@ -5596,7 +5647,10 @@ _DRIVER_WINDOW: list[str] = [
     # join_5way, q7, q8, q21, plus skew_salted_join)
     "text_collocations_pmi",
     "q3_shipping_priority",
-    "join_5way_regional_revenue",
+    # join_5way's veteran slot (green r5 AND re-verified r6) goes to
+    # the round-7 PageRank entry; the join family keeps q3/q7/q8/q21
+    # and skew_salted_join in-window
+    "graph_pagerank",
     # topk_order_limit's veteran slot goes to the round-7 heavy-hitters
     # rollup (sort/limit stays covered in-window by order_multi_offset
     # and terms_topk; the fourth sketch family is new surface)

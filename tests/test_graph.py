@@ -1,0 +1,53 @@
+"""PageRank tests: hand-computed fixed points, dangling-mass handling,
+mass conservation, and edge-multiset insensitivity."""
+
+from pyspark.sql import functions as F
+
+from dataux_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_symmetric_cycle_stays_uniform(spark):
+    # a <-> b is already the stationary distribution
+    got = _ranks(spark, [(1, 2), (2, 1)], iters=5)
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_dangling_mass_redistributed_hand_computed(spark):
+    # a -> b, b dangling. One iteration from (0.5, 0.5):
+    #   dmass = 0.5; rank(a) = 0.15/2 + 0.85*(0 + 0.25) = 0.2875
+    #   rank(b) = 0.075 + 0.85*(0.5 + 0.25) = 0.7125
+    got = _ranks(spark, [(1, 2)], iters=1)
+    assert got == {1: 0.2875, 2: 0.7125}
+
+
+def test_mass_conserved_and_positive(spark):
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 5), (2, 6)]
+    got = _ranks(spark, edges, iters=4)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert all(r > 0 for r in got.values())
+
+
+def test_parallel_edges_collapse(spark):
+    once = _ranks(spark, [(1, 2), (2, 3), (3, 1)], iters=3)
+    dup = _ranks(spark, [(1, 2), (1, 2), (2, 3), (3, 1), (3, 1)], iters=3)
+    assert once == dup
+
+
+def test_hub_outranks_leaves(spark):
+    # everyone points at node 0; node 0 points at node 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    got = _ranks(spark, edges, iters=5)
+    assert got[0] == max(got.values())
+    assert got[1] > got[2]  # 0's single out-edge boosts 1 over other leaves
+
+
+def test_checkpoint_variant_matches(spark):
+    edges = [(i, (i * 5 + 2) % 9) for i in range(9)]
+    plain = _ranks(spark, edges, iters=4)
+    ck = _ranks(spark, edges, iters=4, checkpoint_every=2)
+    assert plain == ck
