@@ -130,6 +130,51 @@ class TableStore:
         self._backing: dict[str, str] = {}  # table -> workdir
         self._version: dict[str, int] = {}
         self._first_version: dict[str, int] = {}  # advanced by vacuum()
+        self._constraints: dict[str, dict[str, str]] = {}
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) -------
+
+    def add_constraint(self, table: str, name: str, expr: str) -> None:
+        """Register a named CHECK constraint. Like Delta, registration
+        SCANS the existing data first and fails if any current row
+        violates the predicate — a constraint that doesn't hold is
+        rejected, not silently recorded. One conditional-sum aggregate
+        over the current version (the operators/quality.py shape)."""
+        self._validate(table, self.current(table), {name: expr})
+        self._constraints.setdefault(table, {})[name] = expr
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        if name not in self._constraints.get(table, {}):
+            raise ValueError(f"no constraint {name!r} on table {table!r}")
+        del self._constraints[table][name]
+
+    def constraints(self, table: str) -> dict[str, str]:
+        return dict(self._constraints.get(table, {}))
+
+    def _validate(self, table: str, df: DataFrame,
+                  rules: dict[str, str] | None = None) -> None:
+        """Raise if any rule is violated in `df` — the write-path gate
+        every commit runs over the rows it is about to make visible
+        (exactly the files a commit writes: full state on plain commits,
+        only rewritten/appended frames on file-pruned commits — the
+        Delta cost model, where validation rides the write pass). NULL
+        predicate results violate (strict CHECK three-valued logic,
+        matching operators/quality.py). The whole rule set folds into
+        ONE aggregate over the frame."""
+        rules = self._constraints.get(table) if rules is None else rules
+        if not rules:
+            return
+        from dataux_spark.operators.quality import Expectation, expectation_report
+
+        exps = [Expectation(n, e, "fail") for n, e in sorted(rules.items())]
+        bad = [
+            (r.rule, r.n_violations)
+            for r in expectation_report(df, exps).collect()
+            if r.n_violations
+        ]
+        if bad:
+            detail = ", ".join(f"{n}={c}" for n, c in bad)
+            raise ValueError(f"CHECK constraint violated on {table!r}: {detail}")
 
     def set_keys(self, table: str, keys: list[str]) -> None:
         self._keys[table] = keys
@@ -555,6 +600,18 @@ class TableStore:
 
         wd = self._backing[table]
         src = self._current_path(table)
+        # constraint gate FIRST — before any file of the new version
+        # exists, so a rejected commit leaves no partial state (costs one
+        # extra pass over only the rewritten/appended frames; untouched
+        # hard-linked files were validated by the commits that wrote them)
+        sub = (
+            self.spark.read.parquet(*[f"{src}/{n}" for n in sorted(hit)])
+            if hit else None
+        )
+        if sub is not None:
+            self._validate(table, rewrite(sub))
+        if append_df is not None:
+            self._validate(table, append_df)
         v = self._version[table] + 1
         dst = f"{wd}/v{v:06d}"
         os.makedirs(dst, exist_ok=True)
@@ -564,8 +621,7 @@ class TableStore:
                 os.link(f"{src}/{name}", f"{dst}/{name}")
                 kept.append(name)
         wrote = False
-        if hit:
-            sub = self.spark.read.parquet(*[f"{src}/{n}" for n in sorted(hit)])
+        if sub is not None:
             rewrite(sub).write.mode("append").parquet(dst)
             wrote = True
         if append_df is not None:
@@ -577,6 +633,7 @@ class TableStore:
         self.spark.read.parquet(dst).createOrReplaceTempView(table)
 
     def commit(self, table: str, df: DataFrame) -> None:
+        self._validate(table, df)
         if table in self._backing:
             v = self._version[table] + 1
             path = f"{self._backing[table]}/v{v:06d}"

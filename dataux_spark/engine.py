@@ -76,6 +76,15 @@ _ALTER_SOURCE_RE = re.compile(
     r"^\s*ALTER\s+SOURCE\s+`?(\w+)`?\s+WITH\s+(\{.*\})\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+CONSTRAINT\s+`?(\w+)`?"
+    r"\s+CHECK\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+CONSTRAINT\s+`?(\w+)`?\s*$",
+    re.IGNORECASE,
+)
 _VERSION_AS_OF_RE = re.compile(
     r"\b(FROM|JOIN)\s+`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
 )
@@ -494,6 +503,17 @@ class Engine:
                     # owns the not-version-backed / already-exists errors
                     self.store.shallow_clone(m.group(2), m.group(1))
                     return None
+                m = _ADD_CONSTRAINT_RE.match(stmt)
+                if m:
+                    # Delta's ALTER TABLE ADD CONSTRAINT ... CHECK: scans
+                    # existing rows first (rejected if violated), then
+                    # every commit validates the rows it writes
+                    self.store.add_constraint(m.group(1), m.group(2), m.group(3))
+                    return None
+                m = _DROP_CONSTRAINT_RE.match(stmt)
+                if m:
+                    self.store.drop_constraint(m.group(1), m.group(2))
+                    return None
                 m = _CREATE_SOURCE_RE.match(stmt)
                 if m:
                     return self.create_source(m.group(1), json.loads(m.group(2)))
@@ -609,7 +629,9 @@ class Engine:
             )
         m = self._SHOW_CREATE_RE.match(s)
         if m:
-            return show_plans.show_create_table(self.spark, m.group(1))
+            return show_plans.show_create_table(
+                self.spark, m.group(1), self.store.constraints(m.group(1))
+            )
         m = self._SHOW_VARS_RE.match(s)
         if m:
             return show_plans.show_variables(self.spark, self.ctx, m.group(1))

@@ -69,9 +69,18 @@ def describe(spark: SparkSession, table: str, full: bool = False) -> DataFrame:
     return spark.createDataFrame(rows, _FULL_SCHEMA if full else _DESC_SCHEMA)
 
 
-def show_create_table(spark: SparkSession, table: str) -> DataFrame:
+def show_create_table(
+    spark: SparkSession, table: str, constraints: dict[str, str] | None = None
+) -> DataFrame:
     schema = spark.table(table).schema
-    cols = ",\n".join(f"  `{f.name}` {mysql_type(f.dataType)}" for f in schema.fields)
+    parts = [f"  `{f.name}` {mysql_type(f.dataType)}" for f in schema.fields]
+    # registered CHECK constraints surface in the DDL (MySQL 8 spelling),
+    # so the catalog round-trips what the write path enforces
+    parts += [
+        f"  CONSTRAINT `{n}` CHECK ({e})"
+        for n, e in sorted((constraints or {}).items())
+    ]
+    cols = ",\n".join(parts)
     ddl = f"CREATE TABLE `{table}` (\n{cols}\n) ENGINE=InnoDB DEFAULT CHARSET=utf8;"
     return spark.createDataFrame([(table, ddl)], "Table string, `Create Table` string")
 

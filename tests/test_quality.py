@@ -95,3 +95,106 @@ def test_single_scan_plan(frame):
     # the report is ONE aggregate over one scan: no join, no window
     plan = expectation_report(frame, RULES)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+# --- table CHECK constraints (engine/TableStore integration) --------------
+
+
+def test_check_constraint_gates_writes(spark, sf_dir, tmp_path):
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_ck", f"{sf_dir}/nation.parquet", str(tmp_path / "ck_work"),
+        keys=["n_nationkey"],
+    )
+    eng.sql("ALTER TABLE nation_ck ADD CONSTRAINT key_nonneg CHECK (n_nationkey >= 0)")
+    n0 = eng.sql("SELECT count(*) AS ct FROM nation_ck").collect()[0][0]
+
+    # violating INSERT rejected, table state and version untouched
+    with pytest.raises(QueryError, match="key_nonneg=1"):
+        eng.sql('INSERT INTO nation_ck (n_nationkey, n_name, n_regionkey) VALUES (-1, "X", 0)')
+    assert eng.sql("SELECT count(*) AS ct FROM nation_ck").collect()[0][0] == n0
+    assert sorted(p.name for p in (tmp_path / "ck_work").iterdir()) == ["v000000"]
+
+    # violating file-pruned UPDATE rejected BEFORE any version appears
+    with pytest.raises(QueryError, match="key_nonneg"):
+        eng.sql("UPDATE nation_ck SET n_nationkey = -5 WHERE n_nationkey = 3")
+    assert sorted(p.name for p in (tmp_path / "ck_work").iterdir()) == ["v000000"]
+
+    # clean writes pass; NULL in the predicate counts as a violation
+    r = eng.sql('INSERT INTO nation_ck (n_nationkey, n_name, n_regionkey) VALUES (900, "OK", 0)')
+    assert r.affected == 1
+    with pytest.raises(QueryError, match="key_nonneg"):
+        eng.sql('INSERT INTO nation_ck (n_name, n_regionkey) VALUES ("NOKEY", 0)')
+
+    # DROP CONSTRAINT reopens the gate
+    eng.sql("ALTER TABLE nation_ck DROP CONSTRAINT key_nonneg")
+    r = eng.sql('INSERT INTO nation_ck (n_nationkey, n_name, n_regionkey) VALUES (-1, "X", 0)')
+    assert r.affected == 1
+
+
+def test_add_constraint_scans_existing_rows(spark, sf_dir, tmp_path):
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_ck2", f"{sf_dir}/nation.parquet", str(tmp_path / "ck2_work")
+    )
+    # existing data violates -> registration itself is rejected
+    with pytest.raises(QueryError, match="small_keys"):
+        eng.sql("ALTER TABLE nation_ck2 ADD CONSTRAINT small_keys CHECK (n_nationkey < 3)")
+    # and the gate is NOT in place afterwards
+    r = eng.sql('INSERT INTO nation_ck2 (n_nationkey, n_name, n_regionkey) VALUES (777, "Y", 0)')
+    assert r.affected == 1
+
+
+def test_drop_missing_constraint_errors(spark, sf_dir, tmp_path):
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_ck3", f"{sf_dir}/nation.parquet", str(tmp_path / "ck3_work")
+    )
+    with pytest.raises(QueryError, match="no constraint"):
+        eng.sql("ALTER TABLE nation_ck3 DROP CONSTRAINT ghost")
+
+
+def test_constraint_gates_merge_inserts(spark, sf_dir, tmp_path):
+    from dataux_spark import Engine
+    from dataux_spark.engine import QueryError
+
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_ck4", f"{sf_dir}/nation.parquet", str(tmp_path / "ck4_work"),
+        keys=["n_nationkey"],
+    )
+    eng.register_memory("ckmem", {
+        "src_rows": spark.createDataFrame(
+            [(-9, "BAD", 0)], "n_nationkey: long, n_name: string, n_regionkey: long"
+        )
+    })
+    eng.sql("ALTER TABLE nation_ck4 ADD CONSTRAINT key_nonneg CHECK (n_nationkey >= 0)")
+    with pytest.raises(QueryError, match="key_nonneg"):
+        eng.sql(
+            "MERGE INTO nation_ck4 USING src_rows ON nation_ck4.n_nationkey = src_rows.n_nationkey "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_show_create_table_lists_constraints(spark, sf_dir, tmp_path):
+    from dataux_spark import Engine
+
+    eng = Engine(spark)
+    eng.register_writable_parquet(
+        "nation_ck5", f"{sf_dir}/nation.parquet", str(tmp_path / "ck5_work")
+    )
+    eng.sql("ALTER TABLE nation_ck5 ADD CONSTRAINT key_nonneg CHECK (n_nationkey >= 0)")
+    ddl = eng.sql("SHOW CREATE TABLE nation_ck5").collect()[0][1]
+    assert "CONSTRAINT `key_nonneg` CHECK (n_nationkey >= 0)" in ddl
+    eng.sql("ALTER TABLE nation_ck5 DROP CONSTRAINT key_nonneg")
+    ddl = eng.sql("SHOW CREATE TABLE nation_ck5").collect()[0][1]
+    assert "CONSTRAINT" not in ddl
