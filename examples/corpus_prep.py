@@ -36,6 +36,23 @@ def main() -> None:
     column_profile(docs, ["doc_id", "n_chars", "lang", "source"]).show()
     equi_width_histogram(docs, "n_chars", 8).show()
 
+    print("== data contracts (expectations gate) ==")
+    from dataux_spark.operators.quality import (
+        Expectation,
+        expectation_report,
+        split_on_expectations,
+    )
+
+    rules = [
+        Expectation("text_nonempty", "text IS NOT NULL AND length(text) > 0", "warn"),
+        Expectation("len_in_range", "n_chars BETWEEN 60 AND 500", "drop"),
+        Expectation("lang_known", "lang IN ('en','es','de','fr')", "drop"),
+    ]
+    expectation_report(docs, rules).show(truncate=False)
+    docs, quarantined = split_on_expectations(docs, rules)
+    print(f"quarantined {quarantined.count()} rows; they carry their violations:")
+    quarantined.select("doc_id", F.array_join("violations", ",").alias("why")).show(3)
+
     print("== crawl hygiene: URL dedup, boilerplate lines, model score ==")
     from dataux_spark.operators.text import (
         hashed_linear_quality,
@@ -56,6 +73,24 @@ def main() -> None:
     )
     print(f"URL dedup: {docs.count()} docs -> {keepers.count()} keepers")
     docs = docs.join(keepers, "doc_id")
+
+    print("== domain-level curation: rollup, diversity cap, PageRank trust ==")
+    from dataux_spark.operators.graph import pagerank
+    from dataux_spark.operators.sampling import cap_per_group
+    from dataux_spark.operators.web import domain_rollup, registered_domain_col
+
+    domain_rollup(with_urls, "url", "doc_id", metric_col="n_chars").show()
+    with_dom = with_urls.withColumn("domain", registered_domain_col(F.col("url")))
+    capped = cap_per_group(with_dom, "domain", "doc_id", 100)
+    print(f"domain cap (<=100/domain): {with_dom.count()} -> {capped.count()}")
+    # link graph between domains (derived here; a crawl carries real edges)
+    edges = with_dom.select(
+        F.col("domain").alias("src"),
+        F.concat(F.lit("site"), ((F.col("doc_id") + 1) % 3).cast("string"),
+                 F.lit(".com")).alias("dst"),
+    )
+    print("domain trust (3-iteration PageRank):")
+    pagerank(edges, iters=3).orderBy(F.col("rank").desc()).show()
     cleaned = remove_boilerplate_lines(docs, "text", "doc_id", min_docs=3)
     docs = docs.drop("text").join(
         cleaned.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
