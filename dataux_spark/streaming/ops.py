@@ -162,7 +162,7 @@ def stateful_user_counter(stream: DataFrame, timeout: str = "NoTimeout") -> Data
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -432,7 +432,7 @@ def streaming_ewma_anomalies(
     )
 
     def update(key, pdfs, state):
-        n, mean, var = state.get() if state.exists else (0, 0.0, 0.0)
+        n, mean, var = state.get if state.exists else (0, 0.0, 0.0)
         out = {key_col: [], id_col: [], value_col: [], "z": [],
                "is_anomaly": []}
         chunks = [pdf for pdf in pdfs]
@@ -468,4 +468,106 @@ def streaming_ewma_anomalies(
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, EWMA_STATE_SCHEMA, "append", "NoTimeout"
+    )
+
+
+def streaming_match_sequence(
+    stream: DataFrame,
+    pattern: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within_hours: float = 24.0,
+) -> DataFrame:
+    """Streaming twin of timeseries.match_sequence — greedy first-next
+    ordered-pattern detection as ONLINE per-user state: every
+    pattern[0] event opens a chain; an incoming event of the type a
+    chain is waiting for binds it (all waiting chains bind the same
+    event — that IS the greedy rule, since in arrival order it is the
+    first following stage event for each of them); a chain completing
+    its last stage inside the window emits a match. Chains whose
+    deadline has passed are dropped on the next event, so per-user
+    state is bounded by the anchor count inside one window — NOT by
+    stream length (the applyInPandasWithState property the batch
+    window fold cannot give an unbounded stream).
+
+    Equivalence contract (pinned in tests): replaying a bounded event
+    set through this operator yields exactly match_sequence's rows.
+    The same ordering discipline as streaming_ewma_anomalies applies:
+    a key's micro-batch is concatenated and sorted ONCE on (ts, id)
+    before the fold; across batches Kafka's partition-by-key ordering
+    is the contract. An event binds chains BEFORE it may open its own
+    anchor, so repeated-type patterns bind strictly-after, like the
+    batch operator's (ts, id) comparison.
+
+    Output: (user, start_ts, end_ts, duration_sec) in "append" mode.
+    """
+    import pandas as pd
+
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two stages")
+    user_t = stream.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"`user` {user_t}, start_ts timestamp, end_ts timestamp, "
+        "duration_sec double"
+    )
+    state_schema = "starts array<long>, stages array<int>"
+    within_ns = int(within_hours * 3600) * 1_000_000_000
+    last = len(pattern) - 1
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st, sg = state.get
+            chains = [(int(s), int(g)) for s, g in zip(st or [], sg or [])]
+        else:
+            chains = []
+        out_start, out_end = [], []
+        chunks = [pdf for pdf in pdfs]
+        batch = (
+            (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+                [ts_col, id_col]
+            )
+            if chunks
+            else None
+        )
+        rows = (
+            zip(
+                pd.to_datetime(batch[ts_col]).astype("int64"),
+                batch[type_col],
+            )
+            if batch is not None
+            else ()
+        )
+        for t_ns, etype in rows:
+            t_ns = int(t_ns)
+            nxt = []
+            for start, stage in chains:
+                if t_ns - start > within_ns:
+                    continue  # deadline passed: chain can never complete
+                if etype == pattern[stage]:
+                    if stage == last:
+                        out_start.append(start)
+                        out_end.append(t_ns)
+                    else:
+                        nxt.append((start, stage + 1))
+                else:
+                    nxt.append((start, stage))
+            chains = nxt
+            if etype == pattern[0]:
+                chains.append((t_ns, 1))
+        state.update(([c[0] for c in chains], [c[1] for c in chains]))
+        yield pd.DataFrame(
+            {
+                "user": [key[0]] * len(out_start),
+                "start_ts": pd.to_datetime(pd.Series(out_start, dtype="int64")),
+                "end_ts": pd.to_datetime(pd.Series(out_end, dtype="int64")),
+                "duration_sec": [
+                    round((e - s) / 1e9, 6) for s, e in zip(out_start, out_end)
+                ],
+            }
+        )
+
+    return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
     )

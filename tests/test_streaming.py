@@ -343,3 +343,95 @@ def test_streaming_ewma_constant_baseline_flags_deviation(spark, tmp_path):
             .parquet(src),
             value_col="z",
         )
+
+
+def test_streaming_match_sequence_equals_batch(spark, sf_dir):
+    """Replaying the bounded event set through the stateful streaming
+    matcher yields exactly the batch window-fold's matches."""
+    from dataux_spark.operators.timeseries import match_sequence
+    from dataux_spark.queries import read_table
+
+    pattern = ["view", "click", "purchase"]
+    batch = sorted(
+        (r.user, r.start_ts, r.end_ts, r.duration_sec)
+        for r in match_sequence(
+            read_table(spark, sf_dir, "events"), pattern, within_hours=24.0
+        ).collect()
+    )
+    stream = S.stream_events(spark, sf_dir)
+    out = S.run_to_memory(
+        S.streaming_match_sequence(stream, pattern, within_hours=24.0),
+        "seq_out",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user, r.start_ts, r.end_ts, r.duration_sec) for r in out.collect()
+    )
+    assert got == batch and len(got) > 0
+
+
+def test_streaming_match_sequence_state_carries_across_batches(spark, tmp_path):
+    """A chain opened in one micro-batch completes in a later one (file
+    source: one file = one micro-batch); expired chains are dropped."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "seq_src")
+    b1 = pd.DataFrame(
+        [
+            (1, base, 1, "view"),
+            (2, base + dt.timedelta(seconds=10), 1, "click"),
+            # user 2 opens a chain whose deadline will pass
+            (3, base, 2, "view"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    b2 = pd.DataFrame(
+        [
+            (4, base + dt.timedelta(seconds=20), 1, "purchase"),
+            # beyond user 2's 1h window: the chain must NOT complete
+            (5, base + dt.timedelta(hours=2), 2, "click"),
+            (6, base + dt.timedelta(hours=2, seconds=5), 2, "purchase"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = S.run_to_memory(
+        S.streaming_match_sequence(
+            stream, ["view", "click", "purchase"], within_hours=1.0
+        ),
+        "seq_carry",
+        output_mode="append",
+    )
+    rows = out.collect()
+    assert [(r.user, r.duration_sec) for r in rows] == [(1, 20.0)]
+
+
+def test_streaming_ewma_state_survives_multiple_batches(spark, tmp_path):
+    """Regression: GroupState.get is a PROPERTY in pyspark — calling it
+    crashed every stateful op on the first micro-batch where state
+    already existed (single-batch tests never reached that path)."""
+    import pandas as pd
+
+    src = str(tmp_path / "ewma_mb")
+    schema = "event_id long, event_type string, value double"
+    b1 = pd.DataFrame([(i, "click", 10.0 + (i % 3)) for i in range(20)],
+                      columns=["event_id", "event_type", "value"])
+    b2 = pd.DataFrame([(100 + i, "click", 10.0 + ((100 + i) % 3)) for i in range(20)]
+                      + [(999, "click", 500.0)],
+                      columns=["event_id", "event_type", "value"])
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = S.run_to_memory(
+        S.streaming_ewma_anomalies(stream), "ewma_mb_out", output_mode="append"
+    )
+    got = {r.event_id: r.is_anomaly for r in out.collect()}
+    assert len(got) == 41
+    assert got[999] == 1  # scored against state carried from batch 1
+    assert sum(got.values()) == 1
