@@ -13,6 +13,11 @@ Both operators are single-scan, shuffle-light by construction:
                        range comes from a 1-row min/max aggregate joined
                        back lazily (no driver action), buckets roll up
                        map-side. Two tiny exchanges, both O(bins).
+  distribution_drift_psi — population-stability index between a reference
+                       and a current slice: one census groupBy per side
+                       over a shared fixed bucketing, joined onto a dense
+                       O(bins) spine. Two linear scans; everything after
+                       the censuses is O(bins) rows.
 """
 
 from __future__ import annotations
@@ -101,6 +106,93 @@ def equi_width_histogram(
             F.round(F.col("__lo") + (F.col("bucket") - 1) * w, 6).alias("lo"),
             F.round(F.col("__lo") + F.col("bucket") * w, 6).alias("hi"),
             "ct",
+        )
+        .orderBy("bucket")
+    )
+
+
+def distribution_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference corpus slice and a
+    current one — the drift monitor a training-data pipeline runs when a
+    new crawl batch lands (did the length/quality/score distribution
+    move?). Bucket edges are FIXED from the reference frame's min/max
+    (the deployed binning), both sides are bucketed with the identical
+    clamped floor formula least(bins, greatest(1, 1+floor((x-lo)/w))) —
+    current values outside the reference range fold into the edge
+    buckets — and per-bucket proportions are smoothed with `eps` before
+    the log so empty buckets contribute a finite term. PSI term per
+    bucket = (p'-q')*ln(p'/q') with p' = max(p, eps); sum the column for
+    the headline index (rule of thumb: <0.1 stable, >0.25 drifted).
+
+    A dense 1..bins spine (explode(sequence) on the 1-row range frame)
+    carries buckets absent from either side: dropping them would
+    silently under-report drift exactly when it is largest.
+
+    Plan shape: 1-row min/max aggregate on ref, broadcast into both
+    census scans; one groupBy per side on the bucket key; spine join and
+    proportion window all run on O(bins) rows. Nothing downstream of the
+    two linear scans depends on data size.
+
+    Returns (bucket, n_ref, n_cur, p_ref, q_cur, psi_term) ordered by
+    bucket, proportions and terms rounded to 6dp."""
+    from pyspark.sql import Window
+
+    rng = ref.agg(
+        F.min(F.col(col)).cast("double").alias("__lo"),
+        F.max(F.col(col)).cast("double").alias("__hi"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / bins
+
+    def census(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        bucket = F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(1).cast("bigint")
+        ).otherwise(
+            F.least(
+                F.lit(bins).cast("bigint"),
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    (F.lit(1) + F.floor((x - F.col("__lo")) / w)).cast("bigint"),
+                ),
+            )
+        )
+        return (
+            df.filter(F.col(col).isNotNull())
+            .join(F.broadcast(rng))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias(out))
+        )
+
+    spine = rng.select(
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.lit(bins).cast("bigint"))).alias("bucket")
+    )
+    joined = (
+        spine.join(census(ref, "__nr"), "bucket", "left")
+        .join(census(cur, "__nc"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__nr", F.lit(0)).alias("n_ref"),
+            F.coalesce("__nc", F.lit(0)).alias("n_cur"),
+        )
+    )
+    all_rows = Window.partitionBy()
+    p = F.col("n_ref") / F.sum("n_ref").over(all_rows)
+    q = F.col("n_cur") / F.sum("n_cur").over(all_rows)
+    ps, qs = F.greatest(p, F.lit(eps)), F.greatest(q, F.lit(eps))
+    return (
+        joined.select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("q_cur"),
+            F.round((ps - qs) * F.log(ps / qs), 6).alias("psi_term"),
         )
         .orderBy("bucket")
     )

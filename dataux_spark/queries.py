@@ -1461,6 +1461,70 @@ def profile_histogram(spark, sf_dir):
     return equi_width_histogram(read_table(spark, sf_dir, "documents"), "n_chars", 10)
 
 
+@_q(
+    "profile_drift_psi",
+    # the oracle replays the full PSI pipeline: reference-frame edges,
+    # the identical clamped floor bucketing on BOTH sides, the dense
+    # 1..bins spine (so empty buckets still contribute), smoothed
+    # proportions, (p'-q')*ln(p'/q') per bucket. Counts cast BIGINT
+    # (DuckDB coalesce/sum would widen), proportions/terms rounded 6dp.
+    """
+    WITH r AS (
+      SELECT CAST(min(n_chars) AS DOUBLE) AS rlo,
+             CAST(max(n_chars) AS DOUBLE) AS rhi
+      FROM documents WHERE doc_id % 2 = 0
+    ), pc AS (
+      SELECT CAST(least(10, greatest(1, 1 + CAST(floor(
+               (CAST(n_chars AS DOUBLE) - rlo) / ((rhi - rlo) / 10)
+             ) AS BIGINT))) AS BIGINT) AS bucket, count(*) AS nr
+      FROM documents, r WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ), qc AS (
+      SELECT CAST(least(10, greatest(1, 1 + CAST(floor(
+               (CAST(n_chars AS DOUBLE) - rlo) / ((rhi - rlo) / 10)
+             ) AS BIGINT))) AS BIGINT) AS bucket, count(*) AS nc
+      FROM documents, r WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bucket
+    ), j AS (
+      SELECT s.bucket, CAST(coalesce(pc.nr, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(qc.nc, 0) AS BIGINT) AS n_cur
+      FROM spine s
+      LEFT JOIN pc ON s.bucket = pc.bucket
+      LEFT JOIN qc ON s.bucket = qc.bucket
+    ), pq AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(n_ref AS DOUBLE) / sum(n_ref) OVER () AS p,
+             CAST(n_cur AS DOUBLE) / sum(n_cur) OVER () AS q
+      FROM j
+    )
+    SELECT bucket, n_ref, n_cur,
+           round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+           round((greatest(p, 1e-6) - greatest(q, 1e-6)) *
+                 ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 6) AS psi_term
+    FROM pq
+    """,
+)
+def profile_drift_psi(spark, sf_dir):
+    """Population-Stability-Index drift monitor (operators/profile.py
+    distribution_drift_psi): the even-doc_id half of the corpus is the
+    deployed reference, the odd half the incoming batch; bucket edges
+    come from the reference min/max and both sides share the clamped
+    floor bucketing, so out-of-range new data folds into edge buckets
+    instead of vanishing. Two linear censuses, then O(bins) rows — the
+    check a pipeline runs per crawl batch before mixing it in."""
+    from dataux_spark.operators.profile import distribution_drift_psi
+
+    docs = read_table(spark, sf_dir, "documents")
+    return distribution_drift_psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        bins=10,
+    )
+
+
 _QUALITY_RULES_SQL = [
     # (name, predicate, action) — the oracle spells each predicate
     # identically; violation = NOT coalesce(pred, FALSE) on both engines
@@ -4640,6 +4704,55 @@ def streaming_windowed_agg(spark, sf_dir):
 
 
 @_q(
+    "streaming_sequence_match",
+    # identical oracle to sequence_match_vcp: the greedy first-next
+    # chain as lateral joins. The STREAMING matcher must reproduce the
+    # batch window fold exactly when the bounded event set is replayed
+    # through it — that replay-equivalence contract is what this entry
+    # gates driver-side.
+    """
+    SELECT a.user_id AS user, a.ts AS start_ts, c.cts AS end_ts,
+           round(date_diff('microsecond', a.ts, c.cts) / 1000000.0, 6)
+             AS duration_sec
+    FROM events a
+    LEFT JOIN LATERAL (
+      SELECT b.ts AS bts, b.event_id AS bid FROM events b
+      WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        AND (b.ts, b.event_id) > (a.ts, a.event_id)
+      ORDER BY b.ts, b.event_id LIMIT 1
+    ) b ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT c2.ts AS cts FROM events c2
+      WHERE c2.user_id = a.user_id AND c2.event_type = 'purchase'
+        AND (c2.ts, c2.event_id) > (b.bts, b.bid)
+      ORDER BY c2.ts, c2.event_id LIMIT 1
+    ) c ON TRUE
+    WHERE a.event_type = 'view' AND c.cts IS NOT NULL
+      AND date_diff('microsecond', a.ts, c.cts) <= 86400000000
+    """,
+)
+def streaming_sequence_match(spark, sf_dir):
+    """ONLINE sequence detection (streaming/ops.streaming_match_sequence):
+    the event stream replayed through the applyInPandasWithState matcher —
+    per-user open-chain state, first-next greedy binding, deadline-expired
+    chains dropped so state is bounded by anchors inside one window, not
+    stream length. The oracle is the batch lateral-join spelling; matching
+    it end-to-end pins the streaming/batch equivalence contract the
+    operator documents."""
+    from dataux_spark import streaming as S
+
+    return S.run_to_memory(
+        S.streaming_match_sequence(
+            S.stream_events(spark, sf_dir),
+            ["view", "click", "purchase"],
+            within_hours=24.0,
+        ),
+        "q_stream_seq",
+        output_mode="append",
+    )
+
+
+@_q(
     "streaming_dedup",
     "SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events",
 )
@@ -5680,7 +5793,11 @@ _DRIVER_WINDOW: list[str] = [
     # the round-7 quality gate (the ANN family keeps three in-window
     # representatives: cosine, quantized, hard_negatives)
     "quality_quarantine_rows",
-    "streaming_rollup_merge",
+    # streaming_rollup_merge's veteran slot (green r6, 3385-row oracle)
+    # goes to the round-7 ONLINE sequence matcher: the streaming family
+    # keeps streaming_url_dedup in-window, and the new entry pins the
+    # streaming/batch replay-equivalence contract driver-side
+    "streaming_sequence_match",
     "cdc_table_changes",
     "training_prep_pipeline",
     # dedup_semantic_keepset's veteran slot (green r6, 550-row full

@@ -3,7 +3,11 @@ frame with known nulls / duplicates / constant and varying columns."""
 
 from pyspark.sql import functions as F
 
-from dataux_spark.operators.profile import column_profile, equi_width_histogram
+from dataux_spark.operators.profile import (
+    column_profile,
+    distribution_drift_psi,
+    equi_width_histogram,
+)
 from dataux_spark.queries import read_table
 
 
@@ -56,3 +60,41 @@ def test_column_profile_hostile_column_names(spark):
     assert rows["o'brien col"].n_distinct == 2
     assert rows["a.b c"].n_nulls == 1
     assert rows["a.b c"].max_val == 2.0
+
+def test_psi_identical_halves_near_zero(spark):
+    """Same distribution on both sides → every term 0 (after the eps
+    smoothing both p' and q' are equal per bucket)."""
+    import math
+
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    out = distribution_drift_psi(df, df, "x", bins=10).collect()
+    assert len(out) == 10
+    assert all(r.psi_term == 0.0 for r in out)
+    assert math.isclose(sum(r.p_ref for r in out), 1.0, abs_tol=1e-4)
+
+
+def test_psi_dense_spine_and_clamping(spark):
+    """Buckets empty on one side still appear (dense spine), and current
+    values outside the reference range clamp into the edge buckets
+    instead of vanishing — both are where drift is LARGEST."""
+    ref = spark.createDataFrame([(float(x),) for x in range(0, 100)], "x double")
+    # current: everything far above the reference max, plus one below min
+    cur = spark.createDataFrame([(500.0,)] * 9 + [(-50.0,)], "x double")
+    out = {r.bucket: r for r in distribution_drift_psi(ref, cur, "x", bins=10).collect()}
+    assert set(out) == set(range(1, 11))          # dense 1..10 spine
+    assert out[10].n_cur == 9 and out[1].n_cur == 1  # clamped to edges
+    assert sum(r.n_cur for r in out.values()) == 10  # nothing vanished
+    # middle buckets: ref mass present, cur empty → positive PSI terms
+    assert all(out[b].psi_term > 0 for b in range(2, 10))
+    total = sum(r.psi_term for r in out.values())
+    assert total > 0.25  # reads as "drifted" on the standard rule
+
+
+def test_psi_constant_reference_defined(spark):
+    """Zero-width reference range folds everything into bucket 1 on both
+    sides — defined output, not 0/0 NaN."""
+    ref = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    cur = spark.createDataFrame([(5.0,), (9.0,)], "x double")
+    out = {r.bucket: r for r in distribution_drift_psi(ref, cur, "x", bins=10).collect()}
+    assert out[1].n_ref == 2 and out[1].n_cur == 2
+    assert out[1].psi_term == 0.0
