@@ -1,0 +1,93 @@
+"""Record linkage (entity resolution) — blocked fuzzy matching between
+two tables that name the same real-world entities with dirty spellings
+(the master-data join every corpus-metadata pipeline eventually needs:
+crawl-source registries vs curated publisher lists, author tables vs
+license databases).
+
+Beyond-reference extension: the reference joins on equality only
+(SURVEY §2.3); linkage is the standard blocking+scoring pattern layered
+on the same equi-join machinery.
+
+Scale design — the whole point of blocking:
+  * Candidate pairs come ONLY from an equi-join on the blocking key(s),
+    so Catalyst plans an ordinary shuffle join; there is never a
+    cartesian stage. Pair count is sum over blocks of |L_b| x |R_b|,
+    bounded by the blocking choice, not |L| x |R|.
+  * The edit-distance score runs INSIDE the join projection as the JVM
+    levenshtein expression (whole-stage codegen) with its built-in
+    early-exit threshold form — no Python, no UDF.
+  * best-per-left is one window over the surviving (scored, thresholded)
+    pairs — tiny relative to the candidate stage.
+  * Recall caveat (documented, standard ER practice): a pair whose
+    blocking keys disagree is never considered. Run multiple passes with
+    different blocking columns and union the results when one key is not
+    trustworthy; each pass stays an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm(c):
+    """Matching-key normalization: casefold, trim, collapse runs of
+    whitespace — typographic noise that should never count as an edit."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def blocked_entity_match(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: list[str],
+    fuzzy_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 1,
+    best_per_left: bool = True,
+) -> DataFrame:
+    """Match `left` entities to `right` records: candidates share ALL
+    `block_on` column values (equi-join), are scored with levenshtein
+    over the normalized `fuzzy_col`, kept when distance <= max_distance,
+    and (by default) reduced to the single best match per left entity —
+    min distance, ties broken by the smaller right id, so the result is
+    exactly reproducible by any engine that spells the same rule.
+
+    Returns (left_id, right_id, <fuzzy_col>_left, <fuzzy_col>_right,
+    distance); one row per left entity when best_per_left, else every
+    surviving candidate pair.
+    """
+    lsel = left.select(
+        F.col(left_id).alias("__lid"),
+        *[F.col(c).alias(f"__bl_{c}") for c in block_on],
+        F.col(fuzzy_col).alias("__lraw"),
+        _norm(F.col(fuzzy_col)).alias("__lkey"),
+    )
+    rsel = right.select(
+        F.col(right_id).alias("__rid"),
+        *[F.col(c).alias(f"__br_{c}") for c in block_on],
+        F.col(fuzzy_col).alias("__rraw"),
+        _norm(F.col(fuzzy_col)).alias("__rkey"),
+    )
+    cond = [lsel[f"__bl_{c}"] == rsel[f"__br_{c}"] for c in block_on]
+    # the 3-arg levenshtein bails out at the threshold (returns -1), so
+    # the scan cost per pair is O(len * max_distance), not O(len^2)
+    dist = F.levenshtein(F.col("__lkey"), F.col("__rkey"), int(max_distance))
+    pairs = (
+        lsel.join(rsel, cond, "inner")
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__lraw").alias(f"{fuzzy_col}_left"),
+            F.col("__rraw").alias(f"{fuzzy_col}_right"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") >= 0)
+    )
+    if not best_per_left:
+        return pairs
+    w = Window.partitionBy(left_id).orderBy("distance", right_id)
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -4916,6 +4916,79 @@ def dedup_keep_best(spark, sf_dir):
 
 
 @_q(
+    "link_entities_blocked",
+    # the oracle replays the whole linkage pass: the planted dirty
+    # registry, nation-blocked candidate pairs, levenshtein over the
+    # identical normalization, threshold, best-per-left with the
+    # (distance, right_id) tie-break
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS rec_id, c_nationkey,
+        CASE CAST(c_custkey % 3 AS INTEGER)
+          WHEN 0 THEN substr(c_name, 1, 9) || substr(c_name, 11)
+          WHEN 1 THEN upper(c_name)
+          ELSE c_name || 'x'
+        END AS c_name
+      FROM customer
+    ), pairs AS (
+      SELECT l.c_custkey, d.rec_id,
+             l.c_name AS c_name_left, d.c_name AS c_name_right,
+             CAST(levenshtein(
+               regexp_replace(trim(lower(l.c_name)), '\\s+', ' ', 'g'),
+               regexp_replace(trim(lower(d.c_name)), '\\s+', ' ', 'g')
+             ) AS INTEGER) AS distance
+      FROM customer l JOIN dirty d ON l.c_nationkey = d.c_nationkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY distance, rec_id) AS rk
+      FROM pairs WHERE distance <= 1
+    )
+    SELECT c_custkey, rec_id, c_name_left, c_name_right, distance
+    FROM ranked WHERE rk = 1
+    """,
+)
+def link_entities_blocked(spark, sf_dir):
+    """Record linkage (operators/linkage.blocked_entity_match): match
+    clean customers against a planted dirty registry (dropped character /
+    case noise / appended character, keyed by custkey % 3) blocking on
+    c_nationkey. Candidates come only from the nation equi-join (never a
+    cartesian stage), scoring is the JVM levenshtein expression with its
+    early-exit threshold form inside the join projection, and
+    best-per-left is one window with a total (distance, rec_id)
+    tie-break — so the match set is exactly reproducible, including the
+    planted cross-entity ambiguities the tie-break settles."""
+    from dataux_spark.operators.linkage import blocked_entity_match
+
+    cust = read_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.substring("c_name", 1, 9), F.expr("substr(c_name, 11)")),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.upper("c_name"))
+        .otherwise(F.concat(F.col("c_name"), F.lit("x")))
+        .alias("c_name"),
+    )
+    return blocked_entity_match(
+        cust,
+        dirty,
+        block_on=["c_nationkey"],
+        fuzzy_col="c_name",
+        left_id="c_custkey",
+        right_id="rec_id",
+        max_distance=1,
+    ).select(
+        "c_custkey",
+        "rec_id",
+        "c_name_left",
+        "c_name_right",
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
+@_q(
     "corpus_clean_pipeline",
     """
     WITH stats AS (
@@ -5798,7 +5871,11 @@ _DRIVER_WINDOW: list[str] = [
     # keeps streaming_url_dedup in-window, and the new entry pins the
     # streaming/batch replay-equivalence contract driver-side
     "streaming_sequence_match",
-    "cdc_table_changes",
+    # cdc_table_changes' veteran slot (green r6, 7208-row feed oracle)
+    # goes to the round-7 record-linkage entry; the lakehouse family
+    # stays covered in-window by cdc_incremental_aggregate and
+    # compaction_roundtrip, and linkage is brand-new surface
+    "link_entities_blocked",
     "training_prep_pipeline",
     # dedup_semantic_keepset's veteran slot (green r6, 550-row full
     # oracle) goes to the round-7 PQ/ADC entry; the dedup family keeps
