@@ -441,6 +441,116 @@ def ivf_index_topk(
     )
 
 
+def build_ivf_index_fixed(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    """Persist an IVF index under an EXPLICIT centroid table — the
+    deterministic twin of build_ivf_index, sharing _centroid_structs
+    with ivf_fixed_topk/assign_to_centroids so on-disk cell membership
+    can never drift from the oracle-checked in-memory variants.
+    Assignment is the zero-shuffle literal-centroid JVM projection (max
+    cosine, ties to the smaller centroid id); rows land partitioned by
+    cell, centroids stored alongside for probe/update time."""
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("_vn", _norm("_v"))
+        .withColumn("cell", (-F.array_max(_centroid_structs(centroids))["ncid"]).cast("long"))
+        .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
+    )
+    c.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/cells"
+    )
+    corpus.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cell: long, centroid: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def _stored_centroids(spark, index_path: str) -> list[tuple[int, list[float]]]:
+    return [
+        (int(r.cell), list(r.centroid))
+        for r in spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    ]
+
+
+def update_ivf_index(
+    new_vectors: DataFrame, vec_col: str, id_col: str, index_path: str
+) -> None:
+    """Incremental index maintenance — the ingest half of a production
+    ANN service: new embeddings are assigned to the EXISTING quantizer
+    cells (read from the index, inlined as literals — the quantizer is
+    never retrained here, so old rows never move) and APPENDED to their
+    cell partitions. Existing part-files are untouched: the write lands
+    only new files under the affected cell= directories, which is what
+    keeps maintenance O(batch), independent of index size.
+
+    Append-only contract (the standard ANN ingest path): ids are assumed
+    new. Replacing an id is a delete+append at the lakehouse layer, not
+    an index operation. Re-train + full rebuild (build_ivf_index*) when
+    drift degrades the quantizer — the PSI monitor over cell populations
+    is the signal."""
+    cents = _stored_centroids(new_vectors.sparkSession, index_path)
+    c = (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v")
+        )
+        .withColumn("_vn", _norm("_v"))
+        .withColumn("cell", (-F.array_max(_centroid_structs(cents))["ncid"]).cast("long"))
+        .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
+    )
+    c.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/cells"
+    )
+
+
+def ivf_index_fixed_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a fixed-centroid persisted index (built by
+    build_ivf_index_fixed, possibly grown by update_ivf_index): queries
+    take their nprobe best cells via the same literal-centroid JVM
+    scorer, the cell=cell join drives partition pruning on the index's
+    cell directory column (un-probed cells are skipped at the file
+    level), exact rerank within. Deterministic end to end, so
+    incremental build+update must equal the one-shot in-memory
+    ivf_fixed_topk value-for-value — the contract tests and the driver
+    oracle both pin."""
+    cents = _stored_centroids(spark, index_path)
+    structs = _centroid_structs(cents)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("_vn", _norm("_v"))
+        .withColumn("__structs", structs)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"transform(slice(reverse(array_sort(__structs)), 1, {nprobe}), "
+                    "s -> CAST(-s.ncid AS BIGINT))"
+                )
+            ),
+        )
+        .select("query_id", F.col("_v").alias("qv"), F.col("_vn").alias("qnorm"), "cell")
+    )
+    cells = spark.read.parquet(f"{index_path}/cells").withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    cand = cells.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _rerank_topk(cand, k)
+
+
 # ------------------------------------------------------------- clustering
 
 def _centroid_structs(centroids: list[tuple[int, list[float]]]):

@@ -435,3 +435,69 @@ def test_pq_encode_zero_shuffle_plan(emb):
 def test_pq_missing_seed_raises(emb):
     with pytest.raises(ValueError, match="seed ids not found"):
         similarity.pq_codebooks_from_seeds(emb, "embedding", "vec_id", [3, 10**9], 4)
+
+
+def test_incremental_index_equals_one_shot(emb, spark, tmp_path):
+    """build(half) + update(other half) must probe identically to the
+    in-memory one-shot ivf_fixed_topk over the full corpus: the frozen
+    quantizer means old rows never move and new rows use the same
+    scorer, so the grown index IS the full index."""
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    root = str(tmp_path / "ivf")
+    similarity.build_ivf_index_fixed(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id", root, cents
+    )
+    similarity.update_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id", root
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.ivf_index_fixed_topk(
+            spark, root, q, "embedding", "vec_id", k=K, nprobe=2
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.ivf_fixed_topk(
+            emb, q, "embedding", "vec_id", cents, k=K, nprobe=2
+        ).collect()
+    )
+    assert got == want and len(got) == N_QUERIES * K
+
+
+def test_incremental_update_appends_only(emb, spark, tmp_path):
+    """O(batch) maintenance: the update writes NEW part-files into the
+    affected cell directories and never rewrites or deletes an existing
+    file — maintenance cost is independent of index size."""
+    import os
+
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    root = str(tmp_path / "ivf2")
+    similarity.build_ivf_index_fixed(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id", root, cents
+    )
+
+    def snap():
+        out = {}
+        for dirp, _, files in os.walk(f"{root}/cells"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirp, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snap()
+    similarity.update_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id", root
+    )
+    after = snap()
+    assert set(before) <= set(after)            # nothing deleted
+    assert all(after[p] == before[p] for p in before)  # nothing rewritten
+    assert len(after) > len(before)             # batch landed as new files
