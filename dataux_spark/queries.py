@@ -2183,6 +2183,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @_q(
+    "dedup_prefix_jaccard",
+    # Prefix filtering only generates candidates; the verify stage
+    # recomputes true shingle-set Jaccard, and the prefix theorem makes
+    # the candidate set a superset of all qualifying pairs — so the exact
+    # all-pairs SQL is a full value oracle (same contract as
+    # dedup_minhash_lsh / dedup_ngram_jaccard).
+    """
+    WITH g AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a._id AS id_a, b._id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b ON a._id < b._id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    """,
+)
+def dedup_prefix_jaccard(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered shingle-set similarity self-join
+    (operators/dedup.py prefix_jaccard_pairs): rarest-first shingle
+    order, per-doc prefix of s - ceil(t*s) + 1 shingles, candidates only
+    from the prefix-shingle equi-join, exact-Jaccard verify — lossless vs
+    the quadratic answer by the prefix-filtering theorem."""
+    from dataux_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+@_q(
     "dedup_winnow_fingerprints",
     """
     WITH h AS (

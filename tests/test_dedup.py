@@ -440,3 +440,17 @@ def test_minhash_lsh_pairs_with_caller_owned_grams(docs):
     finally:
         g.unpersist()
     assert sorted(map(tuple, base)) == sorted(map(tuple, reused))
+
+
+def test_prefix_jaccard_matches_bruteforce_and_prunes(spark, docs):
+    """Prefix filtering must be lossless vs the quadratic shingle-set
+    answer (prefix-filtering theorem); ngram_jaccard_pairs with no blocks
+    IS that quadratic answer, so the two operators must agree exactly."""
+    out = dedup.prefix_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    brute = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=[], n=3, threshold=0.5, length_bucket=False
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    want = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
+    assert got == want
+    assert len(want) > 0  # the corpus plants near-dups; test must exercise them
