@@ -672,15 +672,52 @@ def ivf_fixed_topk(
     a per-query window. Ties break to the smaller centroid/neighbor id so
     the result is engine-independent. Returns (query_id, neighbor_id,
     cos, rank)."""
+    return knn_join(
+        queries, corpus, vec_col, id_col, centroids, k=k, nprobe=nprobe,
+        broadcast_left=True,
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """Cell-blocked k-NN JOIN: top-k cosine neighbors in `right` for EVERY
+    row of `left`, where BOTH sides may be corpus-scale.
+
+    The missing scale pattern next to the broadcast-query variants
+    (ivf_fixed_topk broadcasts its bounded query set; hard_negative_mining
+    broadcasts its anchors): here neither side broadcasts. Both sides are
+    cell-assigned by the shared zero-shuffle literal-centroid projection
+    (_centroid_structs — pure scan-projection JVM expressions), the left
+    side explodes to its nprobe best cells, and candidates come from a
+    plain shuffle equi-join ON THE CELL KEY — per-cell work is
+    |left∩cell|·|right∩cell|, bounded by the quantizer's cell granularity
+    exactly as in any IVF index, never |left|·|right|. Rerank is one
+    per-left-id window. This is the all-pairs-top-k primitive behind
+    near-dup graphs, diversity analysis, and corpus self-retrieval, where
+    "queries" = the whole corpus and a broadcast would OOM every executor.
+
+    With explicit centroids the whole pipeline is deterministic —
+    assignment, probe, rerank all replayed by the driver oracle. AQE may
+    still choose a broadcast at toy scale; nothing forces one (the hint
+    audit keeps it that way). Returns (query_id, neighbor_id, cos, rank).
+    """
     structs = _centroid_structs(centroids)  # shared scorer: no drift vs assign_to_centroids
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
+    r = (
+        right.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
         .withColumn("_vn", _norm("_v"))
         .withColumn("cell", (-F.array_max(structs)["ncid"]).cast("long"))
         .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v"))
+    lf = (
+        left.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v"))
         .withColumn("_vn", _norm("_v"))
         .withColumn("__structs", structs)
         .withColumn(
@@ -694,7 +731,7 @@ def ivf_fixed_topk(
         )
         .select("query_id", F.col("_v").alias("qv"), F.col("_vn").alias("qnorm"), "cell")
     )
-    cand = c.join(F.broadcast(q), "cell").filter(
+    cand = r.join(F.broadcast(lf) if broadcast_left else lf, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     return _rerank_topk(cand, k)

@@ -3225,6 +3225,71 @@ def ann_ivf_fixed_topk(spark, sf_dir):
 
 
 @_q(
+    "ann_knn_join",
+    # same replay structure as ann_ivf_fixed_topk, but the "query" side is
+    # the WHOLE embeddings table (qc has no vec_id filter) and nothing
+    # broadcasts in the Spark plan — the all-pairs-top-k join pattern
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), s AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.vv, c.cvec) /
+             (sqrt(list_dot_product(v.vv, v.vv)) *
+              sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+      FROM v CROSS JOIN c
+    ), cellof AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s) t WHERE rn = 1
+    ), qc AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s) t WHERE rn <= 2
+    ), cand AS (
+      SELECT q.query_id, m.vec_id AS neighbor_id
+      FROM qc q JOIN cellof m ON m.cell = q.cell AND m.vec_id != q.query_id
+    ), rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qv.vv, nv.vv) /
+                   (sqrt(list_dot_product(qv.vv, qv.vv)) *
+                    sqrt(list_dot_product(nv.vv, nv.vv))), 6) AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v nv ON nv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+    FROM rer
+    QUALIFY rank <= 3
+    """,
+)
+def ann_knn_join(spark, sf_dir):
+    """Cell-blocked k-NN join (operators/similarity.knn_join): top-3
+    neighbors for EVERY embedding — both join sides are the full corpus,
+    so nothing broadcasts; candidates come from a shuffle equi-join on the
+    nprobe=2 cell keys of an explicit 16-centroid quantizer. The
+    self-retrieval / near-dup-graph primitive at the scale where the
+    broadcast-query IVF variants stop applying."""
+    from dataux_spark.operators.similarity import knn_join
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    return knn_join(emb, emb, "embedding", "vec_id", cents, k=3, nprobe=2)
+
+
+@_q(
     "ann_ivf_incremental_topk",
     # IDENTICAL oracle to ann_ivf_fixed_topk: building the persisted
     # index on half the corpus and growing it with update_ivf_index must

@@ -501,3 +501,27 @@ def test_incremental_update_appends_only(emb, spark, tmp_path):
     assert set(before) <= set(after)            # nothing deleted
     assert all(after[p] == before[p] for p in before)  # nothing rewritten
     assert len(after) > len(before)             # batch landed as new files
+
+
+def test_knn_join_matches_broadcast_twin_and_plan_has_no_forced_broadcast(emb):
+    """knn_join with the corpus as BOTH sides must agree with the
+    broadcast-query twin on any left subset (same cells, same rerank), and
+    its plan must not carry a forced broadcast of either corpus side."""
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    full = similarity.knn_join(emb, emb, "embedding", "vec_id", cents, k=3, nprobe=2)
+    # restrict the all-pairs result to a query subset: must equal the
+    # broadcast-variant run on that subset
+    sub = emb.filter(F.col("vec_id") < 8)
+    twin = similarity.ivf_fixed_topk(emb, sub, "embedding", "vec_id", cents, k=3, nprobe=2)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in full.filter(F.col("query_id") < 8).collect()
+    }
+    want = {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in twin.collect()}
+    assert got == want and len(want) > 0
+    # no ResolvedHint in the analyzed plan of the no-broadcast variant
+    analyzed = full._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
