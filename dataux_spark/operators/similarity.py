@@ -1004,3 +1004,60 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ------------------------------------------------------ random projection
+
+def rademacher_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 projection matrix from md5 bits — the
+    "database-friendly" random projection of Achlioptas (PODS 2001):
+    Rademacher entries satisfy the Johnson-Lindenstrauss lemma with the
+    same distortion bounds as Gaussians, and an md5-derived matrix is
+    engine-independent (pure Python at plan-build time, no RNG state), so
+    the projection is exactly replayable by any other engine handed the
+    same seed. Rows are output dims: matrix[j][i] multiplies input dim i."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto `out_dim` seeded Rademacher directions, scaled by
+    1/sqrt(out_dim) so expected squared norms are preserved.
+
+    The 100 TB lever: ANN candidate generation (cells, bands, brute
+    rerank) costs O(dim) per comparison — shrinking dim cuts every
+    similarity stage's CPU and narrows shuffles, while JL bounds the
+    pairwise-distance distortion. The matrix is tiny (out_dim×in_dim) and
+    rides into the plan as literals: the projection is a zero-shuffle,
+    zero-join scan projection in whole-stage codegen, exactly like the
+    literal-centroid scorer. Returns (id, proj array<double>), each
+    component rounded 6dp."""
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    comps = []
+    for row in mat:
+        lit = f"array({', '.join(f'cast({x!r} as double)' for x in row)})"
+        dot = F.expr(
+            f"aggregate(zip_with(_v, {lit}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, x) -> acc + x)"
+        )
+        comps.append(F.round(dot / F.lit(scale), 6))
+    return corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("_v")
+    ).select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -2866,6 +2866,40 @@ def ann_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, _query_vecs(emb), "embedding", "vec_id", cbs, k=5)
 
 
+def _rp_oracle_sql() -> str:
+    """Static oracle for the JL random projection: the md5-seeded ±1
+    matrix is deterministic at import time (pure Python, no Spark), so its
+    literals bake straight into the SQL — the oracle replays the exact
+    index-ordered dot products and 6dp rounding."""
+    from dataux_spark.operators.similarity import rademacher_matrix
+
+    mat = rademacher_matrix(64, 16, seed=42)
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(mat)
+    )
+    return f"""
+    WITH m(j, r) AS (VALUES {rows}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)
+    SELECT v.vec_id, CAST(m.j AS INT) AS dim,
+           round(list_sum(list_transform(range(1, 65), i -> vv[i] * r[i])) / 4.0, 6) AS val
+    FROM v, m
+    """
+
+
+@_q("embedding_random_projection", _rp_oracle_sql())
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction 64→16 dims via a seeded Rademacher
+    matrix (operators/similarity.random_projection — Achlioptas PODS'01):
+    zero-shuffle literal-matrix scan projection; exploded to
+    (vec_id, dim, val) so the driver hash covers every component."""
+    from dataux_spark.operators.similarity import random_projection
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "embedding", "vec_id", in_dim=64, out_dim=16, seed=42)
+    return out.select("vec_id", F.posexplode("proj").alias("dim", "val"))
+
+
 @_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
 def ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 with exact rerank
