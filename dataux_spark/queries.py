@@ -2069,6 +2069,43 @@ def skew_salted_join(spark, sf_dir):
 
 
 @_q(
+    "join_bloom_reduced",
+    # the oracle is the PLAIN join+agg — bloom reduction is answer-
+    # preserving (false positives die in the real join, true keys always
+    # pass their own bucket)
+    "SELECT p.p_size AS p_size, count(*) AS ct, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE p.p_brand = 'Brand#23' GROUP BY p.p_size",
+)
+def join_bloom_reduced(spark, sf_dir):
+    """Bloom/semi-join reduction (operators/skew.bloom_reduced_join —
+    Bloomjoin, Mackert & Lohman VLDB'86): the selective dim filter
+    (p_brand = one of 25 brands) leaves ~96% of lineitem joinless; the
+    dim side's deduplicated hashed-bucket set broadcasts (bounded by the
+    literal modulus — the Deduplicate node is the audit's boundedness
+    witness) and drops those fact rows BEFORE the join shuffle. Result
+    provably equals the plain join, which is the oracle."""
+    from dataux_spark.operators.skew import bloom_reduced_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice", "l_discount"
+    )
+    pa = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select(F.col("p_partkey").alias("partkey"), "p_size")
+    )
+    j = bloom_reduced_join(li, pa, "partkey")
+    return j.groupBy("p_size").agg(
+        F.count("*").alias("ct"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@_q(
     "rollup_hourly_merge",
     "SELECT date_trunc('hour', ts) AS bucket, event_type AS \"key\", count(*) AS n_events, "
     "round(sum(value), 2) AS value_sum, min(value) AS value_min, max(value) AS value_max "

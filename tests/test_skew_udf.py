@@ -94,3 +94,27 @@ def test_custom_table_function_lateral(spark, sf_dir):
     ).collect()
     assert len(out) == 15  # 5 docs × 3 words
     assert all(r.wlen == len(r.word) for r in out)
+
+
+def test_bloom_reduced_join_equals_plain_join(spark, sf_dir):
+    """Bloom reduction must be answer-preserving, must actually reduce the
+    fact side pre-shuffle, and its broadcast must sit above a Deduplicate
+    (the audit's boundedness witness)."""
+    from dataux_spark.operators.skew import bloom_reduced_join
+    from dataux_spark.queries import read_table
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice"
+    )
+    pa = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select(F.col("p_partkey").alias("partkey"), "p_size")
+    )
+    got = bloom_reduced_join(li, pa, "partkey")
+    want = li.join(pa, "partkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() < li.count()  # the filter genuinely dropped fact rows
+    analyzed = got._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed and "Deduplicate" in analyzed
