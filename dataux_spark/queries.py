@@ -1525,6 +1525,160 @@ def profile_drift_psi(spark, sf_dir):
     )
 
 
+@_q(
+    "stats_trend_per_type",
+    # identical closed-form normal equations: x = fractional days since
+    # 2024-01-01 (epoch() is fractional in DuckDB exactly like Spark's
+    # timestamp→double cast), sums rounded only at the final outputs
+    """
+    WITH d AS (
+      SELECT event_type,
+             (epoch(ts) - 1704067200.0) / 86400.0 AS x,
+             value::DOUBLE AS y
+      FROM events
+    ), a AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CASE WHEN n*sxx - sx*sx > 0
+                 THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+           round(CASE WHEN n*sxx - sx*sx > 0
+                 THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+                 END, 6) AS intercept,
+           round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                 THEN (n*sxy - sx*sy) * (n*sxy - sx*sy) /
+                      ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+    FROM a
+    """,
+)
+def stats_trend_per_type(spark, sf_dir):
+    """Per-event-type OLS time trend of value (operators/stats.py
+    trend_per_group): closed-form normal equations from one pass of
+    algebraic sufficient statistics — one O(groups) shuffle, no
+    iteration. x is centered to fractional days since the corpus epoch so
+    the x² sums stay well inside double precision at any scale."""
+    from dataux_spark.operators.stats import trend_per_group
+
+    e = read_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: go through LTZ under the UTC session zone so
+    # the double is the same UTC epoch DuckDB's epoch() produces
+    x = (
+        F.col("ts").cast("timestamp_ltz").cast("double") - F.lit(1704067200.0)
+    ) / F.lit(86400.0)
+    return trend_per_group(e, ["event_type"], x, F.col("value"))
+
+
+@_q(
+    "stats_ab_ttest",
+    # arm replayed via the package's md5 bucket spelling; var_samp on both
+    # engines; Welch t and Satterthwaite df recomputed from the same
+    # per-arm aggregates
+    """
+    WITH d AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 8))::UBIGINT
+              % 2) AS arm,
+             value::DOUBLE AS v
+      FROM events
+    ), a AS (
+      SELECT event_type, arm, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+      FROM d GROUP BY event_type, arm
+    ), w AS (
+      SELECT event_type,
+             max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 0 THEN m END) AS m0,
+             max(CASE WHEN arm = 1 THEN m END) AS m1,
+             max(CASE WHEN arm = 0 THEN s2 END) AS s20,
+             max(CASE WHEN arm = 1 THEN s2 END) AS s21
+      FROM a GROUP BY event_type
+    )
+    SELECT event_type, n0, n1,
+           round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+           round((m1 - m0) / sqrt(s20/n0 + s21/n1), 6) AS t_stat,
+           round((s20/n0 + s21/n1) * (s20/n0 + s21/n1) /
+                 ((s20/n0)*(s20/n0)/(n0-1) + (s21/n1)*(s21/n1)/(n1-1)),
+                 6) AS df
+    FROM w
+    """,
+)
+def stats_ab_ttest(spark, sf_dir):
+    """Per-event-type Welch two-sample t-test (operators/stats.py
+    welch_ttest) between md5-hash-split user arms — the deterministic
+    cluster-safe A/B readout: one (group, arm) shuffle of algebraic
+    partials, then one O(groups) pivot aggregate."""
+    from dataux_spark.operators.stats import welch_ttest
+
+    e = read_table(spark, sf_dir, "events")
+    return welch_ttest(e, ["event_type"], "user_id", "value", salt="exp1")
+
+
+@_q(
+    "retrieval_eval_ndcg",
+    # ranking + relevance + all three metrics replayed: per-nation top-10
+    # suppliers by (acctbal desc, suppkey), relevant = acctbal > 5000,
+    # binary-relevance nDCG with the standard ideal normalization
+    """
+    WITH ranked AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT s_nationkey AS query_id, s_suppkey AS doc_id,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rank
+        FROM supplier) t WHERE rank <= 10
+    ), rel AS (
+      SELECT s_nationkey AS query_id, s_suppkey AS doc_id
+      FROM supplier WHERE s_acctbal > 5000
+    ), rel_n AS (
+      SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id
+    ), per_q AS (
+      SELECT r.query_id,
+             sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+             min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS first_rank,
+             sum(CASE WHEN rel.doc_id IS NOT NULL
+                 THEN 1.0 / log2(r.rank + 1) ELSE 0.0 END) AS dcg
+      FROM ranked r LEFT JOIN rel
+        ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+      GROUP BY r.query_id
+    )
+    SELECT p.query_id, n.n_rel,
+           round(n_hit::DOUBLE / n.n_rel, 6) AS recall_at_k,
+           round(coalesce(1.0 / first_rank, 0.0), 6) AS mrr_at_k,
+           round(dcg / list_sum(list_transform(
+                 range(1, CAST(least(n.n_rel, 10) AS BIGINT) + 1),
+                 i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_k
+    FROM per_q p JOIN rel_n n ON n.query_id = p.query_id
+    """,
+)
+def retrieval_eval_ndcg(spark, sf_dir):
+    """Retrieval-quality eval (operators/stats.py ranking_metrics):
+    recall@10 / MRR@10 / nDCG@10 of a ranked frame against a relevance
+    frame — here per-nation supplier rankings scored against a balance
+    ground truth, so every formula is replayable; the same operator
+    grades ANN/BM25 rankings against exact top-k in tests. O(queries·k)
+    rows end to end — eval cost independent of corpus size."""
+    from dataux_spark.operators.stats import ranking_metrics
+
+    sup = read_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    ranked = (
+        sup.select(
+            F.col("s_nationkey").alias("query_id"),
+            F.col("s_suppkey").alias("doc_id"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    relevant = sup.filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("query_id"), F.col("s_suppkey").alias("doc_id")
+    )
+    return ranking_metrics(ranked, relevant, k=10)
+
+
 _QUALITY_RULES_SQL = [
     # (name, predicate, action) — the oracle spells each predicate
     # identically; violation = NOT coalesce(pred, FALSE) on both engines
