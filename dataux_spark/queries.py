@@ -2816,6 +2816,49 @@ def dedup_span_stats(spark, sf_dir):
 
 
 @_q(
+    "decontaminate_neardup",
+    # exact corpus×benchmark shingle-Jaccard is the value oracle: LSH only
+    # generates candidates and the verify stage recomputes true Jaccard
+    # (same contract as dedup_minhash_lsh; banding recall at j≥0.5 with
+    # r=4/16 bands makes the compare stable, pinned by test)
+    """
+    WITH g AS (
+      SELECT doc_id AS _id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT c._id AS doc_id, b._id AS bench_id,
+           round(len(list_intersect(c.grams, b.grams))::DOUBLE /
+                 len(list_distinct(c.grams || b.grams)), 6) AS jaccard
+    FROM g c JOIN g b ON c.source <> 'src0' AND b.source = 'src0'
+    WHERE round(len(list_intersect(c.grams, b.grams))::DOUBLE /
+                len(list_distinct(c.grams || b.grams)), 6) >= 0.5
+    """,
+)
+def decontaminate_neardup(spark, sf_dir):
+    """Cross-corpus NEAR-dup decontamination (operators/dedup.py
+    decontaminate_neardup): corpus (source ≠ src0) × benchmark (src0)
+    MinHash-banded candidate join with exact-Jaccard verify — catches
+    lightly-edited eval items that beat the verbatim n-gram check. The
+    benchmark's slim banded rows broadcast (limit() is the audit's
+    boundedness witness); the corpus never shuffles."""
+    from dataux_spark.operators.dedup import decontaminate_neardup as dnd
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dnd(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0").limit(1000),
+        "text",
+        "doc_id",
+        threshold=0.5,
+    )
+
+
+@_q(
     "decontaminate_ngrams",
     """
     WITH s AS (

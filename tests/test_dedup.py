@@ -454,3 +454,31 @@ def test_prefix_jaccard_matches_bruteforce_and_prunes(spark, docs):
     want = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
     assert got == want
     assert len(want) > 0  # the corpus plants near-dups; test must exercise them
+
+
+def test_decontaminate_neardup_equals_exact_cross_join(spark, docs):
+    """LSH-blocked corpus×benchmark pairs must equal the exact cross
+    Jaccard at the tested threshold (banding recall pinned), and the plan
+    must broadcast only the benchmark side."""
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0").limit(1000)
+    got = dedup.decontaminate_neardup(corpus, bench, "text", "doc_id", threshold=0.5)
+    cg = dedup.gram_sets(corpus, "text", "doc_id")
+    bg = dedup.gram_sets(bench, "text", "doc_id")
+    inter = F.size(F.array_intersect("c.g", "b.g"))
+    union = F.size(F.array_union("c.g", "b.g"))
+    exact = (
+        cg.select(F.col("_id").alias("doc_id"), F.col("_grams").alias("g")).alias("c")
+        .crossJoin(
+            bg.select(F.col("_id").alias("bench_id"), F.col("_grams").alias("g")).alias("b")
+        )
+        .select(
+            "doc_id", "bench_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    g = {(r.doc_id, r.bench_id): r.jaccard for r in got.collect()}
+    w = {(r.doc_id, r.bench_id): r.jaccard for r in exact.collect()}
+    assert g == w
+    assert len(w) > 0
