@@ -929,3 +929,47 @@ def collocations_pmi(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(k)
+
+
+# --------------------------------------------------------- taxonomy tagging
+
+def tag_by_dictionary(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    taxonomy: dict[str, list[str]],
+    min_hits: int = 1,
+) -> DataFrame:
+    """Dictionary/taxonomy tagging — the curation staple of labeling docs
+    by topic keyword lists (domain routing, topic-balanced mixtures,
+    blocklist screening) before any model-based classifier exists.
+
+    `taxonomy` maps topic → term list. Topic vocabularies are small by
+    construction (curated keyword lists), so each term set inlines as a
+    literal array and the whole pass is ONE zero-shuffle scan projection:
+    n_hits(topic) = size(array_intersect(distinct_tokens, terms)) — the
+    number of DISTINCT taxonomy terms present (set semantics: a term
+    repeated 50× counts once, which is the robust signal for topical
+    routing; min_hits=2+ guards against single stray keywords). No
+    explode, no join, no shuffle — the corpus is touched once and
+    whole-stage codegen applies; output is O(docs × matching topics).
+    For taxonomies too wide to inline (10⁵+ terms) explode tokens and
+    broadcast-join the dictionary instead. Returns (id, topic, n_hits)
+    for topics with n_hits ≥ min_hits."""
+    toks = F.array_distinct(tokens(F.col(content_col)))
+    d = df.select(F.col(id_col), toks.alias("_set"))
+    structs = []
+    for topic in sorted(taxonomy):
+        lit = F.array(*[F.lit(t) for t in sorted(set(taxonomy[topic]))])
+        structs.append(
+            F.struct(
+                F.lit(topic).alias("topic"),
+                F.size(F.array_intersect(F.col("_set"), lit)).alias("n_hits"),
+            )
+        )
+    exploded = d.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("_t")
+    )
+    return exploded.filter(F.col("_t.n_hits") >= min_hits).select(
+        F.col(id_col), F.col("_t.topic").alias("topic"), F.col("_t.n_hits").alias("n_hits")
+    )

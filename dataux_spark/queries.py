@@ -2815,6 +2815,45 @@ def dedup_span_stats(spark, sf_dir):
     )
 
 
+_TAXONOMY = {
+    "joins": ["join", "merge", "hash"],
+    "scan_exec": ["scan", "filter", "sort"],
+    "streaming": ["stream", "window", "batch"],
+    "storage": ["table", "column", "vector"],
+}
+
+
+@_q(
+    "text_taxonomy_tags",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    ), t(topic, terms) AS (VALUES
+      ('joins', ['hash', 'join', 'merge']),
+      ('scan_exec', ['filter', 'scan', 'sort']),
+      ('storage', ['column', 'table', 'vector']),
+      ('streaming', ['batch', 'stream', 'window'])
+    )
+    SELECT doc_id, topic,
+           CAST(len(list_intersect(toks, terms)) AS INT) AS n_hits
+    FROM d, t
+    WHERE len(list_intersect(toks, terms)) >= 2
+    """,
+)
+def text_taxonomy_tags(spark, sf_dir):
+    """Dictionary/taxonomy topic tagging (operators/text.py
+    tag_by_dictionary): curated keyword lists inlined as literal arrays,
+    n_hits = distinct-term intersection size per topic — one zero-shuffle
+    scan projection, no explode/join. min_hits=2 guards against single
+    stray keywords."""
+    from dataux_spark.operators.text import tag_by_dictionary
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tag_by_dictionary(docs, "text", "doc_id", _TAXONOMY, min_hits=2)
+
+
 @_q(
     "decontaminate_neardup",
     # exact corpus×benchmark shingle-Jaccard is the value oracle: LSH only

@@ -575,3 +575,25 @@ def test_cap_per_group_deterministic_and_bounded(spark, sf_dir):
         i for i in ids1
         if i in {r.doc_id for r in d.filter(F.col("source") != "src0").select("doc_id").collect()}
     ]
+
+
+def test_tag_by_dictionary_set_semantics_and_plan(spark):
+    """Distinct-term hit counts (a repeated term counts once), min_hits
+    filter, and a zero-exchange plan."""
+    from dataux_spark.operators.text import tag_by_dictionary
+
+    df = spark.createDataFrame(
+        [
+            (1, "join join join merge nothing else"),
+            (2, "scan filter sort scan"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    tax = {"joins": ["join", "merge", "hash"], "scan_exec": ["scan", "filter", "sort"]}
+    out = {(r.doc_id, r.topic): r.n_hits
+           for r in tag_by_dictionary(df, "text", "doc_id", tax, min_hits=2).collect()}
+    assert out == {(1, "joins"): 2, (2, "scan_exec"): 3}
+    plan = tag_by_dictionary(df, "text", "doc_id", tax)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
