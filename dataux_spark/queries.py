@@ -513,6 +513,128 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 @_q(
+    "q6_forecast_revenue",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate —
+    every predicate pushes to the parquet scan, the aggregate is one
+    scalar partial+final. The canonical predicate-pushdown benchmark
+    query."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "q9_product_profit",
+    # adapted Q9: the testdata ships no partsupp table, so profit drops the
+    # ps_supplycost term (revenue-only profit) — the join tree and
+    # grouping (part-name filter, supplier nation, ship year) are Q9's
+    "SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit "
+    "FROM lineitem, part, supplier, nation "
+    "WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey "
+    "AND s_nationkey = n_nationkey AND p_name LIKE '%red%' "
+    "GROUP BY 1, 2",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    no partsupp table in the testdata, so the ps_supplycost term drops
+    (documented in the oracle comment). Plan: the part-name filter
+    reduces lineitem via one join before the small supplier/nation dims
+    attach; one (nation, year) aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("profit"))
+    )
+
+
+@_q(
+    "q16_supplier_part_cnt",
+    # adapted Q16: partsupp's (partkey, suppkey) relation is stood in by
+    # the DISTINCT observed supply links in lineitem; the complaint
+    # exclusion drops (no s_comment column)
+    "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
+    "JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'MEDIUM%' "
+    "AND p_size IN (1, 4, 7) "
+    "GROUP BY p_brand, p_type, p_size",
+)
+def q16_supplier_part_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    partsupp link table is reconstructed as DISTINCT (l_partkey,
+    l_suppkey) from lineitem. The dedup happens BEFORE the part join and
+    the negated filters land on the part scan; one count-distinct
+    aggregate on the (brand, type, size) key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7)
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(pa, ps.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_excess_suppliers",
+    # adapted Q20: no partsupp.ps_availqty, so "excess stock" becomes a
+    # shipped-quantity threshold over red parts in 1996 — the EXISTS-chain
+    # semi-join shape is Q20's
+    "SELECT s_name FROM supplier WHERE s_suppkey IN ("
+    "  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey"
+    "  WHERE p_name LIKE 'red%'"
+    "  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    "  GROUP BY l_suppkey HAVING sum(l_quantity) > 400)",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock), adapted: availqty
+    threshold becomes shipped-quantity-of-red-parts-in-1996 > 400 (no
+    partsupp table). The inner aggregate reduces before the semi join;
+    supplier is never inflated."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pa = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    su = read_table(spark, sf_dir, "supplier")
+    hot = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    return su.join(
+        hot, su.s_suppkey == hot.l_suppkey, "leftsemi"
+    ).select("s_name")
+
+
+@_q(
     "q10_returned_items",
     "SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
     "FROM customer, orders, lineitem "
