@@ -425,6 +425,33 @@ def quantile_over_range(
 # histogram-quantile): mergeable per-bucket top-K summaries
 
 
+def truncate_topk(counts: DataFrame, capacity: int) -> DataFrame:
+    """Deterministic per-bucket truncation of (bucket, item, cnt) counts
+    to the `capacity` most frequent items (count desc, item asc) plus two
+    numbers summarizing what was dropped: dropped_max (the error bound —
+    no absent item's count exceeds it) and dropped_mass. Shared by the
+    batch builder below and the streaming per-micro-batch sketch
+    (streaming/ops.streaming_topk_ingest); both sides emitting the SAME
+    truncation is what makes the merged streaming sketch
+    oracle-reproducible. The per-bucket top-K runs as a WindowGroupLimit
+    (per-partition partial heaps before the exchange), so the window
+    shuffle carries O(buckets x capacity) for the kept side."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("item"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") <= capacity).drop("rn")
+    dropped = (
+        ranked.filter(F.col("rn") > capacity)
+        .groupBy("bucket")
+        .agg(F.max("cnt").alias("dropped_max"),
+             F.sum("cnt").alias("dropped_mass"))
+    )
+    return kept.join(dropped, "bucket", "left").fillna(
+        0, subset=["dropped_max", "dropped_mass"]
+    )
+
+
 def build_topk_rollup(
     events: DataFrame,
     out_path: str,
@@ -448,24 +475,12 @@ def build_topk_rollup(
     O(buckets x capacity), not the raw item universe. State per bucket
     is capacity rows regardless of cardinality; range reads prune
     bucket_date partitions at the listing level."""
-    from pyspark.sql import Window as W
-
     counts = events.groupBy(
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
         F.col(item_col).alias("item"),
     ).agg(F.count("*").alias("cnt"))
-    w = W.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("item"))
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("rn") <= capacity).drop("rn")
-    dropped = (
-        ranked.filter(F.col("rn") > capacity)
-        .groupBy("bucket")
-        .agg(F.max("cnt").alias("dropped_max"),
-             F.sum("cnt").alias("dropped_mass"))
-    )
     (
-        kept.join(dropped, "bucket", "left")
-        .fillna(0, subset=["dropped_max", "dropped_mass"])
+        truncate_topk(counts, capacity)
         .withColumn("bucket_date", F.to_date("bucket"))
         .repartition("bucket_date")
         .write.mode("overwrite")

@@ -5684,6 +5684,70 @@ def streaming_rollup_merge(spark, sf_dir):
     return S.merged_rollup(spark, store)
 
 
+@_q(
+    "streaming_topk_merge",
+    # the oracle replays the streamed sketch EXACTLY: per-(bucket, parity
+    # micro-batch) counts, the deterministic capacity-8 truncation
+    # (count desc, item asc), each sketch's dropped_max, then the
+    # cross-sketch merge into [est_min, est_max] bounds — so the driver
+    # gate checks the streaming summary's whole mergeable contract
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS bucket, (event_id % 2) AS b,
+             user_id AS item, count(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT bucket, b, item, cnt, row_number() OVER (
+        PARTITION BY bucket, b ORDER BY cnt DESC, item) AS rn
+      FROM counts
+    ), km AS (
+      SELECT k.bucket, k.b, k.item, k.cnt, coalesce(d.dropped_max, 0) AS dm
+      FROM (SELECT bucket, b, item, cnt FROM ranked WHERE rn <= 8) k
+      LEFT JOIN (SELECT bucket, b, max(cnt) AS dropped_max FROM ranked
+                 WHERE rn > 8 GROUP BY bucket, b) d USING (bucket, b)
+    ), total AS (
+      SELECT CAST(sum(dm) AS BIGINT) AS tdm
+      FROM (SELECT DISTINCT bucket, b, dm FROM km)
+    ), per_item AS (
+      SELECT item, CAST(sum(cnt) AS BIGINT) AS est_min,
+             CAST(sum(dm) AS BIGINT) AS pdm
+      FROM km GROUP BY item
+    )
+    SELECT item, est_min,
+           est_min + (SELECT tdm FROM total) - pdm AS est_max
+    FROM per_item ORDER BY est_min DESC, item LIMIT 10
+    """,
+)
+def streaming_topk_merge(spark, sf_dir):
+    """Streaming heavy-hitters ingest (streaming/ops.streaming_topk_ingest
+    + merged_topk): events arrive as two micro-batches split by event-id
+    parity, each reducing to its own per-hour capacity-8 truncated top-K
+    sketch in a replay-safe ingest_batch partition; the merged read
+    combines every (bucket, batch) sketch into per-item
+    [est_min, est_max] count bounds and ranks by est_min. The streaming
+    twin of rollup_topk_range — same deterministic truncation
+    (rollup.truncate_topk is literally shared), sketch grain widened from
+    bucket to (bucket, micro-batch), so the oracle can replay the whole
+    approximate pipeline bit-for-bit."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dataux_stream_topk_")
+    incoming, store = f"{root}/in", f"{root}/topk"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/even.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/odd.parquet")
+    schema = spark.read.parquet(f"{incoming}/even.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_topk_ingest(stream, store, capacity=8).awaitTermination()
+    return S.merged_topk(spark, store, k=10)
+
+
 def _training_prep_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 

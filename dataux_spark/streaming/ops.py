@@ -313,6 +313,85 @@ def merged_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     )
 
 
+def streaming_topk_ingest(
+    stream: DataFrame,
+    rollup_path: str,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    bucket: str = "hour",
+    capacity: int = 16,
+):
+    """Heavy-hitters streaming ingest — the streaming twin of
+    rollup.build_topk_rollup: each micro-batch reduces to its OWN
+    per-bucket capacity-truncated top-K sketch (rollup.truncate_topk —
+    count desc, item asc, plus the dropped_max/dropped_mass summary) and
+    lands in its ingest_batch=<id> partition; merged_topk below answers
+    top-k over the whole store with per-item [est_min, est_max] bounds.
+
+    Replay-safe by the same layout contract as streaming_rollup_ingest:
+    an at-least-once foreachBatch retry overwrites its own batch
+    directory, never double-counting. Per-batch work is one map-side
+    combined count shuffle + a WindowGroupLimit top-K; state per
+    (bucket, batch) is capacity rows regardless of item cardinality, so
+    at 100 TB/day the store grows with buckets x batches x capacity, not
+    traffic. Returns the streaming query handle."""
+    from dataux_spark.operators.rollup import truncate_topk
+
+    def _sketch(bdf: DataFrame, batch_id: int) -> None:
+        counts = bdf.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            F.col(item_col).alias("item"),
+        ).agg(F.count("*").alias("cnt"))
+        (
+            truncate_topk(counts, capacity)
+            .write.mode("overwrite")
+            .parquet(f"{rollup_path}/ingest_batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sketch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_topk(spark: SparkSession, rollup_path: str, k: int = 10) -> DataFrame:
+    """Merge-on-read over the streamed heavy-hitters store: combine every
+    (bucket, micro-batch) sketch into global per-item count BOUNDS —
+    est_min = the item's summed kept counts (everything it provably did),
+    est_max = est_min + the dropped_max of every sketch the item is
+    ABSENT from (it could have hidden under each sketch's truncation
+    line, never above it) — then rank by est_min with the item id as the
+    tie-break. The same math as rollup.topk_over_range with the sketch
+    grain widened from bucket to (bucket, ingest_batch); the standard
+    mergeable-summary guarantee carries over: any item whose true count
+    exceeds the summed dropped bound is present. Work is proportional to
+    buckets x batches x capacity, never raw events."""
+    r = spark.read.option("basePath", rollup_path).parquet(
+        f"{rollup_path}/ingest_batch=*"
+    )
+    total_dmax = (
+        r.select("bucket", "ingest_batch", "dropped_max")
+        .distinct()
+        .agg(F.sum("dropped_max").alias("_total_dmax"))
+    )
+    per_item = r.groupBy("item").agg(
+        F.sum("cnt").alias("est_min"),
+        F.sum("dropped_max").alias("_present_dmax"),
+    )
+    return (
+        per_item.crossJoin(F.broadcast(total_dmax))
+        .select(
+            "item",
+            "est_min",
+            (F.col("est_min") + F.col("_total_dmax") - F.col("_present_dmax"))
+            .alias("est_max"),
+        )
+        .orderBy(F.col("est_min").desc(), "item")
+        .limit(k)
+    )
+
+
 def streaming_url_dedup_ingest(
     stream: DataFrame,
     url_col: str,

@@ -435,3 +435,47 @@ def test_streaming_ewma_state_survives_multiple_batches(spark, tmp_path):
     assert len(got) == 41
     assert got[999] == 1  # scored against state carried from batch 1
     assert sum(got.values()) == 1
+
+
+def test_streaming_topk_bounds_and_replay(spark, sf_dir, tmp_path):
+    """Streaming heavy-hitters: (1) every merged item's true count sits
+    inside [est_min, est_max] and items heavier than the summed dropped
+    bound are guaranteed present (the mergeable-summary guarantee,
+    surviving the widened bucket x micro-batch sketch grain); (2) an
+    at-least-once retry of a batch overwrites its own ingest_batch
+    partition, leaving the merged result identical."""
+    from dataux_spark.operators.rollup import truncate_topk
+
+    ev = read_table(spark, sf_dir, "events")
+    incoming, store = str(tmp_path / "in"), str(tmp_path / "topk")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/b.parquet")
+    schema = spark.read.parquet(f"{incoming}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_topk_ingest(stream, store, capacity=2).awaitTermination()  # truncate hard
+    merged = S.merged_topk(spark, store, k=10**9).collect()  # all summary items
+    truth = {r.user_id: r.cnt for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert merged, "summary is empty"
+    for r in merged:
+        assert r.est_min <= truth[r.item] <= r.est_max, (r, truth[r.item])
+    total_dmax = max(r.est_max - r.est_min for r in merged)
+    assert total_dmax > 0, "capacity-2 truncation never fired"
+    present = {r.item for r in merged}
+    for item, cnt in truth.items():
+        if cnt > total_dmax:
+            assert item in present, (item, cnt, total_dmax)
+    # retry batch 0: the identical sketch lands in the same partition dir
+    counts = (
+        spark.read.parquet(f"{incoming}/a.parquet")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                 F.col("user_id").alias("item"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    truncate_topk(counts, 2).write.mode("overwrite").parquet(f"{store}/ingest_batch=0")
+    again = S.merged_topk(spark, store, k=10**9).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, merged))
