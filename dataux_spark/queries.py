@@ -635,6 +635,123 @@ def q20_excess_suppliers(spark, sf_dir):
 
 
 @_q(
+    "q2_min_cost_supplier",
+    # adapted Q2: no partsupp, so the supply relation is reconstructed as
+    # per-(partkey, suppkey) MIN observed unit price from lineitem; the
+    # correlated min-cost-in-region subquery is Q2's
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, round(cost, 2) AS supply_cost
+    FROM ps JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 5 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND cost = (SELECT min(ps2.cost) FROM ps ps2
+                  JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the partsupp
+    supply relation is stood in by the MIN observed unit price per
+    (l_partkey, l_suppkey) in lineitem (same reconstruction as q16/q20).
+    The oracle keeps Q2's correlated subquery; the Spark plan computes
+    the per-part regional min ONCE as a window over the already-joined
+    candidates — no second lineitem pass and no self-join, one partkey
+    shuffle for the window. nation x region (constant 25 x 5 rows) is
+    the only forced broadcast; supplier and part are sf-scaled and left
+    to AQE. Equality against the window min is exact: both sides of the
+    comparison are the same IEEE doubles computed once."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+    )
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    re = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = su.join(
+        F.broadcast(na.join(re, na.n_regionkey == re.r_regionkey)),
+        su.s_nationkey == F.col("n_nationkey"),
+    )
+    cand = ps.join(pa, ps.l_partkey == pa.p_partkey).join(
+        eu, ps.l_suppkey == eu.s_suppkey
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            _r2(F.col("cost")).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "q11_important_stock",
+    # adapted Q11: stock value = shipped extendedprice x quantity per part
+    # over ASIA-region suppliers; TPC-H's 0.0001/SF fraction (which needs
+    # to know SF) becomes the scale-stable "above 2x the mean part value"
+    """
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(value, 2) AS stock_value
+    FROM val WHERE value > (SELECT avg(value) * 2 FROM val)
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-part value
+    held by one region's suppliers, kept where it exceeds a global
+    threshold. Q11's 0.0001/SF fraction bakes the scale factor into the
+    query text; here the threshold is 2x the mean part value, which
+    selects "disproportionately heavy" parts identically at every SF.
+    The Spark plan aggregates once, reduces the threshold to ONE row,
+    and broadcasts it back over the aggregate (provably bounded — same
+    pattern as streaming.merged_topk); no second lineitem pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    re = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = su.join(
+        F.broadcast(na.join(re, na.n_regionkey == re.r_regionkey)),
+        su.s_nationkey == F.col("n_nationkey"),
+    )
+    val = (
+        li.join(asia, li.l_suppkey == asia.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    thresh = val.agg((F.avg("value") * 2).alias("_th"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("_th"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _r2(F.col("value")).alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
+
+
+@_q(
     "q10_returned_items",
     "SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
     "FROM customer, orders, lineitem "
