@@ -98,3 +98,100 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simple graph induced by the edge list (direction, parallel
+    edges, and self-loops discarded) — the classic link-spam / community
+    density signal next to pagerank above.
+
+    Algorithm is compact-forward / degree-ordered counting (Latapy 2008;
+    the same orientation trick as Schank & Wagner): orient every edge
+    from its (degree, node)-smaller endpoint to the larger, so each
+    triangle {x,y,z} with x ≺ y ≺ z is found EXACTLY once as the wedge
+    (y,z) at x closed by the oriented edge y→z. The orientation is the
+    whole scale story: out-degree under ≺ is bounded by O(sqrt(m)), so
+    the wedge join emits O(m^1.5) rows worst-case instead of
+    sum(deg^2) — a hub with a million neighbors contributes wedges only
+    through its few higher-degree peers, never deg² pairs. Plan is
+    three hash equi-joins on node keys plus one count groupBy; no
+    cartesian stage, no driver-side graph.
+
+    Everything is integer arithmetic until the final coefficient
+    (rounded 9dp), so an oracle can replay it bit-for-bit.
+
+    Returns (node, degree, triangles, clustering_coeff) for every node
+    of the undirected graph; coefficient is 0.0 where degree < 2.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # Orient a—b from the (degree, node)-smaller endpoint to the larger;
+    # carry the target's (degree, node) so the wedge join can order the
+    # two out-neighbors without another degree lookup.
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    ab = e.join(da, "a").join(db, "b")
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = ab.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("degv"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
+        (F.col("e1.degv") < F.col("e2.degv"))
+        | (
+            (F.col("e1.degv") == F.col("e2.degv"))
+            & (F.col("e1.v") < F.col("e2.v"))
+        )
+    )
+    closing = o.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = wedges.join(
+        closing,
+        (F.col("e1.v") == F.col("cu")) & (F.col("e2.v") == F.col("cv")),
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

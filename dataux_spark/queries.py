@@ -2281,6 +2281,67 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3)
 
 
+@_q(
+    "graph_triangle_stats",
+    # planted undirected graph over documents (60 nodes, each doc links
+    # its residue to residue+1..+11 ahead); the oracle replays the whole
+    # degree-ordered counting pipeline — canonicalize, degree, (deg,node)
+    # orientation, wedge order, closing join, per-node incidence counts
+    """
+    WITH raw AS (
+      SELECT doc_id % 60 AS s, (doc_id % 60 + doc_id % 11 + 1) % 60 AS d
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node
+    ), o AS (
+      SELECT CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                  THEN b ELSE a END AS v,
+             CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                  THEN db.degree ELSE da.degree END AS degv
+      FROM e JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM o e1 JOIN o e2 ON e1.u = e2.u
+       AND (e1.degv < e2.degv OR (e1.degv = e2.degv AND e1.v < e2.v))
+      JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), pn AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY node
+    )
+    SELECT deg.node, degree, coalesce(triangles, 0) AS triangles,
+           CASE WHEN degree >= 2
+                THEN round(2.0 * coalesce(triangles, 0)
+                           / (degree * (degree - 1.0)), 9)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+    """,
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.triangle_stats) — the link-graph density signal
+    next to pagerank in crawl curation (spam farms cluster, organic
+    link neighborhoods don't). Degree-ordered compact-forward counting:
+    each triangle found exactly once at its (deg,node)-smallest corner,
+    so the wedge join emits O(m^1.5) rows worst-case instead of a hub's
+    deg² pairs — the orientation IS the 100 TB story. Three node-keyed
+    hash joins + one count; integer arithmetic end-to-end (coefficient
+    rounded 9dp), so the oracle replays it bit-for-bit."""
+    from dataux_spark.operators.graph import triangle_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") % 60 + F.col("doc_id") % 11 + 1) % 60).alias("dst"),
+    )
+    return triangle_stats(edges)
+
+
 def _cap_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 

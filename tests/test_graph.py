@@ -51,3 +51,37 @@ def test_checkpoint_variant_matches(spark):
     plain = _ranks(spark, edges, iters=4)
     ck = _ranks(spark, edges, iters=4, checkpoint_every=2)
     assert plain == ck
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from dataux_spark.operators.graph import triangle_stats
+
+    return {r.node: (r.degree, r.triangles, r.clustering_coeff)
+            for r in triangle_stats(df).collect()}
+
+
+def test_triangle_k4_hand_computed(spark):
+    # K4: every node has degree 3, sits in 3 triangles, coeff 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, k4)
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_triangle_pendant_and_open_wedge(spark):
+    # triangle 0-1-2, pendant 3 off node 0, isolated wedge 4-5-6 (open)
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (4, 5), (5, 6)]
+    got = _tri(spark, edges)
+    assert got[0] == (3, 1, round(2 * 1 / (3 * 2), 9))
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+    assert got[5] == (2, 0, 0.0)
+
+
+def test_triangle_direction_loops_parallels_ignored(spark):
+    # same undirected triangle spelled with reversals, dups, a self-loop
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    got = _tri(spark, messy)
+    assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
