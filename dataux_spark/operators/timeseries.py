@@ -390,6 +390,67 @@ def rolling_zscore_anomalies(
     )
 
 
+def seasonal_profile_anomalies(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    min_n: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly flags — the complement of
+    rolling_zscore_anomalies above: instead of "unusual vs the last N
+    observations", each value is scored against its key's PROFILE for
+    that hour-of-day ("traffic is always low at 4am"), so a metric that
+    is normal in absolute terms but wrong for its seasonal slot flags,
+    and a daily peak that would trip a rolling window does not.
+
+    Baseline = mean/stddev_pop per (key, hour-of-day) over the whole
+    frame — one map-side-combined groupBy to keys x 24 rows, joined back
+    on the same compound key (bounded aggregate: AQE broadcasts it at
+    runtime; not hinted, since key cardinality is data-dependent). A
+    slot with fewer than `min_n` observations gives no baseline (z NULL,
+    flag 0 — total labeling, same contract as the rolling scorer). z is
+    rounded to 6dp before the |z| > threshold compare so the flag set
+    reproduces on any engine.
+
+    Note the self-inclusion asymmetry vs the rolling scorer: the profile
+    INCLUDES the scored value (a population baseline over the whole
+    history), where the rolling frame excludes it. At profile n >> 1 the
+    dilution is negligible; min_n keeps the degenerate n=1 slot (z = 0/0)
+    out by construction.
+
+    Returns (id, key, hod, value, z, is_anomaly)."""
+    hod = F.hour(F.col(ts_col))
+    prof = (
+        events.groupBy(F.col(key_col).alias("key"), hod.alias("hod"))
+        .agg(
+            F.avg(value_col).alias("_m"),
+            F.stddev_pop(value_col).alias("_sd"),
+            F.count(value_col).alias("_n"),
+        )
+    )
+    scored = events.select(
+        F.col(id_col),
+        F.col(key_col).alias("key"),
+        hod.alias("hod"),
+        F.col(value_col).alias("value"),
+    ).join(prof, ["key", "hod"])
+    z = F.when(
+        (F.col("_n") >= min_n) & (F.col("_sd") > 0),
+        F.round((F.col("value") - F.col("_m")) / F.col("_sd"), 6),
+    )
+    return scored.select(
+        F.col(id_col),
+        "key",
+        "hod",
+        "value",
+        z.alias("z"),
+        F.coalesce((F.abs(z) > threshold).cast("int"), F.lit(0)).alias("is_anomaly"),
+    )
+
+
 def match_sequence(
     events: DataFrame,
     pattern: list[str],

@@ -6319,6 +6319,46 @@ def events_zscore_anomalies(spark, sf_dir):
 
 
 @_q(
+    "events_seasonal_anomalies",
+    # per-(event_type, hour-of-day) population baseline over the whole
+    # frame, z rounded 6dp before the |z|>3 compare — the oracle replays
+    # baseline, join-back, and flag rule; thin slots (<10 obs) unscored
+    """
+    WITH prof AS (
+      SELECT event_type AS key, EXTRACT(hour FROM ts) AS hod,
+             avg(value) AS m, stddev_pop(value) AS sd, count(value) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_id, key, CAST(hod AS INT) AS hod,
+           CASE WHEN n >= 10 AND sd > 0
+                THEN round((value - m) / sd, 6) END AS z,
+           coalesce(CAST(abs(CASE WHEN n >= 10 AND sd > 0
+                                  THEN round((value - m) / sd, 6) END) > 3.0
+                         AS INT), 0) AS is_anomaly
+    FROM events JOIN prof
+      ON prof.key = event_type AND prof.hod = EXTRACT(hour FROM ts)
+    """,
+)
+def events_seasonal_anomalies(spark, sf_dir):
+    """Seasonal-profile anomaly flags
+    (operators/timeseries.seasonal_profile_anomalies): each event scored
+    against its event-type's hour-of-day baseline — catches
+    wrong-for-the-slot values a rolling window normalizes away, and
+    ignores the daily peak a rolling window would flag. One
+    map-side-combined groupBy to a keys x 24 profile + one join back
+    (AQE broadcasts the bounded profile at runtime); same 6dp-rounded
+    flag rule and total-labeling contract as the rolling twin."""
+    from dataux_spark.operators.timeseries import seasonal_profile_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_profile_anomalies(
+        ev, "ts", "event_type", "value", "event_id", min_n=10, threshold=3.0
+    ).select(
+        "event_id", "key", F.col("hod").cast("int").alias("hod"), "z", "is_anomaly"
+    )
+
+
+@_q(
     "cdc_incremental_aggregate",
     # incremental view maintenance: the oracle recomputes the FINAL-state
     # aggregate declaratively (same three commits applied as relational

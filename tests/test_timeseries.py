@@ -313,3 +313,29 @@ def test_match_sequence_single_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_seasonal_profile_flags_wrong_for_slot_value(spark):
+    """A value that is normal in absolute terms but wrong for its
+    hour-of-day slot flags; the same value in a slot where it IS the norm
+    does not. Thin slots (<min_n) are unscored with flag 0."""
+    rows = []
+    # hour 3: tight baseline around 10.0 (20 obs); hour 14: around 100.0
+    for i in range(20):
+        rows.append((i, dt.datetime(2024, 1, 1 + i % 5, 3, 0, 0), "m", 10.0 + (i % 3 - 1) * 0.1))
+        rows.append((100 + i, dt.datetime(2024, 1, 1 + i % 5, 14, 0, 0), "m", 100.0 + (i % 3 - 1) * 1.0))
+    # planted: 100.0 at hour 3 — fine at hour 14, wild at hour 3
+    rows.append((999, dt.datetime(2024, 1, 3, 3, 30, 0), "m", 100.0))
+    # thin slot: single observation at hour 20 — unscored
+    rows.append((555, dt.datetime(2024, 1, 2, 20, 0, 0), "m", 1e9))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "key", "value"])
+    got = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in TS.seasonal_profile_anomalies(
+            df, "ts", "key", "value", "event_id", min_n=10, threshold=3.0
+        ).collect()
+    }
+    assert got[999][1] == 1 and got[999][0] > 3.0
+    assert got[555] == (None, 0)  # thin slot: unscored, flag 0
+    # every in-profile hour-14 value (100-ish baseline) stays unflagged
+    assert all(got[100 + i][1] == 0 for i in range(20))
