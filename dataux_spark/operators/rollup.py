@@ -528,3 +528,109 @@ def topk_over_range(
         .orderBy(F.col("est_min").desc(), "item")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch family 5 (after algebraic, HLL-distinct, histogram-quantile,
+# heavy-hitters top-K): count-min point-frequency estimates
+
+
+def build_cms_rollup(
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    bucket: str = "hour",
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Count-min sketch rollup (Cormode & Muthukrishnan '05): per time
+    bucket, a depth x width counter grid answering "how many times did
+    item X occur?" with one-sided error — never under, over by at most
+    eps x total mass (eps ~ e/width) with prob 1 - (1/2)^depth. The
+    heavy-hitters rollup above answers "who is big?"; this one answers
+    point lookups for items you NAME, in constant state per bucket.
+
+    The hash family is the house md5 primitive (sampling.hash_frac):
+    row d's cell for an item is md5(item || ':' || d) — deterministic,
+    engine-replayable, one independent-enough function per row. Build
+    reduces FIRST (map-side combined (bucket, item) counts), then
+    explodes each item to its depth cells and sums per cell — the
+    explode multiplies the already-reduced item frame, never raw
+    events. State per bucket <= depth x width rows regardless of item
+    cardinality; bucket_date partitions prune range reads at listing
+    level (same layout contract as every sketch above)."""
+    counts = events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    ).agg(F.count("*").alias("cnt"))
+    spine = F.array(*[F.lit(d) for d in range(depth)])
+    cells = counts.select(
+        "bucket", "cnt",
+        F.explode(spine).alias("row"),
+        F.col("item"),
+    ).select(
+        "bucket", "row", "cnt",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("item"), F.lit(":"), F.col("row").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % width
+        ).alias("col"),
+    )
+    (
+        cells.groupBy("bucket", "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("bucket_date", F.to_date("bucket"))
+        .repartition("bucket_date")
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(out_path)
+    )
+
+
+def cms_estimates(
+    spark: SparkSession,
+    rollup_path: str,
+    items: list,
+    start=None,
+    end=None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for NAMED items over a bucket range of
+    the count-min store: merge = cell-wise sum across buckets (the
+    standard mergeable-sketch composition), estimate = min over the
+    depth rows of the item's cell counts; an item whose cells were never
+    touched estimates 0. depth/width must match the build.
+
+    Work is O(range's sketch rows + |items| x depth) — the raw event
+    count never appears. The tiny probe frame (|items| x depth rows,
+    driver-literal) is broadcast onto the merged grid.
+
+    Returns (item string, est bigint) for every requested item."""
+    r = _bucket_range(spark.read.parquet(rollup_path), start, end)
+    grid = r.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    probe = spark.createDataFrame(
+        [(str(it), d) for it in items for d in range(depth)], ["item", "row"]
+    ).select(
+        "item", "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("item"), F.lit(":"), F.col("row").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % width
+        ).alias("col"),
+    )
+    return (
+        F.broadcast(probe)
+        .join(grid, ["row", "col"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )

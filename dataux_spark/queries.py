@@ -6514,6 +6514,56 @@ def text_collocations_pmi(spark, sf_dir):
 
 
 @_q(
+    "rollup_cms_estimates",
+    # the oracle replays the count-min pipeline exactly: (bucket, item)
+    # counts, the 4-row md5 cell hash, cell-wise grid sums over the full
+    # range, then min-over-rows for 16 named probe items — including the
+    # same hash collisions, so the one-sided error is checked too
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS bucket, CAST(user_id AS VARCHAR) AS item,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cells AS (
+      SELECT bucket, r.rw AS row, cnt,
+             ('0x' || substr(md5(item || ':' || CAST(r.rw AS VARCHAR)), 1, 8))::UBIGINT
+               % 256 AS col
+      FROM counts CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(rw)
+    ), grid AS (
+      SELECT row, col, sum(cnt) AS cnt FROM cells GROUP BY row, col
+    ), probe AS (
+      SELECT CAST(i.item AS VARCHAR) AS item, r.rw AS row,
+             ('0x' || substr(md5(CAST(i.item AS VARCHAR) || ':' || CAST(r.rw AS VARCHAR)), 1, 8))::UBIGINT
+               % 256 AS col
+      FROM range(16) i(item) CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(rw)
+    )
+    SELECT item, CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS est
+    FROM probe LEFT JOIN grid USING (row, col)
+    GROUP BY item
+    """,
+)
+def rollup_cms_estimates(spark, sf_dir):
+    """Count-min sketch rollup, built then point-queried
+    (rollup.build_cms_rollup/cms_estimates) — the fifth sketch family:
+    per-hour 4 x 256 counter grids, merged cell-wise over the range,
+    answering named-item frequency lookups with one-sided error (never
+    under). The hash family is the house md5 primitive, so the oracle
+    replays the grid — including its collisions — bit-for-bit. Scale
+    shape: counts reduce map-side BEFORE the depth-explode, state per
+    bucket is <= depth x width rows regardless of item cardinality, and
+    the probe is a broadcast |items| x depth frame over the merged
+    grid."""
+    import tempfile
+
+    from dataux_spark.operators.rollup import build_cms_rollup, cms_estimates
+
+    path = tempfile.mkdtemp(prefix="dataux_cms_rollup_") + "/r"
+    ev = read_table(spark, sf_dir, "events")
+    build_cms_rollup(ev, path, item_col="user_id", depth=4, width=256)
+    return cms_estimates(spark, path, [str(i) for i in range(16)], depth=4, width=256)
+
+
+@_q(
     "rollup_topk_range",
     # the oracle replays the sketch EXACTLY — per-bucket counts, the
     # deterministic capacity-8 truncation (count desc, item asc), each

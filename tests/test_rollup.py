@@ -315,3 +315,38 @@ def test_topk_rollup_bounds_are_sound(spark, sf_dir, tmp_path):
     for item, cnt in truth.items():
         if cnt > total_dmax:
             assert item in present, (item, cnt, total_dmax)
+
+
+def test_cms_one_sided_error_and_range_merge(spark, sf_dir, tmp_path):
+    """Count-min soundness: every estimate >= the true count (never
+    under), overestimation bounded by the sketch contract, and a range
+    merge over a bucket subset equals a sketch built from only that
+    subset's events (cell-wise-sum mergeability)."""
+    from dataux_spark.operators.rollup import build_cms_rollup, cms_estimates
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "cms")
+    build_cms_rollup(ev, path, item_col="user_id", depth=4, width=64)  # narrow: force collisions
+    truth = {str(r.user_id): r.cnt for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    items = sorted(truth)[:10] + ["999999", "888888"]  # present + absent
+    est = {r.item: r.est for r in
+           cms_estimates(spark, path, items, depth=4, width=64).collect()}
+    total = sum(truth.values())
+    for it in items:
+        true_cnt = truth.get(it, 0)
+        assert est[it] >= true_cnt, (it, est[it], true_cnt)
+        # CMS bound: overshoot <= e/width * total with high probability;
+        # allow 4x slack — the guarantee under test is one-sidedness
+        assert est[it] - true_cnt <= 4 * 2.72 / 64 * total, (it, est[it], true_cnt)
+    # mergeability: estimates over [t0, t1) == sketch built from that slice
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    sliced = str(tmp_path / "cms_slice")
+    build_cms_rollup(ev.filter(F.col("ts") < mid), sliced, item_col="user_id",
+                     depth=4, width=64)
+    a = {r.item: r.est for r in
+         cms_estimates(spark, path, items, end=mid, depth=4, width=64).collect()}
+    b = {r.item: r.est for r in
+         cms_estimates(spark, sliced, items, depth=4, width=64).collect()}
+    assert a == b
