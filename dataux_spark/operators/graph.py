@@ -195,3 +195,66 @@ def triangle_stats(
             .alias("clustering_coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS deterministic label propagation
+    (Raghavan et al. 2007, the sync variant) over the undirected simple
+    graph: every node starts as its own label; each round it adopts the
+    most frequent label among its neighbors, ties broken by SMALLEST
+    label. Async LPA with random tie-breaks converges faster but is not
+    reproducible; fixed-iteration sync with a total tie order makes the
+    whole trajectory a finite dataflow an oracle can replay (the
+    pagerank design argument above, applied to communities — crawl
+    curation wants "this link farm is one community" to be the same
+    answer on every run).
+
+    Per round: one label-lookup join (edges x node-sized label frame),
+    one (node, label) count groupBy, one per-node argmax window — all
+    keyed on node ids, no cartesian stage; the label frame stays
+    node-sized forever. Isolated nodes keep their own label. Lineage
+    grows per round — checkpoint_every as in pagerank.
+
+    Returns (node, label) — nodes sharing a label are one community."""
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    from pyspark.sql import Window as W
+
+    for i in range(int(iters)):
+        nbr = e.join(
+            labels.select(F.col("node").alias("v"), F.col("label").alias("lbl")),
+            "v",
+        )
+        freq = nbr.groupBy(F.col("u").alias("node"), "lbl").agg(
+            F.count("*").alias("c")
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("_new"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

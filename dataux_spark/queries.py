@@ -2247,6 +2247,58 @@ def _pagerank_iter_sql(i: int) -> str:
     )
 
 
+def _lpa_iter_sql(i: int) -> str:
+    # one unrolled sync label-propagation round: neighbor-label counts,
+    # per-node argmax with the (count desc, label asc) total tie order,
+    # then the adopt-or-keep update — the same three steps as the Spark
+    # loop in operators/graph.label_propagation
+    p = i - 1
+    return (
+        f"f{i} AS (SELECT e.u AS node, l.label AS lbl, count(*) AS c "
+        f"FROM e JOIN l{p} l ON l.node = e.v GROUP BY 1, 2), "
+        f"b{i} AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() "
+        f"OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM f{i}) "
+        f"WHERE rn = 1), "
+        f"l{i} AS (SELECT l.node, coalesce(b.lbl, l.label) AS label "
+        f"FROM l{p} l LEFT JOIN b{i} b USING (node))"
+    )
+
+
+@_q(
+    "graph_label_communities",
+    # planted 3-block graph over documents (60 nodes, edges stay inside
+    # their 20-node block); three unrolled sync-LPA rounds replay the
+    # Spark loop exactly — neighbor counts, (count desc, label asc)
+    # argmax, adopt-or-keep
+    "WITH raw AS (SELECT doc_id % 60 AS s, "
+    "(doc_id % 60) - ((doc_id % 60) % 20) "
+    "+ (((doc_id % 60) % 20 + doc_id % 5 + 1) % 20) AS d FROM documents), "
+    "und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+    "FROM raw WHERE s <> d), "
+    "e AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und), "
+    "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e), "
+    + ", ".join(_lpa_iter_sql(i) for i in (1, 2, 3))
+    + " SELECT node, label FROM l3",
+)
+def graph_label_communities(spark, sf_dir):
+    """Community detection by deterministic synchronous label
+    propagation (operators/graph.label_propagation) over a planted
+    3-block link graph — the "this link farm is one neighborhood"
+    signal next to pagerank and triangle density. Three sync rounds,
+    ties broken by smallest label so the whole trajectory is
+    engine-exact; per round one node-keyed label join + count groupBy +
+    argmax window, the label frame stays node-sized forever."""
+    from dataux_spark.operators.graph import label_propagation
+
+    d = read_table(spark, sf_dir, "documents")
+    src = F.col("doc_id") % 60
+    edges = d.select(
+        src.alias("src"),
+        (src - src % 20 + (src % 20 + F.col("doc_id") % 5 + 1) % 20).alias("dst"),
+    )
+    return label_propagation(edges, iters=3)
+
+
 @_q(
     "graph_pagerank",
     # planted link graph over documents: 7 out-edges per surviving src

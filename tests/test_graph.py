@@ -85,3 +85,33 @@ def test_triangle_direction_loops_parallels_ignored(spark):
     messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
     got = _tri(spark, messy)
     assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+
+
+def _lpa(spark, edges, **kw):
+    from dataux_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.node: r.label for r in label_propagation(df, **kw).collect()}
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: each clique collapses to
+    # its min label; the bridge is outvoted by clique-internal neighbors
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    got = _lpa(spark, c1 + c2 + [(3, 10)], iters=4)
+    assert all(got[n] == got[0] for n in range(4))
+    assert all(got[n] == got[10] for n in range(10, 14))
+    assert got[0] != got[10]
+
+
+def test_lpa_deterministic_tie_breaks_to_min_label(spark):
+    # a path 0-1-2 after one round: 1 sees {0, 2} equally — adopts 0
+    got = _lpa(spark, [(0, 1), (1, 2)], iters=1)
+    assert got[1] == 0
+
+
+def test_lpa_checkpoint_variant_matches(spark):
+    edges = [(i, (i * 5 + 2) % 9) for i in range(9)]
+    assert _lpa(spark, edges, iters=4) == _lpa(spark, edges, iters=4,
+                                               checkpoint_every=2)
