@@ -1267,3 +1267,44 @@ def remove_duplicated_spans(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dedup_savings_report(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Preflight ROI report for a dedup pass: given (node, cluster)
+    assignments from connected_components above and the document frame,
+    how much would dropping non-keepers save — per cluster SIZE, so the
+    answer reads "37 pair-clusters, 4 triples, 1.2 MB reclaimed" before
+    anyone commits to the rewrite. The keeper is the cluster's min id,
+    which IS the cluster label (min-label propagation converges to
+    exactly that), so keeper weight needs no window — one equality
+    filter.
+
+    Work: clusters is pair-graph-node-sized (only docs that appear in
+    some near-dup pair), one join to fetch weights, one cluster groupBy,
+    one size groupBy — everything downstream of the banded pair
+    generation is tiny. Returns
+    (cluster_size, n_clusters, dup_docs, chars_saved) for sizes >= 2."""
+    sized = clusters.join(
+        docs.select(F.col(id_col).alias("node"), F.col(weight_col).alias("_w")),
+        "node",
+    )
+    per = sized.groupBy("cluster").agg(
+        F.count("*").alias("sz"), F.sum("_w").alias("_tw")
+    )
+    keeper = sized.filter(F.col("node") == F.col("cluster")).select(
+        "cluster", F.col("_w").alias("_kw")
+    )
+    return (
+        per.join(keeper, "cluster")
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("sz") - 1).alias("dup_docs"),
+            F.sum(F.col("_tw") - F.col("_kw")).alias("chars_saved"),
+        )
+    )

@@ -196,3 +196,60 @@ def distribution_drift_psi(
         )
         .orderBy("bucket")
     )
+
+
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Vector-column QA — the gate an embeddings table passes BEFORE any
+    ANN/cluster/dedup run spends a shuffle on it: counts of wrong-
+    dimension, NULL, NaN-bearing, and zero-norm vectors, plus the norm
+    range (an un-normalized batch from a different encoder shows up as a
+    norm_max excursion long before it poisons cosine math downstream).
+
+    One scan, zero shuffles until the final 1-row aggregate: dim/NaN/norm
+    are JVM higher-order expressions (size / exists / aggregate) in the
+    scan projection. Per-vector norms round to 6dp so the report is
+    engine-reproducible. expected_dim=None takes wrong_dim from the
+    FIRST vector's dimension via a 1-row broadcast instead of a constant
+    — at 100 TB prefer passing the known constant and saving that pass.
+
+    Returns one row: (n_vectors, wrong_dim, null_vectors, nan_vectors,
+    zero_vectors, norm_min, norm_avg, norm_max)."""
+    v = F.col(vec_col)
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+        ),
+        6,
+    )
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    per = df.select(
+        v.isNull().cast("int").alias("_null"),
+        F.when(v.isNull(), None).otherwise(F.size(v)).alias("_dim"),
+        F.when(v.isNull(), None).otherwise(has_nan.cast("int")).alias("_nan"),
+        F.when(v.isNull() | has_nan, None).otherwise(norm).alias("_norm"),
+    )
+    if expected_dim is None:
+        first = per.filter(F.col("_dim").isNotNull()).select(
+            F.col("_dim").alias("_exp")
+        ).limit(1)
+        per = per.crossJoin(F.broadcast(first))
+    else:
+        per = per.withColumn("_exp", F.lit(int(expected_dim)))
+    return per.agg(
+        F.count("*").alias("n_vectors"),
+        F.coalesce(
+            F.sum((F.col("_dim") != F.col("_exp")).cast("int")), F.lit(0)
+        ).alias("wrong_dim"),
+        F.sum("_null").alias("null_vectors"),
+        F.coalesce(F.sum("_nan"), F.lit(0)).alias("nan_vectors"),
+        F.coalesce(
+            F.sum((F.col("_norm") == 0.0).cast("int")), F.lit(0)
+        ).alias("zero_vectors"),
+        F.round(F.min("_norm"), 6).alias("norm_min"),
+        F.round(F.avg("_norm"), 6).alias("norm_avg"),
+        F.round(F.max("_norm"), 6).alias("norm_max"),
+    )

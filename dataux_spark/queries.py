@@ -1701,6 +1701,60 @@ def profile_histogram(spark, sf_dir):
 
 
 @_q(
+    "profile_embeddings_qa",
+    # the oracle replays the scan-projection QA exactly: per-vector dim,
+    # NaN flag, 6dp-rounded L2 norm, then the 1-row report
+    """
+    WITH per AS (
+      SELECT CAST(embedding IS NULL AS INT) AS _null,
+             CASE WHEN embedding IS NULL THEN NULL ELSE len(embedding) END AS _dim,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE CAST(len(list_filter(embedding, x -> isnan(x))) > 0 AS INT)
+             END AS _nan,
+             CASE WHEN embedding IS NULL
+                    OR len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL
+                  ELSE round(sqrt(list_sum(list_transform(
+                         embedding, x -> CAST(x AS DOUBLE) * x))), 6)
+             END AS _norm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(coalesce(sum(CASE WHEN _dim <> 64 THEN 1 END), 0) AS BIGINT)
+             AS wrong_dim,
+           CAST(sum(_null) AS BIGINT) AS null_vectors,
+           CAST(coalesce(sum(_nan), 0) AS BIGINT) AS nan_vectors,
+           CAST(coalesce(sum(CASE WHEN _norm = 0.0 THEN 1 END), 0) AS BIGINT)
+             AS zero_vectors,
+           round(min(_norm), 6) AS norm_min,
+           round(avg(_norm), 6) AS norm_avg,
+           round(max(_norm), 6) AS norm_max
+    FROM per
+    """,
+)
+def profile_embeddings_qa(spark, sf_dir):
+    """Embedding-table QA gate (operators/profile.embedding_profile):
+    wrong-dimension / NULL / NaN / zero-norm counts plus the norm range,
+    in one scan with zero shuffles before the 1-row aggregate — the
+    check an embeddings delivery passes before any ANN or clustering
+    run spends a shuffle on it (an un-normalized batch from a different
+    encoder surfaces as a norm_max excursion here, not as silently wrong
+    cosines downstream). All vector math is JVM higher-order
+    expressions; per-vector norms round 6dp so the report is
+    engine-reproducible."""
+    from dataux_spark.operators.profile import embedding_profile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_profile(emb, "embedding", expected_dim=64).select(
+        "n_vectors",
+        F.col("wrong_dim").cast("bigint").alias("wrong_dim"),
+        F.col("null_vectors").cast("bigint").alias("null_vectors"),
+        F.col("nan_vectors").cast("bigint").alias("nan_vectors"),
+        F.col("zero_vectors").cast("bigint").alias("zero_vectors"),
+        "norm_min", "norm_avg", "norm_max",
+    )
+
+
+@_q(
     "profile_drift_psi",
     # the oracle replays the full PSI pipeline: reference-frame edges,
     # the identical clamped floor bucketing on BOTH sides, the dense
@@ -3095,6 +3149,73 @@ def dedup_clusters(spark, sf_dir):
         read_table(spark, sf_dir, "documents"), "text", "doc_id", ["lang"], n=3, threshold=0.5
     )
     return connected_components(pairs)
+
+
+@_q(
+    "dedup_savings_report",
+    # extends the dedup_clusters transitive-closure oracle with the ROI
+    # rollup: per-cluster totals, keeper (= min id = cluster label)
+    # weight, then the per-size histogram
+    """
+    WITH RECURSIVE g AS (
+      SELECT doc_id AS _id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a._id AS id_a, b._id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+      SELECT DISTINCT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), comp AS (
+      SELECT node, min(r) AS cluster FROM reach GROUP BY node
+    ), sized AS (
+      SELECT comp.node, comp.cluster, d.n_chars AS w
+      FROM comp JOIN documents d ON d.doc_id = comp.node
+    ), per AS (
+      SELECT cluster, count(*) AS sz, sum(w) AS tw FROM sized GROUP BY cluster
+    ), keeper AS (
+      SELECT cluster, w AS kw FROM sized WHERE node = cluster
+    )
+    SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
+           CAST(sum(tw - kw) AS BIGINT) AS chars_saved
+    FROM per JOIN keeper USING (cluster) GROUP BY sz
+    """,
+)
+def dedup_savings_report(spark, sf_dir):
+    """Dedup ROI preflight (operators/dedup.dedup_savings_report): near-dup
+    pairs → connected components → per-cluster-SIZE histogram of clusters,
+    droppable docs, and chars reclaimed — the "is this dedup pass worth
+    the rewrite" answer, computed without touching any keeper. Everything
+    downstream of the banded pair generation is pair-graph-sized; the
+    keeper needs no window because min-label propagation already made the
+    cluster label the keeper id. Oracle = exact transitive closure + the
+    same rollup."""
+    from dataux_spark.operators.dedup import (
+        connected_components,
+        dedup_savings_report as savings,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    return savings(connected_components(pairs), docs).select(
+        "cluster_size",
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("dup_docs").cast("bigint").alias("dup_docs"),
+        F.col("chars_saved").cast("bigint").alias("chars_saved"),
+    )
 
 
 @_q(

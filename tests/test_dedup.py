@@ -482,3 +482,21 @@ def test_decontaminate_neardup_equals_exact_cross_join(spark, docs):
     w = {(r.doc_id, r.bench_id): r.jaccard for r in exact.collect()}
     assert g == w
     assert len(w) > 0
+
+
+def test_dedup_savings_report_hand_built(spark):
+    """Pair cluster {1,2} and triple {10,11,12}: keeper = min id, savings
+    = non-keeper weights, histogram keyed by cluster size."""
+    from dataux_spark.operators.dedup import connected_components, dedup_savings_report
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 70), (10, 10), (11, 20), (12, 30), (99, 555)],
+        ["doc_id", "n_chars"],
+    )
+    got = {r.cluster_size: (r.n_clusters, r.dup_docs, r.chars_saved)
+           for r in dedup_savings_report(
+               connected_components(pairs), docs).collect()}
+    assert got == {2: (1, 1, 70), 3: (1, 2, 50)}  # doc 99 untouched

@@ -98,3 +98,32 @@ def test_psi_constant_reference_defined(spark):
     out = {r.bucket: r for r in distribution_drift_psi(ref, cur, "x", bins=10).collect()}
     assert out[1].n_ref == 2 and out[1].n_cur == 2
     assert out[1].psi_term == 0.0
+
+
+def test_embedding_profile_counts_planted_defects(spark):
+    from dataux_spark.operators.profile import embedding_profile
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [1.0, 0.0]),          # norm 1
+        (3, [0.0, 0.0]),          # zero vector
+        (4, [float("nan"), 1.0]), # NaN — excluded from norm stats
+        (5, [1.0, 2.0, 2.0]),     # wrong dim (norm 3 still computed)
+        (6, None),                # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_profile(df, "embedding", expected_dim=2).first()
+    assert (r.n_vectors, r.wrong_dim, r.null_vectors, r.nan_vectors,
+            r.zero_vectors) == (6, 1, 1, 1, 1)
+    assert (r.norm_min, r.norm_max) == (0.0, 5.0)
+
+
+def test_embedding_profile_infers_dim_from_first_vector(spark):
+    from dataux_spark.operators.profile import embedding_profile
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_profile(df, "embedding").first()
+    assert r.wrong_dim == 1
