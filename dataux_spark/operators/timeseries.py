@@ -527,3 +527,65 @@ def match_sequence(
         F.col("__end").alias("end_ts"),
         F.round(dur, 6).alias("duration_sec"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    lookback_hours: float = 72.0,
+) -> DataFrame:
+    """Last-touch attribution: every conversion event is credited to the
+    user's most recent PRECEDING touch event (strictly before in the
+    (ts, id) total order, so an equal-timestamp tie is decided by id,
+    never nondeterministically), or labeled 'direct' when no touch falls
+    inside the lookback window. The funnel/retention family's
+    revenue-side sibling.
+
+    Plan: ONE user-keyed sort window over the touch∪conversion subset —
+    the carried last-touch is an ignorenulls last() over the preceding
+    frame, so there is no per-conversion as-of join, no range join, and
+    no second pass; cost is the sessionize shape regardless of how many
+    conversions a user has. Output is a TOTAL labeling of conversions
+    (the attribution-report contract: direct rows are rows, not gaps).
+
+    Returns (id, user, ts, touch_type, touch_id, hours_since_touch) —
+    touch_type 'direct' / touch_id NULL / hours NULL when unattributed."""
+    keep = [conversion_type] + list(touch_types)
+    sub = events.filter(F.col(type_col).isin(keep))
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    tid = F.last(F.when(is_touch, F.col(id_col)), ignorenulls=True).over(w)
+    tts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    ttype = F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w)
+    carried = sub.select(
+        F.col(id_col),
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("_t"),
+        tid.alias("_tid"),
+        tts.alias("_tts"),
+        ttype.alias("_ttype"),
+    ).filter(F.col("_t") == conversion_type)
+    hrs = F.round(
+        (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("_tts"))) / 3600.0,
+        6,
+    )
+    attributed = F.col("_tid").isNotNull() & (hrs <= lookback_hours)
+    return carried.select(
+        F.col(id_col),
+        "user",
+        "ts",
+        F.when(attributed, F.col("_ttype")).otherwise(F.lit("direct"))
+        .alias("touch_type"),
+        F.when(attributed, F.col("_tid")).alias("touch_id"),
+        F.when(attributed, hrs).alias("hours_since_touch"),
+    )

@@ -6492,6 +6492,55 @@ def events_zscore_anomalies(spark, sf_dir):
 
 
 @_q(
+    "events_last_touch",
+    # the oracle replays the one-window attribution exactly: carried
+    # ignorenulls last-touch over the (ts, id)-ordered preceding frame,
+    # the 72h lookback gate, and the 'direct' fallback
+    """
+    WITH sub AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')
+    ), carried AS (
+      SELECT event_id, user_id AS "user", ts, event_type,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+                   IGNORE NULLS) OVER w AS tid,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                   IGNORE NULLS) OVER w AS tts,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                   IGNORE NULLS) OVER w AS ttype
+      FROM sub
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, "user", ts,
+           CASE WHEN tid IS NOT NULL AND hrs <= 72.0 THEN ttype
+                ELSE 'direct' END AS touch_type,
+           CASE WHEN tid IS NOT NULL AND hrs <= 72.0 THEN tid END AS touch_id,
+           CASE WHEN tid IS NOT NULL AND hrs <= 72.0 THEN hrs END
+             AS hours_since_touch
+    FROM (SELECT *, round(date_diff('second', tts, ts) / 3600.0, 6) AS hrs
+          FROM carried)
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_last_touch(spark, sf_dir):
+    """Last-touch attribution (operators/timeseries.last_touch_attribution):
+    every purchase credited to the user's most recent preceding click or
+    view within 72h, else 'direct' — the funnel family's revenue-side
+    report. ONE user-keyed sort window carries the last touch via
+    ignorenulls last() over the strictly-preceding (ts, id) frame: no
+    per-conversion as-of join, no range join, cost is the sessionize
+    shape however many purchases a user makes. Total labeling of
+    conversions."""
+    from dataux_spark.operators.timeseries import last_touch_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "purchase", ["click", "view"], lookback_hours=72.0
+    )
+
+
+@_q(
     "events_seasonal_anomalies",
     # per-(event_type, hour-of-day) population baseline over the whole
     # frame, z rounded 6dp before the |z|>3 compare — the oracle replays

@@ -339,3 +339,32 @@ def test_seasonal_profile_flags_wrong_for_slot_value(spark):
     assert got[555] == (None, 0)  # thin slot: unscored, flag 0
     # every in-profile hour-14 value (100-ish baseline) stays unflagged
     assert all(got[100 + i][1] == 0 for i in range(20))
+
+
+def test_last_touch_attribution_hand_built(spark):
+    """Purchase credited to the most recent preceding touch within the
+    lookback; outside-lookback and touchless purchases are 'direct';
+    equal-ts touch with lower id counts as preceding."""
+    rows = [
+        # user 1: click -> view -> purchase (credit view), then a
+        # purchase 100h later (outside 72h -> direct)
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "click"),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 1, "view"),
+        (3, dt.datetime(2024, 1, 1, 2, 0), 1, "purchase"),
+        (4, dt.datetime(2024, 1, 5, 6, 0), 1, "purchase"),
+        # user 2: purchase with no touches at all
+        (5, dt.datetime(2024, 1, 1, 0, 0), 2, "purchase"),
+        # user 3: touch at the SAME ts as the purchase, lower id — counts
+        (6, dt.datetime(2024, 1, 2, 0, 0), 3, "click"),
+        (7, dt.datetime(2024, 1, 2, 0, 0), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r.event_id: (r.touch_type, r.touch_id, r.hours_since_touch)
+           for r in TS.last_touch_attribution(
+               df, "purchase", ["click", "view"], lookback_hours=72.0
+           ).collect()}
+    assert got[3] == ("view", 2, 1.0)
+    assert got[4] == ("direct", None, None)  # 101h > 72h lookback
+    assert got[5] == ("direct", None, None)
+    assert got[6 + 1] == ("click", 6, 0.0)
+    assert set(got) == {3, 4, 5, 7}  # total labeling of purchases only
