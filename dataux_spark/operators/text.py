@@ -973,3 +973,61 @@ def tag_by_dictionary(
     return exploded.filter(F.col("_t.n_hits") >= min_hits).select(
         F.col(id_col), F.col("_t.topic").alias("topic"), F.col("_t.n_hits").alias("n_hits")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    content_col: str,
+    ks: list[int] = (100, 1000, 10000),
+) -> DataFrame:
+    """Tokenizer-budget planning signal: what fraction of the corpus's
+    token OCCURRENCES would a vocabulary of the k most frequent types
+    cover, for each requested k — the curve that decides vocab size
+    before a tokenizer is trained (coverage at 10k vs 50k types is the
+    whole argument). Whitespace types here; the shape is identical for
+    any pre-tokenizer.
+
+    Plan: one map-side-combined (token) census — the only corpus-sized
+    shuffle — then TakeOrderedAndProject of the top max(ks) types
+    (count desc, token asc: deterministic), a rank window over that
+    max(ks)-row frame (bounded by the ARGUMENT, not the vocabulary, so
+    the global window is safe), and a broadcast 1-row total. The census
+    frame is type-sized, never occurrence-sized; the full-vocab
+    cumulative curve is deliberately NOT computed — it would need a
+    vocabulary-wide single-partition running sum.
+
+    Returns (k, covered_occurrences, total_occurrences, coverage) per k,
+    coverage rounded 6dp."""
+    from pyspark.sql import Window as W
+
+    from dataux_spark.operators.dedup import tokens
+
+    kmax = max(ks)
+    census = (
+        df.select(F.explode(tokens(F.col(content_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = census.agg(F.sum("cnt").alias("_total"))
+    top = census.orderBy(F.col("cnt").desc(), "tok").limit(kmax)
+    w = W.orderBy(F.col("cnt").desc(), "tok")
+    ranked = top.withColumn("_rn", F.row_number().over(w))
+    spine = F.array(*[F.lit(int(k)) for k in ks])
+    per_k = (
+        ranked.select(F.explode(spine).alias("k"), "_rn", "cnt")
+        .filter(F.col("_rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("covered_occurrences"))
+    )
+    return (
+        per_k.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered_occurrences",
+            F.col("_total").alias("total_occurrences"),
+            F.round(F.col("covered_occurrences") / F.col("_total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

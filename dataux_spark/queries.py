@@ -3152,6 +3152,48 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "text_vocab_coverage",
+    # the oracle replays census → deterministic (cnt desc, tok asc) top
+    # rank → per-k cumulative coverage, with the identical tokenizer
+    """
+    WITH census AS (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ), total AS (SELECT sum(cnt) AS t FROM census),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+      FROM census ORDER BY cnt DESC, tok LIMIT 1000
+    )
+    SELECT k, CAST(sum(cnt) AS BIGINT) AS covered_occurrences,
+           (SELECT CAST(t AS BIGINT) FROM total) AS total_occurrences,
+           round(sum(cnt) / (SELECT t FROM total), 6) AS coverage
+    FROM ranked CROSS JOIN (VALUES (10), (100), (1000)) AS ks(k)
+    WHERE rn <= k GROUP BY k
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (operators/text.vocab_coverage): what
+    fraction of token occurrences the k most frequent types cover, for
+    k in {10, 100, 1000} — the signal that sizes a tokenizer vocabulary
+    before training one. One map-side-combined census shuffle (the only
+    corpus-sized stage), a TakeOrderedAndProject top-max(k), and a rank
+    window bounded by the ARGUMENT rather than the vocabulary, so
+    nothing here is vocabulary-wide-single-partition. Deterministic
+    (cnt desc, tok asc) rank makes the curve engine-exact."""
+    from dataux_spark.operators.text import vocab_coverage
+
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", ks=[10, 100, 1000]).select(
+        "k",
+        "covered_occurrences",
+        "total_occurrences",
+        "coverage",
+    )
+
+
+@_q(
     "dedup_savings_report",
     # extends the dedup_clusters transitive-closure oracle with the ROI
     # rollup: per-cluster totals, keeper (= min id = cluster label)

@@ -597,3 +597,26 @@ def test_tag_by_dictionary_set_semantics_and_plan(spark):
     plan = tag_by_dictionary(df, "text", "doc_id", tax)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vocab_coverage_hand_built(spark):
+    """Corpus: 'a' x6, 'b' x3, 'c' x1 (10 occurrences). k=1 covers 0.6,
+    k=2 covers 0.9, k=3 covers all; k beyond the vocab saturates at 1."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b  a"), (3, "a b c")], ["doc_id", "text"]
+    )
+    got = {r.k: (r.covered_occurrences, r.total_occurrences, r.coverage)
+           for r in text.vocab_coverage(docs, "text", ks=[1, 2, 3, 50]).collect()}
+    assert got[1] == (6, 10, 0.6)
+    assert got[2] == (9, 10, 0.9)
+    assert got[3] == (10, 10, 1.0)
+    assert got[50] == (10, 10, 1.0)
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    """Equal-count types rank alphabetically: with 'x' and 'y' both at 2,
+    k=1 must take 'x' — the (cnt desc, tok asc) order, not hash luck."""
+    docs = spark.createDataFrame([(1, "y x"), (2, "x y")], ["doc_id", "text"])
+    got = {r.k: r.covered_occurrences
+           for r in text.vocab_coverage(docs, "text", ks=[1]).collect()}
+    assert got[1] == 2
