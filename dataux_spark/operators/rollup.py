@@ -628,9 +628,14 @@ def cms_estimates(
             ).cast("bigint") % width
         ).alias("col"),
     )
+    # right outer keeps every probe cell; the BUILD side is the grid,
+    # which is bounded by construction (<= depth x width rows after the
+    # cell-wise merge), so the broadcast is provably safe — a left outer
+    # with a broadcast probe would drop the hint (can't build the
+    # outer side) and shuffle both frames instead
     return (
-        F.broadcast(probe)
-        .join(grid, ["row", "col"], "left")
+        F.broadcast(grid)
+        .join(probe, ["row", "col"], "right")
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
     )

@@ -6141,6 +6141,65 @@ def streaming_topk_merge(spark, sf_dir):
     return S.merged_topk(spark, store, k=10)
 
 
+@_q(
+    "streaming_cms_merge",
+    # count-min merge is cell-wise ADDITION, so the streamed store's
+    # estimates must equal the batch build's — the oracle is the batch
+    # pipeline replay (identical to rollup_cms_estimates), which is
+    # exactly the streaming/batch equivalence contract, driver-pinned
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS bucket, CAST(user_id AS VARCHAR) AS item,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cells AS (
+      SELECT bucket, r.rw AS row, cnt,
+             ('0x' || substr(md5(item || ':' || CAST(r.rw AS VARCHAR)), 1, 8))::UBIGINT
+               % 256 AS col
+      FROM counts CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(rw)
+    ), grid AS (
+      SELECT row, col, sum(cnt) AS cnt FROM cells GROUP BY row, col
+    ), probe AS (
+      SELECT CAST(i.item AS VARCHAR) AS item, r.rw AS row,
+             ('0x' || substr(md5(CAST(i.item AS VARCHAR) || ':' || CAST(r.rw AS VARCHAR)), 1, 8))::UBIGINT
+               % 256 AS col
+      FROM range(16) i(item) CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(rw)
+    )
+    SELECT item, CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS est
+    FROM probe LEFT JOIN grid USING (row, col)
+    GROUP BY item
+    """,
+)
+def streaming_cms_merge(spark, sf_dir):
+    """Streaming count-min ingest then point estimates
+    (streaming/ops.streaming_cms_ingest + the UNCHANGED batch reader
+    rollup.cms_estimates): events arrive as two parity micro-batches,
+    each landing its own per-hour counter grids in a replay-safe
+    ingest_batch partition. Because count-min merge is cell-wise
+    addition, splitting events across micro-batches cannot change the
+    merged grid — so the oracle is the BATCH pipeline replay, and a
+    green row here is the streaming/batch equivalence contract held at
+    the driver gate."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+    from dataux_spark.operators.rollup import cms_estimates
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dataux_stream_cms_")
+    incoming, store = f"{root}/in", f"{root}/cms"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/even.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/odd.parquet")
+    schema = spark.read.parquet(f"{incoming}/even.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_cms_ingest(stream, store, depth=4, width=256).awaitTermination()
+    return cms_estimates(spark, store, [str(i) for i in range(16)], depth=4, width=256)
+
+
 def _training_prep_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 

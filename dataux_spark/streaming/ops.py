@@ -650,3 +650,43 @@ def streaming_match_sequence(
     return stream.groupBy(F.col(user_col)).applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_cms_ingest(
+    stream: DataFrame,
+    rollup_path: str,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    bucket: str = "hour",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Count-min streaming ingest — the streaming twin of
+    rollup.build_cms_rollup, completing the sketch symmetry
+    (streaming_rollup_ingest : build_rollup :: streaming_topk_ingest :
+    build_topk_rollup :: this : build_cms_rollup): each micro-batch
+    reduces to its own per-bucket depth x width counter grid in a
+    replay-safe ingest_batch=<id> partition. Because count-min merge is
+    plain cell-wise ADDITION, the batch reader rollup.cms_estimates
+    works UNCHANGED over a streamed store — summing cells across
+    (bucket, batch) grids is the same arithmetic as across buckets, so
+    there is no separate merged_cms reader to drift.
+
+    Same at-least-once contract as every ingest above: a retried batch
+    overwrites its own partition, never double-counting. Per-batch state
+    is <= depth x width rows per touched bucket regardless of traffic.
+    Returns the streaming query handle."""
+    from dataux_spark.operators.rollup import build_cms_rollup
+
+    def _sketch(bdf: DataFrame, batch_id: int) -> None:
+        build_cms_rollup(
+            bdf, f"{rollup_path}/ingest_batch={batch_id}",
+            ts_col=ts_col, item_col=item_col, bucket=bucket,
+            depth=depth, width=width,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sketch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -479,3 +479,39 @@ def test_streaming_topk_bounds_and_replay(spark, sf_dir, tmp_path):
     truncate_topk(counts, 2).write.mode("overwrite").parquet(f"{store}/ingest_batch=0")
     again = S.merged_topk(spark, store, k=10**9).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, merged))
+
+
+def test_streaming_cms_equals_batch_build(spark, sf_dir, tmp_path):
+    """Count-min merge is cell-wise addition, so a store streamed in two
+    micro-batches must answer point estimates identically to one batch
+    build over all events — the equivalence the whole design leans on.
+    A replayed batch overwrites its own partition and changes nothing."""
+    from dataux_spark.operators.rollup import build_cms_rollup, cms_estimates
+
+    ev = read_table(spark, sf_dir, "events")
+    incoming, store = str(tmp_path / "in"), str(tmp_path / "cms")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/b.parquet")
+    schema = spark.read.parquet(f"{incoming}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_cms_ingest(stream, store, depth=4, width=64).awaitTermination()
+    batch_store = str(tmp_path / "cms_batch")
+    build_cms_rollup(ev, batch_store, item_col="user_id", depth=4, width=64)
+    items = [str(i) for i in range(30)]
+    streamed = {r.item: r.est for r in
+                cms_estimates(spark, store, items, depth=4, width=64).collect()}
+    batch = {r.item: r.est for r in
+             cms_estimates(spark, batch_store, items, depth=4, width=64).collect()}
+    assert streamed == batch
+    # replay batch 0: same sketch lands in the same partition dir
+    build_cms_rollup(
+        spark.read.parquet(f"{incoming}/a.parquet"),
+        f"{store}/ingest_batch=0", item_col="user_id", depth=4, width=64,
+    )
+    again = {r.item: r.est for r in
+             cms_estimates(spark, store, items, depth=4, width=64).collect()}
+    assert again == streamed
