@@ -253,3 +253,56 @@ def embedding_profile(
         F.round(F.avg("_norm"), 6).alias("norm_avg"),
         F.round(F.max("_norm"), 6).alias("norm_max"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-DEPTH histogram — quantile-edge bins, each holding ~1/bins of
+    the rows: the binning a feature pipeline wants when the distribution
+    is skewed and equi-width above would put 98% of rows in one bucket.
+    This is also the optimizer's histogram of choice (equi-depth is what
+    engines keep in table stats) and the curriculum-binning primitive
+    (difficulty deciles).
+
+    Edges are EXACT interpolated percentiles (Spark percentile ==
+    DuckDB quantile_cont, the parity quality_quantile_filter already
+    pins), computed in ONE 1-row aggregate pass and broadcast back —
+    never an ntile window, which would globally sort every row through
+    a single partition. Bucket i (1-based) spans [edge_{i-1}, edge_i);
+    membership = count of edges <= x among the interior edges, so a row
+    equal to an interior edge belongs to the bucket ABOVE it and the max
+    row folds into the top bucket. Edges round 9dp before compare so
+    assignment is engine-exact. Duplicate-valued edges (heavy ties)
+    leave earlier buckets empty rather than redistributing — absent rows
+    in the output, same contract as equi-width. Returns
+    (bucket, lo, hi, ct) ordered by bucket, non-null rows only."""
+    pcts = [i / bins for i in range(bins + 1)]
+    edges = df.agg(
+        F.percentile(F.col(col).cast("double"), F.lit(pcts)).alias("__e")
+    ).select(F.transform(F.col("__e"), lambda e: F.round(e, 9)).alias("__e"))
+    x = F.round(F.col(col).cast("double"), 9)
+    # interior edges only: edges 1..bins-1; membership = 1 + #{e_i <= x}
+    interior = F.slice(F.col("__e"), 2, bins - 1)
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            interior,
+            F.lit(0),
+            lambda acc, e: acc + F.when(x >= e, 1).otherwise(0),
+        )
+    ).cast("bigint")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(F.broadcast(edges))
+        .select(bucket.alias("bucket"), "__e")
+        .groupBy("bucket", "__e")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            "bucket",
+            F.element_at(F.col("__e"), F.col("bucket").cast("int")).alias("lo"),
+            F.element_at(F.col("__e"), (F.col("bucket") + 1).cast("int")).alias("hi"),
+            "ct",
+        )
+        .orderBy("bucket")
+    )

@@ -1755,6 +1755,44 @@ def profile_embeddings_qa(spark, sf_dir):
 
 
 @_q(
+    "profile_histogram_depth",
+    # the oracle replays edge computation (quantile_cont == Spark
+    # percentile, 9dp-rounded), the count-of-edges-below membership fold
+    # over the interior edges, and the per-bucket rollup
+    """
+    WITH edges AS (
+      SELECT list_transform(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+             [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]), e -> round(e, 9)) AS e
+      FROM lineitem
+    ), b AS (
+      SELECT 1 + list_sum(list_transform(e[2:8], ed ->
+               CASE WHEN round(CAST(l_extendedprice AS DOUBLE), 9) >= ed
+                    THEN 1 ELSE 0 END)) AS bucket, e
+      FROM lineitem CROSS JOIN edges
+      WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           e[CAST(bucket AS INT)] AS lo, e[CAST(bucket AS INT) + 1] AS hi,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM b GROUP BY 1, 2, 3 ORDER BY bucket
+""",
+)
+def profile_histogram_depth(spark, sf_dir):
+    """Equi-DEPTH histogram (operators/profile.equi_depth_histogram) of
+    lineitem prices: 8 quantile-edge buckets each holding ~1/8 of rows —
+    the skew-proof binning (feature deciles, optimizer-style stats)
+    equi-width cannot give. Edges are ONE 1-row exact-percentile
+    aggregate broadcast back over the scan; membership is a
+    count-of-edges-below fold, never an ntile global sort. At 100 TB
+    swap the exact percentile for approx_percentile — the plan shape is
+    unchanged."""
+    from dataux_spark.operators.profile import equi_depth_histogram
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", bins=8)
+
+
+@_q(
     "profile_drift_psi",
     # the oracle replays the full PSI pipeline: reference-frame edges,
     # the identical clamped floor bucketing on BOTH sides, the dense

@@ -127,3 +127,33 @@ def test_embedding_profile_infers_dim_from_first_vector(spark):
     )
     r = embedding_profile(df, "embedding").first()
     assert r.wrong_dim == 1
+
+
+def test_equi_depth_histogram_balanced_and_total(spark):
+    from dataux_spark.operators.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    rows = equi_depth_histogram(df, "v", bins=4).collect()
+    assert [r.bucket for r in rows] == [1, 2, 3, 4]
+    assert [r.ct for r in rows] == [25, 25, 25, 25]  # equi-DEPTH
+    assert sum(r.ct for r in rows) == 100
+    assert rows[0].lo == 1.0 and rows[-1].hi == 100.0
+    # edges are contiguous: each bucket's hi is the next one's lo
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi == b.lo
+
+
+def test_equi_depth_histogram_skew_beats_width(spark):
+    """99 small values + one huge outlier: equi-width crams everything
+    into bucket 1; equi-depth still spreads rows across buckets."""
+    from dataux_spark.operators.profile import (
+        equi_depth_histogram,
+        equi_width_histogram,
+    )
+
+    vals = [(float(i % 10),) for i in range(99)] + [(1e9,)]
+    df = spark.createDataFrame(vals, ["v"])
+    width = {r.bucket: r.ct for r in equi_width_histogram(df, "v", bins=4).collect()}
+    depth = {r.bucket: r.ct for r in equi_depth_histogram(df, "v", bins=4).collect()}
+    assert width[1] == 99  # all mass in one width bucket
+    assert len(depth) >= 3 and max(depth.values()) < 99
