@@ -2486,6 +2486,43 @@ def graph_triangle_stats(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def _shard_manifest_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id")
+    dig = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15))"
+           "::UBIGINT % 2147483647)")
+    return (
+        f"SELECT CAST(floor({f} * 8) AS INT) AS shard, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+        f"CAST(sum({dig}) % 2147483647 AS BIGINT) AS digest "
+        "FROM documents GROUP BY 1"
+    )
+
+
+@_q("export_shard_manifest", _shard_manifest_oracle())
+def export_shard_manifest(spark, sf_dir):
+    """Dataset-export manifest (operators/export.shard_manifest): per
+    hash-band shard, row count, content bytes, and an order-insensitive
+    mod-prime content digest — the integrity contract the training-side
+    reader verifies before consuming an exported corpus
+    (export.verify_shards). Shard assignment is the house md5 band, so
+    export is retry- and growth-stable; the digest sums 31-bit row
+    hashes mod a Mersenne prime, pinned mod-FIRST so the arithmetic
+    never leaves BIGINT on any engine. One shard-key groupBy over scan
+    projections."""
+    from dataux_spark.operators.export import shard_manifest
+
+    d = read_table(spark, sf_dir, "documents")
+    return shard_manifest(d, "doc_id", "text", shards=8).select(
+        "shard",
+        "n_rows",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "digest",
+    )
+
+
 def _cap_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 
