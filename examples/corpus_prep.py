@@ -145,6 +145,15 @@ def main() -> None:
     split.select("doc_id", "lang", "split").write.partitionBy("split").parquet(f"{out}/manifest")
     print(f"manifest written to {out}/manifest")
 
+    print("== shard export + reader-side integrity verify ==")
+    from dataux_spark.operators.export import export_shards, verify_shards
+
+    export_shards(samp, f"{out}/shards", shards=4)
+    v = verify_shards(spark, f"{out}/shards")
+    v.orderBy("shard").show()
+    assert all(r.ok for r in v.collect()), "export integrity check failed"
+    print(f"verified export at {out}/shards")
+
 
 if __name__ == "__main__":
     main()
