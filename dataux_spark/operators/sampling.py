@@ -293,3 +293,19 @@ def cap_per_group(
         W.partitionBy(g).orderBy(hash_frac(id_col, seed), F.col(id_col))
     )
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int = 5, seed: int | str = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation assignment: fold = the md5 hash band of
+    the row id — the same primitive as hash_split, spelled as the CV
+    contract (folds 0..k-1, each ~1/k). Deterministic, retry-stable, and
+    growth-stable (a new row never moves an old row between folds, so
+    fold-i models remain comparable across corpus refreshes — the
+    property a random ntile assignment loses). Pure map, no shuffle;
+    train/test for fold i = filter(fold != i) / filter(fold == i)."""
+    return df.withColumn(
+        fold_col, F.floor(hash_frac(id_col, seed) * k).cast("int")
+    )

@@ -2486,6 +2486,42 @@ def graph_triangle_stats(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def _kfold_oracle():
+    from dataux_spark.operators.sampling import hash_frac_sql
+
+    f = hash_frac_sql("doc_id")
+    return (
+        f"SELECT CAST(floor({f} * 5) AS INT) AS fold, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS min_id, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum "
+        "FROM documents GROUP BY 1"
+    )
+
+
+@_q("sample_kfold_counts", _kfold_oracle())
+def sample_kfold_counts(spark, sf_dir):
+    """K-fold CV assignment (operators/sampling.kfold_assign): fold =
+    md5 hash band of the doc id — deterministic, retry-stable, and
+    growth-stable, so fold-i models stay comparable across corpus
+    refreshes where a random ntile would reshuffle everything. Pure
+    map on the scan; the gate checks per-fold membership exactly via
+    count/min/id-sum (bit-exact band parity, same contract as
+    split_hash_counts)."""
+    from dataux_spark.operators.sampling import kfold_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(d, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
 def _shard_manifest_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 

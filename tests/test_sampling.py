@@ -222,3 +222,19 @@ def test_weighted_priority_sample_properties(spark):
     plan = weighted_priority_sample(df, "id", "w", 50)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kfold_partition_and_growth_stability(spark):
+    from dataux_spark.operators.sampling import kfold_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    folds = kfold_assign(df, "doc_id", k=5)
+    got = {r.fold: r.ct for r in
+           folds.groupBy("fold").agg(F.count("*").alias("ct")).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}          # every fold populated
+    assert sum(got.values()) == 1000            # a partition, not a sample
+    assert max(got.values()) < 2 * min(got.values())  # roughly balanced
+    # growth-stable: assignments on a subset are identical
+    sub = kfold_assign(df.filter("doc_id < 500"), "doc_id", k=5)
+    full = {r.doc_id: r.fold for r in folds.filter("doc_id < 500").collect()}
+    assert {r.doc_id: r.fold for r in sub.collect()} == full
