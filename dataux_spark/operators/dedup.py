@@ -293,6 +293,70 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Prefix-filtered CONTAINMENT self-join: directional pairs (a, b)
+    where C(a→b) = |A ∩ B| / |A| >= t — "doc a is mostly inside doc b".
+    The asymmetric complement of prefix_jaccard_pairs above: Jaccard at
+    any usable threshold misses a short quote swallowed by a long doc
+    (union is dominated by the container), which is exactly the
+    partial-copy/quotation duplication a corpus clean needs to see.
+
+    Filtering principle, containment form: C(a→b) >= t implies
+    |A ∩ B| >= ceil(t·|A|), so the CONTAINED side keeps only its first
+    p = |A| - ceil(t·|A|) + 1 shingles in the rarest-first order and any
+    qualifying container must share one of them. The container side has
+    no self-relative size bound, so it indexes ALL its shingles — the
+    standard asymmetric scheme. Candidate fan-out per shingle is
+    prefix-postings(A) x full-postings(B): hot boilerplate shingles have
+    huge B-postings but almost never appear in a rarest-first A-prefix,
+    so the product stays small exactly where it threatens to explode.
+    Exact verification makes the output identical to the quadratic
+    all-pairs answer. Returns (id_a, id_b, containment), a != b,
+    directional (both directions reported when both qualify)."""
+    from pyspark.sql.window import Window
+
+    sets = gram_sets(df, content_col, id_col, shingle_n).withColumnRenamed(
+        "_grams", "_set"
+    )
+    toks = sets.select(
+        "_id", F.size("_set").alias("_sz"), F.explode("_set").alias("_tok")
+    )
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    prefix = (
+        toks.join(freq, "_tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+        .select(F.col("_id").alias("_ida"), "_tok")
+    )
+    cand = (
+        prefix.join(
+            toks.select(F.col("_id").alias("_idb"), "_tok"), "_tok"
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .distinct()
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    cont = F.size(F.array_intersect("_sa", "_sb")).cast("double") / F.size("_sa")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # -------------------------------------------------------------- minhash LSH
 
 def minhash_signatures(

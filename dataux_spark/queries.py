@@ -3305,6 +3305,42 @@ def text_vocab_coverage(spark, sf_dir):
 
 
 @_q(
+    "dedup_containment_pairs",
+    # exact all-pairs containment IS the value oracle — the prefix filter
+    # is lossless, so the filtered join must equal the quadratic answer
+    """
+    WITH g AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a._id AS id_a, b._id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(a.grams), 6) AS containment
+    FROM g a JOIN g b ON a._id <> b._id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                / len(a.grams), 6) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directional containment join (operators/dedup.containment_pairs):
+    (a, b) where |A∩B|/|A| >= 0.8 — the quote-inclusion / partial-copy
+    duplication Jaccard misses when a long container dominates the
+    union. Prefix filter on the CONTAINED side only (rarest-first, the
+    lossless asymmetric scheme); container side indexes all shingles,
+    safe because hot shingles almost never make a rarest-first prefix.
+    Exact verify == the quadratic all-pairs answer, which is the
+    oracle."""
+    from dataux_spark.operators.dedup import containment_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "text", "doc_id", threshold=0.8)
+
+
+@_q(
     "dedup_savings_report",
     # extends the dedup_clusters transitive-closure oracle with the ROI
     # rollup: per-cluster totals, keeper (= min id = cluster label)

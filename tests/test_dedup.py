@@ -500,3 +500,42 @@ def test_dedup_savings_report_hand_built(spark):
            for r in dedup_savings_report(
                connected_components(pairs), docs).collect()}
     assert got == {2: (1, 1, 70), 3: (1, 2, 50)}  # doc 99 untouched
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment flags it
+    (C = 1.0) while symmetric Jaccard sits far below any usable
+    threshold; the prefix-filtered join equals brute force."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    rows = [
+        (1, quote),                       # contained
+        (2, filler + " " + quote),        # container
+        (3, "completely unrelated text about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dataux_spark.operators.dedup import containment_pairs, prefix_jaccard_pairs
+
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, "text", "doc_id", 0.8).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0   # quote fully inside
+    assert (2, 1) not in got                       # direction matters
+    jac = prefix_jaccard_pairs(df, "text", "doc_id", 0.5).collect()
+    assert not jac  # symmetric Jaccard misses the inclusion entirely
+
+
+def test_containment_equals_brute_force_on_corpus(spark, sf_dir):
+    """Losslessness: the prefix-filtered result == exact all-pairs on the
+    real corpus (the filter is a candidate superset by the containment
+    bound; verification trims it to truth)."""
+    from dataux_spark.operators.dedup import containment_pairs, gram_sets
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {(r.id_a, r.id_b) for r in
+           containment_pairs(docs, "text", "doc_id", 0.8).collect()}
+    sets = {r._id: set(r._set) for r in
+            gram_sets(docs, "text", "doc_id", 3)
+            .withColumnRenamed("_grams", "_set").collect()}
+    brute = {(a, b) for a in sets for b in sets if a != b
+             and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= 0.8}
+    assert got == brute and brute  # non-vacuous
