@@ -269,6 +269,41 @@ CHECKS = {
         ("rank is a keyed window",
          lambda p: "Window" in p and "hashpartitioning(query_id" in p),
     ],
+    "graph_triangle_stats": [
+        # the wedge join and the closing join are node-keyed hash joins —
+        # the degree orientation exists so NO stage is ever cartesian
+        ("all joins hash-keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("wedge join keyed on the corner node",
+         lambda p: "hashpartitioning(u#" in p or "BroadcastHashJoin" in p),
+    ],
+    "rollup_cms_estimates": [
+        # the probe is |items| x depth rows over the merged grid: the grid
+        # (bounded by depth x width) must be the broadcast build side —
+        # the left-outer spelling that silently dropped the hint is the
+        # regression this check pins
+        ("bounded grid broadcast into the probe join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no corpus-sized shuffle after the cell merge",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "dedup_containment_pairs": [
+        # candidates come ONLY from the shingle equi-join (prefix side x
+        # full postings) — never a cartesian pair stage
+        ("candidate generation is a shingle equi-join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("prefix rank is a doc-keyed window",
+         lambda p: "Window" in p and "hashpartitioning(_id" in p),
+    ],
+    "export_shard_manifest": [
+        # the manifest is scan projections + ONE shard-key groupBy: no
+        # join, no window, nothing corpus-sized after the aggregate
+        ("no join at all", lambda p: "Join" not in p),
+        ("one shard-key aggregate",
+         lambda p: "hashpartitioning(shard" in p),
+    ],
 }
 
 
