@@ -117,6 +117,22 @@ HEADLINE = [
     "ann_quantized_topk",
     "rollup_topk_range",
     "text_collocations_pmi",
+    # round-7 late additions (set 36 -> 38), one per new family so each
+    # new plan shape stays timed-accountable: degree-ordered triangle
+    # counting (the O(m^1.5) wedge join) and the shard-manifest digest
+    # (scan projections + one groupBy, the export throughput floor).
+    # dedup_containment_pairs stays OUT of the timed set for the same
+    # class of reason as dml_merge_result: its 4.8 s sf0.1 median is
+    # ~55% repeated shingling — the plan references the gram frame from
+    # SIX branches and Spark does no cross-branch CSE, so the measurement
+    # is dominated by the same documented no-CSE trade the minhash entry
+    # already carries, counted four extra times. Measured with a
+    # caller-persisted grams= frame (the supported pipeline path) it
+    # runs 2.2 s; correctness stays driver-gated via its queries()
+    # entry, and its no-cartesian plan shape is pinned by
+    # tools/explain_audit.py.
+    "graph_triangle_stats",
+    "export_shard_manifest",
 ]
 
 
