@@ -224,6 +224,7 @@ def prefix_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtering set-similarity self-join over distinct word-shingle
     sets (the AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07,
@@ -250,12 +251,14 @@ def prefix_jaccard_pairs(
     right set universe for near-dup text: unigram vocabularies are small
     and Zipf-dense, so unigram prefixes go hot — measured on the test
     corpus, unigram sets at t=0.7 yield 51k qualifying pairs where 3-gram
-    sets at t=0.5 yield 25. Returns (id_a, id_b, jaccard)."""
+    sets at t=0.5 yield 25. `grams` short-circuits the shingling (the
+    caller-owned persist pattern of minhash_signatures/containment_pairs:
+    this plan too references the gram frame from five branches with no
+    cross-branch CSE). Returns (id_a, id_b, jaccard)."""
     from pyspark.sql.window import Window
 
-    sets = gram_sets(df, content_col, id_col, shingle_n).withColumnRenamed(
-        "_grams", "_set"
-    )
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    sets = g.withColumnRenamed("_grams", "_set")
     toks = sets.select("_id", F.size("_set").alias("_sz"), F.explode("_set").alias("_tok"))
     freq = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
@@ -1390,3 +1393,40 @@ def dedup_savings_report(
             F.sum(F.col("_tw") - F.col("_kw")).alias("chars_saved"),
         )
     )
+
+
+def cross_group_dup_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-mixing diagnostic: fold near-dup pairs into a GROUP x GROUP
+    duplication matrix — "how much does source A repeat source B" — the
+    table that decides which crawl/source to down-weight before mixing
+    (a high off-diagonal cell means two sources ship the same content;
+    a high diagonal means a source repeats itself). Same role as
+    dedup_savings_report for sizes, sliced by provenance instead.
+
+    Works over ANY pair frame from this module (ngram/minhash/simhash/
+    containment). Each pair is counted once under the lexicographically
+    canonical (group_a <= group_b) cell so A-vs-B and B-vs-A land
+    together. Two id-keyed lookups against a slim (id, group) projection
+    + one cell groupBy — everything after pair generation is pair-sized.
+    Returns (group_a, group_b, n_pairs, avg_jaccard) when the pair frame
+    carries `jaccard` (avg NULL otherwise)."""
+    score = "jaccard" if "jaccard" in pairs.columns else None
+    slim = docs.select(F.col(id_col).alias("_nid"), F.col(group_col).alias("_g"))
+    ga = slim.select(F.col("_nid").alias("id_a"), F.col("_g").alias("_ga"))
+    gb = slim.select(F.col("_nid").alias("id_b"), F.col("_g").alias("_gb"))
+    joined = pairs.join(ga, "id_a").join(gb, "id_b")
+    out = joined.groupBy(
+        F.least("_ga", "_gb").alias("group_a"),
+        F.greatest("_ga", "_gb").alias("group_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        (F.round(F.avg(score), 6) if score else F.lit(None).cast("double")).alias(
+            "avg_jaccard"
+        ),
+    )
+    return out

@@ -589,3 +589,50 @@ def last_touch_attribution(
         F.when(attributed, F.col("_tid")).alias("touch_id"),
         F.when(attributed, hrs).alias("hours_since_touch"),
     )
+
+
+def active_user_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU / stickiness per calendar day — the engagement report
+    every events pipeline ships. WAU(d) = distinct users active in the
+    trailing `window_days` ending at d, computed WITHOUT a per-day
+    distinct-over-range pass: the corpus reduces once to distinct
+    (user, day) rows, each row then CONTRIBUTES itself to the
+    window_days days it keeps a user active in (an explode of a
+    day-sequence — bounded fan-out of window_days on the already-reduced
+    frame, the rollup trick), and one countDistinct per day finishes it.
+    Days with no events at all are absent (a report over observed days,
+    not a gap-filled spine — compose with gap_fill_hourly's pattern if a
+    dense spine is needed). Trailing windows that extend past the
+    observed range are dropped by the dau join, so every reported day is
+    a real day. stickiness = DAU/WAU rounded 6dp — the DAU/MAU-family
+    ratio at the weekly grain.
+
+    Scale: one (user, day) distinct shuffle over the raw events, then
+    everything is user-day-sized; the explode multiplies by window_days
+    (constant), never by traffic. Returns (day, dau, wau, stickiness)."""
+    ud = events.select(
+        F.to_date(F.col(ts_col)).alias("_d"), F.col(user_col).alias("_u")
+    ).distinct()
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+            )
+        ).alias("day"),
+        "_u",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("_u").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

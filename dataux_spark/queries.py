@@ -3341,6 +3341,50 @@ def dedup_containment_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_source_matrix",
+    # exact all-pairs Jaccard (the lossless-blocking oracle pattern) +
+    # the canonical-cell provenance rollup
+    """
+    WITH g AS (
+      SELECT doc_id AS _id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, lang, source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb,
+             round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                   len(list_distinct(a.grams || b.grams)), 6) AS j
+      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+    )
+    SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(j), 6) AS avg_jaccard
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.
+    cross_group_dup_matrix over the lossless ngram pair frame): near-dup
+    pairs folded into canonical (source_a <= source_b) cells with counts
+    and mean similarity — the provenance table that decides which source
+    to down-weight before mixing. Everything after pair generation is
+    pair-sized: two slim id-keyed lookups + one cell groupBy."""
+    from dataux_spark.operators.dedup import (
+        cross_group_dup_matrix,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    return cross_group_dup_matrix(pairs, docs, "doc_id", "source")
+
+
+@_q(
     "dedup_savings_report",
     # extends the dedup_clusters transitive-closure oracle with the ROI
     # rollup: per-cluster totals, keeper (= min id = cluster label)
@@ -6737,6 +6781,41 @@ def events_zscore_anomalies(spark, sf_dir):
         ev, "ts", "event_type", "value", "event_id",
         window=50, min_n=10, threshold=3.0,
     ).select("event_id", "key", "z", "is_anomaly")
+
+
+@_q(
+    "events_active_users",
+    # the oracle replays the (user, day) reduce, the bounded
+    # window_days contribution explode, and the per-day distinct merge
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
+    ), dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ), contrib AS (
+      SELECT d + r.off AS day, u
+      FROM ud CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) r(off)
+    ), wau AS (
+      SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS wau
+      FROM contrib GROUP BY 1
+    )
+    SELECT day, dau, wau, round(dau::DOUBLE / wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day
+    """,
+)
+def events_active_users(spark, sf_dir):
+    """DAU / WAU / stickiness report
+    (operators/timeseries.active_user_stats): trailing-7-day active
+    users per calendar day WITHOUT a per-day distinct-over-range pass —
+    the corpus reduces once to distinct (user, day) rows, each
+    contributes itself to the 7 days it keeps a user active in (a
+    constant-bounded explode on the reduced frame), and one per-day
+    distinct finishes it. The engagement-reporting staple next to
+    funnel/retention/attribution."""
+    from dataux_spark.operators.timeseries import active_user_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return active_user_stats(ev, "ts", "user_id", window_days=7)
 
 
 @_q(

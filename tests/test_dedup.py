@@ -539,3 +539,23 @@ def test_containment_equals_brute_force_on_corpus(spark, sf_dir):
     brute = {(a, b) for a in sets for b in sets if a != b
              and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= 0.8}
     assert got == brute and brute  # non-vacuous
+
+
+def test_cross_group_dup_matrix_hand_built(spark):
+    """Pairs fold into canonical (lo, hi) source cells with counts and
+    mean similarity; directionality of the pair ids never splits a cell."""
+    from dataux_spark.operators.dedup import cross_group_dup_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.7), (5, 6, 0.5)], ["id_a", "id_b", "jaccard"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "books"), (4, "web"),
+         (5, "web"), (6, "web")],
+        ["doc_id", "source"],
+    )
+    got = {(r.group_a, r.group_b): (r.n_pairs, r.avg_jaccard)
+           for r in cross_group_dup_matrix(pairs, docs).collect()}
+    # (1,2) is web-books and (3,4) is books-web: SAME canonical cell
+    assert got[("books", "web")] == (2, 0.8)
+    assert got[("web", "web")] == (1, 0.5)

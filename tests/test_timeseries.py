@@ -368,3 +368,22 @@ def test_last_touch_attribution_hand_built(spark):
     assert got[5] == ("direct", None, None)
     assert got[6 + 1] == ("click", 6, 0.0)
     assert set(got) == {3, 4, 5, 7}  # total labeling of purchases only
+
+
+def test_active_user_stats_hand_built(spark):
+    """Three days of activity: WAU on day d counts every user active in
+    [d-6, d]; stickiness = DAU/WAU; days without events are absent."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 10),
+        (2, dt.datetime(2024, 1, 1, 10), 20),
+        (3, dt.datetime(2024, 1, 3, 9), 10),       # u10 returns on day 3
+        (4, dt.datetime(2024, 1, 20, 9), 30),      # isolated much later
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {str(r.day): (r.dau, r.wau, r.stickiness)
+           for r in TS.active_user_stats(df, "ts", "user_id", 7).collect()}
+    assert got["2024-01-01"] == (2, 2, 1.0)
+    # day 3: only u10 active; trailing week saw u10 and u20
+    assert got["2024-01-03"] == (1, 2, 0.5)
+    assert got["2024-01-20"] == (1, 1, 1.0)
+    assert "2024-01-02" not in got  # no events that day -> absent
