@@ -1031,3 +1031,72 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, content_col: str, id_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Interpolated-bigram LM quality scoring — unigram_logprob_scores
+    one Markov order up, which is what separates "right words, wrong
+    order" text (scrambles, SEO keyword soup, table dumps) from prose:
+    a unigram model scores those identically.
+
+    Model, self-trained on the corpus (the CCNet pattern):
+      P(w2 | w1) = λ · C(w1 w2)/C(w1) + (1-λ) · (C(w2)+1)/(total+V)
+    — ML bigram interpolated with the add-one unigram, the classic
+    Jelinek-Mercer mixture; unseen bigrams degrade smoothly to the
+    unigram floor instead of zeroing a document.
+
+    Plan: the SAME checkpoint pattern as the unigram scorer — one
+    unigram census and one bigram census (both map-side combined,
+    vocabulary-sized, persisted as the trained model), scalar totals
+    folded in as literals, then the per-(doc, bigram) counts join the
+    two count tables and roll up per doc. Bigram arrays come from the
+    same zip_with idiom as repetition_profile — no second tokenizer.
+    Score: mean negative log prob per bigram, rounded 6dp. Returns
+    (id, n_bigrams, mean_neg_logprob, pppl) for docs with >= 2 tokens."""
+    toks = tokens(F.col(content_col))
+    bigrams = F.expr(
+        "filter(zip_with(_t, slice(_t, 2, size(_t)), (a, b) -> (a, b)), "
+        "p -> p.b IS NOT NULL)"
+    )
+    doc_bg = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("_id", F.explode(bigrams).alias("_bg"))
+        .select("_id", F.col("_bg.a").alias("w1"), F.col("_bg.b").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cu"))
+        .persist()
+    )
+    bg = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
+    totals = uni.agg(F.sum("cu").alias("total"), F.count("*").alias("v")).first()
+    denom = float(totals.total + totals.v)
+    cu1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
+    cu2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    p = F.lit(float(lam)) * F.col("cb") / F.col("cu1") + F.lit(
+        1.0 - float(lam)
+    ) * (F.col("cu2") + 1) / F.lit(denom)
+    return (
+        doc_bg.groupBy("_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .join(bg, ["w1", "w2"])
+        .join(cu1, "w1")
+        .join(cu2, "w2")
+        .groupBy("_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(-F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+        .select(
+            F.col("_id"),
+            "n_bigrams",
+            "mean_neg_logprob",
+            F.round(F.exp("mean_neg_logprob"), 4).alias("pppl"),
+        )
+    )

@@ -3263,6 +3263,65 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "text_bigram_pppl",
+    # the oracle refits the interpolated model exactly: unigram + bigram
+    # censuses, the Jelinek-Mercer mixture with (1.0 - 0.7) spelled as
+    # the same IEEE subtraction Spark's Python literal performs, ln/exp
+    # parity as in text_unigram_pppl
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), bgrows AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgrows
+    ), uni AS (
+      SELECT term, count(*) AS cu
+      FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+    ), totals AS (
+      SELECT CAST(sum(cu) + count(*) AS DOUBLE) AS denom FROM uni
+    ), cb AS (
+      SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+    ), docbg AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS _id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(-sum(tf * ln(0.7 * cb.cb / u1.cu
+                              + (1.0 - 0.7) * (u2.cu + 1)
+                                / (SELECT denom FROM totals)))
+                 / sum(tf), 6) AS mean_neg_logprob,
+           round(exp(round(-sum(tf * ln(0.7 * cb.cb / u1.cu
+                              + (1.0 - 0.7) * (u2.cu + 1)
+                                / (SELECT denom FROM totals)))
+                 / sum(tf), 6)), 4) AS pppl
+    FROM docbg
+    JOIN cb USING (w1, w2)
+    JOIN uni u1 ON u1.term = w1
+    JOIN uni u2 ON u2.term = w2
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_pppl(spark, sf_dir):
+    """Interpolated-bigram LM scoring (operators/text.
+    bigram_logprob_scores): the unigram CCNet scorer one Markov order up
+    — catches "right words, wrong order" text a unigram model scores as
+    normal. Jelinek-Mercer mixture of the ML bigram with the add-one
+    unigram floor; same census-as-checkpoint plan shape as
+    text_unigram_pppl (two map-side-combined censuses, persisted, scalar
+    totals folded as literals, one doc roll-up)."""
+    from dataux_spark.operators.text import bigram_logprob_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d, "text", "doc_id", lam=0.7).select(
+        "_id", "n_bigrams", "mean_neg_logprob", "pppl"
+    )
+
+
+@_q(
     "text_vocab_coverage",
     # the oracle replays census → deterministic (cnt desc, tok asc) top
     # rank → per-k cumulative coverage, with the identical tokenizer

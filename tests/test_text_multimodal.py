@@ -620,3 +620,32 @@ def test_vocab_coverage_tie_break_deterministic(spark):
     got = {r.k: r.covered_occurrences
            for r in text.vocab_coverage(docs, "text", ks=[1]).collect()}
     assert got[1] == 2
+
+
+def test_bigram_pppl_orders_scramble_below_prose(spark):
+    """The bigram scorer's whole point: a scrambled doc (same unigrams,
+    broken order) must score WORSE (higher mean neg logprob) than the
+    prose it was scrambled from, while a unigram model ties them."""
+    prose = "the cat sat on the mat and the dog sat on the rug"
+    words = prose.split()
+    scrambled = " ".join(words[::2] + words[1::2][::-1])  # same bag of words
+    filler = [(i, "the cat sat on the mat again and again today") for i in range(3, 10)]
+    df = spark.createDataFrame(
+        [(1, prose), (2, scrambled)] + filler, ["doc_id", "text"]
+    )
+    bi = {r._id: r.mean_neg_logprob
+          for r in text.bigram_logprob_scores(df, "text", "doc_id").collect()}
+    uni = {r._id: r.mean_neg_logprob
+           for r in text.unigram_logprob_scores(df, "text", "doc_id").collect()}
+    assert bi[2] > bi[1]              # scramble is out-of-distribution
+    assert abs(uni[2] - uni[1]) < 1e-9  # unigram model cannot tell
+
+
+def test_bigram_pppl_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world"), (3, "a b c")], ["doc_id", "text"]
+    )
+    got = {r._id: r.n_bigrams
+           for r in text.bigram_logprob_scores(df, "text", "doc_id").collect()}
+    assert 1 not in got      # single-token doc has no bigrams
+    assert got[2] == 1 and got[3] == 2
