@@ -6749,6 +6749,75 @@ def dedup_semantic_keepset(spark, sf_dir):
 
 
 @_q(
+    "streaming_quantile_merge",
+    # histogram merge is bin-count ADDITION, so the streamed store's p95
+    # must equal the batch build's — the oracle is the batch replay
+    # (identical to rollup_quantile_range), driver-pinning the
+    # streaming/batch equivalence contract for the fourth sketch family
+    """
+    WITH mm AS (
+      SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax
+      FROM events
+    ), e AS (
+      SELECT event_type AS key,
+             least(127, CAST(floor((CAST(value AS DOUBLE) - mm.vmin) /
+               (CASE WHEN mm.vmax - mm.vmin = 0 THEN 1.0
+                     ELSE mm.vmax - mm.vmin END) * 128) AS INT)) AS bin
+      FROM events CROSS JOIN mm
+    ), c AS (
+      SELECT key, bin, count(*) AS ct FROM e GROUP BY 1, 2
+    ), r AS (
+      SELECT key, bin, ct,
+             sum(ct) OVER (PARTITION BY key ORDER BY bin) AS cum,
+             sum(ct) OVER (PARTITION BY key) AS total
+      FROM c
+    ), p AS (
+      SELECT *, CAST(ceil(0.95 * total) AS BIGINT) AS target FROM r
+    ), f AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY bin) AS rn
+      FROM p WHERE cum >= target
+    )
+    SELECT key, CAST(total AS BIGINT) AS n,
+           round(mm.vmin + (bin + (target - (cum - ct)) / CAST(ct AS DOUBLE))
+                 * ((CASE WHEN mm.vmax - mm.vmin = 0 THEN 1.0
+                          ELSE mm.vmax - mm.vmin END) / 128), 6) AS q_est
+    FROM f CROSS JOIN mm WHERE rn = 1
+    """,
+)
+def streaming_quantile_merge(spark, sf_dir):
+    """Streaming histogram-quantile ingest then range p95
+    (streaming/ops.streaming_quantile_ingest + the UNCHANGED batch
+    reader rollup.quantile_over_range): bin edges frozen up front from
+    the reference frame (the PSI deployed-binning contract), events
+    streamed as two parity micro-batches into replay-safe ingest_batch
+    partitions, bin counts summed across (bucket, batch) at read. A
+    green row is the streaming==batch equivalence held at the driver
+    gate — same argument as streaming_cms_merge."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+    from dataux_spark.operators.rollup import quantile_over_range
+
+    ev = read_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min(F.col("value").cast("double")).alias("lo"),
+                F.max(F.col("value").cast("double")).alias("hi")).first()
+    root = tempfile.mkdtemp(prefix="dataux_stream_qtl_")
+    incoming, store = f"{root}/in", f"{root}/qtl"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/even.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/odd.parquet")
+    schema = spark.read.parquet(f"{incoming}/even.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_quantile_ingest(
+        stream, store, vmin=mm.lo, vmax=mm.hi, bins=128
+    ).awaitTermination()
+    return quantile_over_range(spark, store, q=0.95)
+
+
+@_q(
     "rollup_quantile_range",
     # the histogram rollup's estimate is fully deterministic (equi-width
     # bins over the global min/max, rank = ceil(q*total), linear

@@ -690,3 +690,68 @@ def streaming_cms_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_quantile_ingest(
+    stream: DataFrame,
+    rollup_path: str,
+    vmin: float,
+    vmax: float,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    bins: int = 128,
+):
+    """Histogram-quantile streaming ingest — the fourth streaming sketch
+    twin (rollup ingest : build_rollup :: topk :: cms :: this :
+    build_quantile_rollup). One structural difference from the batch
+    build: bin edges must be FROZEN up front (passed as vmin/vmax — the
+    deployed binning, exactly distribution_drift_psi's reference-frozen
+    contract), because a per-batch min/max would give every micro-batch
+    its own incompatible bin space. Values outside the frozen range
+    clamp into the edge bins (the PSI fold rule), where the batch
+    builder never sees one by construction.
+
+    Bin counts merge by plain addition, so rollup.quantile_over_range
+    reads a streamed store UNCHANGED — the hist partition discovery
+    picks up ingest_batch next to bucket_date and the key/bin merge sums
+    across both (the count-min argument, applied to histograms). Same
+    replay-safe overwrite-own-partition contract as every ingest above.
+    Writes the one-row meta frame once at setup; returns the handle."""
+    spark = stream.sparkSession
+    span = (float(vmax) - float(vmin)) or 1.0
+    spark.createDataFrame(
+        [(float(vmin), float(vmax), int(bins))], "vmin double, vmax double, bins int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{rollup_path}/meta")
+
+    def _hist(bdf: DataFrame, batch_id: int) -> None:
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col(value_col).cast("double") - float(vmin)) / span * bins
+                ).cast("int"),
+            ),
+        )
+        (
+            bdf.filter(F.col(value_col).isNotNull())
+            .groupBy(
+                F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+                F.col(key_col).alias("key"),
+                b.alias("bin"),
+            )
+            .agg(F.count("*").alias("ct"))
+            .withColumn("bucket_date", F.to_date("bucket"))
+            .repartition("bucket_date")
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(f"{rollup_path}/hist/ingest_batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_hist)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -515,3 +515,51 @@ def test_streaming_cms_equals_batch_build(spark, sf_dir, tmp_path):
     again = {r.item: r.est for r in
              cms_estimates(spark, store, items, depth=4, width=64).collect()}
     assert again == streamed
+
+
+def test_streaming_quantile_equals_batch_and_clamps(spark, sf_dir, tmp_path):
+    """Histogram merge is bin addition: a streamed store answers p95
+    identically to the batch build when edges are frozen from the same
+    range; values OUTSIDE the frozen range clamp into edge bins instead
+    of corrupting bin arithmetic (the PSI fold rule the batch builder
+    never needs)."""
+    from dataux_spark.operators.rollup import (
+        build_quantile_rollup,
+        quantile_over_range,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min(F.col("value").cast("double")),
+                F.max(F.col("value").cast("double"))).first()
+    incoming, store = str(tmp_path / "in"), str(tmp_path / "qtl")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/b.parquet")
+    schema = spark.read.parquet(f"{incoming}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_quantile_ingest(
+        stream, store, vmin=mm[0], vmax=mm[1], bins=64
+    ).awaitTermination()
+    batch_store = str(tmp_path / "qtl_batch")
+    build_quantile_rollup(ev, batch_store, bins=64)
+    a = sorted(map(tuple, quantile_over_range(spark, store, 0.95).collect()))
+    b = sorted(map(tuple, quantile_over_range(spark, batch_store, 0.95).collect()))
+    assert a == b
+    # clamp: stream a frame with values far outside the frozen range
+    wild = ev.withColumn("value", F.col("value") * 1000 - 500000)
+    incoming2, store2 = str(tmp_path / "in2"), str(tmp_path / "qtl2")
+    wild.coalesce(1).write.parquet(f"{incoming2}/a.parquet")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming2}/*/")
+    )
+    S.streaming_quantile_ingest(
+        stream2, store2, vmin=mm[0], vmax=mm[1], bins=64
+    ).awaitTermination()
+    hist = spark.read.parquet(f"{store2}/hist")
+    bins_seen = {r.bin for r in hist.select("bin").distinct().collect()}
+    assert bins_seen <= {0, 63}  # everything folded into the edge bins
