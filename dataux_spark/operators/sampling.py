@@ -309,3 +309,28 @@ def kfold_assign(
     return df.withColumn(
         fold_col, F.floor(hash_frac(id_col, seed) * k).cast("int")
     )
+
+
+def percentile_rank_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    out_col: str = "pctl",
+) -> DataFrame:
+    """Quantile-normalize a quality score WITHIN each group — the step
+    that makes scores comparable ACROSS corpora before a global
+    threshold or mixture weight is applied: a fastText quality of 0.6
+    means different things on web crawl vs books, but "top 10% of its
+    source" means the same thing everywhere (the cross-corpus
+    calibration move quality-filtering pipelines standardize on).
+
+    percent_rank over (group, score, id): the id tie-break makes equal
+    scores rank deterministically, so the output is engine-exact rather
+    than partition-luck. One group-keyed shuffle; groups rank
+    independently, so no global sort exists anywhere. Returns the input
+    plus `out_col` in [0, 1] rounded 6dp."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -2486,6 +2486,32 @@ def graph_triangle_stats(spark, sf_dir):
     return triangle_stats(edges)
 
 
+@_q(
+    "sample_pctl_normalize",
+    # the oracle replays the per-group (score, id)-ordered percent_rank
+    # over the identical n_chars score
+    """
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pctl
+    FROM documents
+    """,
+)
+def sample_pctl_normalize(spark, sf_dir):
+    """Per-group percentile-rank normalization
+    (operators/sampling.percentile_rank_normalize): scores become
+    "top X% of its source" so one global threshold means the same thing
+    on every corpus — the cross-corpus calibration step before mixing.
+    Deterministic (score, id) tie order, one group-keyed shuffle, no
+    global sort anywhere."""
+    from dataux_spark.operators.sampling import percentile_rank_normalize
+
+    d = read_table(spark, sf_dir, "documents")
+    return percentile_rank_normalize(
+        d.select("doc_id", "source", "n_chars"), "n_chars", "source", "doc_id"
+    )
+
+
 def _kfold_oracle():
     from dataux_spark.operators.sampling import hash_frac_sql
 

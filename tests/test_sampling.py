@@ -238,3 +238,24 @@ def test_kfold_partition_and_growth_stability(spark):
     sub = kfold_assign(df.filter("doc_id < 500"), "doc_id", k=5)
     full = {r.doc_id: r.fold for r in folds.filter("doc_id < 500").collect()}
     assert {r.doc_id: r.fold for r in sub.collect()} == full
+
+
+def test_percentile_rank_normalize_cross_group_comparable(spark):
+    from dataux_spark.operators.sampling import percentile_rank_normalize
+
+    # two groups with wildly different score scales: the top item of each
+    # lands at pctl 1.0, making one global threshold meaningful
+    rows = [(1, "web", 0.1), (2, "web", 0.2), (3, "web", 0.3),
+            (4, "books", 100.0), (5, "books", 200.0), (6, "books", 300.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    got = {r.doc_id: r.pctl for r in percentile_rank_normalize(
+        df, "score", "source", "doc_id").collect()}
+    assert got[3] == got[6] == 1.0
+    assert got[1] == got[4] == 0.0
+    assert got[2] == got[5] == 0.5
+    # deterministic tie order: equal scores rank by id
+    tie = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 5.0), (3, "g", 5.0)], ["doc_id", "source", "score"])
+    t = {r.doc_id: r.pctl for r in percentile_rank_normalize(
+        tie, "score", "source", "doc_id").collect()}
+    assert t == {1: 0.0, 2: 0.5, 3: 1.0}
