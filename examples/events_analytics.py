@@ -93,6 +93,21 @@ def main() -> None:
         "ewma_anoms", output_mode="append",
     )
     anomalies.groupBy("is_anomaly").count().show()
+
+    print("== engagement: DAU/WAU/stickiness; seasonal-slot anomalies ==")
+    from dataux_spark.operators.timeseries import (
+        active_user_stats,
+        last_touch_attribution,
+        seasonal_profile_anomalies,
+    )
+
+    active_user_stats(ev).show(5)
+    seasonal_profile_anomalies(ev, "ts", "event_type", "value", "event_id") \
+        .filter("is_anomaly = 1").show(3)
+
+    print("== attribution: purchases credited to the last touch ==")
+    last_touch_attribution(ev, "purchase", ["click", "view"]) \
+        .groupBy("touch_type").count().show()
     print("events tour complete")
 
 
