@@ -224,3 +224,59 @@ def phash_neardup_pairs(
         F.col(id_col).alias("_id"), "phash"
     )
     return hamming_pairs(hashes, "phash", max_hamming, chunks)
+
+
+def curate_media_metadata(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    bytes_col: str = "n_bytes",
+    min_side: int = 64,
+    max_aspect: float = 2.5,
+    max_bytes: int = 20_000_000,
+) -> DataFrame:
+    """Metadata-stage media curation — the gate an image/video pipeline
+    runs BEFORE any decode is scheduled (decoding is the expensive step;
+    a 100 TB crawl drops 30-50% of media on metadata alone, so the gate
+    must run on the typed metadata columns, never the payload): keep =
+    both sides >= min_side AND aspect ratio within [1/max_aspect,
+    max_aspect] AND payload under max_bytes. Alongside the flag, the two
+    labels a training mix is stratified on: aspect bucket
+    (portrait/landscape/square at the 5% tolerance used by common
+    dataset cards) and resolution tier by min side (LAION-style
+    <256 / 256-511 / 512-1023 / >=1024 steps).
+
+    Pure JVM CASE arithmetic in the scan projection — zero shuffles,
+    total labeling (a row with NULL metadata keeps keep=0 and tier
+    'unknown' rather than disappearing). Returns the input plus
+    (aspect_bucket, res_tier, keep)."""
+    w, h, b = F.col(width_col), F.col(height_col), F.col(bytes_col)
+    ratio = w.cast("double") / h
+    ok = (
+        w.isNotNull() & h.isNotNull() & b.isNotNull()
+        & (F.least(w, h) >= min_side)
+        & (ratio >= 1.0 / max_aspect) & (ratio <= max_aspect)
+        & (b <= max_bytes)
+    )
+    aspect = (
+        F.when(w.isNull() | h.isNull(), "unknown")
+        .when(ratio > 1.05, "landscape")
+        .when(ratio < 0.95, "portrait")
+        .otherwise("square")
+    )
+    side = F.least(w, h)
+    # least() skips NULLs (returns the surviving operand), so the unknown
+    # tier must test the operands, not the least
+    tier = (
+        F.when(w.isNull() | h.isNull(), "unknown")
+        .when(side < 256, "lt256")
+        .when(side < 512, "256")
+        .when(side < 1024, "512")
+        .otherwise("1024")
+    )
+    return df.select(
+        "*",
+        aspect.alias("aspect_bucket"),
+        tier.alias("res_tier"),
+        F.coalesce(ok.cast("int"), F.lit(0)).alias("keep"),
+    )

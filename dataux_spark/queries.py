@@ -5288,6 +5288,70 @@ def text_redact_pii(spark, sf_dir):
 
 
 @_q(
+    "multimodal_curation_gate",
+    # planted metadata from doc arithmetic (width/height/bytes as doc_id
+    # mixes); the oracle replays the CASE rules and the stratification
+    # rollup exactly
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  ELSE 40 + (doc_id * 7) % 1400 END AS width,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  ELSE 40 + (doc_id * 11) % 1100 END AS height,
+             n_chars * 50 AS n_bytes
+      FROM documents
+    ), g AS (
+      SELECT doc_id, width, height, n_bytes,
+        CASE WHEN width IS NULL OR height IS NULL THEN 'unknown'
+             WHEN width::DOUBLE / height > 1.05 THEN 'landscape'
+             WHEN width::DOUBLE / height < 0.95 THEN 'portrait'
+             ELSE 'square' END AS aspect_bucket,
+        CASE WHEN width IS NULL OR height IS NULL THEN 'unknown'
+             WHEN least(width, height) < 256 THEN 'lt256'
+             WHEN least(width, height) < 512 THEN '256'
+             WHEN least(width, height) < 1024 THEN '512'
+             ELSE '1024' END AS res_tier,
+        coalesce(CAST(width IS NOT NULL AND height IS NOT NULL
+          AND n_bytes IS NOT NULL AND least(width, height) >= 64
+          AND width::DOUBLE / height >= 1.0 / 2.5
+          AND width::DOUBLE / height <= 2.5
+          AND n_bytes <= 20000000 AS INT), 0) AS keep
+      FROM m
+    )
+    SELECT aspect_bucket, res_tier, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(keep) AS BIGINT) AS n_keep
+    FROM g GROUP BY 1, 2
+    """,
+)
+def multimodal_curation_gate(spark, sf_dir):
+    """Metadata-stage media curation
+    (operators/multimodal.curate_media_metadata) + the stratification
+    rollup: the gate an image pipeline runs BEFORE scheduling any decode
+    — min-side, aspect-band, and byte-cap rules plus the aspect/
+    resolution-tier labels a training mix stratifies on, all as JVM CASE
+    arithmetic in the scan projection with one rollup groupBy. Metadata
+    is planted from doc arithmetic (every 17th doc has NULL dims to
+    exercise the total-labeling contract)."""
+    from dataux_spark.operators.multimodal import curate_media_metadata
+
+    d = read_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, None)
+        .otherwise(40 + (F.col("doc_id") * 7) % 1400).alias("width"),
+        F.when(F.col("doc_id") % 17 == 0, None)
+        .otherwise(40 + (F.col("doc_id") * 11) % 1100).alias("height"),
+        (F.col("n_chars") * 50).alias("n_bytes"),
+    )
+    return (
+        curate_media_metadata(meta)
+        .groupBy("aspect_bucket", "res_tier")
+        .agg(F.count("*").alias("n"), F.sum("keep").cast("bigint").alias("n_keep"))
+    )
+
+
+@_q(
     "multimodal_features",
     "SELECT doc_id, 'image/fake' AS mime, "
     "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS digest "

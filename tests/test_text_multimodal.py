@@ -649,3 +649,24 @@ def test_bigram_pppl_short_docs_excluded(spark):
            for r in text.bigram_logprob_scores(df, "text", "doc_id").collect()}
     assert 1 not in got      # single-token doc has no bigrams
     assert got[2] == 1 and got[3] == 2
+
+
+def test_media_curation_gate_rules_and_total_labeling(spark):
+    from dataux_spark.operators.multimodal import curate_media_metadata
+
+    rows = [
+        (1, 800, 600, 1000),        # keep: landscape, 512 tier
+        (2, 32, 600, 1000),         # drop: min side < 64
+        (3, 3000, 600, 1000),       # drop: aspect 5.0 > 2.5
+        (4, 500, 500, 30_000_000),  # drop: bytes over cap
+        (5, None, 600, 1000),       # NULL dims: unknown, keep 0, still a row
+        (6, 100, 100, 1000),        # keep: square, lt256 tier
+    ]
+    df = spark.createDataFrame(rows, ["id", "width", "height", "n_bytes"])
+    got = {r.id: (r.keep, r.aspect_bucket, r.res_tier)
+           for r in curate_media_metadata(df).collect()}
+    assert got[1] == (1, "landscape", "512")
+    assert got[2][0] == 0 and got[3][0] == 0 and got[4][0] == 0
+    assert got[5] == (0, "unknown", "unknown")
+    assert got[6] == (1, "square", "lt256")
+    assert len(got) == 6  # total labeling: nothing disappears
