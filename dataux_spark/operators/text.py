@@ -1100,3 +1100,72 @@ def bigram_logprob_scores(
             F.round(F.exp("mean_neg_logprob"), 4).alias("pppl"),
         )
     )
+
+
+def lexical_drift_js(
+    ref: DataFrame,
+    cur: DataFrame,
+    content_col: str,
+    vocab_k: int = 1000,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Jensen-Shannon lexical drift between a reference corpus slice and
+    a new one — the TOKEN-level sibling of profile.distribution_drift_psi
+    (which watches numeric columns): did the new crawl batch's language
+    itself move (new spam vocabulary, a template flood, a language-mix
+    shift)? JS rather than KL because both directions matter and the
+    score is bounded [0, ln 2], so one threshold works for any corpus.
+
+    The comparison space is the top `vocab_k` types of the COMBINED
+    census (count desc, token asc — deterministic, the vocab_coverage
+    rank), everything else folded into an explicit OOV row so both
+    distributions are total (the PSI dense-spine rule: dropping the tail
+    under-reports drift exactly when it is largest). Proportions are
+    eps-smoothed before the logs so a token absent from one side
+    contributes a finite term.
+
+    Plan: one census groupBy per side, a top-k over the combined census
+    (TakeOrderedAndProject, bounded by the argument), two broadcast
+    1-row totals — everything after the censuses is O(vocab_k) rows.
+    Returns (token, p_ref, q_cur, js_term) with token '<OOV>' carrying
+    the folded tail; sum(js_term) is the headline divergence."""
+    from pyspark.sql import Window as W
+
+    def census(df: DataFrame, out: str) -> DataFrame:
+        from dataux_spark.operators.dedup import tokens
+
+        return (
+            df.select(F.explode(tokens(F.col(content_col))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias(out))
+        )
+
+    rc, cc = census(ref, "rn"), census(cur, "cn")
+    both = rc.join(cc, "tok", "full").select(
+        "tok",
+        F.coalesce("rn", F.lit(0)).alias("rn"),
+        F.coalesce("cn", F.lit(0)).alias("cn"),
+    )
+    in_vocab = both.orderBy(
+        F.desc(F.col("rn") + F.col("cn")), "tok"
+    ).limit(vocab_k)
+    oov = both.join(in_vocab.select("tok"), "tok", "left_anti").agg(
+        F.lit("<OOV>").alias("tok"),
+        F.coalesce(F.sum("rn"), F.lit(0)).alias("rn"),
+        F.coalesce(F.sum("cn"), F.lit(0)).alias("cn"),
+    )
+    space = in_vocab.unionByName(oov)
+    totals = space.agg(
+        F.sum("rn").alias("_tr"), F.sum("cn").alias("_tc")
+    )
+    p = F.greatest(F.col("rn") / F.col("_tr"), F.lit(float(eps)))
+    q = F.greatest(F.col("cn") / F.col("_tc"), F.lit(float(eps)))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return space.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(p, 9).alias("p_ref"),
+        F.round(q, 9).alias("q_cur"),
+        F.round(term, 9).alias("js_term"),
+    )

@@ -3348,6 +3348,64 @@ def text_bigram_pppl(spark, sf_dir):
 
 
 @_q(
+    "text_lexical_drift",
+    # the oracle replays both censuses, the deterministic top-200
+    # combined vocabulary, the OOV fold, eps-smoothing, and the JS terms
+    """
+    WITH rc AS (
+      SELECT tok, count(*) AS rn FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE lang = 'en') WHERE tok <> '' GROUP BY tok
+    ), cc AS (
+      SELECT tok, count(*) AS cn FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE lang <> 'en') WHERE tok <> '' GROUP BY tok
+    ), both_c AS (
+      SELECT coalesce(rc.tok, cc.tok) AS tok,
+             coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+      FROM rc FULL JOIN cc ON rc.tok = cc.tok
+    ), vocab AS (
+      SELECT tok, rn, cn FROM both_c ORDER BY rn + cn DESC, tok LIMIT 200
+    ), oov AS (
+      SELECT '<OOV>' AS tok, coalesce(sum(rn), 0) AS rn, coalesce(sum(cn), 0) AS cn
+      FROM both_c WHERE tok NOT IN (SELECT tok FROM vocab)
+    ), space AS (
+      SELECT * FROM vocab UNION ALL SELECT * FROM oov
+    ), t AS (SELECT sum(rn) AS tr, sum(cn) AS tc FROM space)
+    SELECT tok,
+           round(greatest(rn / tr, 1e-6), 9) AS p_ref,
+           round(greatest(cn / tc, 1e-6), 9) AS q_cur,
+           round(0.5 * greatest(rn / tr, 1e-6)
+                 * ln(greatest(rn / tr, 1e-6)
+                      / ((greatest(rn / tr, 1e-6) + greatest(cn / tc, 1e-6)) / 2))
+               + 0.5 * greatest(cn / tc, 1e-6)
+                 * ln(greatest(cn / tc, 1e-6)
+                      / ((greatest(rn / tr, 1e-6) + greatest(cn / tc, 1e-6)) / 2)),
+                 9) AS js_term
+    FROM space CROSS JOIN t
+    """,
+)
+def text_lexical_drift(spark, sf_dir):
+    """Jensen-Shannon lexical drift (operators/text.lexical_drift_js)
+    between the English slice and the rest of the corpus — the
+    token-level sibling of profile_drift_psi: catches vocabulary-level
+    shifts (template floods, new spam vocab, language-mix moves) a
+    numeric column monitor cannot see. Deterministic top-200 combined
+    vocabulary with an explicit OOV fold (the PSI dense-spine rule:
+    dropping the tail under-reports drift exactly when it is largest);
+    everything after the two censuses is O(vocab_k) rows."""
+    from dataux_spark.operators.text import lexical_drift_js
+
+    d = read_table(spark, sf_dir, "documents")
+    return lexical_drift_js(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "text",
+        vocab_k=200,
+    )
+
+
+@_q(
     "text_vocab_coverage",
     # the oracle replays census → deterministic (cnt desc, tok asc) top
     # rank → per-k cumulative coverage, with the identical tokenizer

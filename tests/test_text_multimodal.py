@@ -670,3 +670,26 @@ def test_media_curation_gate_rules_and_total_labeling(spark):
     assert got[5] == (0, "unknown", "unknown")
     assert got[6] == (1, "square", "lt256")
     assert len(got) == 6  # total labeling: nothing disappears
+
+
+def test_lexical_drift_js_properties(spark):
+    """JS properties the monitor leans on: identical corpora give ~zero
+    divergence; disjoint vocabularies approach ln 2; a planted template
+    flood dominates the per-token terms."""
+    import math
+
+    a = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)], ["doc_id", "text"])
+    same = text.lexical_drift_js(a, a, "text", vocab_k=50).collect()
+    assert abs(sum(r.js_term for r in same)) < 1e-6
+    b = spark.createDataFrame(
+        [(i, "zzz qqq xxx www vvv uuu") for i in range(10)], ["doc_id", "text"])
+    disjoint = sum(r.js_term for r in
+                   text.lexical_drift_js(a, b, "text", vocab_k=50).collect())
+    assert disjoint > 0.9 * math.log(2)
+    flooded = a.union(spark.createDataFrame(
+        [(100 + i, "buy cheap pills now") for i in range(30)], ["doc_id", "text"]))
+    terms = {r.tok: r.js_term for r in
+             text.lexical_drift_js(a, flooded, "text", vocab_k=50).collect()}
+    top = max(terms, key=terms.get)
+    assert top in {"buy", "cheap", "pills", "now"}
