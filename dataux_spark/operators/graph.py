@@ -258,3 +258,84 @@ def label_propagation(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB'04) — personalized PageRank whose
+    teleport mass lands ONLY on a trusted seed set instead of uniformly:
+    trust flows outward from hand-vetted good domains, so a page's score
+    measures its link-distance from known-good territory — the
+    complement of pagerank's raw centrality (a spam farm can accumulate
+    centrality by linking to itself; it cannot accumulate trust unless
+    trusted pages link INTO it, which is the whole point).
+
+      rank'(v) = (1-d)·s(v) + d · (Σ_{u→v} rank(u)/outdeg(u)
+                                   + dangling · s(v))
+
+    with s uniform over the seed set and zero elsewhere — dangling mass
+    also re-teleports through s, keeping Σ rank = 1. Same fixed-
+    iteration, 9dp-per-round determinism contract as pagerank above
+    (the oracle unrolls the identical CTEs); the seed set rides as a
+    broadcast literal frame, everything else is the same one
+    contribution shuffle + two 1-row aggregates per round. Nodes
+    unreachable from the seeds converge to 0 — that IS the signal.
+
+    Returns (node, rank double) for every node of the graph."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed_vals = sorted(set(seeds))
+    s_frac = 1.0 / len(seed_vals)
+    seed_col = F.when(
+        F.col("node").isin(seed_vals), F.lit(s_frac)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", F.round(seed_col, 9).alias("rank"))
+    d = float(damping)
+    for i in range(int(iters)):
+        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(
+            ranks.node, "rank", "outdeg"
+        )
+        dangling = with_deg.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("dmass")
+        )
+        contrib = (
+            e.join(with_deg.filter(F.col("outdeg").isNotNull()),
+                   e.src == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - d) * seed_col
+                    + d
+                    * (
+                        F.coalesce(F.col("csum"), F.lit(0.0))
+                        + F.col("dmass") * seed_col
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -2339,6 +2339,57 @@ def _pagerank_iter_sql(i: int) -> str:
     )
 
 
+def _trustrank_iter_sql(i: int) -> str:
+    # one unrolled TrustRank round: dangling mass, contributions, then
+    # the seed-teleport update — teleport AND dangling both land on the
+    # seed indicator s(v), exactly as the Spark loop in
+    # operators/graph.trustrank
+    p = i - 1
+    return (
+        f"d{i} AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r{p} r "
+        f"LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL), "
+        f"c{i} AS (SELECT e.dst, sum(r.rank / od.outdeg) AS csum FROM e "
+        f"JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src "
+        f"GROUP BY e.dst), "
+        f"r{i} AS (SELECT n.node, round(0.15 * n.s + 0.85 * "
+        f"(coalesce(c.csum, 0) + (SELECT dmass FROM d{i}) * n.s), 9) "
+        f"AS rank FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)"
+    )
+
+
+@_q(
+    "graph_trustrank",
+    # the pagerank planted graph with seeds {1, 2, 6}; three unrolled
+    # rounds replay the seed-teleport power method exactly
+    "WITH e AS (SELECT DISTINCT doc_id % 30 AS src, "
+    "(doc_id % 7) * 4 + (doc_id % 3) AS dst "
+    "FROM documents WHERE doc_id % 5 != 0), "
+    "nodes AS (SELECT node, CASE WHEN node IN (1, 2, 6) "
+    "THEN 1.0 / 3 ELSE 0.0 END AS s FROM "
+    "(SELECT src AS node FROM e UNION SELECT dst FROM e)), "
+    "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), "
+    "r0 AS (SELECT node, round(s, 9) AS rank FROM nodes), "
+    + ", ".join(_trustrank_iter_sql(i) for i in (1, 2, 3))
+    + " SELECT node, rank FROM r3",
+)
+def graph_trustrank(spark, sf_dir):
+    """TrustRank (operators/graph.trustrank) over the pagerank planted
+    graph with a 3-node trusted seed set: teleport and dangling mass
+    land only on the seeds, so a node's score is its link-distance from
+    known-good territory — the anti-spam complement of raw centrality
+    (a farm can self-link into pagerank; it cannot self-link into
+    trust). Same one-shuffle-per-round, 9dp-deterministic contract as
+    graph_pagerank; unreached nodes converge to 0 by design."""
+    from dataux_spark.operators.graph import trustrank
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = d.filter(F.col("doc_id") % 5 != 0).select(
+        (F.col("doc_id") % 30).alias("src"),
+        ((F.col("doc_id") % 7) * 4 + (F.col("doc_id") % 3)).alias("dst"),
+    )
+    return trustrank(edges, seeds=[1, 2, 6], iters=3)
+
+
 def _lpa_iter_sql(i: int) -> str:
     # one unrolled sync label-propagation round: neighbor-label counts,
     # per-node argmax with the (count desc, label asc) total tie order,

@@ -115,3 +115,29 @@ def test_lpa_checkpoint_variant_matches(spark):
     edges = [(i, (i * 5 + 2) % 9) for i in range(9)]
     assert _lpa(spark, edges, iters=4) == _lpa(spark, edges, iters=4,
                                                checkpoint_every=2)
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    from dataux_spark.operators.graph import trustrank
+
+    # seed 0 links to 1; isolated pair 5-6 never receives trust
+    edges = [(0, 1), (1, 2), (5, 6), (6, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in trustrank(df, seeds=[0], iters=4).collect()}
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[5] == 0.0 and got[6] == 0.0  # unreachable from the seed
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_trustrank_spam_farm_cannot_self_trust(spark):
+    from dataux_spark.operators.graph import pagerank, trustrank
+
+    # a dense self-linking farm (10-13) vs a small trusted chain (0->1)
+    farm = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    edges = [(0, 1)] + farm
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    pr = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    tr = {r.node: r.rank for r in trustrank(df, seeds=[0], iters=5).collect()}
+    assert max(pr[n] for n in range(10, 14)) > pr[1]  # farm wins centrality
+    assert all(tr[n] == 0.0 for n in range(10, 14))   # farm gets zero trust
+    assert tr[1] > 0
