@@ -6947,6 +6947,39 @@ def dedup_semantic_keepset(spark, sf_dir):
     return semantic_dedup(base, "embedding", "vec_id", cents, threshold=0.95)
 
 
+@_q("streaming_distinct_merge")  # rows-only by design: HLL union is
+# approximate (sparse/dense mode promotion varies with ingest order), so
+# there is no bit-exact oracle — the exact twin count_distinct IS
+# oracle-checked, and tests/test_streaming.py pins the estimate within
+# sketch tolerance of truth plus the replay-idempotence contract
+def streaming_distinct_merge(spark, sf_dir):
+    """Streaming HLL-distinct ingest then range estimate
+    (streaming/ops.streaming_distinct_ingest + the unchanged batch
+    reader rollup.distinct_over_range): per-micro-batch Datasketches
+    partials in replay-safe ingest_batch partitions, hll_union_agg
+    merging across (bucket, batch) at read — returning users are never
+    double-counted across micro-batches, which the naive per-batch sum
+    would do. Fifth and last streaming sketch twin."""
+    import tempfile
+
+    from dataux_spark import streaming as S
+    from dataux_spark.operators.rollup import distinct_over_range
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dataux_stream_hll_")
+    incoming, store = f"{root}/in", f"{root}/hll"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/even.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/odd.parquet")
+    schema = spark.read.parquet(f"{incoming}/even.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_distinct_ingest(stream, store).awaitTermination()
+    return distinct_over_range(spark, store)
+
+
 @_q(
     "streaming_quantile_merge",
     # histogram merge is bin-count ADDITION, so the streamed store's p95

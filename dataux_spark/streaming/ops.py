@@ -755,3 +755,43 @@ def streaming_quantile_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_distinct_ingest(
+    stream: DataFrame,
+    rollup_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    distinct_col: str = "user_id",
+    bucket: str = "hour",
+    lg_k: int = 12,
+):
+    """HLL-distinct streaming ingest — the fifth and last streaming
+    sketch twin (rollup.build_distinct_rollup's counterpart): each
+    micro-batch lands its own per-(bucket, key) Datasketches HLL
+    partials in a replay-safe ingest_batch partition, and the UNCHANGED
+    batch reader rollup.distinct_over_range unions sketches across
+    whatever partitions exist — hll_union_agg is the merge either way.
+
+    One honesty note vs the other four twins: HLL union is mergeable
+    but NOT bit-identical to a single-pass sketch (sparse→dense mode
+    promotions differ with ingest order), so there is no exact
+    streamed==batch equality to driver-pin — the estimate contract is
+    the ±few-% the batch rollup's own tests already hold it to, and the
+    exact COUNT(DISTINCT) twin remains the oracle-checked entry. Same
+    at-least-once overwrite-own-partition contract as every ingest
+    above. Returns the streaming query handle."""
+    from dataux_spark.operators.rollup import build_distinct_rollup
+
+    def _sketch(bdf: DataFrame, batch_id: int) -> None:
+        build_distinct_rollup(
+            bdf, f"{rollup_path}/ingest_batch={batch_id}",
+            ts_col=ts_col, key_col=key_col, distinct_col=distinct_col,
+            bucket=bucket, lg_k=lg_k,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sketch)
+        .trigger(availableNow=True)
+        .start()
+    )

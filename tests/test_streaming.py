@@ -563,3 +563,45 @@ def test_streaming_quantile_equals_batch_and_clamps(spark, sf_dir, tmp_path):
     hist = spark.read.parquet(f"{store2}/hist")
     bins_seen = {r.bin for r in hist.select("bin").distinct().collect()}
     assert bins_seen <= {0, 63}  # everything folded into the edge bins
+
+
+def test_streaming_distinct_union_dedupes_and_replays(spark, sf_dir, tmp_path):
+    """HLL twins: a store streamed in two parity batches, read with the
+    unchanged union reader, must estimate per-key distincts within the
+    sketch tolerance of truth (returning users NOT double-counted across
+    batches — the naive per-batch sum would be), and a replayed batch
+    changes nothing."""
+    from dataux_spark.operators.rollup import (
+        build_distinct_rollup,
+        distinct_over_range,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    incoming, store = str(tmp_path / "in"), str(tmp_path / "hll")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{incoming}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{incoming}/b.parquet")
+    schema = spark.read.parquet(f"{incoming}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{incoming}/*/")
+    )
+    S.streaming_distinct_ingest(stream, store).awaitTermination()
+    est = {r.key: r.n_distinct_est for r in
+           distinct_over_range(spark, store).collect()}
+    truth = {r.event_type: r.d for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("d")).collect()}
+    for k, t in truth.items():
+        assert abs(est[k] - t) <= max(2, 0.05 * t), (k, est[k], t)
+    # a user active in BOTH parity batches must not be double-counted:
+    # the union estimate stays near truth, while summing per-batch
+    # estimates would roughly double it (every user hits both parities)
+    assert sum(est.values()) < 1.5 * sum(truth.values())
+    # replay batch 0 in place: merged estimates unchanged
+    build_distinct_rollup(
+        spark.read.parquet(f"{incoming}/a.parquet"), f"{store}/ingest_batch=0"
+    )
+    again = {r.key: r.n_distinct_est for r in
+             distinct_over_range(spark, store).collect()}
+    assert again == est
