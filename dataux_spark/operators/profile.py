@@ -306,3 +306,44 @@ def equi_depth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def robust_mean_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Outlier-robust per-group location report — plain mean, TRIMMED
+    mean (rows outside the [trim, 1-trim] quantile band dropped), and
+    WINSORIZED mean (the same rows clamped to the band edges) — the
+    metric triple a monitoring pipeline reports when a value column
+    carries fat tails (a single bad sensor/scraper row moves the mean;
+    it cannot move the trimmed or winsorized one by more than the band).
+
+    Per-group band edges come from ONE grouped exact-percentile
+    aggregate (the quantile_cont == percentile parity the equi-depth
+    histogram already pins) joined back on the group key — bounded by
+    group cardinality, never an ntile sort; the second pass is plain
+    conditional aggregation in the scan projection. Edges round 9dp
+    before the compare, means 6dp, so the report is engine-exact.
+    Returns (group, n, mean, trimmed_mean, winsorized_mean)."""
+    v = F.col(value_col).cast("double")
+    edges = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.round(F.percentile(v, F.lit(float(trim))), 9).alias("_lo"),
+        F.round(F.percentile(v, F.lit(1.0 - float(trim))), 9).alias("_hi"),
+    )
+    x = F.round(v, 9)
+    inside = (x >= F.col("_lo")) & (x <= F.col("_hi"))
+    clamped = F.least(F.greatest(x, F.col("_lo")), F.col("_hi"))
+    return (
+        df.filter(v.isNotNull())
+        .join(edges, F.col(group_col) == F.col("_g"))
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(v), 6).alias("mean"),
+            F.round(F.avg(F.when(inside, x)), 6).alias("trimmed_mean"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+        )
+    )

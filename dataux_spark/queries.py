@@ -1793,6 +1793,44 @@ def profile_histogram_depth(spark, sf_dir):
 
 
 @_q(
+    "profile_robust_means",
+    # the oracle replays the grouped quantile band (quantile_cont ==
+    # percentile, 9dp-rounded), the inside/clamp rules, and the three
+    # 6dp means
+    """
+    WITH e AS (
+      SELECT event_type AS _g,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.05), 9) AS lo,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.95), 9) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT event_type AS "group", CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(value AS DOUBLE)), 6) AS mean,
+           round(avg(CASE WHEN round(CAST(value AS DOUBLE), 9) >= lo
+                           AND round(CAST(value AS DOUBLE), 9) <= hi
+                          THEN round(CAST(value AS DOUBLE), 9) END), 6)
+             AS trimmed_mean,
+           round(avg(least(greatest(round(CAST(value AS DOUBLE), 9), lo), hi)), 6)
+             AS winsorized_mean
+    FROM events JOIN e ON e._g = event_type
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def profile_robust_means(spark, sf_dir):
+    """Outlier-robust location report (operators/profile.
+    robust_mean_report): per event type, the mean / 5%-trimmed mean /
+    winsorized mean triple — a single fat-tail row moves the mean but
+    cannot move the robust pair past the quantile band. One grouped
+    exact-percentile aggregate joined back (group-cardinality-sized,
+    never an ntile sort) + one conditional-agg pass."""
+    from dataux_spark.operators.profile import robust_mean_report
+
+    ev = read_table(spark, sf_dir, "events")
+    return robust_mean_report(ev, "value", "event_type", trim=0.05)
+
+
+@_q(
     "profile_drift_psi",
     # the oracle replays the full PSI pipeline: reference-frame edges,
     # the identical clamped floor bucketing on BOTH sides, the dense

@@ -157,3 +157,21 @@ def test_equi_depth_histogram_skew_beats_width(spark):
     depth = {r.bucket: r.ct for r in equi_depth_histogram(df, "v", bins=4).collect()}
     assert width[1] == 99  # all mass in one width bucket
     assert len(depth) >= 3 and max(depth.values()) < 99
+
+
+def test_robust_means_resist_planted_outlier(spark):
+    from dataux_spark.operators.profile import robust_mean_report
+
+    base = [("m", float(v)) for v in range(1, 100)]          # mean ~50
+    spiked = base + [("m", 1e9)]                             # one bad row
+    df = spark.createDataFrame(spiked, ["k", "v"])
+    r = robust_mean_report(df, "v", "k", trim=0.05).first()
+    assert r.n == 100
+    assert r.mean > 1e6                                      # mean destroyed
+    assert 40 < r.trimmed_mean < 60                          # robust pair holds
+    assert 40 < r.winsorized_mean < 120
+    # clean data: all three agree
+    clean = robust_mean_report(
+        spark.createDataFrame(base, ["k", "v"]), "v", "k", trim=0.05).first()
+    assert abs(clean.mean - clean.trimmed_mean) < 3
+    assert abs(clean.mean - clean.winsorized_mean) < 3
