@@ -105,3 +105,45 @@ def bloom_reduced_join(
         .drop("_kb")
     )
     return reduced.join(dim, on, how)
+
+
+def join_cardinality_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 10,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a planned equi-join: the EXACT
+    output cardinality and the keys that dominate it, computed from two
+    key censuses instead of running the join — |A ⋈ B| = Σ_k cntA(k) ·
+    cntB(k), so the answer costs two map-side-combined censuses plus a
+    census-sized key join, never the join's own (possibly exploding)
+    output. This is the "should I salt this?" question answered with
+    numbers BEFORE the shuffle is paid: a key whose pair product is a
+    large share of the total is exactly the key salted_join exists for.
+
+    Returns the top `top` keys by pair contribution:
+    (key, n_left, n_right, pairs, share) with share = pairs/total
+    rounded 6dp — ordered by (pairs desc, key), deterministic. The total
+    is recoverable as pairs/share (or sum the censuses upstream)."""
+    la = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count("*").alias("n_left")
+    )
+    rb = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count("*").alias("n_right")
+    )
+    pairs = la.join(rb, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pairs"),
+    )
+    total = pairs.agg(F.sum("pairs").alias("_total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_left", "n_right", "pairs",
+            F.round(F.col("pairs") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("pairs"), "key")
+        .limit(top)
+    )

@@ -3617,6 +3617,42 @@ def dedup_source_matrix(spark, sf_dir):
 
 
 @_q(
+    "skew_join_preflight",
+    # the oracle replays both censuses, the pair products, the share
+    # against the full total, and the deterministic (pairs desc, key)
+    # top-10
+    """
+    WITH la AS (
+      SELECT o_custkey AS key, count(*) AS n_left FROM orders GROUP BY 1
+    ), rb AS (
+      SELECT c_custkey AS key, count(*) AS n_right FROM customer GROUP BY 1
+    ), p AS (
+      SELECT key, n_left, n_right, n_left * n_right AS pairs
+      FROM la JOIN rb USING (key)
+    ), t AS (SELECT sum(pairs) AS total FROM p)
+    SELECT key, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pairs AS BIGINT) AS pairs,
+           round(pairs / (SELECT total FROM t), 6) AS share
+    FROM p ORDER BY pairs DESC, key LIMIT 10
+    """,
+)
+def skew_join_preflight(spark, sf_dir):
+    """Join-cardinality preflight (operators/skew.
+    join_cardinality_preflight) for orders ⋈ customer on custkey: the
+    exact output cardinality and its hottest keys from two censuses —
+    the "should I salt this?" question answered with numbers BEFORE the
+    join's shuffle is paid. Census-sized work regardless of how badly
+    the join itself would explode; the skew family's diagnostic
+    companion to salted_join/two_stage_agg."""
+    from dataux_spark.operators.skew import join_cardinality_preflight
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return join_cardinality_preflight(o, c, "o_custkey", "c_custkey", top=10)
+
+
+@_q(
     "dedup_savings_report",
     # extends the dedup_clusters transitive-closure oracle with the ROI
     # rollup: per-cluster totals, keeper (= min id = cluster label)

@@ -118,3 +118,22 @@ def test_bloom_reduced_join_equals_plain_join(spark, sf_dir):
     assert got.count() < li.count()  # the filter genuinely dropped fact rows
     analyzed = got._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in analyzed and "Deduplicate" in analyzed
+
+
+def test_join_preflight_predicts_exact_cardinality(spark):
+    from dataux_spark.operators.skew import join_cardinality_preflight
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 3 + [3] * 2], ["lk"])
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 5 + [9]], ["rk"])
+    rows = join_cardinality_preflight(left, right, "lk", "rk").collect()
+    got = {r.key: (r.n_left, r.n_right, r.pairs, r.share) for r in rows}
+    # exact products; key 9 (right-only) and 3 (left-only) never pair
+    assert got[1][:3] == (50, 4, 200) and got[2][:3] == (3, 5, 15)
+    assert set(got) == {1, 2}
+    # predicted total == the join's actual output cardinality
+    predicted = sum(v[2] for v in got.values())
+    actual = left.join(right, left.lk == right.rk).count()
+    assert predicted == actual == 215
+    assert abs(got[1][3] - 200 / 215) < 1e-6  # hottest-key share
