@@ -7694,125 +7694,72 @@ def dml_merge_result(spark, sf_dir):
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-7 rotation (VERDICT r6 item 1) — closes cumulative driver
-    # coverage at 150/150. Slots 1-16: the round-6 additions that have
-    # never had a driver verdict (all locally oracle-green via
-    # tools/check.py).
-    "ann_hard_negatives",
-    "text_dsir_weights",
-    "text_bm25_index_topk",
-    "decontaminate_embeddings",
-    "events_zscore_anomalies",
-    "hybrid_rrf_retrieval",
-    "cdc_incremental_aggregate",
-    "rollup_quantile_range",
-    "dedup_span_removal",
-    "text_chunk_windows",
-    "corpus_hygiene_pipeline",
-    "url_canonical_dedup",
-    "streaming_url_dedup",
-    "sample_token_budget",
-    "text_hashed_quality",
-    "text_remove_boilerplate",
-    # Slot 17: the repaired compaction_roundtrip — its r6 hash mismatch
-    # was the oracle spelling sum(doc_id) bare (DuckDB HUGEINT vs Spark
-    # BIGINT); the oracle now casts, and tools/check.py --types audits the
-    # whole registry for that class.
-    "compaction_roundtrip",
-    # Slots 18-26: every query whose ORACLE changed in the r7 dtype sweep
-    # (int/bigint and hugeint casts) — values are unchanged by the casts,
-    # but a driver verdict on the new spellings is the hard signal.
-    "window_topk_per_group",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "qlbridge_builtins",
-    "qlbridge_datefuncs",
-    "pushdown_mongo_filter_topk",
-    "pushdown_es_group_agg",
-    "pushdown_lytics_filter",
-    "corpus_clean_pipeline",
-    # Slots 27-33: the r6-brief-named canaries — historically drifting
-    # perf pair, the windowed q21 rewrite, the headline aggregate, and
-    # one pushdown entry per remaining tier.
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "q21_waiting_suppliers",
+    # Round-8 rotation (VERDICT r7 item 1) — closes cumulative driver
+    # coverage at 206/206. Slots 1-41: every registered query that has
+    # never had a driver verdict (all round-7 additions; all green in
+    # the local tools/check.py --vanilla oracle run). Grouped by
+    # family: TPC-H completion, graph, streaming sketch merges,
+    # profiling, dedup additions, stats/eval, sampling, text, events,
+    # multimodal/export/join-planning, CMS rollup.
+    # streaming_distinct_merge is rows-only by design (HLL estimate);
+    # its deterministic twin streaming_rollup_merge is driver-green r6.
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_cnt",
+    "q20_excess_suppliers",
+    "graph_triangle_stats",
+    "graph_label_communities",
+    "graph_trustrank",
+    "streaming_cms_merge",
+    "streaming_quantile_merge",
+    "streaming_topk_merge",
+    "streaming_distinct_merge",
+    "profile_drift_psi",
+    "profile_robust_means",
+    "profile_histogram_depth",
+    "profile_embeddings_qa",
+    "dedup_containment_pairs",
+    "dedup_prefix_jaccard",
+    "dedup_source_matrix",
+    "dedup_savings_report",
+    "decontaminate_neardup",
+    "stats_trend_per_type",
+    "stats_ab_ttest",
+    "retrieval_eval_ndcg",
+    "sample_pctl_normalize",
+    "sample_kfold_counts",
+    "text_bigram_pppl",
+    "text_lexical_drift",
+    "text_vocab_coverage",
+    "text_taxonomy_tags",
+    "events_active_users",
+    "events_last_touch",
+    "events_seasonal_anomalies",
+    "multimodal_curation_gate",
+    "export_shard_manifest",
+    "skew_join_preflight",
+    "join_bloom_reduced",
+    "ann_knn_join",
+    "embedding_random_projection",
+    "rollup_cms_estimates",
+    # Slots 42-50: regression canaries — the headline aggregate, the
+    # historically drifting LSH pair, the windowed q21 rewrite, the
+    # repaired lakehouse roundtrip, the six-stage composed pipeline,
+    # and one pushdown entry per pushdown tier (FILTERS_LIMIT_AGGS /
+    # FILTERS_LIMIT / KEY_FILTERS / FULL).
     "pricing_summary",
+    "dedup_minhash_lsh",
+    "q21_waiting_suppliers",
+    "compaction_roundtrip",
+    "training_prep_pipeline",
+    "pushdown_es_group_agg",
+    "pushdown_mongo_filter_topk",
     "pushdown_cass_key_topk",
     "pushdown_bq_full_query",
-    "pushdown_datastore_ineq_topk",
-    # Slots 34-50: family representatives — one green veteran per surface
-    # family (scan-filter, aggregation, joins, sort/limit/offset, window,
-    # as-of, terms, dedup exact/LSH-sign/semantic, streaming, lakehouse
-    # CDC, skew, composed pipeline) so a regression anywhere in the stack
-    # shows up in the window.
-    # point_filter's veteran slot goes to the round-7 expectations
-    # report (scan-filter stays covered in-window by every pushdown
-    # entry; the quality gate is new surface needing its first verdict)
-    "quality_expectations_report",
-    # group_by_agg's veteran slot goes to the round-7 driver-gated MERGE
-    # entry (aggregation stays covered in-window by pricing_summary and
-    # the q-suite; MERGE's full clause grammar is new surface the oracle
-    # gate can now check end-to-end)
-    "dml_merge_result",
-    # join_inner's veteran slot goes to the round-7 PMI collocations
-    # entry (the join family keeps five in-window representatives: q3,
-    # join_5way, q7, q8, q21, plus skew_salted_join)
-    "text_collocations_pmi",
-    # q3's veteran slot (green r5 AND r6) goes to the round-7
-    # incremental-IVF maintenance entry; the join family keeps four
-    # in-window representatives (q7, q8, q21, skew_salted_join)
-    "ann_ivf_incremental_topk",
-    # join_5way's veteran slot (green r5 AND re-verified r6) goes to
-    # the round-7 PageRank entry; the join family keeps q3/q7/q8/q21
-    # and skew_salted_join in-window
-    "graph_pagerank",
-    # topk_order_limit's veteran slot goes to the round-7 heavy-hitters
-    # rollup (sort/limit stays covered in-window by order_multi_offset
-    # and terms_topk; the fourth sketch family is new surface)
-    "rollup_topk_range",
-    # order_multi_offset's veteran slot (green r5) goes to the round-7
-    # per-group cap sampler; sort/limit/offset stays covered by the
-    # ranked rollup_topk_range and the q-suite's ordered outputs
-    "sample_group_cap",
-    # asof_join_events' veteran slot goes to the round-7 sequence
-    # matcher (the time-series family stays represented in-window by
-    # events_zscore_anomalies; as-of has green r4/r5 verdicts)
-    "sequence_match_vcp",
-    # having's veteran slot goes to the round-7 A-ES weighted sampler:
-    # HAVING stays covered by pricing_summary/group_by_agg in-window,
-    # while the new entry needs its first driver verdict to keep
-    # cumulative coverage complete
-    "sample_weighted_priority",
-    # terms_topk's veteran slot (green r5; the grouped variant is green
-    # r6) goes to the round-7 eTLD+1 domain rollup
-    "web_domain_rollup",
-    # dedup_exact's veteran slot goes to the round-7 int8-quantized ANN:
-    # the dedup family keeps three in-window representatives
-    # (minhash_lsh, span_removal, semantic_keepset) while the quantized
-    # lattice needs its first driver verdict
-    "ann_quantized_topk",
-    # ann_signband_topk's veteran slot goes to the quarantine half of
-    # the round-7 quality gate (the ANN family keeps three in-window
-    # representatives: cosine, quantized, hard_negatives)
-    "quality_quarantine_rows",
-    # streaming_rollup_merge's veteran slot (green r6, 3385-row oracle)
-    # goes to the round-7 ONLINE sequence matcher: the streaming family
-    # keeps streaming_url_dedup in-window, and the new entry pins the
-    # streaming/batch replay-equivalence contract driver-side
-    "streaming_sequence_match",
-    # cdc_table_changes' veteran slot (green r6, 7208-row feed oracle)
-    # goes to the round-7 record-linkage entry; the lakehouse family
-    # stays covered in-window by cdc_incremental_aggregate and
-    # compaction_roundtrip, and linkage is brand-new surface
-    "link_entities_blocked",
-    "training_prep_pipeline",
-    # dedup_semantic_keepset's veteran slot (green r6, 550-row full
-    # oracle) goes to the round-7 PQ/ADC entry; the dedup family keeps
-    # minhash_lsh and span_removal in-window
-    "ann_pq_adc_topk",
-    "skew_salted_join",
 ]
+
 
 
 def _export_order() -> list[str]:
