@@ -352,7 +352,16 @@ class TableStore:
         copy, even for a 100 TB table. A CDC read across the restore
         commit reports the honest row-level delta (the keyed diff of the
         pre-restore head vs the restored snapshot). Returns the new
-        version number."""
+        version number.
+
+        The restore commit runs the constraint gate like every other
+        commit: a snapshot that predates an ALTER TABLE ADD CONSTRAINT
+        may violate rules added since, and restoring it would otherwise
+        silently put the head into a constraint-violating state. The
+        gate is free when the table has no constraints and one
+        folded aggregate over snapshot v otherwise — the only commit
+        kind where validation cannot ride a write pass, because restore
+        writes nothing."""
         import os
 
         if table not in self._backing:
@@ -366,6 +375,7 @@ class TableStore:
             )
         wd = self._backing[table]
         src, new_v = f"{wd}/v{v:06d}", cur + 1
+        self._validate(table, self.spark.read.parquet(src))
         dst = f"{wd}/v{new_v:06d}"
         os.makedirs(dst, exist_ok=True)
         for name in os.listdir(src):
@@ -978,20 +988,52 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
             *[F.col(f"{talias}.{f.name}") for f in tcols]
         )
 
-    # ---- affected counts (updated/deleted over the full matched join)
-    j_full = target.join(source, on, "inner")
-    delete_any, update_any = F.lit(False), F.lit(False)
-    for applicable, is_delete, _assignments in _chain_conditions():
-        if is_delete:
-            delete_any = delete_any | applicable
-        else:
-            update_any = update_any | applicable
-    counted = j_full.select(
-        F.sum(update_any.cast("long")).alias("u"),
-        F.sum(delete_any.cast("long")).alias("d"),
-    ).collect()[0] if matched_clauses else None
-    n_updated = int(counted.u or 0) if counted else 0
-    n_deleted = int(counted.d or 0) if counted else 0
+    # ---- affected counts + multi-match guard, ONE pass over the matched
+    # join: group the (target ⋈ source) pairs by a per-target-row id and
+    # take max(match count) alongside the updated/deleted flags. Delta
+    # raises when several source rows match one target row that a clause
+    # would modify — and so must we, because matched_transform's inner
+    # join emits one output row PER MATCHING PAIR: a multi-match would
+    # silently duplicate the target row, and with a DELETE clause a row
+    # could be counted deleted by one pair yet survive through another.
+    # monotonically_increasing_id is consistent here because the tag and
+    # the groupBy live in the same single query.
+    if matched_clauses:
+        t_tagged = store.current(target_name).withColumn(
+            "__t_row", F.monotonically_increasing_id()
+        ).alias(talias)
+        delete_any, update_any = F.lit(False), F.lit(False)
+        for applicable, is_delete, _assignments in _chain_conditions():
+            if is_delete:
+                delete_any = delete_any | applicable
+            else:
+                update_any = update_any | applicable
+        counted = (
+            t_tagged.join(source, on, "inner")
+            .groupBy("__t_row")
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.max(update_any.cast("long")).alias("u"),
+                F.max(delete_any.cast("long")).alias("d"),
+            )
+            .select(
+                F.sum("u").alias("u"),
+                F.sum("d").alias("d"),
+                F.max("m").alias("mm"),
+            )
+            .collect()[0]
+        )
+        if (counted.mm or 0) > 1:
+            raise ValueError(
+                "MERGE: multiple source rows matched the same target row "
+                f"in {target_name!r} (up to {counted.mm} matches) — the "
+                "result would be nondeterministic. Deduplicate the source "
+                "on the ON keys first (e.g. GROUP BY or row_number() = 1)."
+            )
+        n_updated = int(counted.u or 0)
+        n_deleted = int(counted.d or 0)
+    else:
+        n_updated = n_deleted = 0
 
     # ---- insert leg: first-match-wins over the not-matched clauses
     unmatched_src = source.join(target, on, "left_anti")
@@ -1017,12 +1059,20 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
     else:
         inserts, n_inserts = None, 0
 
+    # Insert-only MERGE (no WHEN MATCHED clause) never rewrites a target
+    # row, so the matched join is skipped entirely — multi-matches are
+    # legal there (Delta's contract: the guard above applies only when a
+    # clause could modify the multiply-matched row).
     if store.backed(target_name):
-        # phase 1: part-files holding any matched target row (semi-join so
-        # multi-match source rows can't duplicate rows; __file is projected
-        # at scan time — input_file_name() is '' past a join boundary)
-        tscan = store._scan_with_file(target_name).alias(talias)
-        hit = store._hit_files(tscan.join(source, on, "left_semi"))
+        if matched_clauses:
+            # phase 1: part-files holding any matched target row (semi-join
+            # so multi-match source rows can't duplicate rows; __file is
+            # projected at scan time — input_file_name() is '' past a join
+            # boundary)
+            tscan = store._scan_with_file(target_name).alias(talias)
+            hit = store._hit_files(tscan.join(source, on, "left_semi"))
+        else:
+            hit = set()  # pure append: every existing file hard-links
         store._cow_commit(
             target_name,
             hit,
@@ -1034,7 +1084,10 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
             append_df=inserts if n_inserts else None,
         )
     else:
-        out = untouched_leg(target).unionByName(matched_transform(target))
+        if matched_clauses:
+            out = untouched_leg(target).unionByName(matched_transform(target))
+        else:
+            out = target.select(*[F.col(f"{talias}.{f.name}") for f in tcols])
         if inserts is not None:
             out = out.unionByName(inserts)
         store.commit(target_name, out)

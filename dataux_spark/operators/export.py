@@ -11,10 +11,17 @@ retry-stable (a re-run assigns every doc to the same shard; a writer
 retry overwrites the same files) and growth-stable (new docs never move
 old docs between shards). The manifest digest is an order-insensitive
 mod-prime sum of per-row content hashes: any dropped, duplicated, or
-altered row changes it, and both the summand (< 2^31) and the running
-sum (< 2^31 x row count) stay inside BIGINT on any engine — a raw
-sum of 60-bit hashes would silently wrap in Spark but promote to
-HUGEINT in DuckDB, so the arithmetic is pinned mod-first by design.
+altered row changes it. Because modular addition distributes over
+partial sums, the digest is computed as a TWO-LEVEL aggregate — rows
+fold into _B sub-buckets per shard with `% P` applied to each partial,
+then the _B partials (each < 2^31) fold with a final `% P` — so the
+running sum is bounded by construction: the inner sum wraps only if a
+single (shard, bucket) pair exceeds 2^32 rows, i.e. a shard of ~1.8e13
+rows, and the outer sum peaks below 2^43. A single-level raw sum of
+the 31-bit summands would wrap int64 at 2^32 rows per shard (~4.3B —
+reachable at the 100 TB scale this module targets) while DuckDB
+promotes to HUGEINT, silently diverging; the mod-first two-level shape
+makes the arithmetic identical on any engine at any scale.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _P = 2147483647  # 2^31 - 1 (Mersenne); summands < 2^31 keep sums in BIGINT
+_B = 4096  # digest sub-buckets per shard; bounds every partial sum (see above)
 
 
 def _row_digest(id_col: str, content_col: str):
@@ -41,8 +49,10 @@ def shard_manifest(
     """The manifest half of the export (separable so the driver gate can
     check it without a filesystem): per shard, row count, content bytes,
     and the order-insensitive content digest described in the module
-    docstring. One shard-key groupBy; every expression is a JVM scan
-    projection. Returns (shard, n_rows, n_chars, digest)."""
+    docstring. Two groupBys, but the second runs over only shards x _B
+    rows (the first is map-side combined), so the cost is one shuffle of
+    pre-aggregated partials; every expression is a JVM scan projection.
+    Returns (shard, n_rows, n_chars, digest)."""
     from dataux_spark.operators.sampling import hash_frac
 
     shard = F.floor(hash_frac(id_col, seed) * shards).cast("int").alias("shard")
@@ -52,11 +62,17 @@ def shard_manifest(
             F.length(F.col(content_col)).alias("_chars"),
             _row_digest(id_col, content_col).alias("_h"),
         )
+        .groupBy("shard", F.pmod(F.col("_h"), F.lit(_B)).alias("_b"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_chars").alias("_c"),
+            (F.sum("_h") % _P).alias("_hp"),
+        )
         .groupBy("shard")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("_chars").alias("n_chars"),
-            (F.sum("_h") % _P).cast("bigint").alias("digest"),
+            F.sum("_n").alias("n_rows"),
+            F.sum("_c").alias("n_chars"),
+            (F.sum("_hp") % _P).cast("bigint").alias("digest"),
         )
     )
 
@@ -101,13 +117,14 @@ def verify_shards(spark: SparkSession, out_path: str,
     got = (
         data.select(
             "shard",
-            F.length(F.col(content_col)).alias("_chars"),
             _row_digest(id_col, content_col).alias("_h"),
         )
+        .groupBy("shard", F.pmod(F.col("_h"), F.lit(_B)).alias("_b"))
+        .agg(F.count("*").alias("_n"), (F.sum("_h") % _P).alias("_hp"))
         .groupBy("shard")
         .agg(
-            F.count("*").alias("n_rows"),
-            (F.sum("_h") % _P).cast("bigint").alias("digest"),
+            F.sum("_n").alias("n_rows"),
+            (F.sum("_hp") % _P).cast("bigint").alias("digest"),
         )
     )
     m = manifest.select(

@@ -51,3 +51,22 @@ def test_shard_assignment_growth_stable(spark):
             shard_manifest(docs.filter(F.col("doc_id") % 2 == 0),
                            shards=4).collect()}
     assert all(half[s] <= full[s][0] for s in half)
+
+
+def test_digest_two_level_fold_matches_flat_mod_sum(spark):
+    """The digest is computed as a two-level aggregate (partial % P per
+    sub-bucket, then % P over the partials) so the running sum is bounded
+    at any shard size; modular addition distributes over the partials, so
+    the VALUE must equal the flat per-row mod-sum — pinned here against a
+    driver-side Python fold over the raw row digests."""
+    from dataux_spark.operators.export import _P, _row_digest
+    from dataux_spark.operators.sampling import hash_frac
+
+    docs = read_table(spark, SF, "documents")
+    shard = F.floor(hash_frac("doc_id", 42) * 4).cast("int").alias("shard")
+    rows = docs.select(shard, _row_digest("doc_id", "text").alias("h")).collect()
+    flat = {}
+    for r in rows:
+        flat[r.shard] = (flat.get(r.shard, 0) + r.h) % _P
+    got = {r.shard: r.digest for r in shard_manifest(docs, shards=4).collect()}
+    assert got == flat

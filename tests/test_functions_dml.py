@@ -771,3 +771,106 @@ def test_restore_to_version_and_describe_history(spark, sf_dir, tmp_path):
     eng.sql("VACUUM region_rs RETAIN 2 VERSIONS")
     with _pt.raises(Exception, match="expired by vacuum"):
         eng.sql("RESTORE TABLE region_rs TO VERSION AS OF 0")
+
+
+def test_merge_multi_match_raises(spark, tmp_path):
+    """Delta's multiple-source-rows-match guard: when any matched clause
+    could modify a target row that several source rows match, MERGE must
+    raise instead of silently duplicating the row through the join
+    rewrite (one output row per matching PAIR) — on both the in-memory
+    and the file-pruned copy-on-write paths."""
+    eng = Engine(spark)
+    target = spark.createDataFrame([Row(id=1, qty=10), Row(id=2, qty=20)])
+    dup_src = spark.createDataFrame(
+        [Row(id=1, qty=5), Row(id=1, qty=7), Row(id=3, qty=9)]
+    )
+    eng.register_memory("mm", {"mm_tgt": target, "mm_src": dup_src})
+    with pytest.raises(Exception, match="multiple source rows"):
+        eng.sql(
+            "MERGE INTO mm_tgt t USING mm_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET qty = s.qty"
+        )
+    # target unchanged — the guard fired before any commit
+    rows = {r.id: r.qty for r in eng.sql("SELECT * FROM mm_tgt").collect()}
+    assert rows == {1: 10, 2: 20}
+    # DELETE clauses hit the same guard (a row could be counted deleted
+    # by one pair yet carried through by another)
+    with pytest.raises(Exception, match="multiple source rows"):
+        eng.sql(
+            "MERGE INTO mm_tgt t USING mm_src s ON t.id = s.id "
+            "WHEN MATCHED AND s.qty >= 7 THEN DELETE"
+        )
+    # parquet-backed path
+    target.write.parquet(str(tmp_path / "mm_src_pq"))
+    eng.register_writable_parquet(
+        "mm_tgt_pq", str(tmp_path / "mm_src_pq"), str(tmp_path / "mm_work"),
+        keys=["id"],
+    )
+    with pytest.raises(Exception, match="multiple source rows"):
+        eng.sql(
+            "MERGE INTO mm_tgt_pq t USING mm_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET qty = s.qty"
+        )
+    assert eng.sql("SELECT count(*) AS c FROM mm_tgt_pq").collect()[0][0] == 2
+
+
+def test_merge_insert_only_multi_match_allowed(spark, tmp_path):
+    """Insert-only MERGE (no WHEN MATCHED clause) never rewrites a target
+    row, so multi-matches are legal (Delta's contract) — matched target
+    rows must carry exactly once, and only genuinely-new ids insert."""
+    eng = Engine(spark)
+    target = spark.createDataFrame([Row(id=1, qty=10), Row(id=2, qty=20)])
+    dup_src = spark.createDataFrame(
+        [Row(id=1, qty=5), Row(id=1, qty=7), Row(id=3, qty=9)]
+    )
+    eng.register_memory("io", {"io_tgt": target, "io_src": dup_src})
+    r = eng.sql(
+        "MERGE INTO io_tgt t USING io_src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)"
+    )
+    assert r.affected == 1
+    rows = sorted((r.id, r.qty) for r in eng.sql("SELECT * FROM io_tgt").collect())
+    assert rows == [(1, 10), (2, 20), (3, 9)]
+    # backed path: no target file is rewritten — pure hard-link + append
+    target.write.parquet(str(tmp_path / "io_pq"))
+    eng.register_writable_parquet(
+        "io_tgt_pq", str(tmp_path / "io_pq"), str(tmp_path / "io_work"), keys=["id"]
+    )
+    r = eng.sql(
+        "MERGE INTO io_tgt_pq t USING io_src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)"
+    )
+    assert r.affected == 1
+    rows = sorted((r.id, r.qty) for r in eng.sql("SELECT * FROM io_tgt_pq").collect())
+    assert rows == [(1, 10), (2, 20), (3, 9)]
+    import os
+    w = tmp_path / "io_work"
+    old = {p: os.stat(w / "v000000" / p).st_ino for p in os.listdir(w / "v000000")
+           if p.startswith("part-") and not p.endswith(".crc")}
+    assert all(os.stat(w / "v000001" / p).st_ino == ino for p, ino in old.items())
+
+
+def test_restore_validates_constraints(spark, tmp_path):
+    """RESTORE runs the constraint gate like every commit: a snapshot
+    that predates ALTER TABLE ADD CONSTRAINT and violates it must refuse
+    to become the head (the one commit kind where validation cannot ride
+    a write pass — restore writes nothing)."""
+    eng = Engine(spark)
+    spark.createDataFrame([Row(id=-1, v="bad"), Row(id=2, v="ok")]).write.parquet(
+        str(tmp_path / "rc_src")
+    )
+    eng.register_writable_parquet(
+        "rc_t", str(tmp_path / "rc_src"), str(tmp_path / "rc_work"), keys=["id"]
+    )
+    eng.sql("DELETE FROM rc_t WHERE id < 0")                                  # v1
+    eng.sql("ALTER TABLE rc_t ADD CONSTRAINT id_nonneg CHECK (id >= 0)")       # head clean
+    with pytest.raises(Exception, match="id_nonneg"):
+        eng.sql("RESTORE TABLE rc_t TO VERSION AS OF 0")
+    # refused restore left no partial state: head is still v1 and valid
+    assert eng.sql("SELECT count(*) AS c FROM rc_t").collect()[0][0] == 1
+    hist = eng.sql("DESCRIBE HISTORY rc_t").collect()
+    assert [h.version for h in hist] == [0, 1]
+    # dropping the constraint unblocks the restore
+    eng.sql("ALTER TABLE rc_t DROP CONSTRAINT id_nonneg")
+    eng.sql("RESTORE TABLE rc_t TO VERSION AS OF 0")
+    assert eng.sql("SELECT count(*) AS c FROM rc_t").collect()[0][0] == 2

@@ -14,8 +14,8 @@ Python reference model of Delta's semantics:
   - unmatched target rows always carry.
 
 Source ids are generated unique, so the join never fans out and the
-model stays a function (multi-match duplication is engine-documented
-behavior, not semantics worth fuzzing).
+model stays a function (a multi-match against a matched clause raises —
+Delta's contract, pinned by test_functions_dml.test_merge_multi_match_raises).
 """
 
 import pytest
