@@ -30,6 +30,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # r8 quiet-machine verdicts for the six r7>1.3x-vs-r5 drifters
+    # (VERDICT r7 item 2; method: idle machine confirmed via loadavg,
+    # 9-run medians, fingerprint diff vs BENCH_r05.plans): the session
+    # FLOOR moved — topk_order_limit, a trivially-planned canary with an
+    # unchanged fingerprint, reads 1.25x its r5 number in the same
+    # session — and every drifter sits within ~1.1x of that floor:
+    # pricing_summary 1.26x (plan =), q3_shipping_priority 1.37x (plan =),
+    # text_quality 1.37x (plan =), range_join_price_bands 1.16x (plan =),
+    # embedding_cluster_assign 1.20x (plan =). Environment, not plans; no
+    # action. ann_cosine_topk 1.44x is the one CHANGED fingerprint — the
+    # explicit .limit(n) broadcast-bound proof added in r6, the accepted
+    # trade already annotated on its entry below.
     "pricing_summary",
     "revenue_filter",
     "group_by_agg",
@@ -106,7 +118,9 @@ HEADLINE = [
     # comparable to r5/r6; the TOTAL is not — compare totals only over
     # the shared 32): A-ES weighted sampling (WindowGroupLimit top-k,
     # 0.55 s), int8-quantized ANN (the memory-bound path, 1.20 s),
-    # heavy-hitters rollup (build + range merge, 2.05 s), PMI
+    # heavy-hitters rollup (r7 timed build + range merge at 2.05 s; from
+    # r8 its per-query number is PROBE-ONLY via BENCH_PHASES — the build
+    # is reported separately in the "phases" block), PMI
     # collocations (4 pruned corpus scans, the documented no-CSE trade,
     # 0.96 s). dml_merge_result stays OUT of the timed set on purpose:
     # its 2.65 s median is ~90% setup (copying orders into a fresh COW
@@ -175,12 +189,32 @@ def main() -> None:
     per_query: dict[str, float] = {}
     plans: dict[str, str] = {}
     errors: dict[str, str] = {}
+    phases: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry[name]
         # One broken query must not zero out the whole bench run — record
         # the error and keep timing the rest (rounds 1 and 2 both lost ALL
         # timings to a single query's AnalysisException).
         try:
+            if name in Q.BENCH_PHASES:
+                # store-building entry: build once, time the PROBE — the
+                # per_query number is probe-only so it compares across
+                # rounds; the build cost is reported beside it.
+                ph = Q.BENCH_PHASES[name]
+                t0 = time.perf_counter()
+                ctx = ph["build"](spark, sf_dir)
+                build_sec = round(time.perf_counter() - t0, 4)
+                plans[name] = _plan_fingerprint(ph["probe"](spark, ctx))
+                ph["probe"](spark, ctx).count()  # warm-up
+                times = []
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    ph["probe"](spark, ctx).count()
+                    times.append(time.perf_counter() - t0)
+                per_query[name] = round(statistics.median(times), 4)
+                phases[name] = {"build": build_sec, "probe": per_query[name]}
+                spark.catalog.clearCache()
+                continue
             try:
                 plans[name] = _plan_fingerprint(fn(spark, sf_dir))
             except Exception:  # noqa: BLE001 — fingerprint is best-effort
@@ -200,12 +234,47 @@ def main() -> None:
         # the run and later queries pay the GC bill.
         spark.catalog.clearCache()
 
+    # remaining store-building entries (not in the headline total): their
+    # build/probe splits are reported so cross-round comparison has per-
+    # phase numbers, without inflating the total with parquet-write setup.
+    for name, ph in Q.BENCH_PHASES.items():
+        if name in phases:
+            continue
+        try:
+            t0 = time.perf_counter()
+            ctx = ph["build"](spark, sf_dir)
+            build_sec = round(time.perf_counter() - t0, 4)
+            if ph.get("once"):  # probe mutates state (MERGE): time it once
+                t0 = time.perf_counter()
+                ph["probe"](spark, ctx).count()
+                probe_sec = round(time.perf_counter() - t0, 4)
+            else:
+                ph["probe"](spark, ctx).count()  # warm-up
+                times = []
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    ph["probe"](spark, ctx).count()
+                    times.append(time.perf_counter() - t0)
+                probe_sec = round(statistics.median(times), 4)
+            phases[name] = {"build": build_sec, "probe": probe_sec}
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        spark.catalog.clearCache()
+
     total = round(sum(per_query.values()), 4)
     out = {
         "metric": "headline_query_set_total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        # store-building entries, split (VERDICT r7 item 3): build = one-
+        # shot artifact construction, probe = the recurring query (median,
+        # except dml_merge's non-idempotent single-shot). Only the probe
+        # of in-headline entries counts toward the total — from r8 on,
+        # rollup_topk_range's per-query number is probe-only (r5-r7
+        # numbers for it included its build and are NOT comparable).
+        "phases": phases,
         "sf": sf,
     }
     if errors:

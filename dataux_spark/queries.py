@@ -7683,6 +7683,162 @@ def dml_merge_result(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- bench phase splits
+
+# Store-building registry entries construct their persisted artifact
+# INSIDE the query function so the driver's oracle gate stays
+# self-contained — but that makes their single bench number measure the
+# build, not the probe, polluting cross-round per-query comparison
+# (VERDICT r7 item 3). Each entry here decomposes the same work into
+#   build(spark, sf_dir) -> ctx     (timed once per bench run)
+#   probe(spark, ctx)    -> DataFrame (timed per repetition)
+# The registry functions above remain the correctness path; these reuse
+# the identical operators so the split numbers describe the same plans.
+# Entries marked once=True mutate state in probe (MERGE is not
+# idempotent), so bench times their probe a single time instead of a
+# median.
+
+
+def _build_rollup_topk(spark, sf_dir):
+    import tempfile
+
+    from dataux_spark.operators.rollup import build_topk_rollup
+
+    path = tempfile.mkdtemp(prefix="dataux_topk_phase_") + "/r"
+    build_topk_rollup(read_table(spark, sf_dir, "events"), path,
+                      item_col="user_id", capacity=8)
+    return path
+
+
+def _probe_rollup_topk(spark, path):
+    from dataux_spark.operators.rollup import topk_over_range
+
+    return topk_over_range(spark, path, k=10)
+
+
+def _build_rollup_quantile(spark, sf_dir):
+    import tempfile
+
+    from dataux_spark.operators.rollup import build_quantile_rollup
+
+    path = tempfile.mkdtemp(prefix="dataux_qroll_phase_") + "/r"
+    build_quantile_rollup(read_table(spark, sf_dir, "events"), path, bins=128)
+    return path
+
+
+def _probe_rollup_quantile(spark, path):
+    from dataux_spark.operators.rollup import quantile_over_range
+
+    return quantile_over_range(spark, path, q=0.95)
+
+
+def _build_bm25_index(spark, sf_dir):
+    import tempfile
+
+    from dataux_spark.operators.text import build_bm25_index
+
+    path = tempfile.mkdtemp(prefix="dataux_bm25_phase_") + "/i"
+    build_bm25_index(read_table(spark, sf_dir, "documents"), "text", "doc_id", path)
+    return path
+
+
+def _probe_bm25_index(spark, path):
+    from dataux_spark.operators.text import bm25_index_topk
+
+    return bm25_index_topk(spark, path, ["spark", "query", "join"], "doc_id", k=10)
+
+
+def _build_ivf_incremental(spark, sf_dir):
+    import tempfile
+
+    from dataux_spark.operators.similarity import (
+        build_ivf_index_fixed,
+        update_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    root = tempfile.mkdtemp(prefix="dataux_ivf_phase_")
+    build_ivf_index_fixed(emb.filter(F.col("vec_id") % 2 == 0),
+                          "embedding", "vec_id", root, cents)
+    update_ivf_index(emb.filter(F.col("vec_id") % 2 == 1),
+                     "embedding", "vec_id", root)
+    return (root, _query_vecs(emb))
+
+
+def _probe_ivf_incremental(spark, ctx):
+    from dataux_spark.operators.similarity import ivf_index_fixed_topk
+
+    root, qv = ctx
+    return ivf_index_fixed_topk(spark, root, qv, "embedding", "vec_id", k=5, nprobe=2)
+
+
+def _build_merge_table(spark, sf_dir):
+    """Setup half of dml_merge_result: copy orders into a fresh COW table
+    and stage the feed — ~90% of the entry's one-shot wall time (r7
+    measurement), which is parquet write throughput, not MERGE."""
+    import tempfile
+
+    from dataux_spark.engine import Engine
+
+    td = tempfile.mkdtemp(prefix="mrg_phase_")
+    src = f"{td}/src"
+    read_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderkey"
+    ).write.parquet(src)
+    e = Engine(spark)
+    e.register_writable_parquet("mrg_ph_orders", src, f"{td}/work",
+                                keys=["o_orderkey"])
+    feed = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+        .unionByName(
+            read_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 20)
+            .select((F.lit(900000000) + F.col("c_custkey")).alias("k"),
+                    F.col("c_acctbal").alias("p"))
+        )
+    )
+    e.register_memory("mrg_ph_feed_src", {"mrg_ph_feed": feed})
+    return e
+
+
+def _probe_merge(spark, e):
+    """Operation half: the multi-clause MERGE itself (two-phase pruned
+    COW commit) plus the final-state aggregate."""
+    e.sql(
+        "MERGE INTO mrg_ph_orders t USING mrg_ph_feed s ON t.o_orderkey = s.k "
+        "WHEN MATCHED AND s.p > 200000 THEN DELETE "
+        "WHEN MATCHED AND s.p > 150000 THEN UPDATE SET o_orderpriority = 'M-HIGH' "
+        "WHEN MATCHED THEN UPDATE SET o_orderpriority = 'M-LOW' "
+        "WHEN NOT MATCHED AND s.p > 1000 THEN INSERT "
+        "(o_orderkey, o_orderpriority, o_totalprice) VALUES (s.k, 'M-NEW', s.p)"
+    )
+    return e.sql(
+        "SELECT o_orderpriority, count(*) AS ct, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM mrg_ph_orders GROUP BY o_orderpriority"
+    )
+
+
+BENCH_PHASES: dict[str, dict] = {
+    "rollup_topk_range": {"build": _build_rollup_topk,
+                          "probe": _probe_rollup_topk},
+    "rollup_quantile_range": {"build": _build_rollup_quantile,
+                              "probe": _probe_rollup_quantile},
+    "text_bm25_index_topk": {"build": _build_bm25_index,
+                             "probe": _probe_bm25_index},
+    "ann_ivf_incremental_topk": {"build": _build_ivf_incremental,
+                                 "probe": _probe_ivf_incremental},
+    "dml_merge_result": {"build": _build_merge_table,
+                         "probe": _probe_merge, "once": True},
+}
+
+
 # ------------------------------------------------------------------ export
 
 # The external driver oracle-checks only the FIRST 50 entries of queries()
