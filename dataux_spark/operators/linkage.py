@@ -22,6 +22,20 @@ Scale design — the whole point of blocking:
     blocking keys disagree is never considered. Run multiple passes with
     different blocking columns and union the results when one key is not
     trustworthy; each pass stays an equi-join.
+  * Fixed-cardinality blocking keys are a TRAP at scale: block sizes
+    grow linearly with the data, so the candidate stage grows
+    quadratically (the round-8 scale probe measured 17x wall at 10x
+    data blocking customers on nation alone). For max_distance=1 the
+    `symdelete=True` path fixes this LOSSLESSLY with symmetric-delete
+    blocking (SymSpell's scheme, public): two strings are within edit
+    distance 1 only if their {self + single-character-delete} key sets
+    intersect — substitution shares the delete at the edited position,
+    insert/delete shares one side's self key — so candidates come from
+    an equi-join on near-full-length string keys whose cardinality
+    GROWS with the data, false positives are removed by the exact
+    levenshtein filter that was always there, and the surviving match
+    set is bit-identical to the plain-blocking answer. Cost: each side
+    explodes to len+2 keys (a linear constant), all JVM expressions.
 """
 
 from __future__ import annotations
@@ -44,6 +58,7 @@ def blocked_entity_match(
     right_id: str,
     max_distance: int = 1,
     best_per_left: bool = True,
+    symdelete: bool = False,
 ) -> DataFrame:
     """Match `left` entities to `right` records: candidates share ALL
     `block_on` column values (equi-join), are scored with levenshtein
@@ -51,6 +66,13 @@ def blocked_entity_match(
     and (by default) reduced to the single best match per left entity —
     min distance, ties broken by the smaller right id, so the result is
     exactly reproducible by any engine that spells the same rule.
+
+    With `symdelete=True` (requires max_distance == 1) the blocking
+    condition additionally requires the two names' symmetric-delete key
+    sets to intersect (module docstring) — same surviving match set,
+    linear candidate stage even when the `block_on` columns have fixed
+    cardinality. Use it whenever the blocking columns alone would leave
+    blocks that grow with the data.
 
     Returns (left_id, right_id, <fuzzy_col>_left, <fuzzy_col>_right,
     distance); one row per left entity when best_per_left, else every
@@ -68,7 +90,18 @@ def blocked_entity_match(
         F.col(fuzzy_col).alias("__rraw"),
         _norm(F.col(fuzzy_col)).alias("__rkey"),
     )
+    if symdelete:
+        if int(max_distance) != 1:
+            raise ValueError(
+                "symdelete blocking is exact only for max_distance=1; "
+                "use plain blocking (with discriminating block_on "
+                "columns) for larger thresholds"
+            )
+        lsel = _with_delete_keys(lsel, "__lkey")
+        rsel = _with_delete_keys(rsel, "__rkey")
     cond = [lsel[f"__bl_{c}"] == rsel[f"__br_{c}"] for c in block_on]
+    if symdelete:
+        cond.append(lsel["__dkey"] == rsel["__dkey"])
     # the 3-arg levenshtein bails out at the threshold (returns -1), so
     # the scan cost per pair is O(len * max_distance), not O(len^2)
     dist = F.levenshtein(F.col("__lkey"), F.col("__rkey"), int(max_distance))
@@ -84,10 +117,32 @@ def blocked_entity_match(
         .filter(F.col("distance") >= 0)
     )
     if not best_per_left:
-        return pairs
+        # a pair can reach the join through several shared delete keys
+        # (equal strings share all of them) — dedup before returning.
+        # The best_per_left window below needs no dedup: row_number
+        # keeps exactly one row per left entity regardless.
+        return pairs.dropDuplicates([left_id, right_id]) if symdelete else pairs
     w = Window.partitionBy(left_id).orderBy("distance", right_id)
     return (
         pairs.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def _with_delete_keys(sel: DataFrame, key_col: str) -> DataFrame:
+    """Explode each row into its symmetric-delete key set: the string
+    itself (position -1) plus every single-character-delete. Pure JVM
+    expressions (sequence + explode + substring concat); len+2 rows per
+    record — the linear constant that buys away the quadratic block."""
+    return sel.withColumn(
+        "__pos", F.explode(F.sequence(F.lit(-1), F.length(key_col) - 1))
+    ).withColumn(
+        "__dkey",
+        F.when(F.col("__pos") < 0, F.col(key_col)).otherwise(
+            F.concat(
+                F.expr(f"substring({key_col}, 1, __pos)"),
+                F.expr(f"substring({key_col}, __pos + 2)"),
+            )
+        ),
+    ).drop("__pos")

@@ -6479,12 +6479,20 @@ def link_entities_blocked(spark, sf_dir):
     """Record linkage (operators/linkage.blocked_entity_match): match
     clean customers against a planted dirty registry (dropped character /
     case noise / appended character, keyed by custkey % 3) blocking on
-    c_nationkey. Candidates come only from the nation equi-join (never a
-    cartesian stage), scoring is the JVM levenshtein expression with its
-    early-exit threshold form inside the join projection, and
-    best-per-left is one window with a total (distance, rec_id)
-    tie-break — so the match set is exactly reproducible, including the
-    planted cross-entity ambiguities the tie-break settles."""
+    c_nationkey PLUS symmetric-delete name keys (symdelete=True):
+    nation alone has fixed cardinality, so its blocks grow linearly with
+    the data and the candidate stage quadratically — the r8 scale probe
+    measured 17x wall at 10x data before the delete-key blocking (1.3x
+    after; operators/linkage.py module docstring). The match set is
+    provably unchanged (delete-neighborhood intersection is a superset
+    of the edit-distance-1 pairs and the exact levenshtein filter was
+    always there), so the oracle still replays plain nation blocking.
+    Candidates come only from equi-joins (never a cartesian stage),
+    scoring is the JVM levenshtein expression with its early-exit
+    threshold form inside the join projection, and best-per-left is one
+    window with a total (distance, rec_id) tie-break — so the match set
+    is exactly reproducible, including the planted cross-entity
+    ambiguities the tie-break settles."""
     from dataux_spark.operators.linkage import blocked_entity_match
 
     cust = read_table(spark, sf_dir, "customer")
@@ -6507,6 +6515,7 @@ def link_entities_blocked(spark, sf_dir):
         left_id="c_custkey",
         right_id="rec_id",
         max_distance=1,
+        symdelete=True,
     ).select(
         "c_custkey",
         "rec_id",
