@@ -304,6 +304,45 @@ CHECKS = {
         ("one shard-key aggregate",
          lambda p: "hashpartitioning(shard" in p),
     ],
+    # --- round-8 additions (VERDICT r7 item 6) -----------------------------
+    "link_entities_blocked": [
+        # mirror of tests/test_linkage.py's no-cartesian assert, machine-
+        # gated here: candidates come only from the (block cols, symdelete
+        # key) equi-join — the r8 fix for the fixed-cardinality-block
+        # quadratic (SCALE.md round-8 entry)
+        ("candidate generation hash-keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("blocking join includes the symmetric-delete keys",
+         lambda p: "__dkey" in p),
+        # best-per-left: partial + final WindowGroupLimit around the
+        # exchange (formatted explain lists each node twice: tree +
+        # details, so 2 nodes appear 4 times)
+        ("best-per-left top-k is partial before the exchange",
+         lambda p: p.count("WindowGroupLimit") >= 4),
+    ],
+    "profile_histogram_depth": [
+        # equi-depth edges come from ONE exact-percentile aggregate
+        # broadcast back as a single row — never an ntile/row_number
+        # global sort over the data
+        # ("percentile(" also contains "ntile(" — require a word boundary)
+        ("no ntile/window global sort",
+         lambda p: ") Window" not in p and not re.search(r"\bntile\(", p)),
+        ("edges joined back as a scalar broadcast",
+         lambda p: "BroadcastExchange" in p
+         and p.count("BroadcastNestedLoopJoin") <= 2),
+        ("bin roll-up is partial+final",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "sample_weighted_priority": [
+        # A-ES weighted top-k: per-stratum rank must plan as
+        # WindowGroupLimit with a Partial pass before the exchange (each
+        # partition pre-prunes to k before shuffling) — 2 nodes x 2
+        # listings in formatted explain
+        ("per-group top-k is WindowGroupLimit partial before the exchange",
+         lambda p: p.count("WindowGroupLimit") >= 4),
+        ("no join at all", lambda p: "Join" not in p),
+    ],
 }
 
 
