@@ -188,3 +188,47 @@ def test_symdelete_candidate_stage_is_linear(spark):
     # the dirty side's delete-of-last-char equals the clean self key);
     # a quadratic stage would be ~100x larger (300^2/3)
     assert joined <= 3 * 300
+
+
+def test_symdelete_equivalence_property(spark):
+    """Property fuzz of the lossless-blocking claim: random short strings
+    over a tiny alphabet (maximizing accidental near-matches and delete-
+    key collisions), random single edits, several blocks — the symdelete
+    match set must equal plain blocking's on every draw, in both modes."""
+    import random
+
+    rng = random.Random(8)
+    alphabet = "abc"
+    for trial in range(5):
+        lrows, rrows = [], []
+        for i in range(40):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+            lrows.append((i, i % 2, s))
+            # right side: an edited copy (delete/insert/substitute/none)
+            t = list(s)
+            op = rng.randint(0, 3)
+            if op == 0 and t:
+                t.pop(rng.randrange(len(t)))
+            elif op == 1:
+                t.insert(rng.randint(0, len(t)), rng.choice(alphabet))
+            elif op == 2 and t:
+                t[rng.randrange(len(t))] = rng.choice(alphabet)
+            rrows.append((100 + i, i % 2, "".join(t)))
+        left = spark.createDataFrame(lrows, "lid long, region long, name string")
+        right = spark.createDataFrame(rrows, "rid long, region long, name string")
+        for best in (True, False):
+            plain = sorted(
+                (r.lid, r.rid, r.distance)
+                for r in blocked_entity_match(
+                    left, right, ["region"], "name", "lid", "rid",
+                    max_distance=1, best_per_left=best,
+                ).collect()
+            )
+            sym = sorted(
+                (r.lid, r.rid, r.distance)
+                for r in blocked_entity_match(
+                    left, right, ["region"], "name", "lid", "rid",
+                    max_distance=1, best_per_left=best, symdelete=True,
+                ).collect()
+            )
+            assert sym == plain, (trial, best)
