@@ -497,10 +497,12 @@ def test_driver_window_contract_pinned():
     """The external correctness gate reads the FIRST 50 exported queries;
     pin the contract so an accidental registry edit cannot silently
     shuffle the gate: exactly 50 window slots, all registered, exported
-    first and in order, every one carrying a full value oracle (the
-    round-7 rotation carries no rows-only entries — the approximate-by-
-    design ones all received their driver verdicts in rounds 5-6, each
-    with a green deterministic twin)."""
+    first and in order, every one carrying a full value oracle except
+    streaming_distinct_merge — the round-8 rotation closes cumulative
+    driver coverage at 206/206, and that one entry is rows-only BY
+    DESIGN (HLL estimate; its deterministic twin streaming_rollup_merge
+    is driver-green r6), so it takes the gate's weaker rows-only check
+    on purpose rather than being left as the only never-checked entry."""
     from dataux_spark import queries as Q
 
     window = Q._DRIVER_WINDOW
@@ -509,4 +511,6 @@ def test_driver_window_contract_pinned():
     assert exported[:50] == window
     oracles = Q.oracle_sql()
     missing = [n for n in window if n not in oracles]
-    assert not missing, f"window entries without oracles: {missing}"
+    assert missing == ["streaming_distinct_merge"], (
+        f"window entries without oracles: {missing}"
+    )
