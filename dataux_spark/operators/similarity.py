@@ -699,8 +699,12 @@ def knn_join(
     side explodes to its nprobe best cells, and candidates come from a
     plain shuffle equi-join ON THE CELL KEY — per-cell work is
     |left∩cell|·|right∩cell|, bounded by the quantizer's cell granularity
-    exactly as in any IVF index, never |left|·|right|. Rerank is one
-    per-left-id window. This is the all-pairs-top-k primitive behind
+    exactly as in any IVF index, never |left|·|right|. The caller OWNS
+    that bound: cell count must grow with the corpus (the standard IVF
+    sizing is ~sqrt(n) cells, giving ~n^1.5 total candidate work) — a
+    fixed centroid list makes mean cell size n/cells and the candidate
+    stage quadratic, the fixed-cardinality-block trap SCALE.md's round-8
+    entry documents for linkage. Rerank is one per-left-id window. This is the all-pairs-top-k primitive behind
     near-dup graphs, diversity analysis, and corpus self-retrieval, where
     "queries" = the whole corpus and a broadcast would OOM every executor.
 

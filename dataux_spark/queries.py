@@ -4512,8 +4512,12 @@ def ann_ivf_fixed_topk(spark, sf_dir):
     # broadcasts in the Spark plan — the all-pairs-top-k join pattern
     """
     WITH c AS (
+      -- sqrt(n) cells: the quantizer granularity must GROW with the
+      -- corpus or the per-cell quadratic eats the cell-blocking win
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings
+      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                      FROM embeddings)
     ), v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
     ), s AS (
@@ -4556,16 +4560,27 @@ def ann_ivf_fixed_topk(spark, sf_dir):
 def ann_knn_join(spark, sf_dir):
     """Cell-blocked k-NN join (operators/similarity.knn_join): top-3
     neighbors for EVERY embedding — both join sides are the full corpus,
-    so nothing broadcasts; candidates come from a shuffle equi-join on the
-    nprobe=2 cell keys of an explicit 16-centroid quantizer. The
+    so nothing broadcasts; candidates come from a shuffle equi-join on
+    the nprobe=2 cell keys of an explicit ceil(sqrt(n))-centroid
+    quantizer. The sqrt(n) granularity is the scale contract, not a
+    tuning detail: per-cell work is |cell|^2 and mean cell size is
+    n/cells, so FIXED cells make the candidate stage quadratic in the
+    corpus (the same trap class the r8 scale probe caught in linkage,
+    SCALE.md) while sqrt(n) cells keep it ~n^1.5 with nothing
+    broadcast — the standard IVF sizing rule. The oracle replays the
+    same sqrt(n) centroid count, so both engines scale together. The
     self-retrieval / near-dup-graph primitive at the scale where the
     broadcast-query IVF variants stop applying."""
+    import math
+
     from dataux_spark.operators.similarity import knn_join
 
     emb = read_table(spark, sf_dir, "embeddings")
+    n_cells = math.ceil(math.sqrt(emb.count()))
     cents = [
         (r.vec_id, list(r.embedding))
-        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+        for r in emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding").collect()
     ]
     return knn_join(emb, emb, "embedding", "vec_id", cents, k=3, nprobe=2)
 
