@@ -225,6 +225,7 @@ def prefix_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     grams: DataFrame | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Prefix-filtering set-similarity self-join over distinct word-shingle
     sets (the AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07,
@@ -254,7 +255,14 @@ def prefix_jaccard_pairs(
     sets at t=0.5 yield 25. `grams` short-circuits the shingling (the
     caller-owned persist pattern of minhash_signatures/containment_pairs:
     this plan too references the gram frame from five branches with no
-    cross-branch CSE). Returns (id_a, id_b, jaccard)."""
+    cross-branch CSE). `block_cols` restricts pairs to rows sharing the
+    named columns (the ngram_jaccard_pairs blocking contract) — applied
+    INSIDE the candidate join so cross-block prefix collisions never
+    materialize; unlike there, the blocking is not load-bearing for the
+    join's scale (the prefix shingles are), so a fixed-cardinality
+    column like `lang` is safe here where it is the quadratic trap in
+    the blocked-all-pairs scheme (SCALE.md round-8).
+    Returns (id_a, id_b, jaccard)."""
     from pyspark.sql.window import Window
 
     g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
@@ -271,12 +279,16 @@ def prefix_jaccard_pairs(
         )
         .select("_id", "_tok")
     )
+    pair_cond = (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id"))
+    if block_cols:
+        blocks = df.select(F.col(id_col).alias("_id"),
+                           *[F.col(c) for c in block_cols])
+        prefix = prefix.join(blocks, "_id")
+        for c in block_cols:
+            pair_cond = pair_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cand = (
         prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")),
-        )
+        .join(prefix.alias("b"), pair_cond)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )

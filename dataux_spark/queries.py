@@ -3601,18 +3601,27 @@ def dedup_containment_pairs(spark, sf_dir):
 )
 def dedup_source_matrix(spark, sf_dir):
     """Cross-source duplication matrix (operators/dedup.
-    cross_group_dup_matrix over the lossless ngram pair frame): near-dup
+    cross_group_dup_matrix over a LOSSLESS linear pair frame): near-dup
     pairs folded into canonical (source_a <= source_b) cells with counts
     and mean similarity — the provenance table that decides which source
-    to down-weight before mixing. Everything after pair generation is
-    pair-sized: two slim id-keyed lookups + one cell groupBy."""
+    to down-weight before mixing. Pair generation is the prefix-filter
+    scheme (lang-restricted inside the candidate join), NOT the
+    lang/length-blocked all-pairs: the r8 scale probe measured the
+    blocked-all-pairs version at 13.4x wall for 10x data (lang and
+    length buckets are fixed-cardinality, so their blocks grow with the
+    corpus — SCALE.md round-8), while the prefix theorem gives the
+    bit-identical pair set from a rarest-shingle equi-join. Everything
+    after pair generation is pair-sized: two slim id-keyed lookups + one
+    cell groupBy."""
     from dataux_spark.operators.dedup import (
         cross_group_dup_matrix,
-        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    pairs = prefix_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=3, block_cols=["lang"]
+    )
     return cross_group_dup_matrix(pairs, docs, "doc_id", "source")
 
 
@@ -3698,19 +3707,25 @@ def dedup_savings_report(spark, sf_dir):
     """Dedup ROI preflight (operators/dedup.dedup_savings_report): near-dup
     pairs → connected components → per-cluster-SIZE histogram of clusters,
     droppable docs, and chars reclaimed — the "is this dedup pass worth
-    the rewrite" answer, computed without touching any keeper. Everything
-    downstream of the banded pair generation is pair-graph-sized; the
-    keeper needs no window because min-label propagation already made the
-    cluster label the keeper id. Oracle = exact transitive closure + the
-    same rollup."""
+    the rewrite" answer, computed without touching any keeper. Pair
+    generation is the lossless prefix-filter scheme, lang-restricted in
+    the candidate join (the blocked-all-pairs version this entry shipped
+    with is quadratic in the corpus because lang/length blocks have
+    fixed cardinality — caught by the r8 scale probe on its sibling
+    dedup_source_matrix at 13.4x, SCALE.md round-8); everything
+    downstream is pair-graph-sized, and the keeper needs no window
+    because min-label propagation already made the cluster label the
+    keeper id. Oracle = exact transitive closure + the same rollup."""
     from dataux_spark.operators.dedup import (
         connected_components,
         dedup_savings_report as savings,
-        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    pairs = prefix_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=3, block_cols=["lang"]
+    )
     return savings(connected_components(pairs), docs).select(
         "cluster_size",
         F.col("n_clusters").cast("bigint").alias("n_clusters"),

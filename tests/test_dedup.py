@@ -559,3 +559,24 @@ def test_cross_group_dup_matrix_hand_built(spark):
     # (1,2) is web-books and (3,4) is books-web: SAME canonical cell
     assert got[("books", "web")] == (2, 0.8)
     assert got[("web", "web")] == (1, 0.5)
+
+
+def test_prefix_jaccard_block_cols_matches_blocked_all_pairs(spark, docs):
+    """block_cols restriction inside the prefix candidate join must equal
+    the lang-blocked all-pairs answer exactly (the swap the r8 scale fix
+    made in dedup_source_matrix / dedup_savings_report: lang blocks are
+    fixed-cardinality, so the blocked-all-pairs join is quadratic in the
+    corpus while the prefix join stays posting-bounded)."""
+    out = dedup.prefix_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, block_cols=["lang"]
+    )
+    blocked = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    want = {(r.id_a, r.id_b): r.jaccard for r in blocked.collect()}
+    assert got == want
+    assert len(want) > 0
+    # the restriction must DROP cross-lang pairs the unblocked run keeps
+    unblocked = dedup.prefix_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    assert unblocked.count() >= len(want)
