@@ -3368,11 +3368,18 @@ def dedup_clusters(spark, sf_dir):
     """Duplicate clustering: near-dup pairs → connected components via
     distributed min-label propagation (operators/dedup.py). The oracle
     computes exact transitive closure with a recursive CTE — label
-    propagation must converge to the same clusters."""
-    from dataux_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    propagation must converge to the same clusters. Pair generation is
+    the lossless prefix-filter scheme with the lang restriction inside
+    the candidate join (same r8 swap as dedup_source_matrix /
+    dedup_savings_report: lang/length blocks have fixed cardinality, so
+    the blocked all-pairs join grows quadratically with the corpus —
+    SCALE.md round-8; the pair set, and hence every cluster, is
+    bit-identical by the prefix-filtering theorem)."""
+    from dataux_spark.operators.dedup import connected_components, prefix_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), "text", "doc_id", ["lang"], n=3, threshold=0.5
+    pairs = prefix_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.5, shingle_n=3, block_cols=["lang"],
     )
     return connected_components(pairs)
 
