@@ -2997,7 +2997,13 @@ def dedup_fingerprint(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs ≥0.5 within lang blocks
-    (operators/dedup.py: the verify stage of near-dup detection)."""
+    (operators/dedup.py: the verify stage of near-dup detection).
+    QUADRATIC BY CONTRACT (r8 probe: 8.0x at 10x data) — this entry IS
+    the family's exact blocked-all-pairs primitive, kept as the
+    verify/oracle twin; production-scale pair generation goes through
+    the three linear schemes (prefix-filter, MinHash-LSH, SimHash
+    banding), and every OTHER registry entry that consumed this one now
+    uses the prefix scheme (SCALE.md round-8)."""
     from dataux_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
