@@ -343,6 +343,30 @@ CHECKS = {
          lambda p: p.count("WindowGroupLimit") >= 4),
         ("no join at all", lambda p: "Join" not in p),
     ],
+    "ann_knn_join": [
+        # corpus x corpus: candidates ONLY from the cell-key equi-join of
+        # the sqrt(n)-cell quantizer — never cartesian, and the rerank is
+        # a per-query window, not a global sort
+        ("cell-keyed candidate join, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("rerank is a per-query window",
+         lambda p: "Window" in p and "hashpartitioning(query_id" in p),
+    ],
+    "dedup_source_matrix": [
+        # pair generation is the prefix-filter scheme (r8 swap): every
+        # join hash-keyed, rarest-first prefix rank is a doc-keyed window
+        ("all joins hash-keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("prefix rank is a doc-keyed window",
+         lambda p: "Window" in p and "hashpartitioning(_id" in p),
+    ],
+    "dedup_savings_report": [
+        ("all joins hash-keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 
