@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from dataux_spark import get_spark
-from dataux_spark.operators.dedup import ngram_jaccard_pairs, tokens
+from dataux_spark.operators.dedup import prefix_jaccard_pairs, tokens
 from dataux_spark.operators.profile import column_profile, equi_width_histogram
 from dataux_spark.operators.sampling import hash_split, stratified_hash_sample
 from dataux_spark.queries import read_table
@@ -109,7 +109,11 @@ def main() -> None:
 
     w = W.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     uniq = base.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang"], n=3, threshold=0.5)
+    # prefix-filter candidates (lang-restricted in the join): identical
+    # pair set to blocked all-pairs, but linear — lang blocks alone grow
+    # with the corpus and go quadratic (SCALE.md round-8)
+    pairs = prefix_jaccard_pairs(uniq, "text", "doc_id", threshold=0.5,
+                                 block_cols=["lang"])
     drops = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
     surv = uniq.join(drops, "doc_id", "left_anti")
     samp = stratified_hash_sample(surv, "lang", {"en": 0.5, "de": 1.0}, "doc_id",
@@ -144,6 +148,24 @@ def main() -> None:
     out = tempfile.mkdtemp(prefix="corpus_prep_")
     split.select("doc_id", "lang", "split").write.partitionBy("split").parquet(f"{out}/manifest")
     print(f"manifest written to {out}/manifest")
+
+    print("== provenance linkage (symmetric-delete blocking) ==")
+    from dataux_spark.operators.linkage import blocked_entity_match
+
+    registry = docs.select(
+        F.col("doc_id").alias("rec_id"), "lang",
+        # a dirtied source registry: case noise on half, a stray char on
+        # the rest — the master-data join every corpus pipeline hits
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.concat(F.col("source"), F.lit("x"))).alias("source"),
+    )
+    matches = blocked_entity_match(
+        docs.select("doc_id", "lang", "source"), registry,
+        block_on=["lang"], fuzzy_col="source",
+        left_id="doc_id", right_id="rec_id",
+        max_distance=1, symdelete=True,  # lang alone would go quadratic
+    )
+    print(f"linked {matches.count()} docs to the dirty registry")
 
     print("== shard export + reader-side integrity verify ==")
     from dataux_spark.operators.export import export_shards, verify_shards

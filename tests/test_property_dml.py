@@ -121,3 +121,42 @@ def test_merge_first_match_wins_matches_model(peng, target, source, program):
     peng.sql(_sql(mclauses, nmclauses))
     got = sorted((r.id, r.qty) for r in peng.sql("SELECT * FROM pm_tgt").collect())
     assert got == _model(target, source, mclauses, nmclauses)
+
+
+# multi-match sources: ids drawn WITH repetition so several source rows
+# can hit one target row — the engine must either raise the Delta-style
+# multiple-source-rows error (when any matched clause exists and some
+# target id repeats in the source) or produce the model's answer
+sources_dup = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 50)), min_size=0, max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(target=targets, source=sources_dup, program=programs)
+def test_merge_multi_match_raises_or_matches_model(peng, target, source, program):
+    mclauses, nmclauses = program
+    spark = peng.spark
+    peng.register_memory("pm2", {
+        "pm_tgt": spark.createDataFrame(target or [(None, None)],
+                                        "id int, qty int").filter("id IS NOT NULL"),
+        "pm_src": spark.createDataFrame(source or [(None, None)],
+                                        "id int, qty int").filter("id IS NOT NULL"),
+    })
+    tgt_ids = {t[0] for t in target}
+    from collections import Counter
+    matched_counts = Counter(s[0] for s in source if s[0] in tgt_ids)
+    expect_raise = bool(mclauses) and any(c > 1 for c in matched_counts.values())
+    if expect_raise:
+        import pytest as _pt
+        with _pt.raises(Exception, match="multiple source rows"):
+            peng.sql(_sql(mclauses, nmclauses))
+        return
+    if any(c > 1 for c in Counter(s[0] for s in source).values()):
+        # duplicate UNMATCHED ids: insert-only path semantics — every
+        # qualifying source row inserts (the model iterates source rows)
+        pass
+    peng.sql(_sql(mclauses, nmclauses))
+    got = sorted((r.id, r.qty) for r in peng.sql("SELECT * FROM pm_tgt").collect())
+    assert got == _model(target, source, mclauses, nmclauses)
