@@ -35,7 +35,12 @@ Scale design — the whole point of blocking:
     GROWS with the data, false positives are removed by the exact
     levenshtein filter that was always there, and the surviving match
     set is bit-identical to the plain-blocking answer. Cost: each side
-    explodes to len+2 keys (a linear constant), all JVM expressions.
+    explodes to len+2 keys (a linear constant), all JVM expressions —
+    sized for SHORT match keys (names, titles, codes; the entity-
+    resolution domain). Don't truncate the keys to cap that constant:
+    a one-char delete before the cut shifts the remainder, so truncated
+    neighborhoods of a true pair can miss (losslessness would break).
+    Long-text similarity belongs to the dedup family's shingle schemes.
 """
 
 from __future__ import annotations
