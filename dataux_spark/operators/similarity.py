@@ -574,6 +574,51 @@ def _centroid_structs(centroids: list[tuple[int, list[float]]]):
     return F.array(*cands)
 
 
+def _assign_cells_join(
+    side: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_cells: int,
+) -> DataFrame:
+    """Broadcast-join cell assignment — the LARGE-quantizer twin of the
+    literal projection. _centroid_structs inlines every centroid as plan
+    constants, which is the zero-shuffle optimum up to ~10^2-10^3 cells
+    but breaks down beyond that (plan size and codegen grow with
+    cells x dim); at sqrt(n) sizing a billion-vector corpus needs ~3e4
+    cells, so this path scores against a BROADCAST centroid table
+    instead and ranks per row. Bit-identical to the literal path by
+    construction: the dot is the same zip_with/aggregate expression over
+    the same doubles, the centroid norm is precomputed driver-side with
+    the same numpy arithmetic _centroid_structs uses, and the tie-break
+    is the same (max cos, then min cid). Input needs (_v, _vn) plus a
+    unique `_arid` row key; returns the input columns + `cell` with the
+    top n_cells cells per row."""
+    rows = [
+        (
+            int(cid),
+            [float(x) for x in vec],
+            float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12,
+        )
+        for cid, vec in centroids
+    ]
+    cdf = side.sparkSession.createDataFrame(
+        rows, "cid long, cvec array<double>, cn double"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_v, cvec, (x, y) -> x * y), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    w = W.partitionBy("_arid").orderBy(
+        (dot / (F.col("_vn") * F.col("cn"))).desc(), F.col("cid").asc()
+    )
+    return (
+        side.join(F.broadcast(cdf))
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= n_cells)
+        .withColumn("cell", F.col("cid"))
+        .drop("cid", "cvec", "cn", "_crank")
+    )
+
+
 def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     """Exact rerank tail shared by every top-k variant: rounded double
     cosine from (qv, qnorm) x (cv, cnorm), per-query window, ties to the
@@ -687,6 +732,7 @@ def knn_join(
     k: int = 5,
     nprobe: int = 2,
     broadcast_left: bool = False,
+    literal_max: int = 512,
 ) -> DataFrame:
     """Cell-blocked k-NN JOIN: top-k cosine neighbors in `right` for EVERY
     row of `left`, where BOTH sides may be corpus-scale.
@@ -711,30 +757,53 @@ def knn_join(
     With explicit centroids the whole pipeline is deterministic —
     assignment, probe, rerank all replayed by the driver oracle. AQE may
     still choose a broadcast at toy scale; nothing forces one (the hint
-    audit keeps it that way). Returns (query_id, neighbor_id, cos, rank).
+    audit keeps it that way). Quantizers up to `literal_max` cells score
+    through the zero-shuffle literal projection; larger ones (sqrt(n)
+    sizing on a big corpus) switch to the broadcast-join assignment
+    (_assign_cells_join — bit-identical by construction, plan size
+    bounded regardless of cell count). Returns
+    (query_id, neighbor_id, cos, rank).
     """
-    structs = _centroid_structs(centroids)  # shared scorer: no drift vs assign_to_centroids
-    r = (
-        right.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
-        .withColumn("_vn", _norm("_v"))
-        .withColumn("cell", (-F.array_max(structs)["ncid"]).cast("long"))
-        .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
-    )
-    lf = (
-        left.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v"))
-        .withColumn("_vn", _norm("_v"))
-        .withColumn("__structs", structs)
-        .withColumn(
-            "cell",
-            F.explode(
-                F.expr(
-                    f"transform(slice(reverse(array_sort(__structs)), 1, {nprobe}), "
-                    "s -> CAST(-s.ncid AS BIGINT))"
-                )
-            ),
+    rsel = right.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_vn", _norm("_v"))
+    lsel = left.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_vn", _norm("_v"))
+    if len(centroids) > literal_max:
+        r = _assign_cells_join(
+            rsel.withColumn("_arid", F.col("neighbor_id")), centroids, 1
+        ).select(
+            "neighbor_id", F.col("_v").alias("cv"),
+            F.col("_vn").alias("cnorm"), "cell",
         )
-        .select("query_id", F.col("_v").alias("qv"), F.col("_vn").alias("qnorm"), "cell")
-    )
+        lf = _assign_cells_join(
+            lsel.withColumn("_arid", F.col("query_id")), centroids, nprobe
+        ).select(
+            "query_id", F.col("_v").alias("qv"),
+            F.col("_vn").alias("qnorm"), "cell",
+        )
+    else:
+        structs = _centroid_structs(centroids)  # shared scorer: no drift vs assign_to_centroids
+        r = (
+            rsel
+            .withColumn("cell", (-F.array_max(structs)["ncid"]).cast("long"))
+            .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
+        )
+        lf = (
+            lsel
+            .withColumn("__structs", structs)
+            .withColumn(
+                "cell",
+                F.explode(
+                    F.expr(
+                        f"transform(slice(reverse(array_sort(__structs)), 1, {nprobe}), "
+                        "s -> CAST(-s.ncid AS BIGINT))"
+                    )
+                ),
+            )
+            .select("query_id", F.col("_v").alias("qv"), F.col("_vn").alias("qnorm"), "cell")
+        )
     cand = r.join(F.broadcast(lf) if broadcast_left else lf, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -560,3 +560,25 @@ def test_random_projection_numpy_replay_and_jl_preservation(emb):
         pv, pw = mat @ v / 4.0, mat @ w / 4.0
         cp = float(pv @ pw / (np.linalg.norm(pv) * np.linalg.norm(pw)))
         assert abs(cp - cf) < 0.25, (vid, cf, cp)
+
+
+def test_knn_join_broadcast_assignment_equals_literal_path(spark):
+    """The large-quantizer broadcast-join cell assignment must be
+    bit-identical to the literal-centroid projection (same zip_with dot,
+    same precomputed centroid norms, same max-cos/min-cid tie-break) —
+    pinned by forcing the join path (literal_max=0) against the default
+    on the same quantizer."""
+    from dataux_spark.operators.similarity import knn_join
+    from dataux_spark.queries import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 23).select("vec_id", "embedding").collect()
+    ]
+    lit = knn_join(emb, emb, "embedding", "vec_id", cents, k=3, nprobe=2)
+    jn = knn_join(emb, emb, "embedding", "vec_id", cents, k=3, nprobe=2,
+                  literal_max=0)
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, jn.collect()))
+    assert a == b and len(a) > 0
