@@ -591,7 +591,14 @@ def _assign_cells_join(
     the same numpy arithmetic _centroid_structs uses, and the tie-break
     is the same (max cos, then min cid). Input needs (_v, _vn) plus a
     unique `_arid` row key; returns the input columns + `cell` with the
-    top n_cells cells per row."""
+    top n_cells cells per row.
+
+    Third assignment path in the family, each with a distinct contract:
+    _centroid_structs (literal, zero-shuffle, <= ~10^3 cells, exact
+    tie-break), _cell_assign_udf (Arrow numpy matmul, fastest at 10^5+
+    cells, raw-dot scores — the TRAINED-quantizer path where centroids
+    are unit-norm), and this one (JVM-only, any cell count, bit-identical
+    to the literal path — the deterministic/oracle-replayable choice)."""
     rows = [
         (
             int(cid),
