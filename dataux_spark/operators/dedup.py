@@ -13,8 +13,9 @@ The dedup families, each designed for the 100 TB regime:
   minhash_lsh    — shingle → minhash signature → banded LSH bucket join →
                    verified Jaccard. The scale path: candidate generation is
                    a groupBy on (band, bandhash) — linear shuffles, no n².
-  simhash        — 64-bit simhash + pigeonhole banding (k-bit hamming
-                   radius → one of k+1 chunks equal), verified by hamming.
+  simhash        — 64-bit simhash + WWW'07 combination blocking (d-bit
+                   hamming radius → some (chunks−d)-chunk combination
+                   equal), verified by hamming.
   semantic       — SemDeDup: nearest-centroid clustering + within-cluster
                    cosine pruning; quadratic only within clusters, k is
                    the knob that bounds them. (The banded hamming join is
@@ -218,6 +219,31 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------- prefix-filter set join
 
+def prefix_tokens(sets: DataFrame, threshold: float) -> DataFrame:
+    """Rarest-first prefix tokens per record — the candidate-join keys of
+    prefix_jaccard_pairs, exposed so the key-cardinality scale gate
+    (tools/scale_probe.py) measures the exact frame the join uses. Input
+    (_id, _set: array<string>); returns (_id, _tok) where _tok ranges over
+    the record's first s − ceil(t·s) + 1 tokens in (document frequency
+    asc, token asc) order. Token keys come from the content vocabulary,
+    so distinct-key count grows with the corpus (Heaps' law) — the
+    growing-key contract the gate enforces."""
+    from pyspark.sql.window import Window
+
+    toks = sets.select("_id", F.size("_set").alias("_sz"), F.explode("_set").alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    return (
+        toks.join(freq, "_tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+        .select("_id", "_tok")
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     content_col: str,
@@ -245,10 +271,21 @@ def prefix_jaccard_pairs(
 
     Scale: the census and prefix ranking are linear (one groupBy(shingle),
     one join, one per-doc window). The candidate join fans out per prefix
-    shingle as posting² — but prefixes hold each doc's RAREST shingles,
-    which is the algorithm's point: boilerplate shingles (the quadratic
-    risk) sit at the back of the ordering and only enter a prefix when a
-    doc is nearly all boilerplate. Word n-grams (not unigrams) are the
+    shingle as posting² — prefixes hold each doc's RAREST shingles, so
+    boilerplate shingles (the hot-posting risk) sit at the back of the
+    ordering and only enter a prefix when a doc is nearly all boilerplate.
+    The scheme's key space is the CONTENT VOCABULARY, which it cannot
+    widen by construction: on Heaps-law text (real web corpora, 3-gram
+    types ~ n^0.8+) postings stay thin and the join is near-linear, but on
+    a vocabulary-saturated corpus candidates drift toward n²/|vocab| — the
+    exact-set-join lower bound, true of ANY lossless scheme on such data
+    (measured round-9 on the synthetic corpus, whose 3-gram types grow
+    only ~n^0.24: candidate pairs 1,613 → 430,325 for 10× docs with max
+    posting just 10 — uniform saturation, so no hot-token cap helps).
+    tools/scale_probe.py's key gate measures this every run; corpora that
+    saturate should route candidate generation through minhash_lsh_pairs
+    (hash-keyed bands — key space grows regardless of vocabulary) and
+    keep the exact verify. Word n-grams (not unigrams) are the
     right set universe for near-dup text: unigram vocabularies are small
     and Zipf-dense, so unigram prefixes go hot — measured on the test
     corpus, unigram sets at t=0.7 yield 51k qualifying pairs where 3-gram
@@ -263,22 +300,9 @@ def prefix_jaccard_pairs(
     column like `lang` is safe here where it is the quadratic trap in
     the blocked-all-pairs scheme (SCALE.md round-8).
     Returns (id_a, id_b, jaccard)."""
-    from pyspark.sql.window import Window
-
     g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
     sets = g.withColumnRenamed("_grams", "_set")
-    toks = sets.select("_id", F.size("_set").alias("_sz"), F.explode("_set").alias("_tok"))
-    freq = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
-    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
-    prefix = (
-        toks.join(freq, "_tok")
-        .withColumn("_pos", F.row_number().over(w))
-        .filter(
-            F.col("_pos")
-            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
-        )
-        .select("_id", "_tok")
-    )
+    prefix = prefix_tokens(sets, threshold)
     pair_cond = (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id"))
     if block_cols:
         blocks = df.select(F.col(id_col).alias("_id"),
@@ -754,58 +778,95 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return agg.select("_id", sh.alias("simhash"))
 
 
+def hamming_candidate_keys(
+    hashes: DataFrame, hash_col: str, max_hamming: int = 3, chunks: int = 8
+) -> DataFrame:
+    """Combination-blocking keys for the banded hamming join (Manku, Jain
+    & Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07):
+    split the 64-bit hash into `chunks` pieces and emit one key per
+    (chunks − max_hamming)-chunk COMBINATION — a pair within distance
+    ≤ max_hamming has ≥ chunks − max_hamming clean chunks, so some
+    combination matches on both sides (same completeness guarantee as
+    single-chunk pigeonhole banding).
+
+    Why combinations and not single chunks: a single-chunk key lives in a
+    FIXED space of chunks·2^(64/chunks) values (4·2^16 at the old
+    defaults) — expected candidates ≈ chunks·n²/2^(64/chunks), quadratic
+    with a small constant once the corpus outgrows the key space (the
+    fixed-cardinality-block trap, SCALE.md round-8). A combination key
+    carries (chunks − max_hamming)·64/chunks hash bits — 40 at the
+    defaults — so distinct keys keep growing with content for any
+    realistic corpus and expected accidental collisions stay
+    ≈ C(chunks, max_hamming)·n²/2^40: sub-linear in n until n ~ 10^10,
+    vs quadratic onset at n ~ 10^4 before. The trade is constant row
+    fan-out C(chunks, chunks − max_hamming) (56 at the defaults) instead
+    of `chunks` (4) — slim (id, hash, key) rows, still ONE equi-join.
+
+    The key is xxhash64(combo_id, chunk values…): constant 8-byte keys
+    at any combination width, and a hash collision only ADDS a candidate
+    pair (the exact bit_count verify drops it) — completeness never
+    depends on the hash. Returns (_id, _h, key)."""
+    from itertools import combinations
+
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"chunks ({chunks}) must exceed max_hamming ({max_hamming}): "
+            "the guarantee needs at least one clean chunk combination"
+        )
+    if 64 % chunks:
+        raise ValueError(f"chunks ({chunks}) must divide 64")
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    src = hashes.select("_id", F.col(hash_col).alias("_h"))
+    # chunk c = bits [c·width, (c+1)·width): arithmetic shiftright's sign
+    # extension is masked off, so extraction is logical on signed longs
+    cvs = [
+        F.shiftright(F.col("_h"), c * width).bitwiseAND(F.lit(mask))
+        for c in range(chunks)
+    ]
+    keys = [
+        F.xxhash64(F.lit(ci), *[cvs[c] for c in combo])
+        for ci, combo in enumerate(combinations(range(chunks), chunks - max_hamming))
+    ]
+    return src.select("_id", "_h", F.explode(F.array(*keys)).alias("key"))
+
+
 def hamming_pairs(
-    hashes: DataFrame, hash_col: str, max_hamming: int = 3, chunks: int = 4
+    hashes: DataFrame, hash_col: str, max_hamming: int = 3, chunks: int = 8
 ) -> DataFrame:
     """Near-dup pairs within hamming distance ≤ max_hamming over ANY
     64-bit fingerprint frame (_id, <hash_col>) — the shared candidate
     core of simhash_pairs (text) and multimodal.phash_neardup_pairs
     (images/audio).
 
-    Candidate generation by pigeonhole banding: split the 64-bit hash into
-    `chunks` pieces; any pair within distance ≤ chunks-1 must agree on ≥1
-    chunk, so the join key is (chunk_idx, chunk_value) — linear shuffle,
-    no n². Verified with bit_count(xor). Returns (id_a, id_b, hamming)."""
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    banded = hashes.select(
-        "_id",
-        F.col(hash_col).alias("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col(hash_col), c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("cv"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select("_id", "_h", "cc.chunk", "cc.cv")
-    a, b = banded.alias("a"), banded.alias("b")
+    Candidate generation is the WWW'07 combination blocking above
+    (hamming_candidate_keys — growing key cardinality, constant fan-out,
+    one equi-join); candidates are verified with the exact
+    bit_count(xor), so the result is the COMPLETE pair set at distance
+    ≤ max_hamming regardless of blocking parameters. The verify filter
+    runs before the pair dedup so only true pairs reach that shuffle.
+    Returns (id_a, id_b, hamming)."""
+    keyed = hamming_candidate_keys(hashes, hash_col, max_hamming, chunks)
+    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
     return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a._id") < F.col("b._id")),
+            (F.col("a.key") == F.col("b.key")) & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), ham.alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
 def simhash_pairs(
-    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3, chunks: int = 4
+    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3, chunks: int = 8
 ) -> DataFrame:
     """SimHash near-dup pairs within hamming distance ≤ max_hamming —
     simhash() fingerprints fed through the shared banded hamming join
-    (hamming_pairs). Returns (id_a, id_b, hamming)."""
+    (hamming_pairs, WWW'07 combination blocking). Returns
+    (id_a, id_b, hamming)."""
     return hamming_pairs(
         simhash(df, content_col, id_col), "simhash", max_hamming, chunks
     )
@@ -872,32 +933,125 @@ def connected_components(
 
 # -------------------------------------------------- embedding cosine dedup
 
+def rademacher_signs(
+    seed: int, n_bands: int, band_bits: int, dim: int
+) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane matrix for the sign-band signature:
+    sign[b][j][i] = +1 iff the first hex digit of
+    md5(f"{seed}:{b}:{j}:{i}") is odd. md5 of a short ASCII string is
+    engine-independent, so a SQL oracle (DuckDB md5()) derives the SAME
+    matrix from the same literals — no PRNG whose stream an engine would
+    have to replicate."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"{seed}:{b}:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+                else -1
+                for i in range(dim)
+            ]
+            for j in range(band_bits)
+        ]
+        for b in range(n_bands)
+    ]
+
+
+def signband_signature(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_bands: int,
+    band_bits: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """Seeded random-rotation sign signature: band value b = the
+    band_bits-bit word whose bit j is 1 iff Σ_i q[i]·sign[b][j][i] > 0,
+    where q = floor(v·10^6) (integer-quantized) and sign is the
+    rademacher_signs matrix above.
+
+    Integer quantization makes every dot product EXACT (64-dim sums of
+    bounded longs — associative, order-free), so the signature is
+    bit-reproducible across engines and partitionings; a double-precision
+    dot would hinge sign decisions on summation order. All JVM
+    higher-order functions (transform / zip_with / aggregate), no Python.
+    Returns (_id, band, bv) — n_bands slim rows per input row."""
+    signs = rademacher_signs(seed, n_bands, band_bits, dim)
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    bands = []
+    for b in range(n_bands):
+        bv = None
+        for j in range(band_bits):
+            lits = ", ".join(str(s) for s in signs[b][j])
+            dot = F.expr(
+                f"aggregate(zip_with(q, array({lits}), (x, s) -> x * s), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            bv = bit if bv is None else bv + bit
+        bands.append(F.struct(F.lit(b).alias("band"), bv.alias("bv")))
+    return v.select("_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+
+
+def adaptive_band_bits(n: int, extra_bits: int = 8) -> int:
+    """Band width that keeps the sign-band join linear as the corpus
+    grows: ceil(log2 n) + extra_bits. Expected accidental (uncorrelated)
+    band collisions are n²/2^band_bits per band = n/2^extra_bits · n —
+    i.e. a vanishing fraction of n² and a bounded multiple of n, at any
+    corpus size. A FIXED width is the quadratic trap: once n outgrows
+    2^band_bits the mean bucket holds n/2^band_bits rows and the
+    self-join degenerates to all-pairs-over-a-constant (SCALE.md
+    round-8/round-9)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n, 2))) + extra_bits)
+
+
 def embedding_signband_neardup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.4,
-    band_bits: int = 4,
+    band_bits: int | None = None,
+    n_bands: int = 8,
+    seed: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs via deterministic sign-band candidate
+    """Embedding near-dup pairs via seeded sign-band LSH candidate
     generation + exact cosine verify — the scale path for the all-pairs
     operator below.
 
-    Candidate generation is bit-sampling LSH with AXIS-ALIGNED hyperplanes:
-    bit i = (v[i] > 0), grouped into dim/band_bits bands; a pair is a
-    candidate iff it agrees on at least one whole band (the same banding
-    scheme as minhash_lsh_pairs / simhash_pairs). Axis signs need no
-    random-plane literals, so the scheme is reproducible in plain SQL —
-    the DuckDB oracle replicates candidate generation bit-for-bit rather
-    than settling for a rows-only check.
+    Candidate generation is random-hyperplane bit-sampling LSH over the
+    signband_signature above: n_bands bands of band_bits sign bits each,
+    hyperplanes drawn from the deterministic md5-seeded Rademacher matrix
+    (rademacher_signs) — reproducible in plain SQL, so the DuckDB oracle
+    replays candidate generation bit-for-bit rather than settling for a
+    rows-only check. A pair is a candidate iff it agrees on at least one
+    whole band (the same banding scheme as minhash_lsh_pairs).
 
-    Scale: bands explode to dim/band_bits slim (id, band, value) rows; the
-    self-join shuffles on the band value — linear, never all-pairs. The
-    verify stage re-attaches vectors to the (much smaller) candidate set.
-    Like all LSH, recall < 1 vs the exact quadratic twin for weakly-similar
-    pairs; truly-near duplicates (cos ≥ ~0.9) agree on most signs and are
-    caught w.h.p. (recall asserted on planted duplicates in tests).
+    Scale contract: band_bits must GROW with the corpus —
+    ceil(log2 n) + 8 (adaptive_band_bits; computed from a count when not
+    pinned by the caller) keeps expected accidental collisions ≈ n/256
+    per band. The former AXIS-ALIGNED 4-bit banding had 16·2^4 = 256
+    fixed join keys — all-pairs with a constant at corpus scale, and the
+    64 axis signs capped the signature at dim bits so the width could
+    never grow; the seeded rotation decouples signature length from dim.
+    Per-band recall at band_bits = log2(n)+8 falls for weakly-similar
+    pairs as n grows (the standard LSH trade — hold recall by raising
+    n_bands ~ n^ρ if the use case needs it); truly-near duplicates
+    (cos ≳ 0.99) agree on almost every sign and are caught w.h.p.
+    (asserted on planted duplicates in tests). The verify stage
+    re-attaches vectors to the (much smaller) candidate set; every
+    reported pair is exact-cosine-verified ≥ threshold.
     Returns (id_a, id_b, cos ≥ threshold) over candidates."""
     v = df.select(
         F.col(id_col).alias("_id"),
@@ -907,17 +1061,9 @@ def embedding_signband_neardup(
     )
     if dim is None:  # fallback probe — pass dim to keep the builder lazy
         dim = len(df.select(vec_col).first()[0])
-    n_bands = dim // band_bits
-    bands = []
-    for b in range(n_bands):
-        val = None
-        for j in range(band_bits):
-            bit = F.when(F.col("v")[b * band_bits + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            val = bit if val is None else val + bit
-        bands.append(F.struct(F.lit(b).alias("band"), val.alias("bv")))
-    banded = v.select(
-        "_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    if band_bits is None:  # fallback count — pin band_bits to stay lazy
+        band_bits = adaptive_band_bits(df.count())
+    banded = signband_signature(df, vec_col, id_col, n_bands, band_bits, seed, dim)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -211,13 +211,15 @@ def phash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int = 8,
     decoder: Callable[[bytes, str], list[float]] | None = None,
 ) -> DataFrame:
     """Multimodal near-dup pairs: perceptual hashes fed through the SAME
-    pigeonhole-banded hamming join as text SimHash
-    (dedup.hamming_pairs) — one decode pass, one linear banded shuffle,
-    never n² over payloads. Returns (id_a, id_b, hamming)."""
+    combination-blocked hamming join as text SimHash
+    (dedup.hamming_pairs, WWW'07 — growing key cardinality, so the
+    candidate stage stays linear at corpus scale) — one decode pass, one
+    banded shuffle, never n² over payloads. Returns (id_a, id_b,
+    hamming)."""
     from dataux_spark.operators.dedup import hamming_pairs
 
     hashes = perceptual_hash(df, id_col, decoder).select(

@@ -1,0 +1,209 @@
+"""Round-9 scale gates: the key-cardinality growth rule and the
+combination-blocking hamming join.
+
+Background (SCALE.md rounds 8-9): a candidate-generation equi-join whose
+key space does not grow with the data is quadratic at corpus scale no
+matter how linear it probes at test scale — the key space dwarfs the test
+corpus, so wall-clock ratios cannot see it. These tests pin (a) the gate
+rule itself, (b) that the gate catches a deliberately re-broken
+fixed-cardinality blocking call, and (c) that the WWW'07 combination
+blocking that replaced the fixed single-chunk hamming banding is complete
+(bit-identical to brute force) while its key space actually grows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataux_spark.operators import dedup
+from dataux_spark.queries import read_table
+from tools.scale_probe import KEY_FRAMES, growth_ok, key_growth_report
+
+
+def test_growth_rule_boundaries():
+    # fixed key space under 10x data growth: fail
+    assert not growth_ok(256, 256, 500, 5000)
+    # linear key growth: pass
+    assert growth_ok(1000, 10000, 500, 5000)
+    # sqrt growth (IVF cell sizing) under 4x data: pass
+    assert growth_ok(23, 45, 500, 2000)
+    # sub-sqrt growth under 10x data: fail
+    assert not growth_ok(1000, 1500, 500, 5000)
+    # no meaningful data growth: nothing to measure, pass
+    assert growth_ok(10, 10, 500, 600)
+
+
+def test_gate_catches_rebroken_linkage(spark):
+    """The r8 linkage fix replaced nation-only blocking (25 fixed keys)
+    with (nation, symmetric-delete key) blocking. Re-break it on purpose —
+    key = the block column alone — and the gate must flag it, while the
+    shipped symdelete frame passes."""
+
+    def rebroken(spark_, sf_dir):
+        return read_table(spark_, sf_dir, "customer").select(
+            F.col("c_nationkey").alias("key")
+        )
+
+    frames = {
+        "rebroken_nation_block": rebroken,
+        "linkage_symdelete_keys": KEY_FRAMES["linkage_symdelete_keys"],
+    }
+    rep = {
+        r["frame"]: r
+        for r in key_growth_report(
+            spark, "/root/testdata/sf0.001", "/root/testdata/sf0.01", frames
+        )
+    }
+    assert not rep["rebroken_nation_block"]["ok"]
+    assert rep["linkage_symdelete_keys"]["ok"]
+
+
+def test_hamming_combination_blocking_complete_vs_bruteforce(spark):
+    """Completeness pin: combination blocking (chunks=8, d=3) must return
+    EXACTLY the brute-force pair set — the WWW'07 guarantee (a pair with
+    ≤ d dirty bits has ≥ chunks−d clean chunks, so some combination
+    matches) composed with the exact bit_count verify. Hashes are crafted
+    so pairs exist at every distance 0..5, straddling the threshold."""
+    base = 0x5A5A_1234_ABCD_0F0F
+    rows = [(0, base)]
+    flips = [1, 7, 13, 21, 33, 47]  # cumulative bit flips: distance 1..6 from base
+    h = base
+    for i, b in enumerate(flips, start=1):
+        h = h ^ (1 << b)
+        rows.append((i, h))
+    # plus far-away noise rows
+    rows += [(100 + i, (base * (i + 3)) & ((1 << 64) - 1)) for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in rows],
+        ["_id", "h"],
+    )
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_pairs(df, "h", max_hamming=3, chunks=8).collect()
+    }
+    assert got == brute
+    assert brute, "fixture must actually contain pairs within distance 3"
+
+
+def test_hamming_keyspace_grows_where_single_chunk_saturates(spark):
+    """The shrunk-keyspace probe (VERDICT r8 item 1), as a pinned test:
+    with 8-bit chunks the OLD single-chunk pigeonhole key space is
+    chunks·2^8 = 2048 — saturated by a few thousand rows, where the NEW
+    (chunks−d)-chunk combination keys keep growing. Measured on the same
+    random-hash frames at n and 4n: the old scheme's distinct keys
+    plateau (growth rule fails) while candidate pairs grow ~quadratic;
+    the new scheme's keys grow ~linearly and candidates stay ~flat."""
+    chunks, width, d = 8, 8, 3
+
+    def frame(n, seed):
+        return spark.range(n).select(
+            F.col("id").alias("_id"), F.xxhash64(F.col("id") + seed).alias("h")
+        )
+
+    def old_single_chunk_keys(df):
+        mask = (1 << width) - 1
+        return df.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.lit(c * (1 << width))
+                        + F.shiftright(F.col("h"), c * width).bitwiseAND(F.lit(mask))
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("key"),
+        )
+
+    def stats(keys):
+        # one row per distinct key after the groupBy, so count(*) = k
+        r = keys.groupBy("key").agg(F.count("*").alias("p")).agg(
+            F.count("*").alias("k"),
+            F.sum(F.expr("p*(p-1)/2")).alias("cand"),
+        ).collect()[0]
+        return int(r.k), int(r.cand)
+
+    n_small, n_big = 2000, 8000
+    ok_small = stats(old_single_chunk_keys(frame(n_small, 1)))
+    ok_big = stats(old_single_chunk_keys(frame(n_big, 1)))
+    nk_small = stats(
+        dedup.hamming_candidate_keys(frame(n_small, 1), "h", d, chunks).select("key")
+    )
+    nk_big = stats(
+        dedup.hamming_candidate_keys(frame(n_big, 1), "h", d, chunks).select("key")
+    )
+    # old: keys saturate at ~2048 -> growth rule FAILS, candidates ~16x (quadratic)
+    assert not growth_ok(ok_small[0], ok_big[0], n_small, n_big)
+    assert ok_big[1] / ok_small[1] > 8
+    # new: keys grow ~linearly -> rule passes; accidental candidates stay tiny
+    assert growth_ok(nk_small[0], nk_big[0], n_small, n_big)
+    assert nk_big[1] < ok_big[1] / 100
+
+
+def test_rademacher_signs_deterministic_and_engine_free():
+    """The sign matrix must be a pure function of (seed, band, bit, dim
+    index) via md5 — pinned against an independent recomputation so
+    neither engine's replay can drift."""
+    import hashlib
+
+    m1 = dedup.rademacher_signs(1, 2, 3, 8)
+    m2 = dedup.rademacher_signs(1, 2, 3, 8)
+    assert m1 == m2
+    for b in range(2):
+        for j in range(3):
+            for i in range(8):
+                exp = 1 if int(hashlib.md5(f"1:{b}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+                assert m1[b][j][i] == exp
+    # different seeds must differ somewhere
+    assert dedup.rademacher_signs(2, 2, 3, 8) != m1
+
+
+def test_signband_signature_matches_numpy(spark):
+    """The Spark signature (integer-quantized, JVM fold) must equal an
+    independent numpy recomputation bit-for-bit — the determinism the
+    oracle replay relies on."""
+    import math
+
+    import numpy as np
+
+    vecs = [
+        (0, [0.3, -0.7, 0.01, 0.0, -0.25, 1.5, -0.9, 0.4]),
+        (1, [-0.3, 0.7, -0.01, 0.2, 0.25, -1.5, 0.9, -0.4]),
+        (2, [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]),
+    ]
+    n_bands, band_bits, seed, dim = 3, 5, 7, 8
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        (r._id, r.band): r.bv
+        for r in dedup.signband_signature(
+            df, "embedding", "vec_id", n_bands, band_bits, seed, dim
+        ).collect()
+    }
+    signs = dedup.rademacher_signs(seed, n_bands, band_bits, dim)
+    for vid, v in vecs:
+        q = np.array([math.floor(x * 1_000_000) for x in v], dtype=np.int64)
+        for b in range(n_bands):
+            bv = 0
+            for j in range(band_bits):
+                if int(np.dot(q, np.array(signs[b][j], dtype=np.int64))) > 0:
+                    bv |= 1 << j
+            assert got[(vid, b)] == bv
+
+
+def test_adaptive_band_bits_growth():
+    assert dedup.adaptive_band_bits(500) == 17
+    assert dedup.adaptive_band_bits(525) == 18
+    assert dedup.adaptive_band_bits(10**9) == 38  # keeps growing with n
+    assert dedup.adaptive_band_bits(1) >= 4
