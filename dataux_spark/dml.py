@@ -960,8 +960,18 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
     def matched_transform(t_frame):
         """target ⋈ source → delete-filter + per-column CASE projection.
         Rows matching no clause condition carry unchanged (they still
-        live in a rewritten file on the pruned path)."""
-        j = t_frame.join(source, on, "inner")
+        live in a rewritten file on the pruned path). A multi-matched
+        row can only reach this projection UNFIRED (the guard below
+        errors when any clause would modify a multi-matched row — the
+        Delta contract), and an unfired row projects to the same carried
+        target columns through every matching pair, so the per-row-id
+        dedup at the end is deterministic and restores exactly one copy.
+        monotonically_increasing_id is consistent because the tag and
+        the dedup live in the same single query."""
+        t2 = t_frame.withColumn(
+            "__t_row", F.monotonically_increasing_id()
+        ).alias(talias)
+        j = t2.join(source, on, "inner")
         delete_cond = F.lit(False)
         col_chain = {f.name: None for f in tcols}
         for applicable, is_delete, assignments in _chain_conditions():
@@ -974,13 +984,19 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
                     F.when(applicable, F.expr(expr)) if prevc is None
                     else prevc.when(applicable, F.expr(expr))
                 )
-        return j.filter(~delete_cond).select(
-            *[
-                (col_chain[f.name].otherwise(F.col(f"{talias}.{f.name}"))
-                 .cast(f.dataType) if col_chain[f.name] is not None
-                 else F.col(f"{talias}.{f.name}")).alias(f.name)
-                for f in tcols
-            ]
+        return (
+            j.filter(~delete_cond)
+            .select(
+                F.col(f"{talias}.__t_row").alias("__t_row"),
+                *[
+                    (col_chain[f.name].otherwise(F.col(f"{talias}.{f.name}"))
+                     .cast(f.dataType) if col_chain[f.name] is not None
+                     else F.col(f"{talias}.{f.name}")).alias(f.name)
+                    for f in tcols
+                ],
+            )
+            .dropDuplicates(["__t_row"])
+            .drop("__t_row")
         )
 
     def untouched_leg(t_frame):
@@ -990,12 +1006,13 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
 
     # ---- affected counts + multi-match guard, ONE pass over the matched
     # join: group the (target ⋈ source) pairs by a per-target-row id and
-    # take max(match count) alongside the updated/deleted flags. Delta
-    # raises when several source rows match one target row that a clause
-    # would modify — and so must we, because matched_transform's inner
-    # join emits one output row PER MATCHING PAIR: a multi-match would
-    # silently duplicate the target row, and with a DELETE clause a row
-    # could be counted deleted by one pair yet survive through another.
+    # take max(match count) alongside the updated/deleted flags. Delta's
+    # contract, exactly: raise ONLY when several source rows match a
+    # target row that some clause WOULD MODIFY (update or delete fires
+    # for at least one pair) — the result would be nondeterministic
+    # (which pair's assignment wins? counted deleted by one pair yet
+    # carried by another?). A multi-matched row no clause touches is
+    # legal; matched_transform dedups its carried copies by row id.
     # monotonically_increasing_id is consistent here because the tag and
     # the groupBy live in the same single query.
     if matched_clauses:
@@ -1019,16 +1036,22 @@ def _merge(spark, store: TableStore, m) -> DmlResult:
             .select(
                 F.sum("u").alias("u"),
                 F.sum("d").alias("d"),
-                F.max("m").alias("mm"),
+                # max match count among MODIFIED rows only — an unfired
+                # multi-match is legal (Delta) and dedup'd on rewrite
+                F.max(
+                    F.when((F.col("u") == 1) | (F.col("d") == 1), F.col("m"))
+                    .otherwise(F.lit(0))
+                ).alias("mm"),
             )
             .collect()[0]
         )
         if (counted.mm or 0) > 1:
             raise ValueError(
                 "MERGE: multiple source rows matched the same target row "
-                f"in {target_name!r} (up to {counted.mm} matches) — the "
-                "result would be nondeterministic. Deduplicate the source "
-                "on the ON keys first (e.g. GROUP BY or row_number() = 1)."
+                f"in {target_name!r} (up to {counted.mm} matches) that a "
+                "WHEN MATCHED clause would modify — the result would be "
+                "nondeterministic. Deduplicate the source on the ON keys "
+                "first (e.g. GROUP BY or row_number() = 1)."
             )
         n_updated = int(counted.u or 0)
         n_deleted = int(counted.d or 0)

@@ -81,21 +81,15 @@ def register_all(spark: SparkSession) -> None:
     #
     # Every registration below is an Arrow-batched pandas UDF —
     # no row-at-a-time Python UDF is registered anywhere. The heavily-used
-    # names (exists/missing/cardinality/terms/cast/char_length/…) remain
-    # dialect.py REWRITES that stay JVM-side and codegen'd; these shims
-    # cover the long tail (useragent sniffing, url/email pulls, loose
-    # casts), and batch-transfer once per Arrow batch even when a query
-    # does drag one across a large scan.
-    spark.udf.register(
-        "hasprefix",
-        scalar_pandas_udf(lambda s, p: s.startswith(p) if isinstance(s, str) and p is not None else None,
-               T.BooleanType()),
-    )
-    spark.udf.register(
-        "hassuffix",
-        scalar_pandas_udf(lambda s, p: s.endswith(p) if isinstance(s, str) and p is not None else None,
-               T.BooleanType()),
-    )
+    # names (exists/missing/cardinality/terms/cast/char_length/…) and the
+    # prefix/suffix tests (hasprefix/hassuffix → startswith/endswith, r9)
+    # are dialect.py REWRITES that stay JVM-side and codegen'd; the shims
+    # kept here cover the long tail Spark has no native expression for —
+    # useragent sniffing, qlbridge's LOOSE url/email pulls (strip +
+    # lowercase + parse-what-you-can, NULL never error — urlparse
+    # semantics no SQL expression spells), loose casts — and
+    # batch-transfer once per Arrow batch even when a query does drag
+    # one across a large scan.
 
     # loose type-conversion family (qlbridge CastIntSafe-style semantics:
     # parse what you can, NULL on failure — never error)

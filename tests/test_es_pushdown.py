@@ -91,7 +91,10 @@ def test_prefix_in_exists_pushed(eng):
     assert _names(out) == ["web-1", "web-2"]
     pushed = " ".join(read_push_log(LOG_DIR, "es.espods")["pushed"])
     assert "In(" in pushed and "IsNotNull" in pushed
-    # hasprefix is a Python UDF — stays engine-side, never offered/needed
+    # r9: hasprefix rewrites to native startswith (dialect.py), so the
+    # prefix test is now OFFERED to the prefix-capable ES tier as
+    # StringStartsWith instead of being pinned engine-side by a UDF
+    assert "StringStartsWith" in pushed
 
 
 def test_null_semantics_match_sql(eng):

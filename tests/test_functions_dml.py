@@ -814,6 +814,53 @@ def test_merge_multi_match_raises(spark, tmp_path):
     assert eng.sql("SELECT count(*) AS c FROM mm_tgt_pq").collect()[0][0] == 2
 
 
+def test_merge_unmodified_multi_match_allowed(spark, tmp_path):
+    """Delta raises only when the multiply-matched row WOULD BE modified:
+    a target row several source rows match, where no WHEN MATCHED
+    condition fires for any pair, must carry through exactly once (never
+    duplicated by the pair-wise join rewrite) while clauses still apply
+    to single-matched rows — on both the in-memory and the file-pruned
+    copy-on-write paths (ADVICE r8: the old guard rejected these)."""
+    eng = Engine(spark)
+    target = spark.createDataFrame([Row(id=1, qty=10), Row(id=2, qty=20)])
+    src = spark.createDataFrame(
+        [Row(id=1, qty=1), Row(id=1, qty=2), Row(id=2, qty=99)]
+    )
+    eng.register_memory("um", {"um_tgt": target, "um_src": src})
+    r = eng.sql(
+        "MERGE INTO um_tgt t USING um_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 50 THEN UPDATE SET qty = s.qty"
+    )
+    assert r.affected == 1  # only id=2 updated
+    rows = sorted((x.id, x.qty) for x in eng.sql("SELECT * FROM um_tgt").collect())
+    assert rows == [(1, 10), (2, 99)]  # id=1 carried once, unchanged
+    # DELETE clause: id=2 deleted, multi-matched id=1 untouched and single
+    r = eng.sql(
+        "MERGE INTO um_tgt t USING um_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 50 THEN DELETE"
+    )
+    rows = sorted((x.id, x.qty) for x in eng.sql("SELECT * FROM um_tgt").collect())
+    assert rows == [(1, 10)]
+    # but the moment a clause fires for a multi-matched row, still raise
+    with pytest.raises(Exception, match="multiple source rows"):
+        eng.sql(
+            "MERGE INTO um_tgt t USING um_src s ON t.id = s.id "
+            "WHEN MATCHED AND s.qty >= 2 THEN UPDATE SET qty = s.qty"
+        )
+    # parquet-backed copy-on-write path
+    target.write.parquet(str(tmp_path / "um_pq"))
+    eng.register_writable_parquet(
+        "um_tgt_pq", str(tmp_path / "um_pq"), str(tmp_path / "um_work"), keys=["id"]
+    )
+    r = eng.sql(
+        "MERGE INTO um_tgt_pq t USING um_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 50 THEN UPDATE SET qty = s.qty"
+    )
+    assert r.affected == 1
+    rows = sorted((x.id, x.qty) for x in eng.sql("SELECT * FROM um_tgt_pq").collect())
+    assert rows == [(1, 10), (2, 99)]
+
+
 def test_merge_insert_only_multi_match_allowed(spark, tmp_path):
     """Insert-only MERGE (no WHEN MATCHED clause) never rewrites a target
     row, so multi-matches are legal (Delta's contract) — matched target

@@ -14,8 +14,11 @@ Python reference model of Delta's semantics:
   - unmatched target rows always carry.
 
 Source ids are generated unique, so the join never fans out and the
-model stays a function (a multi-match against a matched clause raises —
-Delta's contract, pinned by test_functions_dml.test_merge_multi_match_raises).
+model stays a function. A multi-match raises ONLY when some matched
+clause fires for one of the row's pairs — Delta's contract, pinned by
+test_functions_dml.test_merge_multi_match_raises /
+test_merge_unmodified_multi_match_allowed; a multi-matched row no clause
+touches carries through exactly once.
 """
 
 import pytest
@@ -125,8 +128,9 @@ def test_merge_first_match_wins_matches_model(peng, target, source, program):
 
 # multi-match sources: ids drawn WITH repetition so several source rows
 # can hit one target row — the engine must either raise the Delta-style
-# multiple-source-rows error (when any matched clause exists and some
-# target id repeats in the source) or produce the model's answer
+# multiple-source-rows error (when some matched clause FIRES for a pair
+# of a multiply-matched target row — an unfired multi-match is legal and
+# carries once) or produce the model's answer
 sources_dup = st.lists(
     st.tuples(st.integers(0, 5), st.integers(0, 50)), min_size=0, max_size=8,
 )
@@ -147,7 +151,14 @@ def test_merge_multi_match_raises_or_matches_model(peng, target, source, program
     tgt_ids = {t[0] for t in target}
     from collections import Counter
     matched_counts = Counter(s[0] for s in source if s[0] in tgt_ids)
-    expect_raise = bool(mclauses) and any(c > 1 for c in matched_counts.values())
+    dup_ids = {i for i, c in matched_counts.items() if c > 1}
+
+    def fires(sqty):
+        return any(thr is None or sqty >= thr for _, thr, _a in mclauses)
+
+    # Delta's contract: raise iff a clause would MODIFY a multiply-
+    # matched row; unfired multi-matches carry once through the model
+    expect_raise = any(fires(s[1]) for s in source if s[0] in dup_ids)
     if expect_raise:
         import pytest as _pt
         with _pt.raises(Exception, match="multiple source rows"):

@@ -582,3 +582,12 @@ def test_knn_join_broadcast_assignment_equals_literal_path(spark):
     a = sorted(map(tuple, lit.collect()))
     b = sorted(map(tuple, jn.collect()))
     assert a == b and len(a) > 0
+    # the ann_knn_join plan audit must accept BOTH paths: the literal
+    # path plans zero BNLJ, the join path's only BNLJ is the bounded
+    # broadcast centroid table (cvec) — ADVICE r8 flagged the unscoped
+    # ban false-failing exactly when the scale path activates
+    from tools.explain_audit import CHECKS, plan_of
+
+    name, pred = CHECKS["ann_knn_join"][0]
+    assert pred(plan_of(lit)), f"literal path fails audit: {name}"
+    assert pred(plan_of(jn)), f"large-quantizer path fails audit: {name}"

@@ -345,11 +345,23 @@ CHECKS = {
     ],
     "ann_knn_join": [
         # corpus x corpus: candidates ONLY from the cell-key equi-join of
-        # the sqrt(n)-cell quantizer — never cartesian, and the rerank is
-        # a per-query window, not a global sort
-        ("cell-keyed candidate join, never cartesian",
+        # the sqrt(n)-cell quantizer — never cartesian. BNLJ is banned
+        # UNLESS the plan contains the broadcast centroid table ("cvec"),
+        # i.e. knn_join's large-quantizer path (len(centroids) >
+        # literal_max) is active: its _assign_cells_join scores each row
+        # against the BOUNDED broadcast centroid frame through an
+        # unconditioned broadcast join that plans as BNLJ — legal at any
+        # corpus size because the broadcast side is the quantizer, never
+        # a fact table (ADVICE r8: the unscoped ban false-failed exactly
+        # when the scale path activated). Count TREE nodes
+        # ("BroadcastNestedLoopJoin Inner …"), not raw text hits — after
+        # execution AQE's formatted explain lists initial+final plans, so
+        # 2 assignment joins appear as ≤4 tree nodes / ≤8 text hits.
+        ("cell-keyed candidate join, never cartesian (bounded centroid "
+         "BNLJ allowed on the large-quantizer path)",
          lambda p: "CartesianProduct" not in p
-         and "BroadcastNestedLoopJoin" not in p),
+         and (p.count("BroadcastNestedLoopJoin Inner") <= 4 if "cvec" in p
+              else "BroadcastNestedLoopJoin" not in p)),
         ("rerank is a per-query window",
          lambda p: "Window" in p and "hashpartitioning(query_id" in p),
     ],
