@@ -7956,70 +7956,68 @@ BENCH_PHASES: dict[str, dict] = {
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-8 rotation (VERDICT r7 item 1) — closes cumulative driver
-    # coverage at 206/206. Slots 1-41: every registered query that has
-    # never had a driver verdict (all round-7 additions; all green in
-    # the local tools/check.py --vanilla oracle run). Grouped by
-    # family: TPC-H completion, graph, streaming sketch merges,
-    # profiling, dedup additions, stats/eval, sampling, text, events,
-    # multimodal/export/join-planning, CMS rollup.
-    # streaming_distinct_merge is rows-only by design (HLL estimate);
-    # its deterministic twin streaming_rollup_merge is driver-green r6.
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_cnt",
-    "q20_excess_suppliers",
-    "graph_triangle_stats",
-    "graph_label_communities",
-    "graph_trustrank",
-    "streaming_cms_merge",
-    "streaming_quantile_merge",
-    "streaming_topk_merge",
-    "streaming_distinct_merge",
-    "profile_drift_psi",
-    "profile_robust_means",
-    "profile_histogram_depth",
-    "profile_embeddings_qa",
-    "dedup_containment_pairs",
-    "dedup_prefix_jaccard",
-    "dedup_source_matrix",
-    "dedup_savings_report",
-    "decontaminate_neardup",
-    "stats_trend_per_type",
-    "stats_ab_ttest",
-    "retrieval_eval_ndcg",
-    "sample_pctl_normalize",
-    "sample_kfold_counts",
-    "text_bigram_pppl",
-    "text_lexical_drift",
-    "text_vocab_coverage",
-    "text_taxonomy_tags",
-    "events_active_users",
-    "events_last_touch",
-    "events_seasonal_anomalies",
-    "multimodal_curation_gate",
-    "export_shard_manifest",
-    "skew_join_preflight",
-    "join_bloom_reduced",
-    "ann_knn_join",
-    "embedding_random_projection",
-    "rollup_cms_estimates",
-    # Slots 42-50: regression canaries — the headline aggregate, the
-    # historically drifting LSH pair, the windowed q21 rewrite, the
-    # repaired lakehouse roundtrip, the six-stage composed pipeline,
-    # and one pushdown entry per pushdown tier (FILTERS_LIMIT_AGGS /
-    # FILTERS_LIMIT / KEY_FILTERS / FULL).
-    "pricing_summary",
-    "dedup_minhash_lsh",
-    "q21_waiting_suppliers",
-    "compaction_roundtrip",
-    "training_prep_pipeline",
-    "pushdown_es_group_agg",
-    "pushdown_mongo_filter_topk",
-    "pushdown_cass_key_topk",
-    "pushdown_bq_full_query",
+    # Round-9 rotation. Cumulative driver coverage closed at 206/206 in
+    # r8 (199/199 oracle-backed hash-green), so the window now serves two
+    # jobs: (1) re-verdict every entry whose RESULTS or semantics changed
+    # this round, (2) refresh the stalest verdicts — slots 4-50 are the
+    # 47 oracle-backed entries whose latest green driver row is r4/r5
+    # (none re-checked since), oldest first. Changed this round:
+    # embedding_neardup (seeded-rotation sign bands, new bit-replay
+    # oracle, 25 planted near-dups), dedup_simhash (WWW'07 combination
+    # blocking — rows-only by design, output proven bit-identical to
+    # brute force in tests/test_keygrowth.py), dml_merge_result (MERGE
+    # multi-match guard relaxed to Delta's modify-only contract; probe
+    # statement unchanged).
+    "embedding_neardup",
+    "dedup_simhash",
+    "dml_merge_result",
+    "count_star",
+    "cube_counts",
+    "filter_between",
+    "join_3way",
+    "set_union",
+    "window_running_sum",
+    "array_functions",
+    "asof_join_events",
+    "correlated_subquery",
+    "cross_source_join",
+    "cte_scalar_subquery",
+    "date_extract",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_winnow_fingerprints",
+    "events_gap_fill_hourly",
+    "events_hourly_agg",
+    "events_json_extract",
+    "explode_top_tokens",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pack_sequences",
+    "percentiles",
+    "pivot_status_priority",
+    "quality_quantile_filter",
+    "range_join_price_bands",
+    "rollup_hourly_merge",
+    "sample_temperature_mix",
+    "sessionize_stats",
+    "split_hash_counts",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_session_window",
+    "streaming_windowed_agg",
+    "text_lang_scores",
+    "text_langid_ngram",
+    "text_quality",
+    "text_redact_pii",
+    "text_repetition",
+    "text_token_stats",
+    "agg_minmax_sum_avg",
+    "agg_over_expression",
+    "case_string_math",
+    "count_distinct",
 ]
 
 
