@@ -156,6 +156,14 @@ HEADLINE = [
     # tools/explain_audit.py.
     "graph_triangle_stats",
     "export_shard_manifest",
+    # round-9 additions (set grows 38 -> 40; compare totals only over
+    # the shared 38): the two rewritten candidate-generation scale paths,
+    # timed so a regression in either new scheme shows up per round —
+    # dedup_simhash now runs WWW'07 combination blocking (56 xxhash64
+    # keys/doc), embedding_neardup the seeded-rotation sign bands
+    # (8 bands x log2(n)+8 bits of Rademacher-projected signs).
+    "dedup_simhash",
+    "embedding_neardup",
 ]
 
 

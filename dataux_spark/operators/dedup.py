@@ -1002,6 +1002,59 @@ def signband_signature(
     )
 
 
+def signband_signature_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_bands: int,
+    band_bits: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """Arrow-batched numpy twin of signband_signature: one int64 matmul
+    per batch (quantized vectors × the dim×(n_bands·band_bits) sign
+    matrix) instead of n_bands·band_bits interpreted zip_with/aggregate
+    expressions per row. BIT-IDENTICAL by construction — the dots are
+    exact int64 sums of the same floor(v·10^6) quantization, and integer
+    addition is order-free, so numpy's summation order cannot flip a
+    sign the way a double-precision matmul could (pinned equal in
+    tests/test_keygrowth.py). The raw-throughput choice for corpus-scale
+    signature sweeps (the same JVM-vs-Arrow split as similarity's
+    _centroid_structs vs _cell_assign_udf); the expression path remains
+    the zero-dependency default."""
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(
+        rademacher_signs(seed, n_bands, band_bits, dim), dtype=np.int64
+    ).reshape(n_bands * band_bits, dim).T  # dim × (bands·bits)
+    weights = np.array(
+        [1 << j for j in range(band_bits)] * n_bands, dtype=np.int64
+    )
+    id_type = dict(df.dtypes)[id_col]
+    slim = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.floor(
+                np.stack(pdf["_v"].map(np.asarray).to_list()).astype(np.float64)
+                * 1_000_000
+            ).astype(np.int64)  # rows × dim, exact same quantization
+            bits = (q @ signs > 0).astype(np.int64) * weights  # rows × (bands·bits)
+            bvs = bits.reshape(len(pdf), n_bands, band_bits).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].repeat(n_bands).to_numpy(),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int64), len(pdf)),
+                    "bv": bvs.reshape(-1),
+                }
+            )
+
+    return slim.mapInPandas(run, schema=f"`_id` {id_type}, band long, bv long")
+
+
 def adaptive_band_bits(n: int, extra_bits: int = 8) -> int:
     """Band width that keeps the sign-band join linear as the corpus
     grows: ceil(log2 n) + extra_bits. Expected accidental (uncorrelated)

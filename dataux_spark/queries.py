@@ -4032,6 +4032,93 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_neardup_knn",
+    # same bit-for-bit replay structure as ann_knn_join (sqrt(n)-cell
+    # quantizer, nprobe=2, exact rerank), folded to unordered pairs at
+    # the cosine threshold
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                      FROM embeddings)
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), s AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.vv, c.cvec) /
+             (sqrt(list_dot_product(v.vv, v.vv)) *
+              sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+      FROM v CROSS JOIN c
+    ), cellof AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s) t WHERE rn = 1
+    ), qc AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s) t WHERE rn <= 2
+    ), cand AS (
+      SELECT q.query_id, m.vec_id AS neighbor_id
+      FROM qc q JOIN cellof m ON m.cell = q.cell AND m.vec_id != q.query_id
+    ), rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qv.vv, nv.vv) /
+                   (sqrt(list_dot_product(qv.vv, qv.vv)) *
+                    sqrt(list_dot_product(nv.vv, nv.vv))), 6) AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v nv ON nv.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT DISTINCT least(query_id, neighbor_id) AS id_a,
+           greatest(query_id, neighbor_id) AS id_b, cos
+    FROM ranked WHERE rank <= 5 AND cos >= 0.4
+    """,
+)
+def embedding_neardup_knn(spark, sf_dir):
+    """Embedding near-dup, the IVF route (VERDICT r8's alternative scale
+    path next to the sign-band entry): cell-blocked k-NN self-join
+    (operators/similarity.knn_join — sqrt(n)-cell quantizer, nothing
+    broadcast, candidate work ~n^1.5) folded to unordered pairs at the
+    exact-cosine threshold. Complementary recall contract to sign-band
+    LSH: k-NN recall is bounded by quantizer-cell recall and the per-row
+    k, independent of how sign bits distribute — the route to prefer
+    when embedding signs are heavily biased (hot sign-band buckets).
+    Fully value-checked: the oracle replays quantizer, probe, rerank and
+    the pair fold bit-for-bit."""
+    import math
+
+    from dataux_spark.operators.similarity import knn_join
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_cells = math.ceil(math.sqrt(emb.count()))
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding").collect()
+    ]
+    res = knn_join(emb, emb, "embedding", "vec_id", cents, k=5, nprobe=2)
+    return (
+        res.filter(F.col("cos") >= 0.4)
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+            "cos",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _query_vecs(emb, n: int = 5):
     """The ANN query set: the first n vectors by key. The `.limit(n)`
     after the key filter keeps the same rows (vec_id is a key, so the
@@ -7957,18 +8044,21 @@ BENCH_PHASES: dict[str, dict] = {
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
     # Round-9 rotation. Cumulative driver coverage closed at 206/206 in
-    # r8 (199/199 oracle-backed hash-green), so the window now serves two
-    # jobs: (1) re-verdict every entry whose RESULTS or semantics changed
-    # this round, (2) refresh the stalest verdicts — slots 4-50 are the
-    # 47 oracle-backed entries whose latest green driver row is r4/r5
-    # (none re-checked since), oldest first. Changed this round:
-    # embedding_neardup (seeded-rotation sign bands, new bit-replay
-    # oracle, 25 planted near-dups), dedup_simhash (WWW'07 combination
-    # blocking — rows-only by design, output proven bit-identical to
-    # brute force in tests/test_keygrowth.py), dml_merge_result (MERGE
-    # multi-match guard relaxed to Delta's modify-only contract; probe
-    # statement unchanged).
+    # r8 (199/199 oracle-backed hash-green), so the window now serves
+    # three jobs: (1) verdict the one NEW entry (embedding_neardup_knn —
+    # the IVF near-dup route, full oracle), (2) re-verdict every entry
+    # whose RESULTS or semantics changed this round, (3) refresh the
+    # stalest verdicts — slots 5-50 are the 46 oracle-backed entries
+    # whose latest green driver row is r4/r5 (none re-checked since),
+    # oldest first. Changed this round: embedding_neardup
+    # (seeded-rotation sign bands, new bit-replay oracle, 25 planted
+    # near-dups), dedup_simhash (WWW'07 combination blocking — rows-only
+    # by design, output proven bit-identical to brute force in
+    # tests/test_keygrowth.py), dml_merge_result (MERGE multi-match
+    # guard relaxed to Delta's modify-only contract; probe statement
+    # unchanged).
     "embedding_neardup",
+    "embedding_neardup_knn",
     "dedup_simhash",
     "dml_merge_result",
     "count_star",
@@ -8017,7 +8107,6 @@ _DRIVER_WINDOW: list[str] = [
     "agg_minmax_sum_avg",
     "agg_over_expression",
     "case_string_math",
-    "count_distinct",
 ]
 
 

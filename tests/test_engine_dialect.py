@@ -498,11 +498,13 @@ def test_driver_window_contract_pinned():
     pin the contract so an accidental registry edit cannot silently
     shuffle the gate: exactly 50 window slots, all registered, exported
     first and in order, every one carrying a full value oracle except
-    streaming_distinct_merge — the round-8 rotation closes cumulative
-    driver coverage at 206/206, and that one entry is rows-only BY
-    DESIGN (HLL estimate; its deterministic twin streaming_rollup_merge
-    is driver-green r6), so it takes the gate's weaker rows-only check
-    on purpose rather than being left as the only never-checked entry."""
+    dedup_simhash — the round-9 rotation re-verdicts this round's three
+    changed entries and refreshes the 47 stalest r4/r5 verdicts, and
+    dedup_simhash is rows-only BY DESIGN (xxhash64 fingerprints aren't
+    plain-SQL; its md5 twin dedup_simhash_md5 is driver-green r8 and its
+    combination-blocked pair set is pinned bit-identical to brute force
+    in tests/test_keygrowth.py), so it takes the gate's weaker rows-only
+    check on purpose."""
     from dataux_spark import queries as Q
 
     window = Q._DRIVER_WINDOW
@@ -511,6 +513,6 @@ def test_driver_window_contract_pinned():
     assert exported[:50] == window
     oracles = Q.oracle_sql()
     missing = [n for n in window if n not in oracles]
-    assert missing == ["streaming_distinct_merge"], (
+    assert missing == ["dedup_simhash"], (
         f"window entries without oracles: {missing}"
     )

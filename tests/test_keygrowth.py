@@ -202,6 +202,24 @@ def test_signband_signature_matches_numpy(spark):
             assert got[(vid, b)] == bv
 
 
+def test_signband_arrow_twin_bit_identical(spark):
+    """The Arrow numpy-matmul signature path must equal the JVM
+    expression path on every (id, band) — exact int64 arithmetic on the
+    same quantization makes them bit-identical by construction; this
+    pins it on real embeddings at the adaptive width."""
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    n_bands, band_bits, seed, dim = 8, 14, 1, 64
+    expr = dedup.signband_signature(
+        emb, "embedding", "vec_id", n_bands, band_bits, seed, dim
+    )
+    arrow = dedup.signband_signature_arrow(
+        emb, "embedding", "vec_id", n_bands, band_bits, seed, dim
+    )
+    e = {(r._id, r.band): r.bv for r in expr.collect()}
+    a = {(r._id, r.band): r.bv for r in arrow.collect()}
+    assert e == a and len(e) == 200 * n_bands
+
+
 def test_adaptive_band_bits_growth():
     assert dedup.adaptive_band_bits(500) == 17
     assert dedup.adaptive_band_bits(525) == 18

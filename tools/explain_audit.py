@@ -365,6 +365,25 @@ CHECKS = {
         ("rerank is a per-query window",
          lambda p: "Window" in p and "hashpartitioning(query_id" in p),
     ],
+    # --- round-9 additions (the two rewritten candidate schemes) ---------
+    "embedding_neardup": [
+        # seeded-rotation sign-band LSH: candidates ONLY from the
+        # (band, bv) equi-join — hash-keyed at any scale, never cartesian
+        ("sign-band candidate join hash-keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("band-value key live in the join", lambda p: "bv" in p),
+    ],
+    "dedup_simhash": [
+        # WWW'07 combination blocking: candidates ONLY from the xxhash64
+        # combination-key equi-join (56 keys/row), verified by bit_count
+        ("combination-key candidate join, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("combination keys are xxhash64 expressions",
+         lambda p: "xxhash64" in p),
+        ("exact hamming verify present", lambda p: "bit_count" in p),
+    ],
     "dedup_source_matrix": [
         # pair generation is the prefix-filter scheme (r8 swap): every
         # join hash-keyed, rarest-first prefix rank is a doc-keyed window
