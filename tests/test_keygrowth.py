@@ -97,6 +97,50 @@ def test_hamming_combination_blocking_complete_vs_bruteforce(spark):
     assert brute, "fixture must actually contain pairs within distance 3"
 
 
+@pytest.mark.parametrize("chunks,d", [(4, 3), (8, 3), (8, 1), (8, 0), (16, 3)])
+def test_hamming_completeness_across_configs(spark, chunks, d):
+    """The WWW'07 guarantee must hold for EVERY (chunks, max_hamming)
+    the API admits — including the degenerate single-combination d=0
+    (join on the whole hash) and the old 4-chunk granularity: the pair
+    set always equals brute force at distance ≤ d."""
+    import random
+
+    rng = random.Random(chunks * 100 + d)
+    base = rng.getrandbits(63)
+    rows = [(0, base)]
+    h = base
+    for i in range(1, 6):  # chain of single-bit flips: distances 1..5
+        h ^= 1 << rng.randrange(64)
+        rows.append((i, h & ((1 << 63) - 1)))
+    rows += [(100 + i, rng.getrandbits(63)) for i in range(15)]
+    df = spark.createDataFrame(rows, ["_id", "h"])
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hm"),
+        )
+        .filter(F.col("hm") <= d)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.hamming_pairs(df, "h", max_hamming=d, chunks=chunks).collect()
+    }
+    assert got == brute
+
+
+def test_hamming_invalid_configs_raise(spark):
+    df = spark.createDataFrame([(1, 5)], ["_id", "h"])
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        dedup.hamming_pairs(df, "h", max_hamming=4, chunks=4)
+    with pytest.raises(ValueError, match="must divide 64"):
+        dedup.hamming_pairs(df, "h", max_hamming=3, chunks=7)
+
+
 def test_hamming_keyspace_grows_where_single_chunk_saturates(spark):
     """The shrunk-keyspace probe (VERDICT r8 item 1), as a pinned test:
     with 8-bit chunks the OLD single-chunk pigeonhole key space is
