@@ -1078,6 +1078,7 @@ def embedding_signband_neardup(
     n_bands: int = 8,
     seed: int = 1,
     dim: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via seeded sign-band LSH candidate
     generation + exact cosine verify — the scale path for the all-pairs
@@ -1116,7 +1117,13 @@ def embedding_signband_neardup(
         dim = len(df.select(vec_col).first()[0])
     if band_bits is None:  # fallback count — pin band_bits to stay lazy
         band_bits = adaptive_band_bits(df.count())
-    banded = signband_signature(df, vec_col, id_col, n_bands, band_bits, seed, dim)
+    # Arrow matmul by default: bit-identical to the expression path
+    # (exact int64 arithmetic, pinned in tests) and ~5x faster per pass —
+    # which the self-join below pays TWICE, once per branch (Spark does
+    # no cross-branch CSE). arrow=False keeps the pure-JVM expression
+    # plan for environments without Arrow batching.
+    sig_fn = signband_signature_arrow if arrow else signband_signature
+    banded = sig_fn(df, vec_col, id_col, n_bands, band_bits, seed, dim)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
