@@ -845,7 +845,13 @@ def hamming_pairs(
     bit_count(xor), so the result is the COMPLETE pair set at distance
     ≤ max_hamming regardless of blocking parameters. The verify filter
     runs before the pair dedup so only true pairs reach that shuffle.
-    Returns (id_a, id_b, hamming)."""
+
+    The self-join evaluates the `hashes` frame's lineage on BOTH
+    branches (Spark does no cross-branch CSE) — when the fingerprints
+    are expensive to derive (simhash's 64 bit-sum aggregation), pass a
+    caller-persisted frame to pay that cost once; same caller-owned
+    cache contract as minhash's grams=. Returns (id_a, id_b,
+    hamming)."""
     keyed = hamming_candidate_keys(hashes, hash_col, max_hamming, chunks)
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
