@@ -1061,6 +1061,36 @@ def signband_signature_arrow(
     return slim.mapInPandas(run, schema=f"`_id` {id_type}, band long, bv long")
 
 
+def lsh_recall_bands(
+    band_bits: int, target_recall: float = 0.9, cos: float = 0.99
+) -> int:
+    """How many sign-bands it takes to catch a pair at cosine `cos` with
+    probability ≥ target_recall at the given band width — the standard
+    LSH amplification identity: per-bit agreement p = 1 − acos(cos)/π
+    (random-hyperplane collision probability, Charikar STOC'02), a band
+    matches with p^band_bits, and bands independent bands give
+    1 − (1 − p^band_bits)^bands ≥ recall ⇒
+    bands = ceil(ln(1 − recall) / ln(1 − p^band_bits)).
+
+    This is the concrete form of "hold recall by raising n_bands ~ n^ρ"
+    in embedding_signband_neardup's contract: as adaptive_band_bits
+    widens bands with log2(n), p^band_bits shrinks and the bands needed
+    for the SAME (cos, recall) grow polynomially — the textbook LSH
+    time/recall trade, made a one-call sizing decision instead of a
+    folk knob."""
+    import math
+
+    if not 0 < target_recall < 1:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p = 1 - math.acos(max(-1.0, min(1.0, cos))) / math.pi
+    pb = p ** band_bits
+    if pb >= 1:
+        return 1
+    if pb <= 0:
+        raise ValueError(f"cos={cos} gives zero band-collision probability")
+    return max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - pb)))
+
+
 def adaptive_band_bits(n: int, extra_bits: int = 8) -> int:
     """Band width that keeps the sign-band join linear as the corpus
     grows: ceil(log2 n) + extra_bits. Expected accidental (uncorrelated)
@@ -1107,7 +1137,8 @@ def embedding_signband_neardup(
     never grow; the seeded rotation decouples signature length from dim.
     Per-band recall at band_bits = log2(n)+8 falls for weakly-similar
     pairs as n grows (the standard LSH trade — hold recall by raising
-    n_bands ~ n^ρ if the use case needs it); truly-near duplicates
+    n_bands ~ n^ρ if the use case needs it; lsh_recall_bands computes
+    the exact count for a target (cos, recall)); truly-near duplicates
     (cos ≳ 0.99) agree on almost every sign and are caught w.h.p.
     (asserted on planted duplicates in tests). The verify stage
     re-attaches vectors to the (much smaller) candidate set; every

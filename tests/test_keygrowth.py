@@ -269,3 +269,23 @@ def test_adaptive_band_bits_growth():
     assert dedup.adaptive_band_bits(525) == 18
     assert dedup.adaptive_band_bits(10**9) == 38  # keeps growing with n
     assert dedup.adaptive_band_bits(1) >= 4
+
+
+def test_lsh_recall_bands_amplification():
+    """Pin the Charikar amplification math: bands needed grow as bands
+    widen (the n^rho trade), shrink as pairs get more similar, and the
+    closed form actually delivers the target recall."""
+    import math
+
+    b1 = dedup.lsh_recall_bands(4, 0.9, 0.99)
+    b2 = dedup.lsh_recall_bands(18, 0.9, 0.99)
+    b3 = dedup.lsh_recall_bands(38, 0.9, 0.99)
+    assert b1 <= b2 <= b3 and b3 > b1  # wider bands -> more bands needed
+    assert dedup.lsh_recall_bands(18, 0.9, 0.999) < b2  # nearer pairs: fewer
+    # the returned count actually achieves the recall
+    for bits, cos in ((18, 0.99), (24, 0.95)):
+        p = 1 - math.acos(cos) / math.pi
+        bands = dedup.lsh_recall_bands(bits, 0.9, cos)
+        assert 1 - (1 - p**bits) ** bands >= 0.9
+    with pytest.raises(ValueError):
+        dedup.lsh_recall_bands(18, 1.5, 0.99)

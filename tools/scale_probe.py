@@ -159,7 +159,11 @@ KEY_FRAMES = {
 # the prescribed scale path for saturated corpora is minhash-LSH
 # candidates + the same exact verify (SCALE.md round-9). The gate REPORTS
 # saturation for these frames instead of hard-failing, so the number
-# stays on the record every run.
+# stays on the record every run. prefix_token_keys stands in for the
+# whole vocabulary-keyed family: containment_pairs' asymmetric scheme
+# keys on the same rarest-first prefix tokens (A-side) against full
+# postings (B-side), so it saturates at least as early on the same data —
+# one frame, one classification, one prescription.
 CONTENT_BOUNDED = {"prefix_token_keys"}
 
 
