@@ -161,7 +161,15 @@ HEADLINE = [
     # timed so a regression in either new scheme shows up per round —
     # dedup_simhash now runs WWW'07 combination blocking (56 xxhash64
     # keys/doc), embedding_neardup the seeded-rotation sign bands
-    # (8 bands x log2(n)+8 bits of Rademacher-projected signs).
+    # (8 bands x log2(n)+8 bits of Rademacher-projected signs, Arrow
+    # int64-matmul signature). dedup_simhash's ~3.2 s is ~2/3 the
+    # 64-agg simhash fingerprint computed ONCE PER SELF-JOIN BRANCH (no
+    # cross-branch CSE): measured 1.06 s with a caller-persisted hashes
+    # frame at sf0.1 — the same accepted plain-vs-caller-owned-cache
+    # trade as dedup_minhash_lsh above (an internal persist would pin a
+    # corpus-sized cache on a lazily-returned result), and
+    # hamming_pairs' docstring states the persist contract for
+    # pipelines that want the reuse.
     "dedup_simhash",
     "embedding_neardup",
 ]
