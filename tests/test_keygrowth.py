@@ -264,6 +264,48 @@ def test_signband_arrow_twin_bit_identical(spark):
     assert e == a and len(e) == 200 * n_bands
 
 
+def test_signband_signature_property_vs_numpy(spark):
+    """Property sweep of the signature determinism on adversarial
+    vectors — negatives, exact zeros, tiny magnitudes, values near the
+    quantization boundary — both engine paths must equal the independent
+    numpy recomputation on every (id, band). One batched Spark round for
+    all cases (hypothesis-style coverage without per-example jobs)."""
+    import math
+
+    import numpy as np
+
+    n_bands, band_bits, seed, dim = 4, 6, 3, 8
+    cases = [
+        [0.0] * 8,                                  # all-zero vector
+        [-1e-7, 1e-7, -0.5, 0.5, 0.0, -0.0, 1.0, -1.0],
+        [1e-6, -1e-6, 2e-6, -2e-6, 0.9999995, -0.9999995, 0.1, -0.1],
+        [3.5, -3.5, 0.25, -0.25, 7.0, -7.0, 0.001, -0.001],
+        [0.123456, 0.1234565, -0.123456, -0.1234565, 0.5, 0.5, -0.5, -0.5],
+        [1e3, -1e3, 1e-3, -1e-3, 42.0, -42.0, 0.0, 1.0],
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), ["vec_id", "embedding"])
+    signs = dedup.rademacher_signs(seed, n_bands, band_bits, dim)
+
+    def expected(v):
+        q = np.array([math.floor(x * 1_000_000) for x in v], dtype=np.int64)
+        out = []
+        for b in range(n_bands):
+            bv = 0
+            for j in range(band_bits):
+                if int(q @ np.array(signs[b][j], dtype=np.int64)) > 0:
+                    bv |= 1 << j
+            out.append(bv)
+        return out
+
+    want = {(i, b): expected(v)[b] for i, v in enumerate(cases) for b in range(n_bands)}
+    for fn in (dedup.signband_signature, dedup.signband_signature_arrow):
+        got = {
+            (r._id, r.band): r.bv
+            for r in fn(df, "embedding", "vec_id", n_bands, band_bits, seed, dim).collect()
+        }
+        assert got == want, fn.__name__
+
+
 def test_adaptive_band_bits_growth():
     assert dedup.adaptive_band_bits(500) == 17
     assert dedup.adaptive_band_bits(525) == 18
