@@ -37,7 +37,12 @@ HEADLINE = [
     # should anchor on r8's numbers, canary-checked: if topk_order_limit
     # (trivial plan, unchanged fingerprint) reads ~1x its r8 0.11 s, the
     # machine is comparable and per-query deltas are attributable; if it
-    # drifts, scale expectations by the canary ratio first.
+    # drifts, scale expectations by the canary ratio first. r9 in-session
+    # confirmation of the method: three same-code runs read shared-38
+    # totals of 20.6 / 24.3 / 19.6 s with canaries 0.122 / 0.141 / 0.115
+    # — per-query deltas track the canary, and the quiet run (loadavg
+    # ~1, canary 1.005x of r8) shows median ratio 1.019 vs r8: ZERO
+    # plan regressions; the elevated runs were background load.
     #
     # r8 quiet-machine verdicts for the six r7>1.3x-vs-r5 drifters
     # (VERDICT r7 item 2; method: idle machine confirmed via loadavg,
