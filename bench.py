@@ -234,17 +234,21 @@ def main() -> None:
                 t0 = time.perf_counter()
                 ctx = ph["build"](spark, sf_dir)
                 build_sec = round(time.perf_counter() - t0, 4)
-                plans[name] = _plan_fingerprint(ph["probe"](spark, ctx))
                 if ph.get("once"):
-                    # non-idempotent probe (state-mutating, e.g. MERGE):
-                    # a warm-up or repeat would re-run it against already
-                    # mutated state — single timed shot, same as the
-                    # non-headline loop below (ADVICE r8: the invariant
-                    # must not depend on HEADLINE membership)
+                    # non-idempotent probe (state-mutating, e.g. MERGE —
+                    # which runs EAGERLY when the probe fn is called, not
+                    # at .count()): call it exactly once — time that call,
+                    # then fingerprint the same returned DataFrame
+                    # (ADVICE r9: fingerprinting a fresh probe call would
+                    # run the mutation twice and time the second against
+                    # already-mutated state).
                     t0 = time.perf_counter()
-                    ph["probe"](spark, ctx).count()
+                    probe_df = ph["probe"](spark, ctx)
+                    probe_df.count()
                     per_query[name] = round(time.perf_counter() - t0, 4)
+                    plans[name] = _plan_fingerprint(probe_df)
                 else:
+                    plans[name] = _plan_fingerprint(ph["probe"](spark, ctx))
                     ph["probe"](spark, ctx).count()  # warm-up
                     times = []
                     for _ in range(runs):

@@ -1026,8 +1026,11 @@ def signband_signature_arrow(
     sign the way a double-precision matmul could (pinned equal in
     tests/test_keygrowth.py). The raw-throughput choice for corpus-scale
     signature sweeps (the same JVM-vs-Arrow split as similarity's
-    _centroid_structs vs _cell_assign_udf); the expression path remains
-    the zero-dependency default."""
+    _centroid_structs vs _cell_assign_udf) — and the DEFAULT path of
+    embedding_signband_neardup (arrow=True), which therefore requires
+    numpy+pandas; pass arrow=False there for the pure-JVM expression
+    plan in environments without Arrow batching (ADVICE r9: default and
+    doc used to contradict — the default IS Arrow)."""
     import numpy as np
     import pandas as pd
 

@@ -3335,7 +3335,7 @@ def dedup_simhash_md5(spark, sf_dir):
     ).select(F.col("_id").alias("doc_id"), "simhash")
 
 
-@_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + pigeonhole banding
+@_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + WWW'07 combination blocking
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)."""
     from dataux_spark.operators.dedup import simhash_pairs
@@ -4021,6 +4021,13 @@ def embedding_neardup(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    # the planted-id offset is a literal because the static oracle spells
+    # the same `+ 100000` — guard that it cannot alias a real vec_id
+    # (ADVICE r9; the count is a parquet-metadata read, not a scan)
+    assert emb.count() < 100_000, (
+        "embeddings outgrew the planted-id offset: raise 100000 in BOTH "
+        "this entry and its oracle SQL"
     )
     planted = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 100000).alias("vec_id"),

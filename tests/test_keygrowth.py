@@ -251,7 +251,11 @@ def test_signband_arrow_twin_bit_identical(spark):
     expression path on every (id, band) — exact int64 arithmetic on the
     same quantization makes them bit-identical by construction; this
     pins it on real embeddings at the adaptive width."""
-    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    # deterministic subset: LIMIT without a sort may pick different rows
+    # per execution, and the two paths below are independent plans
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200
+    )
     n_bands, band_bits, seed, dim = 8, 14, 1, 64
     expr = dedup.signband_signature(
         emb, "embedding", "vec_id", n_bands, band_bits, seed, dim

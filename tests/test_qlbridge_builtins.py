@@ -220,3 +220,19 @@ def test_add_function_promotes_plain_callables_to_arrow(engine):
         df.explain("formatted")
     assert "BatchEvalPython" not in buf.getvalue()
     assert all(r.x.endswith("!") for r in df.collect())
+
+
+def test_hasprefix_loose_typing_never_errors(engine):
+    """ADVICE r9: the native startswith/endswith rewrite must keep
+    qlbridge's parse-what-you-can contract — a non-string argument
+    coerces (CAST ... AS STRING guard) instead of raising an
+    AnalysisException under Spark 4's ANSI typing. Accepted deviation
+    from the retired pandas shim (which returned NULL): the guarded form
+    compares the value's string form (COVERAGE.md §2.2)."""
+    # c_custkey is bigint — pre-guard this raised UNRESOLVED/ANSI errors
+    rows = engine.sql(
+        "SELECT c_custkey, hasprefix(c_custkey, '1') AS p, "
+        "hassuffix(c_custkey, 5) AS s "
+        "FROM customer WHERE c_custkey IN (1, 15) ORDER BY c_custkey"
+    ).collect()
+    assert [(r.p, r.s) for r in rows] == [(True, False), (True, True)]
