@@ -282,10 +282,14 @@ def prefix_jaccard_pairs(
     (measured round-9 on the synthetic corpus, whose 3-gram types grow
     only ~n^0.24: candidate pairs 1,613 → 430,325 for 10× docs with max
     posting just 10 — uniform saturation, so no hot-token cap helps).
-    tools/scale_probe.py's key gate measures this every run; corpora that
-    saturate should route candidate generation through minhash_lsh_pairs
-    (hash-keyed bands — key space grows regardless of vocabulary) and
-    keep the exact verify. Word n-grams (not unigrams) are the
+    tools/scale_probe.py's key gate measures this every run; since r10
+    the routing is CODE, not a prescription — adaptive_jaccard_pairs
+    censuses the prefix-key postings and switches saturated corpora to
+    minhash_lsh_pairs candidates (hash-keyed bands — key space grows
+    regardless of vocabulary) with the same exact verify; call this
+    directly only when the corpus is known Heaps-law or exactness at
+    j = threshold border pairs is mandatory. Word n-grams (not unigrams)
+    are the
     right set universe for near-dup text: unigram vocabularies are small
     and Zipf-dense, so unigram prefixes go hot — measured on the test
     corpus, unigram sets at t=0.7 yield 51k qualifying pairs where 3-gram
@@ -571,6 +575,166 @@ def _banded_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+# ------------------------------------------- adaptive candidate routing
+
+def minhash_recall_bands(
+    rows_per_band: int, target_recall: float = 0.9, jaccard: float = 0.5
+) -> int:
+    """Jaccard twin of lsh_recall_bands: how many r-row MinHash bands it
+    takes to catch a pair at Jaccard `jaccard` with probability ≥
+    target_recall — a band matches with p = jaccard^rows_per_band, and
+    independent bands give 1 − (1 − p)^bands ≥ recall ⇒ bands =
+    ceil(ln(1 − recall) / ln(1 − p)) (the standard banded-LSH
+    amplification identity, Broder '97 / MMDS ch.3). Sizes the bands=
+    knob of minhash_lsh_pairs / adaptive_jaccard_pairs for a STATED
+    recall target at the decision threshold instead of a folk default —
+    at the proven 64/16 config (r = 4), recall at j is 1 − (1 − j⁴)¹⁶:
+    ≈ 0.645 at j = 0.50 exactly, ≥ 0.9989 at j ≥ 0.7, ~1 at j ≥ 0.8
+    (real near-dups)."""
+    import math
+
+    if not 0 < target_recall < 1:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p = float(jaccard) ** rows_per_band
+    if p >= 1:
+        return 1
+    if p <= 0:
+        raise ValueError(f"jaccard={jaccard} gives zero band-collision probability")
+    return max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p)))
+
+
+def prefix_candidate_census(
+    prefix: DataFrame,
+    block_frame: DataFrame | None = None,
+    block_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """One linear aggregate over the prefix-token frame: (distinct join
+    keys, prefix rows, Σ_key c·(c−1)/2) — the third number is the EXACT
+    upper bound on candidate pairs the prefix equi-join will generate
+    (before the id_a < id_b halving and the pair-dedup), i.e. the
+    key-posting census VERDICT r9 prescribed as the routing signal.
+    `block_frame` (slim (_id, *block_cols)) folds the blocking into the
+    key exactly as prefix_jaccard_pairs applies it inside the join."""
+    keyed = prefix
+    keys = ["_tok"]
+    if block_cols:
+        keyed = prefix.join(block_frame, "_id")
+        keys = ["_tok", *block_cols]
+    per = keyed.groupBy(*keys).agg(F.count("*").alias("c"))
+    row = per.agg(
+        F.count("*").alias("k"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"),
+    ).collect()[0]
+    return int(row.k), int(row.n), int(row.p or 0)
+
+
+def choose_jaccard_route(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    block_cols: list[str] | None = None,
+    grams: DataFrame | None = None,
+    cand_per_doc: float = 8.0,
+) -> str:
+    """'prefix' or 'minhash' — the data-adaptive candidate-generation
+    decision of adaptive_jaccard_pairs, exposed so tests and pipelines
+    can assert the routing. Runs the prefix-key census (one linear
+    aggregate) and routes to minhash-LSH when the estimated candidate
+    join exceeds cand_per_doc pairs per document — the single-corpus
+    form of the scale gate's saturation verdict (on the saturated
+    synthetic corpus the estimate reads 3.2/doc at 500 docs but 86/doc
+    at 5,000 and grows ~n thereafter; on Heaps-law text it stays O(1)
+    per doc and the exact prefix join is the right default)."""
+    n_docs = df.count()
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    sets = g.withColumnRenamed("_grams", "_set")
+    prefix = prefix_tokens(sets, threshold)
+    blocks = (
+        df.select(F.col(id_col).alias("_id"), *[F.col(c) for c in block_cols])
+        if block_cols
+        else None
+    )
+    _, _, est_pairs = prefix_candidate_census(prefix, blocks, block_cols)
+    return "minhash" if est_pairs > cand_per_doc * max(n_docs, 1) else "prefix"
+
+
+def adaptive_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    block_cols: list[str] | None = None,
+    grams: DataFrame | None = None,
+    cand_per_doc: float = 8.0,
+    num_hashes: int = 64,
+    bands: int = 16,
+    route: str | None = None,
+) -> DataFrame:
+    """Set-similarity self-join with DATA-ADAPTIVE candidate generation —
+    the code path VERDICT r9 item 1 demanded for the saturated-corpus
+    trap: census the prefix-key posting sizes (choose_jaccard_route) and
+
+      - 'prefix'  (unsaturated, the default on Heaps-law text): the
+        lossless AllPairs/PPJoin scheme (prefix_jaccard_pairs) — EXACT
+        output, near-linear while the shingle vocabulary grows with the
+        corpus;
+      - 'minhash' (saturated): minhash_lsh_pairs candidates — band-hash
+        join keys whose cardinality grows with the corpus REGARDLESS of
+        vocabulary (the r9 gate measures 10.01×/10×) — with the SAME
+        exact-Jaccard verify, so every reported pair is true; recall at
+        the decision threshold is 1 − (1 − t^r)^bands (≈ 0.645 at
+        exactly j = 0.50, ≥ 0.9989 at j ≥ 0.7 with the default 64/16 —
+        size bands via minhash_recall_bands for a stated target; on the
+        test-corpus family LSH == exact is pinned by tests and the
+        driver's dedup_minhash_lsh oracle).
+
+    Both routes return (id_a, id_b, jaccard ≥ threshold). The census is
+    one eager linear aggregate (plus a metadata-cheap df.count()) — the
+    price of adaptivity; the chosen route's plan then recomputes the
+    prefix frame lazily (same accepted no-CSE trade as the rest of the
+    module — no hidden persist on a lazily-returned result). block_cols
+    restricts pairs to rows agreeing on those columns: inside the
+    candidate join on the prefix route, as a pair-sized post-filter on
+    the minhash route (identical output — blocking only removes pairs).
+    `route` pins the decision ('prefix'/'minhash'), for tests and for
+    pipelines that already censused."""
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    if route is None:
+        route = choose_jaccard_route(
+            df, content_col, id_col, threshold, shingle_n, block_cols,
+            grams=g, cand_per_doc=cand_per_doc,
+        )
+    if route == "prefix":
+        return prefix_jaccard_pairs(
+            df, content_col, id_col, threshold, shingle_n,
+            grams=g, block_cols=block_cols,
+        )
+    if route != "minhash":
+        raise ValueError(f"unknown route {route!r} (expected 'prefix' or 'minhash')")
+    pairs = minhash_lsh_pairs(
+        df, content_col, id_col, num_hashes, bands, shingle_n, threshold, grams=g
+    )
+    if block_cols:
+        slim = df.select(F.col(id_col).alias("_bid"), *[F.col(c) for c in block_cols])
+        ba = slim.select(
+            F.col("_bid").alias("id_a"),
+            *[F.col(c).alias(f"_a_{c}") for c in block_cols],
+        )
+        bb = slim.select(
+            F.col("_bid").alias("id_b"),
+            *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        )
+        pairs = pairs.join(ba, "id_a").join(bb, "id_b")
+        for c in block_cols:
+            pairs = pairs.filter(F.col(f"_a_{c}") == F.col(f"_b_{c}"))
+        pairs = pairs.select("id_a", "id_b", "jaccard")
+    return pairs
 
 
 def decontaminate_neardup(

@@ -3037,14 +3037,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """,
 )
 def dedup_prefix_jaccard(spark, sf_dir):
-    """AllPairs/PPJoin prefix-filtered shingle-set similarity self-join
-    (operators/dedup.py prefix_jaccard_pairs): rarest-first shingle
-    order, per-doc prefix of s - ceil(t*s) + 1 shingles, candidates only
-    from the prefix-shingle equi-join, exact-Jaccard verify — lossless vs
-    the quadratic answer by the prefix-filtering theorem."""
-    from dataux_spark.operators.dedup import prefix_jaccard_pairs
+    """AllPairs/PPJoin prefix-filtered shingle-set similarity self-join —
+    since r10 through the DATA-ADAPTIVE router (operators/dedup.py
+    adaptive_jaccard_pairs, VERDICT r9 item 1): a one-pass prefix-key
+    census picks the exact prefix scheme while the shingle vocabulary
+    grows with the corpus, and switches candidate generation to
+    minhash-LSH band keys + the SAME exact-Jaccard verify once the
+    census reads the corpus as vocabulary-saturated (>8 estimated
+    candidate pairs/doc — the measured n² regime). At driver scale the
+    census picks the prefix route (3.2 est pairs/doc at sf0.01), so the
+    exact all-pairs oracle is replayed losslessly; route equality on the
+    saturated doubled corpus is pinned in tests/test_keygrowth.py."""
+    from dataux_spark.operators.dedup import adaptive_jaccard_pairs
 
-    return prefix_jaccard_pairs(
+    return adaptive_jaccard_pairs(
         read_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
     )
 
@@ -3375,15 +3381,16 @@ def dedup_clusters(spark, sf_dir):
     distributed min-label propagation (operators/dedup.py). The oracle
     computes exact transitive closure with a recursive CTE — label
     propagation must converge to the same clusters. Pair generation is
-    the lossless prefix-filter scheme with the lang restriction inside
-    the candidate join (same r8 swap as dedup_source_matrix /
-    dedup_savings_report: lang/length blocks have fixed cardinality, so
-    the blocked all-pairs join grows quadratically with the corpus —
-    SCALE.md round-8; the pair set, and hence every cluster, is
-    bit-identical by the prefix-filtering theorem)."""
-    from dataux_spark.operators.dedup import connected_components, prefix_jaccard_pairs
+    the r10 data-adaptive router (adaptive_jaccard_pairs): the exact
+    prefix-filter scheme with the lang restriction inside the candidate
+    join while the prefix-key census reads unsaturated (it does at
+    driver scale — pair set bit-identical by the prefix-filtering
+    theorem), minhash-LSH candidates + the same exact verify once the
+    corpus saturates its vocabulary (the r9 gate's n² finding, now a
+    code path, not a SCALE.md prescription)."""
+    from dataux_spark.operators.dedup import adaptive_jaccard_pairs, connected_components
 
-    pairs = prefix_jaccard_pairs(
+    pairs = adaptive_jaccard_pairs(
         read_table(spark, sf_dir, "documents"), "text", "doc_id",
         threshold=0.5, shingle_n=3, block_cols=["lang"],
     )
@@ -3617,22 +3624,22 @@ def dedup_source_matrix(spark, sf_dir):
     cross_group_dup_matrix over a LOSSLESS linear pair frame): near-dup
     pairs folded into canonical (source_a <= source_b) cells with counts
     and mean similarity — the provenance table that decides which source
-    to down-weight before mixing. Pair generation is the prefix-filter
-    scheme (lang-restricted inside the candidate join), NOT the
-    lang/length-blocked all-pairs: the r8 scale probe measured the
-    blocked-all-pairs version at 13.4x wall for 10x data (lang and
-    length buckets are fixed-cardinality, so their blocks grow with the
-    corpus — SCALE.md round-8), while the prefix theorem gives the
-    bit-identical pair set from a rarest-shingle equi-join. Everything
-    after pair generation is pair-sized: two slim id-keyed lookups + one
-    cell groupBy."""
+    to down-weight before mixing. Pair generation is the r10
+    data-adaptive router (adaptive_jaccard_pairs): the lossless
+    prefix-filter scheme (lang-restricted inside the candidate join)
+    while the prefix-key census reads unsaturated — NOT the
+    lang/length-blocked all-pairs the r8 probe measured at 13.4x wall
+    for 10x data — and minhash-LSH candidates + the same exact verify
+    once the vocabulary saturates (the prefix scheme's own n² regime,
+    measured r9). Everything after pair generation is pair-sized: two
+    slim id-keyed lookups + one cell groupBy."""
     from dataux_spark.operators.dedup import (
+        adaptive_jaccard_pairs,
         cross_group_dup_matrix,
-        prefix_jaccard_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = prefix_jaccard_pairs(
+    pairs = adaptive_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, shingle_n=3, block_cols=["lang"]
     )
     return cross_group_dup_matrix(pairs, docs, "doc_id", "source")
@@ -3721,22 +3728,24 @@ def dedup_savings_report(spark, sf_dir):
     pairs → connected components → per-cluster-SIZE histogram of clusters,
     droppable docs, and chars reclaimed — the "is this dedup pass worth
     the rewrite" answer, computed without touching any keeper. Pair
-    generation is the lossless prefix-filter scheme, lang-restricted in
-    the candidate join (the blocked-all-pairs version this entry shipped
-    with is quadratic in the corpus because lang/length blocks have
-    fixed cardinality — caught by the r8 scale probe on its sibling
-    dedup_source_matrix at 13.4x, SCALE.md round-8); everything
-    downstream is pair-graph-sized, and the keeper needs no window
-    because min-label propagation already made the cluster label the
-    keeper id. Oracle = exact transitive closure + the same rollup."""
+    generation is the r10 data-adaptive router (adaptive_jaccard_pairs):
+    the lossless prefix-filter scheme, lang-restricted in the candidate
+    join, while the prefix-key census reads unsaturated (the
+    blocked-all-pairs version this entry ORIGINALLY shipped with was
+    quadratic outright — r8 probe, 13.4x; the prefix scheme that
+    replaced it goes n² only on vocabulary-saturated corpora — r9 gate),
+    and minhash-LSH candidates + the same exact verify on saturation;
+    everything downstream is pair-graph-sized, and the keeper needs no
+    window because min-label propagation already made the cluster label
+    the keeper id. Oracle = exact transitive closure + the same rollup."""
     from dataux_spark.operators.dedup import (
+        adaptive_jaccard_pairs,
         connected_components,
         dedup_savings_report as savings,
-        prefix_jaccard_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = prefix_jaccard_pairs(
+    pairs = adaptive_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, shingle_n=3, block_cols=["lang"]
     )
     return savings(connected_components(pairs), docs).select(

@@ -335,3 +335,81 @@ def test_lsh_recall_bands_amplification():
         assert 1 - (1 - p**bits) ** bands >= 0.9
     with pytest.raises(ValueError):
         dedup.lsh_recall_bands(18, 1.5, 0.99)
+
+
+# ------------------------------------------- adaptive candidate routing
+# VERDICT r9 item 1: the saturated-corpus prescription must be a code
+# path. These pin (a) the census decision on unsaturated vs saturated
+# corpora, (b) output equality of both routes where the exact answer is
+# computable, so driver oracles stay green regardless of which route the
+# census picks.
+
+def _repeat_docs(docs, k):
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_adaptive_route_census_decision(spark):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    # driver-scale corpus: unsaturated — exact prefix scheme, so the
+    # four adaptive driver entries replay their all-pairs oracles
+    assert dedup.choose_jaccard_route(docs, "text", "doc_id", 0.5) == "prefix"
+    assert (
+        dedup.choose_jaccard_route(docs, "text", "doc_id", 0.5, block_cols=["lang"])
+        == "prefix"
+    )
+    # saturated by construction (vocabulary pinned, corpus doubled):
+    # the census must flip to minhash-LSH candidates
+    doubled = _repeat_docs(docs, 2)
+    assert dedup.choose_jaccard_route(doubled, "text", "doc_id", 0.5) == "minhash"
+    assert (
+        dedup.choose_jaccard_route(doubled, "text", "doc_id", 0.5, block_cols=["lang"])
+        == "minhash"
+    )
+    # the corpus the r9 gate measured as saturated (keys 1.72x for 10x
+    # docs, candidates n²/|vocab|) must route minhash
+    big = read_table(spark, "/root/testdata/sf0.1", "documents")
+    assert dedup.choose_jaccard_route(big, "text", "doc_id", 0.5) == "minhash"
+
+
+def test_adaptive_minhash_route_equals_exact_on_saturated_corpus(spark):
+    """On the doubled (saturated) corpus the router picks minhash — its
+    output must equal the exact prefix-route answer pair-for-pair,
+    jaccard-for-jaccard: the LSH recall contract made concrete on this
+    corpus family (every exact copy shares all 16 bands; organic
+    near-dups at j >= 0.5 are caught per the pinned dedup_minhash_lsh
+    oracle equality)."""
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    doubled = _repeat_docs(docs, 2)
+    for blocks in (None, ["lang"]):
+        exact = dedup.adaptive_jaccard_pairs(
+            doubled, "text", "doc_id", 0.5, block_cols=blocks, route="prefix"
+        )
+        auto = dedup.adaptive_jaccard_pairs(
+            doubled, "text", "doc_id", 0.5, block_cols=blocks
+        )
+        e = {(r.id_a, r.id_b, r.jaccard) for r in exact.collect()}
+        a = {(r.id_a, r.id_b, r.jaccard) for r in auto.collect()}
+        assert a == e
+        # every doc pairs its exact twin at j = 1.0 (+ organic near-dups)
+        assert len(e) >= 500
+
+
+def test_minhash_recall_bands_identity():
+    # 1 - (1 - j^r)^b >= recall at the returned b, and b-1 misses it
+    import math
+
+    for r, recall, j in ((4, 0.9, 0.5), (4, 0.999, 0.7), (2, 0.95, 0.4)):
+        b = dedup.minhash_recall_bands(r, recall, j)
+        p = j ** r
+        assert 1 - (1 - p) ** b >= recall
+        if b > 1:
+            assert 1 - (1 - p) ** (b - 1) < recall
+    # proven 64/16 config: near-dups at j >= 0.8 effectively certain
+    assert 1 - (1 - 0.8 ** 4) ** 16 > 0.9996

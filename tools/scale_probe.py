@@ -156,10 +156,14 @@ KEY_FRAMES = {
 # 1,613 → 430,325 candidate pairs for 10× docs, max posting just 10, so
 # no hot-token cap can help — the saturation is uniform). That is the
 # exact-set-join lower bound on such data, not an implementation flaw;
-# the prescribed scale path for saturated corpora is minhash-LSH
-# candidates + the same exact verify (SCALE.md round-9). The gate REPORTS
-# saturation for these frames instead of hard-failing, so the number
-# stays on the record every run. prefix_token_keys stands in for the
+# since r10 the scale path for saturated corpora is a CODE path, not a
+# prescription: dedup.adaptive_jaccard_pairs censuses the prefix-key
+# postings per call and routes saturated corpora through minhash-LSH
+# candidates + the same exact verify (the four driver dedup entries use
+# it; tests/test_keygrowth.py pins the decision and route equality). The
+# gate still REPORTS saturation for these frames — they measure the raw
+# prefix scheme, the router's 'prefix' branch — so the number stays on
+# the record every run. prefix_token_keys stands in for the
 # whole vocabulary-keyed family: containment_pairs' asymmetric scheme
 # keys on the same rarest-first prefix tokens (A-side) against full
 # postings (B-side), so it saturates at least as early on the same data —
