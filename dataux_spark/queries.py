@@ -3958,10 +3958,13 @@ def decontaminate_ngrams(spark, sf_dir):
     # == hashlib md5), the SAME floor(v·10^6) integer quantization (exact
     # order-free sums, so neither engine's aggregation order matters),
     # the SAME 25 planted near-duplicates (all arithmetic in double, so
-    # both engines see identical vectors), and band_bits = 18 =
+    # both engines see identical vectors), band_bits = 18 =
     # ceil(log2(525)) + 8 pinned for the 525-row planted sf0.01 corpus
     # (adaptive_band_bits — the operator derives it from a count when
-    # unpinned).
+    # unpinned), and — r10 — n_bands = 5 = lsh_recall_bands(18, 0.9,
+    # 0.99), the operator's DEFAULT sizing at this width (generate_series
+    # 0..4 below), so the driver gate exercises the sized default rather
+    # than a pinned 8.
     """
     WITH base AS (
       SELECT vec_id AS _id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3983,7 +3986,7 @@ def decontaminate_ngrams(spark, sf_dir):
                       CAST(j.j AS VARCHAR) || ':' ||
                       CAST((i.i - 1) AS VARCHAR)), 1, 1)) AS UBIGINT) % 2 = 1
                   THEN 1 ELSE -1 END AS sgn
-      FROM generate_series(0, 7) AS b(b),
+      FROM generate_series(0, 4) AS b(b),
            generate_series(0, 17) AS j(j),
            generate_series(1, 64) AS i(i)
     ),
@@ -4015,6 +4018,9 @@ def embedding_neardup(spark, sf_dir):
     oracle can replay the banding bit-for-bit (md5-seeded Rademacher
     hyperplanes + exact integer-quantized dots) — the full
     candidates→verify pipeline is value-checked, not just row-counted.
+    n_bands is left UNPINNED (r10) so the entry exercises the operator's
+    sized default — lsh_recall_bands(18, 0.9, 0.99) = 5, the count the
+    oracle's generate_series(0, 4) re-spells.
     The r8 axis-aligned 16×4-bit banding this replaces had 256 FIXED join
     keys (all-pairs with a constant at corpus scale, VERDICT r8); the
     seeded rotation's key space is n_bands·2^(log2(n)+8), growing with
@@ -4044,7 +4050,7 @@ def embedding_neardup(spark, sf_dir):
     )
     return embedding_signband_neardup(
         emb.unionByName(planted), "embedding", "vec_id",
-        threshold=0.4, band_bits=18, n_bands=8, seed=1, dim=64,
+        threshold=0.4, band_bits=18, seed=1, dim=64,
     )
 
 
@@ -7941,6 +7947,26 @@ def _probe_rollup_quantile(spark, path):
     return quantile_over_range(spark, path, q=0.95)
 
 
+def _build_simhash_hashes(spark, sf_dir):
+    """Fingerprint half of dedup_simhash (VERDICT r9 item 3): the 64-agg
+    simhash is the dominant ~2/3 of the fused number and — with no
+    cross-branch CSE — runs once per self-join branch when unfused, so
+    the fused per-query reading drowned regressions in the actual
+    combination-blocking JOIN. Build = the caller-persisted hashes frame
+    hamming_pairs' docstring contracts for pipelines; probe = the join."""
+    from dataux_spark.operators.dedup import simhash
+
+    h = simhash(read_table(spark, sf_dir, "documents"), "text", "doc_id").persist()
+    h.count()  # materialize so the probe measures the join alone
+    return h
+
+
+def _probe_simhash_pairs(spark, hashes):
+    from dataux_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(hashes, "simhash", max_hamming=3, chunks=8)
+
+
 def _build_bm25_index(spark, sf_dir):
     import tempfile
 
@@ -8043,6 +8069,11 @@ BENCH_PHASES: dict[str, dict] = {
                              "probe": _probe_bm25_index},
     "ann_ivf_incremental_topk": {"build": _build_ivf_incremental,
                                  "probe": _probe_ivf_incremental},
+    # r10 (VERDICT r9 item 3): dedup_simhash's per-query number is
+    # probe-only from BENCH_r10 on — r9's 2.50 s fused build+probe is
+    # NOT comparable (the persisted-hashes probe measured ~1.06 s then)
+    "dedup_simhash": {"build": _build_simhash_hashes,
+                      "probe": _probe_simhash_pairs},
     "dml_merge_result": {"build": _build_merge_table,
                          "probe": _probe_merge, "once": True},
 }

@@ -413,3 +413,35 @@ def test_minhash_recall_bands_identity():
             assert 1 - (1 - p) ** (b - 1) < recall
     # proven 64/16 config: near-dups at j >= 0.8 effectively certain
     assert 1 - (1 - 0.8 ** 4) ** 16 > 0.9996
+
+
+def test_signband_default_sizing_recall_at_two_sizes(spark):
+    """VERDICT r9 item 4: with n_bands unpinned the operator sizes the
+    band count from (band_bits, target_recall, recall_cos) via
+    lsh_recall_bands — planted near-identical duplicates (cos ≈ 0.9999)
+    must all be caught at BOTH corpus sizes even though band_bits (and
+    with it the per-band miss rate) grows with the corpus."""
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = read_table(spark, sf, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        )
+        planted = emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr("transform(embedding, x -> x + 0.001D)").alias("embedding"),
+        )
+        got = dedup.embedding_signband_neardup(
+            emb.unionByName(planted), "embedding", "vec_id",
+            threshold=0.4, seed=1, dim=64,
+        )
+        pairs = {(r.id_a, r.id_b) for r in got.collect()}
+        missing = {(i, i + 1_000_000) for i in range(25)} - pairs
+        assert not missing, f"{sf}: planted dups missed by sized default: {missing}"
+
+
+def test_lsh_recall_bands_grows_with_width():
+    # the sized default must grow with band_bits (the n^rho amplification
+    # shape) — a fixed count would silently lose recall at corpus scale
+    widths = [14, 18, 22, 30, 38]
+    sized = [dedup.lsh_recall_bands(b, 0.9, 0.99) for b in widths]
+    assert sized == sorted(sized) and sized[-1] > sized[0]
