@@ -5758,6 +5758,57 @@ def multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "mime", "n_bytes", "digest")
 
 
+@_q(
+    "multimodal_phash_neardup",
+    # Full value oracle for the pHash near-dup pipeline at hamming 0
+    # (VERDICT r9 item 5, upgraded from the suggested rows-only check):
+    # under the default md5-grid stand-in decoder, byte-identical
+    # payloads produce identical 64-bit pHashes (distance 0) while
+    # differing payloads land ~32 bits apart (md5 avalanche; P(<=3) ~
+    # 2^-50 per pair, and the corpus is deterministic — verified zero
+    # organic pairs at sf0.01), so the complete expected output is
+    # exactly the planted identical-payload pairs. The nonzero-hamming
+    # path of the SAME join is pinned bit-identical to brute force in
+    # tests (test_keygrowth.py; test_text_multimodal.py drives it with a
+    # locality-preserving decoder so real near-pairs exercise it).
+    """
+    WITH v AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM v a JOIN v b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """Multimodal near-dup pairs: perceptual hash over binary payloads →
+    the WWW'07 combination-blocked hamming join (operators/multimodal.
+    phash_neardup_pairs — the r9 hamming fix's multimodal half, now
+    driver-gated). Payloads are the documents fixture wrapped as fake
+    image bytes (attach_binary_payload); 25 planted byte-identical
+    copies keep the gate non-vacuous (doc_id + 100000, replayed by the
+    oracle's UNION — same planted-payload pattern as embedding_neardup)
+    since the corpus has no organic exact-payload duplicates."""
+    from dataux_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert docs.count() < 100_000, (
+        "documents outgrew the planted-id offset: raise 100000 in BOTH "
+        "this entry and its oracle SQL"
+    )
+    planted = docs.filter(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000)
+    )
+    both = docs.unionByName(planted)
+    return phash_neardup_pairs(
+        attach_binary_payload(both, "text", "doc_id"), "doc_id", max_hamming=3
+    )
+
+
 def _lang_profile_values() -> str:
     from dataux_spark.operators.text import lang_trigrams
 

@@ -693,3 +693,68 @@ def test_lexical_drift_js_properties(spark):
              text.lexical_drift_js(a, flooded, "text", vocab_k=50).collect()}
     top = max(terms, key=terms.get)
     assert top in {"buy", "cheap", "pills", "now"}
+
+
+def test_phash_neardup_nonzero_hamming_with_locality_decoder(spark):
+    """The multimodal half of the WWW'07 hamming fix, exercised at
+    NONZERO distances: a locality-preserving decoder (byte-bucket
+    histogram — near-identical payloads give near-identical grids, so
+    small payload edits flip few pHash bits) drives phash_neardup_pairs,
+    and the output must equal the brute-force hamming join over the very
+    same perceptual hashes. The driver entry (multimodal_phash_neardup)
+    value-checks distance 0 with the md5-grid default; this pins
+    1 <= d <= 3 with real near-pairs."""
+
+    def bucket_decoder(payload: bytes, mime: str):
+        grid = [0.0] * 64
+        for b in payload or b"\x00":
+            grid[b // 4] += 1.0
+        return grid
+
+    base = bytes(range(256)) * 4  # flat histogram: every cell near mean
+    rows = [
+        (0, base),
+        (1, base + bytes([8] * 30)),        # bump one bucket: few bits flip
+        (2, base + bytes([8] * 30, ) + bytes([200] * 25)),  # two buckets
+        (3, bytes([7]) * 900),              # concentrated: far from base
+        (4, base),                          # exact copy of 0: distance 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "raw"]).select(
+        "doc_id",
+        F.col("raw").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    hashes = multimodal.perceptual_hash(df, "doc_id", decoder=bucket_decoder).select(
+        F.col("doc_id").alias("_id"), "phash"
+    )
+    a, b = hashes.alias("a"), hashes.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.phash_neardup_pairs(
+            df, "doc_id", max_hamming=3, decoder=bucket_decoder
+        ).collect()
+    }
+    assert got == brute
+    dists = {h for _, _, h in got}
+    assert 0 in dists, "exact-copy pair must appear at distance 0"
+    assert any(0 < h <= 3 for h in dists), (
+        f"fixture must exercise nonzero hamming, got distances {sorted(dists)}"
+    )

@@ -96,6 +96,48 @@ def _kf_prefix_token(spark, sf_dir):
     return prefix_tokens(sets, 0.5).select(F.col("_tok").alias("key"))
 
 
+def _kf_containment_prefix(spark, sf_dir):
+    """Contained-side (A) prefix keys of containment_pairs at its t=0.8
+    default — the same rarest-first rule as prefix_jaccard_pairs
+    (p = |A| − ceil(t·|A|) + 1, dedup.py containment_pairs), so the same
+    content-vocabulary key space: saturates at least as early as
+    prefix_token_keys on this corpus (classified content-bounded; the
+    container side indexes ALL its shingles by design)."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark import queries as Q
+    from dataux_spark.operators.dedup import gram_sets, prefix_tokens
+
+    docs = Q.read_table(spark, sf_dir, "documents")
+    sets = gram_sets(docs, "text", "doc_id").withColumnRenamed("_grams", "_set")
+    return prefix_tokens(sets, 0.8).select(F.col("_tok").alias("key"))
+
+
+def _kf_ngram_block(spark, sf_dir):
+    """(lang, length-bucket) join keys of ngram_jaccard_pairs as the
+    dedup_ngram_jaccard registry entry calls it (block_cols=['lang'],
+    t=0.5 ⇒ bucket spread 1) — FIXED cardinality by construction
+    (|langs| × log-size buckets). Quadratic BY CONTRACT: this entry IS
+    the family's exact blocked-all-pairs verify/oracle twin (registry
+    docstring), so the gate records the boundedness as a machine
+    classification instead of failing it."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from dataux_spark import queries as Q
+    from dataux_spark.operators.dedup import gram_sets
+
+    docs = Q.read_table(spark, sf_dir, "documents")
+    g = gram_sets(docs, "text", "doc_id")
+    spread = max(1, _math.ceil(_math.log2(1.0 / 0.5)))  # = 1 at t=0.5
+    lb = F.floor(F.log2(F.greatest(F.size("_grams"), F.lit(1))))
+    sized = g.join(
+        docs.select(F.col("doc_id").alias("_id"), "lang"), "_id"
+    ).withColumn("_lbk", F.explode(F.array(*[lb + F.lit(i) for i in range(spread + 1)])))
+    return sized.select(F.concat_ws("|", F.col("lang"), F.col("_lbk")).alias("key"))
+
+
 def _kf_linkage_symdelete(spark, sf_dir):
     """(block cols, symmetric-delete key) join keys of
     link_entities_blocked — the r8 fix whose regression this gate
@@ -143,6 +185,8 @@ KEY_FRAMES = {
     "signband_keys": _kf_signband,
     "minhash_band_keys": _kf_minhash_band,
     "prefix_token_keys": _kf_prefix_token,
+    "containment_prefix_keys": _kf_containment_prefix,
+    "ngram_block_keys": _kf_ngram_block,
     "linkage_symdelete_keys": _kf_linkage_symdelete,
     "knn_cell_keys": _kf_knn_cell,
 }
@@ -163,12 +207,18 @@ KEY_FRAMES = {
 # it; tests/test_keygrowth.py pins the decision and route equality). The
 # gate still REPORTS saturation for these frames — they measure the raw
 # prefix scheme, the router's 'prefix' branch — so the number stays on
-# the record every run. prefix_token_keys stands in for the
-# whole vocabulary-keyed family: containment_pairs' asymmetric scheme
-# keys on the same rarest-first prefix tokens (A-side) against full
-# postings (B-side), so it saturates at least as early on the same data —
-# one frame, one classification, one prescription.
-CONTENT_BOUNDED = {"prefix_token_keys"}
+# the record every run. r10 (VERDICT r9 item 6): containment_pairs'
+# A-side prefix keys get their own frame instead of standing behind
+# prefix_token_keys — same vocabulary-keyed class, same classification.
+CONTENT_BOUNDED = {"prefix_token_keys", "containment_prefix_keys"}
+
+# Quadratic BY CONTRACT: registry entries whose whole point is the exact
+# blocked-all-pairs answer (the verify/oracle twin of the linear
+# schemes — dedup_ngram_jaccard's docstring states it outright). Their
+# fixed key space is the contract, not a trap; the gate records the
+# classification machine-side so it can never again live only in a
+# docstring (VERDICT r9 item 6).
+BOUNDED_BY_CONTRACT = {"ngram_block_keys"}
 
 
 def growth_ok(keys_small: int, keys_big: int, rows_small: int, rows_big: int) -> bool:
@@ -218,10 +268,17 @@ def run_key_gate(spark, small: str, big: str) -> bool:
           f"{'kx':>6s} {'rowx':>6s}  verdict")
     hard_fail = False
     for r in rep:
-        if r["ok"]:
+        if r["frame"] in BOUNDED_BY_CONTRACT:
+            # fixed keys are the CONTRACT (exact all-pairs verify twin) —
+            # record the classification, never a pass/fail
+            verdict = "BOUNDED BY CONTRACT — exact all-pairs verify twin"
+        elif r["ok"]:
             verdict = "ok"
         elif r["frame"] in CONTENT_BOUNDED:
-            verdict = "SATURATED — content-bounded scheme, documented (SCALE.md r9)"
+            verdict = (
+                "SATURATED — content-bounded scheme; adaptive_jaccard_pairs "
+                "routes it (SCALE.md r9/r10)"
+            )
         else:
             verdict = "FAIL — fixed-cardinality key space"
             hard_fail = True
