@@ -8141,70 +8141,77 @@ BENCH_PHASES: dict[str, dict] = {
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-9 rotation. Cumulative driver coverage closed at 206/206 in
-    # r8 (199/199 oracle-backed hash-green), so the window now serves
-    # three jobs: (1) verdict the one NEW entry (embedding_neardup_knn —
-    # the IVF near-dup route, full oracle), (2) re-verdict every entry
-    # whose RESULTS or semantics changed this round, (3) refresh the
-    # stalest verdicts — slots 5-50 are the 46 oracle-backed entries
-    # whose latest green driver row is r4/r5 (none re-checked since),
-    # oldest first. Changed this round: embedding_neardup
-    # (seeded-rotation sign bands, new bit-replay oracle, 25 planted
-    # near-dups), dedup_simhash (WWW'07 combination blocking — rows-only
-    # by design, output proven bit-identical to brute force in
-    # tests/test_keygrowth.py), dml_merge_result (MERGE multi-match
-    # guard relaxed to Delta's modify-only contract; probe statement
-    # unchanged).
+    # Round-10 rotation (continuing the r9 pattern). Three jobs:
+    # (1) verdict the one NEW entry (multimodal_phash_neardup — the r9
+    # hamming fix's multimodal half, full hamming-0 value oracle with 25
+    # planted byte-identical payloads); (2) re-verdict every entry whose
+    # code path or oracle changed this round: embedding_neardup (n_bands
+    # now the SIZED default 5 = lsh_recall_bands(18, .9, .99); oracle
+    # re-spelled generate_series(0,4)) and the four dedup entries that
+    # moved to the data-adaptive candidate router (adaptive_jaccard_pairs
+    # — at sf0.01 the census picks the exact prefix route, so their
+    # all-pairs oracles replay losslessly; route equality on saturated
+    # corpora pinned in tests/test_keygrowth.py); (3) refresh the stalest
+    # verdicts — slots 7-50 are the 44 oracle-backed entries whose latest
+    # green is r5 (all 28 of them) or r6 (the 16 oldest in registry
+    # order). The r5 set carries its own canaries (topk_order_limit,
+    # count_distinct, revenue_filter). NOT re-verdicted on purpose:
+    # dedup_simhash (only its BENCH phase split changed — the registry
+    # entry and its r9 rows-only verdict stand), and the hasprefix/
+    # hassuffix ANSI guard (engine-SQL surface, pytest-gated; no registry
+    # entry routes through it).
+    "multimodal_phash_neardup",
     "embedding_neardup",
-    "embedding_neardup_knn",
-    "dedup_simhash",
-    "dml_merge_result",
-    "count_star",
-    "cube_counts",
-    "filter_between",
-    "join_3way",
-    "set_union",
-    "window_running_sum",
-    "array_functions",
-    "asof_join_events",
-    "correlated_subquery",
-    "cross_source_join",
-    "cte_scalar_subquery",
-    "date_extract",
+    "dedup_prefix_jaccard",
     "dedup_clusters",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_winnow_fingerprints",
-    "events_gap_fill_hourly",
-    "events_hourly_agg",
-    "events_json_extract",
-    "explode_top_tokens",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pack_sequences",
-    "percentiles",
-    "pivot_status_priority",
-    "quality_quantile_filter",
-    "range_join_price_bands",
-    "rollup_hourly_merge",
-    "sample_temperature_mix",
-    "sessionize_stats",
-    "split_hash_counts",
-    "streaming_dedup",
-    "streaming_join",
-    "streaming_session_window",
-    "streaming_windowed_agg",
-    "text_lang_scores",
-    "text_langid_ngram",
-    "text_quality",
-    "text_redact_pii",
-    "text_repetition",
-    "text_token_stats",
-    "agg_minmax_sum_avg",
-    "agg_over_expression",
-    "case_string_math",
+    "dedup_source_matrix",
+    "dedup_savings_report",
+    # --- stalest r5 verdicts (28) ---
+    "point_filter",
+    "filter_and_or",
+    "filter_like",
+    "filter_in",
+    "filter_between_dates",
+    "field_vs_field",
+    "count_distinct",
+    "group_by_agg",
+    "revenue_filter",
+    "having",
+    "terms_topk",
+    "topk_order_limit",
+    "order_multi_offset",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "q4_order_priority",
+    "q12_priority_lines",
+    "q22_dormant_customers",
+    "q13_customer_distribution",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "set_intersect_except",
+    "distinct_projection",
+    "rollup_counts",
+    "grouping_sets_counts",
+    "qlbridge_strfuncs",
+    "decontaminate_ngrams",
+    # --- stalest r6 verdicts (16, registry order) ---
+    "join_inner",
+    "join_5way_regional_revenue",
+    "q3_shipping_priority",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "profile_columns",
+    "profile_histogram",
+    "corpus_source_report",
+    "split_by_source",
+    "sample_stratified_lang",
+    "epoch_shuffle_shards",
+    "bucketed_join_revenue",
+    "skew_salted_agg",
+    "dedup_incremental_minhash",
 ]
 
 
