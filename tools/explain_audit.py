@@ -385,13 +385,12 @@ CHECKS = {
         ("exact hamming verify present", lambda p: "bit_count" in p),
     ],
     "dedup_source_matrix": [
-        # pair generation is the prefix-filter scheme (r8 swap): every
-        # join hash-keyed, rarest-first prefix rank is a doc-keyed window
+        # pair generation is the r10 adaptive router — the candidate
+        # stage's shape is checked route-aware below (ROUTED_CHECKS);
+        # what must hold on EVERY route is hash-keyed joins only
         ("all joins hash-keyed, never cartesian",
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
-        ("prefix rank is a doc-keyed window",
-         lambda p: "Window" in p and "hashpartitioning(_id" in p),
     ],
     "dedup_savings_report": [
         ("all joins hash-keyed, never cartesian",
@@ -399,6 +398,51 @@ CHECKS = {
          and "BroadcastNestedLoopJoin" not in p),
     ],
 }
+
+
+# --- route-aware checks (the r10 adaptive candidate router) -----------------
+# adaptive_jaccard_pairs picks candidate generation per corpus (census of
+# prefix-key postings, operators/dedup.choose_jaccard_route), so the plan
+# shape these entries must show DEPENDS on the data the audit runs against:
+# the rarest-first prefix window while the shingle vocabulary grows with the
+# corpus, the minhash band-hash equi-join once it saturates (sf0.1 documents
+# saturates — measured r9/r10; sf0.01 does not). The audit resolves the
+# route exactly as the entries do (same threshold/shingle/blocking — keep
+# the kwargs in sync with the queries.py call sites) and pins the MATCHING
+# candidate stage. dedup_clusters / dedup_savings_report feed their pair
+# frames through connected_components, whose localCheckpoint truncates the
+# candidate stage out of the final plan — only the two plan-transparent
+# entries are shape-checked; all four keep the no-cartesian rule above.
+_PREFIX_SHAPE = (
+    "prefix route: rarest-first rank is a doc-keyed window",
+    lambda p: "Window" in p and "hashpartitioning(_id" in p,
+)
+_MINHASH_SHAPE = (
+    "minhash route: band-hash equi-join candidates, no prefix window",
+    lambda p: re.search(r"hashpartitioning\(band#\d+, bh#\d+", p) is not None
+    and "Window" not in p,
+)
+ROUTED_CHECKS = {
+    "dedup_prefix_jaccard": {"block_cols": None},
+    "dedup_source_matrix": {"block_cols": ["lang"]},
+}
+
+
+def run_routed_checks(spark, registry, sf_dir: str) -> int:
+    from dataux_spark import queries as Q
+    from dataux_spark.operators.dedup import choose_jaccard_route
+
+    docs = Q.read_table(spark, sf_dir, "documents")
+    failed = 0
+    for name, kw in ROUTED_CHECKS.items():
+        route = choose_jaccard_route(
+            docs, "text", "doc_id", threshold=0.5, shingle_n=3, **kw
+        )
+        desc, pred = _PREFIX_SHAPE if route == "prefix" else _MINHASH_SHAPE
+        ok = pred(plan_of(registry[name](spark, sf_dir)))
+        print(f"{'OK ' if ok else 'FAIL'} {name:28s} [route={route}] {desc}")
+        failed += 0 if ok else 1
+    return failed
 
 
 # --- forced-broadcast hint audit ------------------------------------------
@@ -495,6 +539,7 @@ def main() -> None:
             ok = pred(p)
             print(f"{'OK ' if ok else 'FAIL'} {name:28s} {desc}")
             failed += 0 if ok else 1
+    failed += run_routed_checks(spark, registry, sf_dir)
     failed += run_hint_audit(spark, registry, sf_dir)
     print(f"\n{'ALL PLAN CHECKS PASS' if not failed else f'{failed} plan checks FAILED'}")
     sys.exit(1 if failed else 0)
