@@ -497,14 +497,12 @@ def test_driver_window_contract_pinned():
     """The external correctness gate reads the FIRST 50 exported queries;
     pin the contract so an accidental registry edit cannot silently
     shuffle the gate: exactly 50 window slots, all registered, exported
-    first and in order, every one carrying a full value oracle except
-    dedup_simhash — the round-9 rotation re-verdicts this round's three
-    changed entries and refreshes the 47 stalest r4/r5 verdicts, and
-    dedup_simhash is rows-only BY DESIGN (xxhash64 fingerprints aren't
-    plain-SQL; its md5 twin dedup_simhash_md5 is driver-green r8 and its
-    combination-blocked pair set is pinned bit-identical to brute force
-    in tests/test_keygrowth.py), so it takes the gate's weaker rows-only
-    check on purpose."""
+    first and in order, every one carrying a full value oracle — the
+    round-10 rotation fills the window with the new
+    multimodal_phash_neardup entry, the re-oracled embedding_neardup,
+    the four entries on the adaptive candidate router, and the 44
+    stalest r5/r6 verdicts; every slot is oracle-backed this round (the
+    registry's 7 rows-only sketch entries all sit outside the window)."""
     from dataux_spark import queries as Q
 
     window = Q._DRIVER_WINDOW
@@ -513,6 +511,6 @@ def test_driver_window_contract_pinned():
     assert exported[:50] == window
     oracles = Q.oracle_sql()
     missing = [n for n in window if n not in oracles]
-    assert missing == ["dedup_simhash"], (
+    assert missing == [], (
         f"window entries without oracles: {missing}"
     )
