@@ -445,3 +445,39 @@ def test_lsh_recall_bands_grows_with_width():
     widths = [14, 18, 22, 30, 38]
     sized = [dedup.lsh_recall_bands(b, 0.9, 0.99) for b in widths]
     assert sized == sorted(sized) and sized[-1] > sized[0]
+
+
+def test_plan_audit_route_shapes(spark):
+    """The r10 plan audit resolves the adaptive router's census decision
+    and pins the MATCHING candidate stage (tools/explain_audit.py
+    ROUTED_CHECKS — the old unconditional prefix-window rule
+    false-failed the correct minhash plan at sf0.1). Pin both shape
+    predicates against both routes' actual physical plans, including
+    mutual exclusion, so an audit-rule drift cannot silently stop
+    checking either branch."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "explain_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "explain_audit.py"),
+    )
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    plan_prefix = audit.plan_of(
+        dedup.adaptive_jaccard_pairs(docs, "text", "doc_id", 0.5, route="prefix")
+    )
+    plan_minhash = audit.plan_of(
+        dedup.adaptive_jaccard_pairs(docs, "text", "doc_id", 0.5, route="minhash")
+    )
+    _, prefix_pred = audit._PREFIX_SHAPE
+    _, minhash_pred = audit._MINHASH_SHAPE
+    assert prefix_pred(plan_prefix) and not prefix_pred(plan_minhash)
+    assert minhash_pred(plan_minhash) and not minhash_pred(plan_prefix)
+    # both routed audit entries must keep resolving to a known route
+    for kw in audit.ROUTED_CHECKS.values():
+        assert dedup.choose_jaccard_route(
+            docs, "text", "doc_id", threshold=0.5, shingle_n=3, **kw
+        ) in ("prefix", "minhash")
