@@ -1014,8 +1014,13 @@ def hamming_pairs(
     branches (Spark does no cross-branch CSE) — when the fingerprints
     are expensive to derive (simhash's 64 bit-sum aggregation), pass a
     caller-persisted frame to pay that cost once; same caller-owned
-    cache contract as minhash's grams=. Returns (id_a, id_b,
-    hamming)."""
+    cache contract as minhash's grams=. Measured r10: exchange reuse
+    does NOT save this self-join under AQE — Catalyst broadcasts one
+    side at test scale (duplicating the lineage), and even hinted to a
+    shuffle join, Spark 4.1's adaptive planner does not dedup the two
+    canonically-identical exchanges (the non-AQE planner does — but
+    AQE's skew/coalesce handling is worth more here at 100 TB than the
+    reuse). Returns (id_a, id_b, hamming)."""
     keyed = hamming_candidate_keys(hashes, hash_col, max_hamming, chunks)
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))

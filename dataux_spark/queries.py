@@ -3757,6 +3757,82 @@ def dedup_savings_report(spark, sf_dir):
 
 
 @_q(
+    "dedup_route_census",
+    # the oracle replays the ENTIRE routing signal bit-for-bit: grams
+    # (the proven dedup_source_matrix replay), global doc-frequencies,
+    # the rarest-first (df asc, tok asc) prefix rank, the per-key
+    # Σ c·(c−1)/2 candidate bound, and the > 8 est-pairs/doc decision
+    """
+    WITH g AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ), tok AS (
+      SELECT _id, len(grams) AS sz, unnest(grams) AS tok FROM g
+    ), freq AS (
+      SELECT tok, count(*) AS df FROM tok GROUP BY tok
+    ), ranked AS (
+      SELECT t._id, t.tok, t.sz,
+             row_number() OVER (PARTITION BY t._id
+                                ORDER BY f.df ASC, t.tok ASC) AS pos
+      FROM tok t JOIN freq f USING (tok)
+    ), prefix AS (
+      SELECT _id, tok FROM ranked WHERE pos <= sz - ceil(0.5 * sz) + 1
+    ), per AS (
+      SELECT tok, count(*) AS c FROM prefix GROUP BY tok
+    ), census AS (
+      SELECT (SELECT count(*) FROM g) AS n_docs,
+             count(*) AS n_keys,
+             sum(c) AS n_prefix_rows,
+             sum(c * (c - 1) / 2) AS est_pairs
+      FROM per
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_prefix_rows AS BIGINT) AS n_prefix_rows,
+           CAST(est_pairs AS BIGINT) AS est_pairs,
+           round(est_pairs / greatest(n_docs, 1), 6) AS est_per_doc,
+           CASE WHEN est_pairs > 8.0 * greatest(n_docs, 1)
+                THEN 'minhash' ELSE 'prefix' END AS route
+    FROM census
+    """,
+)
+def dedup_route_census(spark, sf_dir):
+    """The adaptive candidate router's decision signal as a queryable
+    one-row table (operators/dedup.prefix_candidate_census +
+    choose_jaccard_route): distinct prefix-join keys, prefix rows, the
+    exact Σ c·(c−1)/2 candidate upper bound of the prefix equi-join,
+    est pairs per doc, and the route the census picks at the default
+    > 8 pairs/doc saturation threshold. This is the observability
+    surface for the r10 router — the DECISION itself is value-checked
+    by the external gate (the oracle replays census and threshold in
+    plain SQL), not just pinned in pytest; operators cite SCALE.md r10
+    for the measured regimes (sf0.01 → prefix at 3.2/doc, sf0.1 →
+    minhash at 86/doc). Census cost is one linear aggregate — the same
+    pass every adaptive_jaccard_pairs call pays for adaptivity."""
+    from dataux_spark.operators.dedup import (
+        gram_sets,
+        prefix_candidate_census,
+        prefix_tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    sets = gram_sets(docs, "text", "doc_id", 3).withColumnRenamed("_grams", "_set")
+    k, n, p = prefix_candidate_census(prefix_tokens(sets, 0.5))
+    route = "minhash" if p > 8.0 * max(n_docs, 1) else "prefix"
+    return docs.sparkSession.createDataFrame(
+        [(n_docs, k, n, p, round(p / max(n_docs, 1), 6), route)],
+        "n_docs bigint, n_keys bigint, n_prefix_rows bigint, "
+        "est_pairs bigint, est_per_doc double, route string",
+    )
+
+
+@_q(
     "dedup_incremental_batch",
     """
     WITH store AS (
