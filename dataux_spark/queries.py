@@ -4131,6 +4131,73 @@ def embedding_neardup(spark, sf_dir):
 
 
 @_q(
+    "embedding_band_sizing",
+    # replays BOTH sizing identities in plain SQL: band width =
+    # ceil(log2 n) + 8 (adaptive_band_bits) and band count =
+    # ceil(ln(1−recall)/ln(1−p^bits)) with p = 1 − acos(cos)/π
+    # (lsh_recall_bands, Charikar STOC'02) — plus the resulting recall
+    # curve at three cosine levels; all ceil/round margins are far from
+    # boundaries at every shipped corpus size (checked r10), so the
+    # cross-engine compare is float-safe
+    """
+    WITH c AS (SELECT count(*) AS n FROM embeddings),
+    s AS (
+      SELECT n, greatest(4, CAST(ceil(log2(greatest(n, 2))) AS BIGINT) + 8)
+               AS band_bits
+      FROM c
+    ), b AS (
+      SELECT n, band_bits,
+             greatest(1, CAST(ceil(
+               ln(1 - 0.9) /
+               ln(1 - pow(1 - acos(0.99) / pi(), band_bits))
+             ) AS BIGINT)) AS n_bands
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(band_bits AS BIGINT) AS band_bits,
+           CAST(n_bands AS BIGINT) AS n_bands,
+           round(1 - pow(1 - pow(1 - acos(0.95) / pi(), band_bits), n_bands), 6)
+             AS recall_cos95,
+           round(1 - pow(1 - pow(1 - acos(0.99) / pi(), band_bits), n_bands), 6)
+             AS recall_cos99,
+           round(1 - pow(1 - pow(1 - acos(0.999) / pi(), band_bits), n_bands), 6)
+             AS recall_cos999
+    FROM b
+    """,
+)
+def embedding_band_sizing(spark, sf_dir):
+    """The sign-band family's sizing decision as a queryable one-row
+    table (operators/dedup.adaptive_band_bits + lsh_recall_bands): for
+    the corpus actually on disk, the adaptive band width, the band count
+    the recall identity sizes at (target 0.9 @ cos 0.99), and the
+    resulting recall at three cosine levels. The r10 companion of
+    dedup_route_census — the second data-adaptive decision this engine
+    makes (how wide and how many sign bands) is value-checked by the
+    external gate via a plain-SQL replay of both identities, so a drift
+    in either helper is a driver-visible mismatch, not a silent recall
+    loss. One metadata-cheap count is the only input; no vector is
+    read."""
+    import math
+
+    from dataux_spark.operators.dedup import adaptive_band_bits, lsh_recall_bands
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = adaptive_band_bits(n)
+    bands = lsh_recall_bands(bits, target_recall=0.9, cos=0.99)
+
+    def recall(c: float) -> float:
+        p = (1 - math.acos(c) / math.pi) ** bits
+        return round(1 - (1 - p) ** bands, 6)
+
+    return spark.createDataFrame(
+        [(n, bits, bands, recall(0.95), recall(0.99), recall(0.999))],
+        "n_vectors bigint, band_bits bigint, n_bands bigint, "
+        "recall_cos95 double, recall_cos99 double, recall_cos999 double",
+    )
+
+
+@_q(
     "embedding_neardup_knn",
     # same bit-for-bit replay structure as ann_knn_join (sqrt(n)-cell
     # quantizer, nprobe=2, exact rerank), folded to unordered pairs at
