@@ -8294,10 +8294,16 @@ _DRIVER_WINDOW: list[str] = [
     # moved to the data-adaptive candidate router (adaptive_jaccard_pairs
     # — at sf0.01 the census picks the exact prefix route, so their
     # all-pairs oracles replay losslessly; route equality on saturated
-    # corpora pinned in tests/test_keygrowth.py); (3) refresh the stalest
-    # verdicts — slots 7-50 are the 44 oracle-backed entries whose latest
-    # green is r5 (all 28 of them) or r6 (the 16 oldest in registry
-    # order). The r5 set carries its own canaries (topk_order_limit,
+    # corpora pinned in tests/test_keygrowth.py); (3) verdict the two
+    # late-r10 observability entries (dedup_route_census /
+    # embedding_band_sizing — the two data-adaptive DECISIONS the dedup
+    # family makes, each with a full plain-SQL replay oracle, green at
+    # both sfs locally), taking the two slots that were the least-stale
+    # refreshes (skew_salted_agg / dedup_incremental_minhash keep their
+    # cumulative r6 greens); (4) refresh the stalest verdicts — the
+    # remaining slots are the oracle-backed entries whose latest green
+    # is r5 (all 28 of them) or r6 (the 14 oldest in registry order).
+    # The r5 set carries its own canaries (topk_order_limit,
     # count_distinct, revenue_filter). NOT re-verdicted on purpose:
     # dedup_simhash (only its BENCH phase split changed — the registry
     # entry and its r9 rows-only verdict stand), and the hasprefix/
@@ -8305,6 +8311,8 @@ _DRIVER_WINDOW: list[str] = [
     # entry routes through it).
     "multimodal_phash_neardup",
     "embedding_neardup",
+    "dedup_route_census",
+    "embedding_band_sizing",
     "dedup_prefix_jaccard",
     "dedup_clusters",
     "dedup_source_matrix",
@@ -8338,7 +8346,7 @@ _DRIVER_WINDOW: list[str] = [
     "grouping_sets_counts",
     "qlbridge_strfuncs",
     "decontaminate_ngrams",
-    # --- stalest r6 verdicts (16, registry order) ---
+    # --- stalest r6 verdicts (14, registry order) ---
     "join_inner",
     "join_5way_regional_revenue",
     "q3_shipping_priority",
@@ -8353,8 +8361,6 @@ _DRIVER_WINDOW: list[str] = [
     "sample_stratified_lang",
     "epoch_shuffle_shards",
     "bucketed_join_revenue",
-    "skew_salted_agg",
-    "dedup_incremental_minhash",
 ]
 
 

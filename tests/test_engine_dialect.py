@@ -499,10 +499,12 @@ def test_driver_window_contract_pinned():
     shuffle the gate: exactly 50 window slots, all registered, exported
     first and in order, every one carrying a full value oracle — the
     round-10 rotation fills the window with the new
-    multimodal_phash_neardup entry, the re-oracled embedding_neardup,
-    the four entries on the adaptive candidate router, and the 44
-    stalest r5/r6 verdicts; every slot is oracle-backed this round (the
-    registry's 7 rows-only sketch entries all sit outside the window)."""
+    multimodal_phash_neardup entry, the two r10 observability entries
+    (dedup_route_census / embedding_band_sizing), the re-oracled
+    embedding_neardup, the four entries on the adaptive candidate
+    router, and the 42 stalest r5/r6 verdicts; every slot is
+    oracle-backed this round (the registry's 7 rows-only sketch entries
+    all sit outside the window)."""
     from dataux_spark import queries as Q
 
     window = Q._DRIVER_WINDOW
