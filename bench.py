@@ -203,6 +203,25 @@ def _plan_fingerprint(df) -> str:
     return hashlib.sha1(txt.encode()).hexdigest()[:12]
 
 
+def _fingerprint_build(ph: dict, name: str, spark, sf_dir: str, plans: dict) -> None:
+    """Fingerprint the frame a store-building phase WRITES (r11, VERDICT
+    r10 item 3): each BENCH_PHASES entry exposes `build_frame` — the
+    operator's own lazy frame constructor, the same function its writer
+    calls — recorded as `<name>__build` in BENCH_PLANS so build-side
+    wall drift is adjudicable from committed fingerprints exactly like
+    probe drift became in r10. Fingerprinted BEFORE the timed build
+    (plan-only; quantile's helper additionally runs the operator's own
+    eager min/max scalar pass, which then warms the timed build's scan —
+    the same rounding applied every round, so cross-round comparison
+    holds)."""
+    if "build_frame" not in ph:
+        return
+    try:
+        plans[f"{name}__build"] = _plan_fingerprint(ph["build_frame"](spark, sf_dir))
+    except Exception:  # noqa: BLE001 — fingerprint is best-effort
+        plans[f"{name}__build"] = "unavailable"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "5"))
@@ -233,6 +252,7 @@ def main() -> None:
                 # per_query number is probe-only so it compares across
                 # rounds; the build cost is reported beside it.
                 ph = Q.BENCH_PHASES[name]
+                _fingerprint_build(ph, name, spark, sf_dir, plans)
                 t0 = time.perf_counter()
                 ctx = ph["build"](spark, sf_dir)
                 build_sec = round(time.perf_counter() - t0, 4)
@@ -286,6 +306,7 @@ def main() -> None:
     for name, ph in Q.BENCH_PHASES.items():
         if name in phases:
             continue
+        _fingerprint_build(ph, name, spark, sf_dir, plans)
         try:
             t0 = time.perf_counter()
             ctx = ph["build"](spark, sf_dir)

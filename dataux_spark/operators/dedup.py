@@ -31,6 +31,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Saturation threshold for the data-adaptive candidate routers: a census
+# that estimates more than this many candidate pairs per document routes
+# candidate generation off the exact prefix scheme (whose keys are the
+# content vocabulary and saturate on non-Heaps corpora) onto a banded
+# scheme whose key space grows with the corpus regardless of vocabulary.
+# ONE definition — choose_jaccard_route / choose_containment_route default
+# to it, the dedup_route_census / dedup_containment_census observability
+# entries interpolate it into BOTH their Python bodies and their oracle
+# SQL, and tools/explain_audit.py resolves routes with it (ADVICE r10:
+# the three copies must not drift independently).
+SATURATION_CAND_PER_DOC: float = 8.0
+
 
 def tokens(col, lower: bool = True):
     c = F.lower(col) if lower else col
@@ -639,7 +651,7 @@ def choose_jaccard_route(
     shingle_n: int = 3,
     block_cols: list[str] | None = None,
     grams: DataFrame | None = None,
-    cand_per_doc: float = 8.0,
+    cand_per_doc: float = SATURATION_CAND_PER_DOC,
 ) -> str:
     """'prefix' or 'minhash' — the data-adaptive candidate-generation
     decision of adaptive_jaccard_pairs, exposed so tests and pipelines
@@ -671,7 +683,7 @@ def adaptive_jaccard_pairs(
     shingle_n: int = 3,
     block_cols: list[str] | None = None,
     grams: DataFrame | None = None,
-    cand_per_doc: float = 8.0,
+    cand_per_doc: float = SATURATION_CAND_PER_DOC,
     num_hashes: int = 64,
     bands: int = 16,
     route: str | None = None,
@@ -735,6 +747,212 @@ def adaptive_jaccard_pairs(
             pairs = pairs.filter(F.col(f"_a_{c}") == F.col(f"_b_{c}"))
         pairs = pairs.select("id_a", "id_b", "jaccard")
     return pairs
+
+
+def containment_candidate_census(
+    prefix: DataFrame, toks: DataFrame
+) -> tuple[int, int, int]:
+    """One linear aggregate over the containment join's two key frames:
+    (distinct prefix keys, prefix rows, Σ_tok pc·(fc−1)) — the third
+    number is the EXACT non-self row count the asymmetric candidate
+    equi-join generates (contained-side prefix postings ×
+    container-side FULL postings, minus the pc self-matches each prefix
+    row makes with its own doc's posting — shingle sets are distinct,
+    so a prefix doc appears exactly once in its token's full posting),
+    before the size filter and the distinct. The containment analog of
+    prefix_candidate_census's Σ c·(c−1)/2, which excludes self the same
+    way: without the −1, an all-unique-vocabulary corpus (df = 1
+    everywhere, zero real candidates) would read ~prefix-length
+    est/doc ≈ 11 and spuriously saturate. `prefix` is (_id, _tok) or
+    any frame with a _tok column for the contained side; `toks` is the
+    full (_id, _tok) exploded shingle frame."""
+    pc = prefix.groupBy("_tok").agg(F.count("*").alias("pc"))
+    fc = toks.groupBy("_tok").agg(F.count("*").alias("fc"))
+    row = (
+        pc.join(fc, "_tok")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("pc").alias("n"),
+            F.sum(F.col("pc") * (F.col("fc") - 1)).alias("p"),
+        )
+        .collect()[0]
+    )
+    return int(row.k), int(row.n), int(row.p or 0)
+
+
+def choose_containment_route(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    grams: DataFrame | None = None,
+    cand_per_doc: float = SATURATION_CAND_PER_DOC,
+) -> str:
+    """'prefix' or 'minhash' — the containment family's data-adaptive
+    candidate decision (VERDICT r10 item 1: the same census-router
+    pattern as choose_jaccard_route, applied to the last content-bounded
+    key class without a route). Censuses the asymmetric candidate join
+    (contained prefix postings × container full postings, one linear
+    aggregate) and routes to the banded minhash scheme when the estimate
+    exceeds cand_per_doc pairs per document. Measured r11 on the
+    synthetic documents: 1.07 est/doc at sf0.01 (→ prefix) and 61.6 at
+    sf0.1 (→ minhash) — the same unsaturated→saturated transition the
+    Jaccard census shows at 3.2 → 86."""
+    n_docs = df.count()
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    sets = g.withColumnRenamed("_grams", "_set")
+    toks = sets.select("_id", F.explode("_set").alias("_tok"))
+    prefix = prefix_tokens(sets, threshold)
+    _, _, est_pairs = containment_candidate_census(prefix, toks)
+    return "minhash" if est_pairs > cand_per_doc * max(n_docs, 1) else "prefix"
+
+
+def containment_minhash_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    grams: DataFrame | None = None,
+    ratio_cap: float = 1.5,
+    target_recall: float = 0.98,
+    rows_per_band: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded-MinHash candidate generation for the directional containment
+    join — the saturated-corpus route of adaptive_containment_pairs.
+
+    Why not an asymmetric scheme: the natural containment LSH (contained
+    side emits its per-seed minhash, container side emits every shingle
+    hash — P(collision per seed) = |A∩B|/|A|, the containment itself)
+    cannot be amplified: a banded r-way key on the contained side would
+    need the container to enumerate r-tuples of its shingles (|B|^r
+    rows). Per-seed collision probability equals the pair's true overlap
+    fraction — linear in the overlap, never powered down — so on a
+    vocabulary-saturated corpus it buys nothing over the prefix scheme
+    (measured r11 at sf0.1, non-self candidates/doc: 58.2 for 6-seed
+    asymmetric minhash vs 61.6 for the prefix join). Banding over
+    JACCARD is what powers random pairs down (j^r per band), so this
+    route reduces containment to a ratio-capped Jaccard floor:
+
+      C(a→b) ≥ t and |B| ≤ ratio_cap·|A|
+        ⇒ J(A,B) = |A∩B|/(|A|+|B|−|A∩B|) ≥ t/(ratio_cap + 1 − t)
+
+    Bands are sized by minhash_recall_bands(rows_per_band, target_recall,
+    j_floor) so any pair INSIDE the ratio cap is caught with probability
+    ≥ target_recall (defaults: t=0.8, cap=1.5 ⇒ j_floor=0.4706, r=3,
+    recall 0.98 ⇒ 36 bands · 3 rows = 108 hashes — one pass, same
+    single-aggregate signature as minhash_signatures). Pairs OUTSIDE the
+    cap (a short quote inside a container >1.5× its size) are below the
+    engineered recall floor — the documented trade of this route,
+    exactly like the Jaccard router's 0.645-at-border recall: the exact
+    prefix route keeps them when the census reads unsaturated, and a
+    larger ratio_cap buys them back at band-count cost. On the synthetic
+    corpus every true pair is near-symmetric (measured r11: size ratios
+    0.90-1.11 / J ≥ 0.90 at sf0.01, 0.80-1.25 / J ≥ 0.80 at sf0.1 —
+    recall at J = 0.8 with 36 r=3 bands is 1−(1−0.512)^36 ≈ 1−10⁻¹¹),
+    so banded output == exact all-pairs output at both sfs — pinned by
+    the driver oracle and tests/test_keygrowth.py.
+
+    Verification is EXACT directional containment on the candidate set
+    (both directions of each unordered candidate checked — the verify
+    subsumes the |B| ≥ t·|A| size filter since |B| ≥ |A∩B|), so
+    precision is 1 regardless of banding. Returns (id_a, id_b,
+    containment ≥ t), directional, a ≠ b."""
+    j_floor = float(threshold) / (float(ratio_cap) + 1.0 - float(threshold))
+    bands = minhash_recall_bands(rows_per_band, target_recall, j_floor)
+    num_hashes = bands * rows_per_band
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_n, grams=g)
+    banded = _banded_rows(sigs, num_hashes, bands)
+    buckets = banded.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    buckets = buckets.filter(F.size("_ids") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
+        .join(g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    directed = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.round(inter / F.size("ga"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.round(inter / F.size("gb"), 6).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return directed.filter(F.col("containment") >= float(threshold))
+
+
+def adaptive_containment_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    grams: DataFrame | None = None,
+    cand_per_doc: float = SATURATION_CAND_PER_DOC,
+    ratio_cap: float = 1.5,
+    target_recall: float = 0.98,
+    rows_per_band: int = 3,
+    route: str | None = None,
+) -> DataFrame:
+    """Directional containment self-join with DATA-ADAPTIVE candidate
+    generation — the containment twin of adaptive_jaccard_pairs (VERDICT
+    r10 item 1: containment_prefix_keys was the last content-bounded key
+    class routing only by prescription). Census the asymmetric
+    prefix×full posting products (choose_containment_route) and
+
+      - 'prefix'  (unsaturated): the lossless asymmetric prefix-filter
+        scheme (containment_pairs) — EXACT output while the shingle
+        vocabulary grows with the corpus;
+      - 'minhash' (saturated): ratio-capped banded-MinHash candidates
+        (containment_minhash_pairs — band keys grow with the corpus
+        regardless of vocabulary) with the SAME exact directional
+        containment verify, so every reported pair is true; recall ≥
+        target_recall for pairs with |container| ≤ ratio_cap·|contained|
+        (see containment_minhash_pairs for the reduction and its trade).
+
+    Both routes return (id_a, id_b, containment ≥ threshold),
+    directional. The census is one eager linear aggregate plus a
+    metadata-cheap count — the same price adaptive_jaccard_pairs pays.
+    `route` pins the decision for tests / pre-censused pipelines."""
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    if route is None:
+        route = choose_containment_route(
+            df, content_col, id_col, threshold, shingle_n,
+            grams=g, cand_per_doc=cand_per_doc,
+        )
+    if route == "prefix":
+        return containment_pairs(df, content_col, id_col, threshold, shingle_n, grams=g)
+    if route != "minhash":
+        raise ValueError(f"unknown route {route!r} (expected 'prefix' or 'minhash')")
+    return containment_minhash_pairs(
+        df, content_col, id_col, threshold, shingle_n, grams=g,
+        ratio_cap=ratio_cap, target_recall=target_recall,
+        rows_per_band=rows_per_band,
+    )
 
 
 def decontaminate_neardup(

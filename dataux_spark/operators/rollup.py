@@ -310,29 +310,19 @@ def scd2_history(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFrame
     )
 
 
-def build_quantile_rollup(
+def quantile_rollup_frames(
     events: DataFrame,
-    out_path: str,
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
     bucket: str = "hour",
     bins: int = 128,
-) -> None:
-    """Histogram rollup for QUANTILES over arbitrary ranges — the third
-    member of the mergeable-state family (count/sum partials, HLL
-    distinct sketches, and now fixed-bin value histograms): per
-    (bucket, key), counts over `bins` equi-width bins of the value's
-    global [min, max]. Bin counts merge by plain summation, so any time
-    window's quantile comes from bucket-sized state — and unlike
-    percentile_approx partials, every step is deterministic, so an
-    external oracle can replay the estimate exactly.
-
-    Layout: (bucket, key, bin, ct) partitioned by bucket_date, plus a
-    one-row meta frame (vmin, vmax, bins) the query side reads back.
-    Build cost: one scalar min/max pass + one map-side-combined shuffle
-    bounded by bucket x key x bins."""
-    spark = events.sparkSession
+) -> tuple[DataFrame, tuple[float, float, bool]]:
+    """(hist frame, (vmin, vmax, empty)): the EXACT frame
+    build_quantile_rollup writes, exposed so bench.py can
+    plan-fingerprint the build phase without duplicating its plan logic
+    (VERDICT r10 item 3 — build-side drift decidable like probe drift).
+    Costs one eager scalar min/max pass; the returned hist is lazy."""
     # NULL values carry no quantile information and MUST be excluded
     # before binning: least(bins-1, floor(NULL)) evaluates to bins-1
     # (Spark's least skips NULLs), which would silently pile NULL rows
@@ -358,7 +348,36 @@ def build_quantile_rollup(
         .agg(F.count("*").alias("ct"))
         .withColumn("bucket_date", F.to_date("bucket"))
     )
-    if mm.vmin is None:
+    return hist, (vmin, vmax, mm.vmin is None)
+
+
+def build_quantile_rollup(
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    bins: int = 128,
+) -> None:
+    """Histogram rollup for QUANTILES over arbitrary ranges — the third
+    member of the mergeable-state family (count/sum partials, HLL
+    distinct sketches, and now fixed-bin value histograms): per
+    (bucket, key), counts over `bins` equi-width bins of the value's
+    global [min, max]. Bin counts merge by plain summation, so any time
+    window's quantile comes from bucket-sized state — and unlike
+    percentile_approx partials, every step is deterministic, so an
+    external oracle can replay the estimate exactly.
+
+    Layout: (bucket, key, bin, ct) partitioned by bucket_date, plus a
+    one-row meta frame (vmin, vmax, bins) the query side reads back.
+    Build cost: one scalar min/max pass + one map-side-combined shuffle
+    bounded by bucket x key x bins."""
+    spark = events.sparkSession
+    hist, (vmin, vmax, empty) = quantile_rollup_frames(
+        events, ts_col, key_col, value_col, bucket, bins
+    )
+    if empty:
         # empty input: a zero-row PARTITIONED write leaves only _SUCCESS
         # (unreadable — no schema to infer); the unpartitioned write of
         # the empty frame keeps a schema-bearing part file so
@@ -475,18 +494,30 @@ def build_topk_rollup(
     O(buckets x capacity), not the raw item universe. State per bucket
     is capacity rows regardless of cardinality; range reads prune
     bucket_date partitions at the listing level."""
-    counts = events.groupBy(
-        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
-        F.col(item_col).alias("item"),
-    ).agg(F.count("*").alias("cnt"))
     (
-        truncate_topk(counts, capacity)
-        .withColumn("bucket_date", F.to_date("bucket"))
+        topk_rollup_frame(events, ts_col, item_col, bucket, capacity)
         .repartition("bucket_date")
         .write.mode("overwrite")
         .partitionBy("bucket_date")
         .parquet(out_path)
     )
+
+
+def topk_rollup_frame(
+    events: DataFrame,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    bucket: str = "hour",
+    capacity: int = 16,
+) -> DataFrame:
+    """The EXACT (lazy) frame build_topk_rollup writes — exposed so
+    bench.py can plan-fingerprint the build phase without duplicating
+    its plan logic (VERDICT r10 item 3)."""
+    counts = events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(item_col).alias("item"),
+    ).agg(F.count("*").alias("cnt"))
+    return truncate_topk(counts, capacity).withColumn("bucket_date", F.to_date("bucket"))
 
 
 def topk_over_range(

@@ -265,6 +265,67 @@ def signband_topk(
     )
 
 
+def seeded_signband_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_bands: int = 16,
+    band_bits: int = 4,
+    seed: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane sign-LSH top-k whose hyperplanes are the
+    md5-seeded Rademacher matrix of dedup.rademacher_signs — the
+    DETERMINISTIC random-hyperplane variant: bits are decorrelated from
+    the embedding basis like lsh_topk's Gaussian planes (a ±1 projection
+    is a random rotation up to scale, Achlioptas '01), but a SQL oracle
+    derives the SAME matrix from md5 literals, so the full pipeline —
+    signature, banding, candidate join, exact rerank — is value-checkable
+    cross-engine (the embedding_neardup replay pattern, applied to
+    search). Integer-quantized dots make every sign decision
+    order-free/bit-reproducible (dedup.signband_signature).
+
+    Plan shape = signband_topk: corpus bands in the scan projection, the
+    exploded query side broadcast, corpus never shuffles; candidates
+    rerank exactly. Returns (query_id, neighbor_id, cos, rank)."""
+    from dataux_spark.operators.dedup import signband_signature
+
+    csig = signband_signature(corpus, vec_col, id_col, n_bands, band_bits, seed, dim)
+    qsig = signband_signature(queries, vec_col, id_col, n_bands, band_bits, seed, dim)
+    cand = (
+        csig.withColumnRenamed("_id", "neighbor_id")
+        .join(F.broadcast(qsig.withColumnRenamed("_id", "query_id")), ["band", "bv"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qnorm", _norm("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cnorm", _norm("cv"))
+    return _rerank_topk(cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id"), k)
+
+
+def topk_recall_vs_exact(exact: DataFrame, approx: DataFrame) -> tuple[int, int]:
+    """(n_exact_pairs, n_hit): how many of the exact top-k (query_id,
+    neighbor_id) pairs the approximate result also returned — the
+    measured-recall primitive the ann recall report entry exposes to the
+    external gate (VERDICT r10 item 6). Semi-join on the pair key; both
+    inputs are top-k frames (bounded: n_queries·k rows), so the counts
+    are scalar aggregates."""
+    n_exact = exact.count()
+    n_hit = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    return n_exact, n_hit
+
+
 def train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -441,6 +502,25 @@ def ivf_index_topk(
     )
 
 
+def ivf_cells_frame(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """The EXACT (lazy) cell-assignment frame build_ivf_index_fixed
+    writes — the dominant build cost of the persisted/incremental IVF
+    entries — exposed so bench.py can plan-fingerprint the build phase
+    without duplicating its plan logic (VERDICT r10 item 3).
+    update_ivf_index assigns new batches with the same projection."""
+    return (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("_vn", _norm("_v"))
+        .withColumn("cell", (-F.array_max(_centroid_structs(centroids))["ncid"]).cast("long"))
+        .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
+    )
+
+
 def build_ivf_index_fixed(
     corpus: DataFrame,
     vec_col: str,
@@ -455,12 +535,7 @@ def build_ivf_index_fixed(
     Assignment is the zero-shuffle literal-centroid JVM projection (max
     cosine, ties to the smaller centroid id); rows land partitioned by
     cell, centroids stored alongside for probe/update time."""
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
-        .withColumn("_vn", _norm("_v"))
-        .withColumn("cell", (-F.array_max(_centroid_structs(centroids))["ncid"]).cast("long"))
-        .select("neighbor_id", F.col("_v").alias("cv"), F.col("_vn").alias("cnorm"), "cell")
-    )
+    c = ivf_cells_frame(corpus, vec_col, id_col, centroids)
     c.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/cells"
     )

@@ -677,6 +677,27 @@ def dsir_select_topk(
     )
 
 
+def bm25_postings_frame(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The EXACT (lazy) posting-list frame build_bm25_index writes — the
+    dominant build cost — exposed so bench.py can plan-fingerprint the
+    build phase without duplicating its plan logic (VERDICT r10 item 3).
+    The termdf/stats side frames derive from this one."""
+    d = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t")
+    ).select("_id", "_t", F.size("_t").cast("double").alias("dl"))
+    return (
+        d.select("_id", "dl", F.explode("_t").alias("term"))
+        .groupBy("_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+
+
 def build_bm25_index(
     df: DataFrame,
     content_col: str,
@@ -698,12 +719,7 @@ def build_bm25_index(
     d = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(content_col)).alias("_t")
     ).select("_id", "_t", F.size("_t").cast("double").alias("dl"))
-    postings = (
-        d.select("_id", "dl", F.explode("_t").alias("term"))
-        .groupBy("_id", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    )
+    postings = bm25_postings_frame(df, content_col, id_col, n_buckets)
     postings.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
         f"{index_path}/postings"
     )

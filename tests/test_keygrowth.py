@@ -18,6 +18,10 @@ from dataux_spark.operators import dedup
 from dataux_spark.queries import read_table
 from tools.scale_probe import KEY_FRAMES, growth_ok, key_growth_report
 
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
+
 
 def test_growth_rule_boundaries():
     # fixed key space under 10x data growth: fail
@@ -476,8 +480,107 @@ def test_plan_audit_route_shapes(spark):
     _, minhash_pred = audit._MINHASH_SHAPE
     assert prefix_pred(plan_prefix) and not prefix_pred(plan_minhash)
     assert minhash_pred(plan_minhash) and not minhash_pred(plan_prefix)
-    # both routed audit entries must keep resolving to a known route
-    for kw in audit.ROUTED_CHECKS.values():
+    # both routed audit entries must keep resolving to a known route,
+    # with the kwargs imported from the entries' own source (ADVICE r10)
+    from dataux_spark import queries as Q
+
+    for name in audit.ROUTED_CHECKS:
         assert dedup.choose_jaccard_route(
-            docs, "text", "doc_id", threshold=0.5, shingle_n=3, **kw
+            docs, "text", "doc_id",
+            block_cols=Q.ADAPTIVE_JACCARD_BLOCKS[name],
+            **Q.ADAPTIVE_JACCARD_KW,
         ) in ("prefix", "minhash")
+
+
+# ------------------------------------- containment routing (VERDICT r10)
+# containment_prefix_keys was the last content-bounded key class without
+# an adaptive route; these pin (a) the census decision at both driver
+# sfs and on constructed corpora, (b) banded-route output equality with
+# the exact answer where it is computable, (c) the observability
+# entries' reported route == the live router decision (ADVICE r10: the
+# threshold constant must not fork).
+
+
+def test_containment_route_census_decision(spark):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    # driver-gate corpus: 1.07 est non-self pairs/doc — lossless prefix
+    assert dedup.choose_containment_route(docs, "text", "doc_id", 0.8) == "prefix"
+    # 10x corpus: 61.6/doc — saturated, banded-minhash candidates
+    big = read_table(spark, "/root/testdata/sf0.1", "documents")
+    assert dedup.choose_containment_route(big, "text", "doc_id", 0.8) == "minhash"
+    # doubled corpus (vocabulary pinned): every doc gains an exact twin,
+    # postings double — saturated by construction
+    doubled = _repeat_docs(docs, 2)
+    assert dedup.choose_containment_route(doubled, "text", "doc_id", 0.8) == "minhash"
+    # all-unique vocabulary: zero non-self candidates — the census must
+    # NOT read its own self-matches as saturation (the Σ pc·(fc−1) form;
+    # with Σ pc·fc this corpus reads ~11 est/doc and spuriously routes)
+    uniq = docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(split(text, ' '), "
+            "(t, i) -> concat(t, '_', doc_id, '_', i)))"
+        ).alias("text"),
+    )
+    assert dedup.choose_containment_route(uniq, "text", "doc_id", 0.8) == "prefix"
+
+
+def test_containment_banded_route_equals_exact(spark):
+    """The saturated route's ratio-capped banded candidates + exact
+    directional verify must reproduce the exact asymmetric-prefix answer
+    on corpora whose true pairs sit inside the ratio_cap=1.5 recall
+    contract (measured r11: ratios 0.80-1.25 at both sfs) — the
+    containment twin of the minhash==exact Jaccard pin above."""
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    for corpus in (docs, _repeat_docs(docs, 2)):
+        exact = dedup.adaptive_containment_pairs(
+            corpus, "text", "doc_id", 0.8, route="prefix"
+        )
+        banded = dedup.adaptive_containment_pairs(
+            corpus, "text", "doc_id", 0.8, route="minhash"
+        )
+        e = {(r.id_a, r.id_b, r.containment) for r in exact.collect()}
+        b = {(r.id_a, r.id_b, r.containment) for r in banded.collect()}
+        assert b == e
+        assert len(e) >= 50  # non-vacuous: organic pairs (+ twins when doubled)
+
+
+def test_containment_census_exactness(spark):
+    """containment_candidate_census's Σ pc·(fc−1) must equal the ACTUAL
+    non-self row count of the candidate equi-join it models (before the
+    size filter and distinct) — the census is exact, not an estimate."""
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").limit(120)
+    sets = dedup.gram_sets(docs, "text", "doc_id", 3).withColumnRenamed(
+        "_grams", "_set"
+    )
+    toks = sets.select("_id", F.explode("_set").alias("_tok"))
+    prefix = dedup.prefix_tokens(sets, 0.8)
+    _, _, est = dedup.containment_candidate_census(prefix, toks)
+    actual = (
+        prefix.withColumnRenamed("_id", "_ida")
+        .join(toks.withColumnRenamed("_id", "_idb"), "_tok")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .count()
+    )
+    assert est == actual
+
+
+def test_route_census_entries_match_live_router(spark):
+    """ADVICE r10: the observability entries' route column must equal the
+    live router's decision — pinned through the shared
+    SATURATION_CAND_PER_DOC constant so a threshold change cannot leave
+    the census entries reporting a stale decision."""
+    from dataux_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    docs = read_table(spark, sf, "documents")
+    jrow = Q.queries()["dedup_route_census"](spark, sf).collect()[0]
+    assert jrow.route == dedup.choose_jaccard_route(
+        docs, "text", "doc_id",
+        block_cols=Q.ADAPTIVE_JACCARD_BLOCKS["dedup_prefix_jaccard"],
+        **Q.ADAPTIVE_JACCARD_KW,
+    )
+    crow = Q.queries()["dedup_containment_census"](spark, sf).collect()[0]
+    assert crow.route == dedup.choose_containment_route(
+        docs, "text", "doc_id", **Q.ADAPTIVE_CONTAINMENT_KW
+    )

@@ -9,6 +9,11 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
+
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
 
 # tiny vocab forces heavy shingle overlap → real near-dup structure
 _WORDS = ["red", "blue", "green", "fox", "dog", "jumps", "over", "lazy"]

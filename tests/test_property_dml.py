@@ -27,6 +27,10 @@ from hypothesis import strategies as st
 
 from dataux_spark import Engine
 
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
+
 # clause programs: (kind, threshold|None, action)
 #   kind 'm'  -> WHEN MATCHED [AND s.qty >= thr] THEN UPDATE/DELETE
 #   kind 'nm' -> WHEN NOT MATCHED [AND s.qty >= thr] THEN INSERT

@@ -7,6 +7,11 @@ import itertools
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
+
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
 
 edges_strategy = st.lists(
     st.tuples(st.integers(0, 12), st.integers(0, 12)),

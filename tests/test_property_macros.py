@@ -17,6 +17,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from dataux_spark.dialect import expand_macros
+import pytest
+
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
 
 # text fragments that LOOK like macros and must survive inside quotes
 TRAPS = ["hash.md5(x)", "join(a,b)", "all(", "any(q)", "split(a,b)",

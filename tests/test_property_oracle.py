@@ -12,6 +12,10 @@ from hypothesis import strategies as st
 
 from dataux_spark import Engine
 
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
+
 NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
 STR_COLS = ["o_orderstatus", "o_orderpriority"]
 STR_VALS = ["O", "F", "P", "1-URGENT", "2-HIGH", "3-MEDIUM", "nope"]

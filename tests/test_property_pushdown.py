@@ -17,6 +17,10 @@ from dataux_spark import Engine
 from dataux_spark.sources.mongo_style import MongoStyleSource
 from dataux_spark.sources.rest import RestJsonSource
 
+# multi-minute suite: excluded from the inner-loop fast path
+# (`pytest -m "not slow"`); the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
+
 DOCS = [
     {
         "k": i,

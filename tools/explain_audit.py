@@ -407,8 +407,9 @@ CHECKS = {
 # the rarest-first prefix window while the shingle vocabulary grows with the
 # corpus, the minhash band-hash equi-join once it saturates (sf0.1 documents
 # saturates — measured r9/r10; sf0.01 does not). The audit resolves the
-# route exactly as the entries do (same threshold/shingle/blocking — keep
-# the kwargs in sync with the queries.py call sites) and pins the MATCHING
+# route exactly as the entries do (threshold/shingle/blocking imported from
+# queries.ADAPTIVE_JACCARD_KW/_BLOCKS, the call sites' own source) and pins
+# the MATCHING
 # candidate stage. dedup_clusters / dedup_savings_report feed their pair
 # frames through connected_components, whose localCheckpoint truncates the
 # candidate stage out of the final plan — only the two plan-transparent
@@ -422,10 +423,11 @@ _MINHASH_SHAPE = (
     lambda p: re.search(r"hashpartitioning\(band#\d+, bh#\d+", p) is not None
     and "Window" not in p,
 )
-ROUTED_CHECKS = {
-    "dedup_prefix_jaccard": {"block_cols": None},
-    "dedup_source_matrix": {"block_cols": ["lang"]},
-}
+# only the two plan-transparent entries are shape-checked (see above); the
+# kwargs themselves come from queries.ADAPTIVE_JACCARD_KW/_BLOCKS — the ONE
+# source the entries call with — so a call-site change cannot desynchronize
+# the audit's route resolution (ADVICE r10)
+ROUTED_CHECKS = ("dedup_prefix_jaccard", "dedup_source_matrix")
 
 
 def run_routed_checks(spark, registry, sf_dir: str) -> int:
@@ -434,9 +436,11 @@ def run_routed_checks(spark, registry, sf_dir: str) -> int:
 
     docs = Q.read_table(spark, sf_dir, "documents")
     failed = 0
-    for name, kw in ROUTED_CHECKS.items():
+    for name in ROUTED_CHECKS:
         route = choose_jaccard_route(
-            docs, "text", "doc_id", threshold=0.5, shingle_n=3, **kw
+            docs, "text", "doc_id",
+            block_cols=Q.ADAPTIVE_JACCARD_BLOCKS[name],
+            **Q.ADAPTIVE_JACCARD_KW,
         )
         desc, pred = _PREFIX_SHAPE if route == "prefix" else _MINHASH_SHAPE
         ok = pred(plan_of(registry[name](spark, sf_dir)))

@@ -113,6 +113,29 @@ def _kf_containment_prefix(spark, sf_dir):
     return prefix_tokens(sets, 0.8).select(F.col("_tok").alias("key"))
 
 
+def _kf_containment_band(spark, sf_dir):
+    """Banded-MinHash bucket keys of the containment router's saturated
+    route (containment_minhash_pairs at its defaults: t=0.8, cap=1.5,
+    r=3, recall 0.98 ⇒ 36 bands · 3 rows) — hash-keyed, so the key space
+    grows with the corpus regardless of vocabulary: the r11 route that
+    closes the containment_prefix_keys content-bounded trap."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark import queries as Q
+    from dataux_spark.operators.dedup import (
+        _banded_rows,
+        minhash_recall_bands,
+        minhash_signatures,
+    )
+
+    docs = Q.read_table(spark, sf_dir, "documents")
+    bands = minhash_recall_bands(3, 0.98, 0.8 / (1.5 + 1 - 0.8))
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=bands * 3)
+    return _banded_rows(sigs, bands * 3, bands).select(
+        F.xxhash64("band", "bh").alias("key")
+    )
+
+
 def _kf_ngram_block(spark, sf_dir):
     """(lang, length-bucket) join keys of ngram_jaccard_pairs as the
     dedup_ngram_jaccard registry entry calls it (block_cols=['lang'],
@@ -186,6 +209,7 @@ KEY_FRAMES = {
     "minhash_band_keys": _kf_minhash_band,
     "prefix_token_keys": _kf_prefix_token,
     "containment_prefix_keys": _kf_containment_prefix,
+    "containment_band_keys": _kf_containment_band,
     "ngram_block_keys": _kf_ngram_block,
     "linkage_symdelete_keys": _kf_linkage_symdelete,
     "knn_cell_keys": _kf_knn_cell,
@@ -210,6 +234,11 @@ KEY_FRAMES = {
 # the record every run. r10 (VERDICT r9 item 6): containment_pairs'
 # A-side prefix keys get their own frame instead of standing behind
 # prefix_token_keys — same vocabulary-keyed class, same classification.
+# r11 (VERDICT r10 item 1): the containment family is ROUTED too
+# (dedup.adaptive_containment_pairs — census of the asymmetric posting
+# products, banded-MinHash fallback), so containment_prefix_keys now
+# measures that router's 'prefix' branch and containment_band_keys its
+# saturated branch (hash-keyed, growth-checked like minhash_band_keys).
 CONTENT_BOUNDED = {"prefix_token_keys", "containment_prefix_keys"}
 
 # Quadratic BY CONTRACT: registry entries whose whole point is the exact
