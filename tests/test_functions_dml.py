@@ -522,7 +522,11 @@ def test_optimize_zorder_is_a_cow_commit(spark, sf_dir, tmp_path):
                      if f.startswith("part-") and not f.endswith(".crc")]))
     t0, n0 = touched("v000000")
     t1, n1 = touched("v000001")
-    assert t0 == n0 and n0 == 16   # round-robin layout: every file hit
+    # round-robin layout: every file hit. n0 is NOT pinned to the source's
+    # 16 part files — the COW copy re-splits by files.minPartitionNum
+    # (= cores), so the count follows SPARK_GRAFT_CPUS (8 under the test
+    # default, 16+ at local[32]); the claim is "no pruning possible".
+    assert t0 == n0 and n0 > 1
     assert t1 < n1 or n1 == 1      # clustered: pruned (or fully compacted)
 
 
@@ -609,6 +613,7 @@ def test_merge_pruned_cow_rewrites_only_matched_files(spark, sf_dir, tmp_path):
     assert kinds == ["insert", "update_postimage", "update_preimage"]
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_cdc_long_range_bounded_plan(spark, sf_dir, tmp_path, monkeypatch):
     """changes() over a long commit history must not hand the driver one
     union branch per commit: every _CDC_UNION_BATCH commits the

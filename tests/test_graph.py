@@ -4,6 +4,7 @@ mass conservation, and edge-multiset insensitivity."""
 from pyspark.sql import functions as F
 
 from dataux_spark.operators.graph import pagerank
+import pytest
 
 
 def _ranks(spark, edges, **kw):
@@ -129,6 +130,7 @@ def test_trustrank_flows_from_seeds_only(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_trustrank_spam_farm_cannot_self_trust(spark):
     from dataux_spark.operators.graph import pagerank, trustrank
 

@@ -480,16 +480,20 @@ def test_plan_audit_route_shapes(spark):
     _, minhash_pred = audit._MINHASH_SHAPE
     assert prefix_pred(plan_prefix) and not prefix_pred(plan_minhash)
     assert minhash_pred(plan_minhash) and not minhash_pred(plan_prefix)
-    # both routed audit entries must keep resolving to a known route,
+    # the containment router's two routes must satisfy the SAME shape
+    # predicates (the audit shares them across both router kinds)
+    plan_cprefix = audit.plan_of(
+        dedup.adaptive_containment_pairs(docs, "text", "doc_id", 0.8, route="prefix")
+    )
+    plan_cminhash = audit.plan_of(
+        dedup.adaptive_containment_pairs(docs, "text", "doc_id", 0.8, route="minhash")
+    )
+    assert prefix_pred(plan_cprefix) and not prefix_pred(plan_cminhash)
+    assert minhash_pred(plan_cminhash) and not minhash_pred(plan_cprefix)
+    # every routed audit entry must keep resolving to a known route,
     # with the kwargs imported from the entries' own source (ADVICE r10)
-    from dataux_spark import queries as Q
-
-    for name in audit.ROUTED_CHECKS:
-        assert dedup.choose_jaccard_route(
-            docs, "text", "doc_id",
-            block_cols=Q.ADAPTIVE_JACCARD_BLOCKS[name],
-            **Q.ADAPTIVE_JACCARD_KW,
-        ) in ("prefix", "minhash")
+    for name, kind in audit.ROUTED_CHECKS.items():
+        assert audit._resolve_route(name, kind, docs) in ("prefix", "minhash")
 
 
 # ------------------------------------- containment routing (VERDICT r10)

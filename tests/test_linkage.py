@@ -5,6 +5,7 @@ guarantee."""
 from pyspark.sql import functions as F
 
 from dataux_spark.operators.linkage import blocked_entity_match
+import pytest
 
 
 def _frames(spark):
@@ -190,6 +191,7 @@ def test_symdelete_candidate_stage_is_linear(spark):
     assert joined <= 3 * 300
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_symdelete_equivalence_property(spark):
     """Property fuzz of the lossless-blocking claim: random short strings
     over a tiny alphabet (maximizing accidental near-matches and delete-

@@ -14,6 +14,7 @@ from dataux_spark.operators.rollup import (
     rollup_plus_tail,
 )
 from dataux_spark.queries import read_table
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -235,6 +236,7 @@ def test_quantile_rollup_range_accuracy_and_merge(spark, sf_dir, tmp_path):
         assert abs(est[k] - true[k]) <= 2 * bin_w + 1e-9, (k, est[k], true[k])
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_quantile_rollup_null_and_empty_inputs(spark, tmp_path):
     """NULL values are excluded from binning (they would otherwise pile
     into the top bin via least()'s NULL-skipping); an empty input builds
@@ -287,6 +289,7 @@ def test_distinct_rollup_nonempty_guard(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_topk_rollup_bounds_are_sound(spark, sf_dir, tmp_path):
     """Heavy-hitters rollup soundness: for EVERY item in the summary the
     true range count sits inside [est_min, est_max]; est_min is exact
@@ -317,6 +320,7 @@ def test_topk_rollup_bounds_are_sound(spark, sf_dir, tmp_path):
             assert item in present, (item, cnt, total_dmax)
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_cms_one_sided_error_and_range_merge(spark, sf_dir, tmp_path):
     """Count-min soundness: every estimate >= the true count (never
     under), overestimation bounded by the sketch contract, and a range

@@ -23,6 +23,11 @@ import pytest
 
 from tests.conftest import SF_DIR
 
+# multi-minute suite (micro-batch harness / no-broadcast scale properties):
+# excluded from the inner-loop fast path (`pytest -m "not slow"`);
+# the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
+
 # the ten joins whose forced broadcasts were removed in round 6, plus the
 # 5-way as the deepest tree
 AFFECTED = [

@@ -8,6 +8,11 @@ from pyspark.sql import functions as F
 from dataux_spark import streaming as S
 from dataux_spark.queries import read_table
 
+# multi-minute suite (micro-batch harness / no-broadcast scale properties):
+# excluded from the inner-loop fast path (`pytest -m "not slow"`);
+# the full unmarked run remains the gate
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def stream(spark, sf_dir):

@@ -695,6 +695,7 @@ def test_lexical_drift_js_properties(spark):
     assert top in {"buy", "cheap", "pills", "now"}
 
 
+@pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_phash_neardup_nonzero_hamming_with_locality_decoder(spark):
     """The multimodal half of the WWW'07 hamming fix, exercised at
     NONZERO distances: a locality-preserving decoder (byte-bucket

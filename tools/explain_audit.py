@@ -423,25 +423,46 @@ _MINHASH_SHAPE = (
     lambda p: re.search(r"hashpartitioning\(band#\d+, bh#\d+", p) is not None
     and "Window" not in p,
 )
-# only the two plan-transparent entries are shape-checked (see above); the
-# kwargs themselves come from queries.ADAPTIVE_JACCARD_KW/_BLOCKS — the ONE
-# source the entries call with — so a call-site change cannot desynchronize
-# the audit's route resolution (ADVICE r10)
-ROUTED_CHECKS = ("dedup_prefix_jaccard", "dedup_source_matrix")
+# only the plan-transparent entries are shape-checked (see above); the
+# kwargs themselves come from queries.ADAPTIVE_JACCARD_KW/_BLOCKS and
+# ADAPTIVE_CONTAINMENT_KW — the ONE source the entries call with — so a
+# call-site change cannot desynchronize the audit's route resolution
+# (ADVICE r10). r11: the containment router (adaptive_containment_pairs)
+# joins the check — both of its routes show the same shape signature
+# (prefix = rarest-first doc-keyed window, minhash = band-hash equi-join),
+# so the predicates are shared.
+ROUTED_CHECKS = {
+    "dedup_prefix_jaccard": "jaccard",
+    "dedup_source_matrix": "jaccard",
+    "dedup_containment_pairs": "containment",
+}
+
+
+def _resolve_route(name: str, kind: str, docs) -> str:
+    from dataux_spark import queries as Q
+    from dataux_spark.operators.dedup import (
+        choose_containment_route,
+        choose_jaccard_route,
+    )
+
+    if kind == "containment":
+        return choose_containment_route(
+            docs, "text", "doc_id", **Q.ADAPTIVE_CONTAINMENT_KW
+        )
+    return choose_jaccard_route(
+        docs, "text", "doc_id",
+        block_cols=Q.ADAPTIVE_JACCARD_BLOCKS[name],
+        **Q.ADAPTIVE_JACCARD_KW,
+    )
 
 
 def run_routed_checks(spark, registry, sf_dir: str) -> int:
     from dataux_spark import queries as Q
-    from dataux_spark.operators.dedup import choose_jaccard_route
 
     docs = Q.read_table(spark, sf_dir, "documents")
     failed = 0
-    for name in ROUTED_CHECKS:
-        route = choose_jaccard_route(
-            docs, "text", "doc_id",
-            block_cols=Q.ADAPTIVE_JACCARD_BLOCKS[name],
-            **Q.ADAPTIVE_JACCARD_KW,
-        )
+    for name, kind in ROUTED_CHECKS.items():
+        route = _resolve_route(name, kind, docs)
         desc, pred = _PREFIX_SHAPE if route == "prefix" else _MINHASH_SHAPE
         ok = pred(plan_of(registry[name](spark, sf_dir)))
         print(f"{'OK ' if ok else 'FAIL'} {name:28s} [route={route}] {desc}")
