@@ -43,6 +43,15 @@ from pyspark.sql import DataFrame, functions as F
 # the three copies must not drift independently).
 SATURATION_CAND_PER_DOC: float = 8.0
 
+# Defaults of the containment router's saturated route — module constants
+# (not bare signature literals) because tools/scale_probe.py's
+# containment_band_keys frame must size the SAME banding the route uses;
+# re-typed copies are the drift class ADVICE r10 flagged on the Jaccard
+# threshold.
+CONTAINMENT_RATIO_CAP: float = 1.5
+CONTAINMENT_TARGET_RECALL: float = 0.98
+CONTAINMENT_ROWS_PER_BAND: int = 3
+
 
 def tokens(col, lower: bool = True):
     c = F.lower(col) if lower else col
@@ -815,9 +824,9 @@ def containment_minhash_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     grams: DataFrame | None = None,
-    ratio_cap: float = 1.5,
-    target_recall: float = 0.98,
-    rows_per_band: int = 3,
+    ratio_cap: float = CONTAINMENT_RATIO_CAP,
+    target_recall: float = CONTAINMENT_TARGET_RECALL,
+    rows_per_band: int = CONTAINMENT_ROWS_PER_BAND,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-MinHash candidate generation for the directional containment
@@ -913,9 +922,9 @@ def adaptive_containment_pairs(
     shingle_n: int = 3,
     grams: DataFrame | None = None,
     cand_per_doc: float = SATURATION_CAND_PER_DOC,
-    ratio_cap: float = 1.5,
-    target_recall: float = 0.98,
-    rows_per_band: int = 3,
+    ratio_cap: float = CONTAINMENT_RATIO_CAP,
+    target_recall: float = CONTAINMENT_TARGET_RECALL,
+    rows_per_band: int = CONTAINMENT_ROWS_PER_BAND,
     route: str | None = None,
 ) -> DataFrame:
     """Directional containment self-join with DATA-ADAPTIVE candidate

@@ -4978,17 +4978,23 @@ def ann_ivf_fixed_topk(spark, sf_dir):
     )
 
 
+# the LSH config ann_recall_report gates — ONE definition interpolated
+# into the entry body AND its oracle SQL (the ADVICE-r10 no-drift rule
+# applied from birth)
+_ANN_RECALL_BANDS, _ANN_RECALL_BITS, _ANN_RECALL_SEED = 32, 4, 3
+
+
 @_q(
     "ann_recall_report",
     # VERDICT r10 item 6: the ANN recall CLAIM, value-checked by the
     # external gate. Replays in plain SQL (1) exact brute-force top-5,
     # (2) the seeded-Rademacher random-hyperplane LSH pipeline
-    # (embedding_neardup's md5 sign-matrix replay: seed 3, 32 bands ×
-    # 4 bits, integer-quantized dots), (3) the fixed-centroid IVF
-    # pipeline (ann_ivf_fixed_topk's replay: cells vec_id < 16,
-    # nprobe 2), then the recall arithmetic itself — exact top-k pairs
-    # also present in each approximate result.
-    """
+    # (embedding_neardup's md5 sign-matrix replay: seed/bands/bits
+    # interpolated from the constants above, integer-quantized dots),
+    # (3) the fixed-centroid IVF pipeline (ann_ivf_fixed_topk's replay:
+    # cells vec_id < 16, nprobe 2), then the recall arithmetic itself —
+    # exact top-k pairs also present in each approximate result.
+    f"""
     WITH v AS (
       SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -4999,12 +5005,12 @@ def ann_ivf_fixed_topk(spark, sf_dir):
     s AS (
       SELECT b.b AS b, j.j AS j, i.i AS i,
              CASE WHEN CAST(('0x' || substr(md5(
-                      '3:' || CAST(b.b AS VARCHAR) || ':' ||
+                      '{_ANN_RECALL_SEED}:' || CAST(b.b AS VARCHAR) || ':' ||
                       CAST(j.j AS VARCHAR) || ':' ||
                       CAST((i.i - 1) AS VARCHAR)), 1, 1)) AS UBIGINT) % 2 = 1
                   THEN 1 ELSE -1 END AS sgn
-      FROM generate_series(0, 31) AS b(b),
-           generate_series(0, 3) AS j(j),
+      FROM generate_series(0, {_ANN_RECALL_BANDS - 1}) AS b(b),
+           generate_series(0, {_ANN_RECALL_BITS - 1}) AS j(j),
            generate_series(1, 64) AS i(i)
     ),
     bits AS (
@@ -5139,7 +5145,8 @@ def ann_recall_report(spark, sf_dir):
     q = _query_vecs(emb)
     exact = brute_force_topk(emb, q, "embedding", "vec_id", k=5)
     lsh = seeded_signband_topk(
-        emb, q, "embedding", "vec_id", k=5, n_bands=32, band_bits=4, seed=3, dim=64
+        emb, q, "embedding", "vec_id", k=5, n_bands=_ANN_RECALL_BANDS,
+        band_bits=_ANN_RECALL_BITS, seed=_ANN_RECALL_SEED, dim=64,
     )
     cents = [
         (r.vec_id, list(r.embedding))

@@ -123,15 +123,19 @@ def _kf_containment_band(spark, sf_dir):
 
     from dataux_spark import queries as Q
     from dataux_spark.operators.dedup import (
+        CONTAINMENT_RATIO_CAP as CAP,
+        CONTAINMENT_ROWS_PER_BAND as R,
+        CONTAINMENT_TARGET_RECALL as REC,
         _banded_rows,
         minhash_recall_bands,
         minhash_signatures,
     )
 
+    t = Q.ADAPTIVE_CONTAINMENT_KW["threshold"]
     docs = Q.read_table(spark, sf_dir, "documents")
-    bands = minhash_recall_bands(3, 0.98, 0.8 / (1.5 + 1 - 0.8))
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=bands * 3)
-    return _banded_rows(sigs, bands * 3, bands).select(
+    bands = minhash_recall_bands(R, REC, t / (CAP + 1 - t))
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=bands * R)
+    return _banded_rows(sigs, bands * R, bands).select(
         F.xxhash64("band", "bh").alias("key")
     )
 
