@@ -150,14 +150,15 @@ HEADLINE = [
     # counting (the O(m^1.5) wedge join) and the shard-manifest digest
     # (scan projections + one groupBy, the export throughput floor).
     # dedup_containment_pairs stays OUT of the timed set for the same
-    # class of reason as dml_merge_result: its 4.8 s sf0.1 median is
-    # ~55% repeated shingling — the plan references the gram frame from
-    # SIX branches and Spark does no cross-branch CSE, so the measurement
-    # is dominated by the same documented no-CSE trade the minhash entry
-    # already carries, counted four extra times. Measured with a
-    # caller-persisted grams= frame (the supported pipeline path) it
-    # runs 2.2 s; correctness stays driver-gated via its queries()
-    # entry, and its no-cartesian plan shape is pinned by
+    # class of reason as dml_merge_result: since r11 it routes through
+    # adaptive_containment_pairs, so its sf0.1 wall (~3.4 s) is ~40%
+    # census (the eager routing aggregate) + banded-minhash candidates,
+    # each re-shingling because the plan references the gram frame from
+    # multiple branches with no cross-branch CSE — the same documented
+    # no-CSE trade the minhash entry already carries. Its wall at three
+    # corpus sizes is recorded by tools/routed_scale_probe.py instead
+    # (SCALE.md r11); correctness stays driver-gated via its queries()
+    # entry, and its route-aware plan shape is pinned by
     # tools/explain_audit.py.
     "graph_triangle_stats",
     "export_shard_manifest",

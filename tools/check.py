@@ -21,15 +21,16 @@ takes the Spark query's schema, maps both into a common spelling, and
 flags every column where the two engines' types disagree, making that
 whole mismatch class structurally impossible.
 
-NOTE on scale: the driver gate runs at sf0.01. Five oracles are
+NOTE on scale: the driver gate runs at sf0.01. Eight oracles are
 quadratic BY CONSTRUCTION (exact all-pairs Jaccard/containment as the
-value oracle for LSH/prefix outputs: dedup_minhash_lsh,
+value oracle for LSH/prefix/routed outputs: dedup_minhash_lsh,
 dedup_ngram_jaccard, dedup_clusters, training_prep_pipeline,
-dedup_containment_pairs) — at sf0.1+ skip them when sweeping (pass an
-explicit query list; the containment all-pairs alone runs ~10 min in
-DuckDB at sf0.1); the operators themselves are linear-candidate and
-their sf0.1 equivalence is pinned by tests/test_dedup.py /
-tests/test_keygrowth.py instead.
+dedup_containment_pairs, dedup_prefix_jaccard, dedup_source_matrix,
+dedup_savings_report) — at sf0.1+ skip them when sweeping (pass an
+explicit query list; each all-pairs oracle runs ~10 min in DuckDB at
+sf0.1); the operators themselves are linear-candidate and their sf0.1
+equivalence is pinned by tests/test_dedup.py / tests/test_keygrowth.py
+instead.
 """
 
 from __future__ import annotations
