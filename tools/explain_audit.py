@@ -289,13 +289,14 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p),
     ],
     "dedup_containment_pairs": [
-        # candidates come ONLY from the shingle equi-join (prefix side x
-        # full postings) — never a cartesian pair stage
-        ("candidate generation is a shingle equi-join",
+        # candidates come ONLY from a key equi-join (prefix×full postings
+        # on the prefix route, band-hash buckets on the minhash route —
+        # r11: the entry is ROUTED, so the route-specific stage shape is
+        # pinned by run_routed_checks below, not a static rule here) —
+        # never a cartesian pair stage on either route
+        ("candidate generation is a key equi-join",
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoop" not in p),
-        ("prefix rank is a doc-keyed window",
-         lambda p: "Window" in p and "hashpartitioning(_id" in p),
     ],
     "export_shard_manifest": [
         # the manifest is scan projections + ONE shard-key groupBy: no
