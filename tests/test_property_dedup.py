@@ -415,3 +415,92 @@ def test_scd2_point_in_time_equals_snapshots_on_random_dml(
         asof = {(r.k, r.v) for r in hist
                 if r.valid_from <= v and (r.valid_to is None or r.valid_to > v)}
         assert asof == snap, (v, asof, snap)
+
+
+def _exact_containment(docs: list[str], threshold: float) -> set[tuple[int, int, float]]:
+    """Directional brute-force containment pairs on the python gram model."""
+    out = set()
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b:
+                continue
+            ga, gb = _grams(docs[a]), _grams(docs[b])
+            c = round(len(ga & gb) / len(ga), 6)
+            if c >= threshold:
+                out.add((a, b, c))
+    return out
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus)
+def test_containment_routes_contract_on_random_corpora(spark, docs):
+    """The r11 containment router's two routes, fuzzed on tiny-vocab
+    corpora (heavy overlap — the saturated regime the banded route
+    exists for):
+
+      prefix route  — LOSSLESS: output == brute force, always;
+      banded route  — precision 1 (exact verify: output ⊆ brute force)
+        and the ratio-cap recall contract: every true pair whose
+        container is ≤ ratio_cap× the contained size must be returned
+        (bands sized for target_recall=0.999 at the capped floor;
+        derandomize + deterministic xxhash keep the run reproducible).
+        Pairs OUTSIDE the cap (tiny doc inside a much larger one) are
+        the documented trade and are NOT required.
+    """
+    from dataux_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    exact = _exact_containment(docs, 0.8)
+    pref = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.containment_pairs(df, "text", "doc_id", 0.8).collect()
+    }
+    assert pref == exact
+    banded = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.containment_minhash_pairs(
+            df, "text", "doc_id", 0.8, target_recall=0.999
+        ).collect()
+    }
+    assert banded <= exact, banded - exact
+    cap = dedup.CONTAINMENT_RATIO_CAP
+    within = {
+        (a, b, c)
+        for (a, b, c) in exact
+        if len(_grams(docs[b])) <= cap * len(_grams(docs[a]))
+    }
+    assert within <= banded, within - banded
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus)
+def test_containment_census_exact_on_random_corpora(spark, docs):
+    """containment_candidate_census's Σ pc·(fc−1) must equal the ACTUAL
+    non-self candidate row count of the asymmetric equi-join on ANY
+    corpus — the census the router decides with is exact, not an
+    estimate (random twin of the fixed-corpus pin in
+    tests/test_keygrowth.py)."""
+    from pyspark.sql import functions as F
+
+    from dataux_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    sets = dedup.gram_sets(df, "text", "doc_id", 3).withColumnRenamed(
+        "_grams", "_set"
+    )
+    toks = sets.select("_id", F.explode("_set").alias("_tok"))
+    prefix = dedup.prefix_tokens(sets, 0.8)
+    _, _, est = dedup.containment_candidate_census(prefix, toks)
+    actual = (
+        prefix.withColumnRenamed("_id", "_ida")
+        .join(toks.withColumnRenamed("_id", "_idb"), "_tok")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .count()
+    )
+    assert est == actual
