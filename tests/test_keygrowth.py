@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from dataux_spark.operators import dedup
 from dataux_spark.queries import read_table
-from tools.scale_probe import KEY_FRAMES, growth_ok, key_growth_report
+from tools.scale_probe import KEY_FRAMES, growth_ok, key_growth_report, repeat_docs
 
 # multi-minute suite: excluded from the inner-loop fast path
 # (`pytest -m "not slow"`); the full unmarked run remains the gate
@@ -349,14 +349,7 @@ def test_lsh_recall_bands_amplification():
 # census picks.
 
 def _repeat_docs(docs, k):
-    parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-        for i in range(k)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return repeat_docs(docs, k)
 
 
 def test_adaptive_route_census_decision(spark):

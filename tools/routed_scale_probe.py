@@ -23,16 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-
-def _repeat_docs(docs, k):
-    parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-        for i in range(k)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+from tools.scale_probe import repeat_docs  # noqa: E402
 
 
 def main() -> None:
@@ -44,7 +35,7 @@ def main() -> None:
     corpora = [
         ("sf0.01", read_table(spark, "/root/testdata/sf0.01", "documents")),
         ("sf0.1", read_table(spark, "/root/testdata/sf0.1", "documents")),
-        ("sf0.1 x10", _repeat_docs(
+        ("sf0.1 x10", repeat_docs(
             read_table(spark, "/root/testdata/sf0.1", "documents"), 10
         )),
     ]

@@ -39,6 +39,24 @@ from bench import HEADLINE  # the same query set the driver benches
 
 # --------------------------------------------------- key-cardinality gate
 
+def repeat_docs(docs, k: int):
+    """Vocabulary-pinned k× corpus repeat (doc_id offset per copy) — the
+    canonical saturated-corpus construction shared by the keygrowth
+    route pins (tests/test_keygrowth.py) and the third-decade probe
+    (tools/routed_scale_probe.py): repetition doubles every posting
+    while adding zero vocabulary, so the census must read saturation."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _kf_simhash_hamming(spark, sf_dir):
     """Combination-blocking keys of the banded hamming join (shared by
     dedup_simhash and multimodal pHash near-dup)."""
