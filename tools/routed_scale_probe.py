@@ -11,6 +11,8 @@ Records, per routed family (Jaccard router + containment router):
   pair count. The wall ratios across the three points are the growth
   curve SCALE.md's r11 section cites; the decision column shows where
   each census flips. Run:  python tools/routed_scale_probe.py
+Extra repeat factors extend the curve (each adds an "sf0.1 xK" point):
+  python tools/routed_scale_probe.py 30 100
 """
 
 from __future__ import annotations
@@ -39,6 +41,11 @@ def main() -> None:
             read_table(spark, "/root/testdata/sf0.1", "documents"), 10
         )),
     ]
+    for arg in sys.argv[1:]:
+        k = int(arg)
+        corpora.append((f"sf0.1 x{k}", repeat_docs(
+            read_table(spark, "/root/testdata/sf0.1", "documents"), k
+        )))
     print(f"{'corpus':10s} {'docs':>7s} {'family':12s} {'est/doc':>9s} "
           f"{'route':8s} {'wall_s':>8s} {'pairs':>9s}")
     for label, docs in corpora:
