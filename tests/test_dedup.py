@@ -185,6 +185,52 @@ def test_minhash_lsh_max_bucket_drops_boilerplate(spark):
     assert len(_pairset(uncapped)) >= 435  # the blowup the cap prevents
 
 
+def test_adaptive_routers_engage_hot_bucket_backstop(spark):
+    """VERDICT r11: `max_bucket` must be reachable FROM the adaptive
+    routers — the saturated minhash route is exactly where a hot
+    boilerplate bucket's b² expansion bites. A clique larger than the
+    cap contributes zero pairs on the routed path; organic near-dup
+    pairs still surface. The "auto" default resolves to
+    routed_max_bucket(n) = the ROUTED_MAX_BUCKET_FLOOR here (n small),
+    which is BELOW the 80-doc clique — so the default engages too."""
+    boiler = [
+        (i, "the same boilerplate footer text repeated on every page here")
+        for i in range(80)
+    ]
+    near = [
+        (100000, "unique interesting document about spark shuffles and joins today"),
+        (100001, "unique interesting document about spark shuffles and joins tonight"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id: long, text: string")
+    capped = dedup.adaptive_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, route="minhash", max_bucket=10
+    )
+    pairs = _pairset(capped)
+    assert (100000, 100001) in pairs
+    assert all(a >= 100000 for a, _ in pairs)  # no clique pair survived
+    # the census-derived default: floor at small n, sqrt(2·c·n) mid-range,
+    # ceiling at corpus scale — and 82 docs resolve to the floor (64),
+    # still below the clique, so the unpinned routed call engages it too
+    assert dedup.routed_max_bucket(82) == dedup.ROUTED_MAX_BUCKET_FLOOR
+    assert dedup.routed_max_bucket(5000) == 283
+    assert dedup.routed_max_bucket(10**12) == dedup.ROUTED_MAX_BUCKET_CEIL
+    auto = dedup.adaptive_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, route="minhash"
+    )
+    assert _pairset(auto) == pairs
+    # containment twin: same backstop, same routed reachability
+    ccap = dedup.adaptive_containment_pairs(
+        df, "text", "doc_id", threshold=0.8, route="minhash", max_bucket=10
+    )
+    cpairs = _pairset(ccap)
+    assert (100000, 100001) in cpairs and (100001, 100000) in cpairs
+    assert all(a >= 100000 for a, _ in cpairs)
+    cauto = dedup.adaptive_containment_pairs(
+        df, "text", "doc_id", threshold=0.8, route="minhash"
+    )
+    assert _pairset(cauto) == cpairs
+
+
 def test_duplicated_span_stats_planted_spans(spark):
     """Span census catches a shared 3-token run; unique docs score 0; docs
     shorter than n collapse to one clamped span (shingle convention)."""

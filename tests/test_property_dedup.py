@@ -441,13 +441,19 @@ def test_containment_routes_contract_on_random_corpora(spark, docs):
 
       prefix route  — LOSSLESS: output == brute force, always;
       banded route  — precision 1 (exact verify: output ⊆ brute force)
-        and the ratio-cap recall contract: every true pair whose
-        container is ≤ ratio_cap× the contained size must be returned
-        (bands sized for target_recall=0.999 at the capped floor;
-        derandomize + deterministic xxhash keep the run reproducible).
+        and the ratio-cap recall contract: pairs whose container is
+        ≤ ratio_cap× the contained size must be returned up to the
+        PROBABILISTIC miss budget — target_recall=0.999 is a recall
+        floor, not a guarantee, so the assertion allows
+        ceil(0.1% · |within|) misses rather than strict inclusion
+        (ADVICE r11: derandomize + fixed xxhash freeze today's sample
+        into zero misses, but any change to the strategy, seed
+        plumbing, or hash salt could surface a legitimately-in-contract
+        miss; a hard ⊆ would flag it as a failure).
         Pairs OUTSIDE the cap (tiny doc inside a much larger one) are
         the documented trade and are NOT required.
     """
+    import math
     from dataux_spark.operators import dedup
 
     df = spark.createDataFrame(
@@ -472,7 +478,56 @@ def test_containment_routes_contract_on_random_corpora(spark, docs):
         for (a, b, c) in exact
         if len(_grams(docs[b])) <= cap * len(_grams(docs[a]))
     }
-    assert within <= banded, within - banded
+    missed = within - banded
+    assert len(missed) <= math.ceil(0.001 * len(within)), missed
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus, cap=st.integers(min_value=1, max_value=6))
+def test_hot_bucket_cap_only_removes_pairs(spark, docs, cap):
+    """The routed hot-bucket backstop (r12, VERDICT r11 item 1) is
+    monotone on ANY corpus and ANY cap: on the forced minhash route,
+    pairs(max_bucket=cap) ⊆ pairs(max_bucket=None) ⊆ brute force — the
+    cap can only REMOVE pairs (precision stays 1: the exact verify makes
+    false positives structurally impossible regardless of which buckets
+    are dropped). Same for the containment route's directional pairs."""
+    from dataux_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.adaptive_jaccard_pairs(
+            df, "text", "doc_id", 0.5, route="minhash", max_bucket=None
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.adaptive_jaccard_pairs(
+            df, "text", "doc_id", 0.5, route="minhash", max_bucket=cap
+        ).collect()
+    }
+    exact = {
+        (a, b, j) for (a, b, j) in _exact_pairs(docs, 0.5)
+    }
+    assert capped <= full, capped - full
+    assert full <= exact, full - exact
+    cfull = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.adaptive_containment_pairs(
+            df, "text", "doc_id", 0.8, route="minhash", max_bucket=None
+        ).collect()
+    }
+    ccapped = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.adaptive_containment_pairs(
+            df, "text", "doc_id", 0.8, route="minhash", max_bucket=cap
+        ).collect()
+    }
+    assert ccapped <= cfull, ccapped - cfull
+    assert cfull <= _exact_containment(docs, 0.8), cfull
 
 
 @settings(max_examples=8, deadline=None, derandomize=True,
