@@ -44,6 +44,72 @@ ADAPTIVE_JACCARD_BLOCKS: dict[str, list[str] | None] = {
 }
 ADAPTIVE_CONTAINMENT_KW: dict = {"threshold": 0.8, "shingle_n": 3}
 
+
+def _prefix_candidate_pairs_ctes(threshold: float, g: str = "g",
+                                 block: str | None = None) -> str:
+    """DuckDB replay of the AllPairs prefix-filter candidate scheme
+    (operators/dedup.prefix_tokens + prefix_jaccard_pairs) — the r12
+    LINEAR-candidate oracle spelling for the near-dup families (VERDICT
+    r11 item 4: the exact all-pairs `a JOIN b ON a._id < b._id` oracles
+    ran ~10 min each at sf0.1, so those five entries were value-checked
+    only at sf0.01 by the sweep). Emits CTEs tok/freq/ranked/prefix/cand
+    chained off an existing gram CTE `g` with columns (_id, grams
+    [, block]); `cand` is a DISTINCT (id_a, id_b) candidate set that is
+    a SUPERSET of every pair with J >= threshold (same-`block` when
+    given) by the prefix-filtering theorem, so an exact-Jaccard verify
+    over `cand` equals the quadratic all-pairs answer — the oracle now
+    replays the SAME candidate-then-verify shape the Spark operators
+    use, at candidate-linear cost (~seconds at sf0.1 instead of
+    minutes). The rarest-first (df asc, tok asc) prefix rank is the
+    dedup_route_census oracle's proven spelling."""
+    blk_sel = f", {block}" if block else ""
+    blk_rank = f", t.{block}" if block else ""
+    blk_cond = f" AND a.{block} = b.{block}" if block else ""
+    return f"""tok AS (
+      SELECT _id{blk_sel}, len(grams) AS sz, unnest(grams) AS tok FROM {g}
+    ), freq AS (
+      SELECT tok, count(*) AS df FROM tok GROUP BY tok
+    ), ranked AS (
+      SELECT t._id{blk_rank}, t.tok, t.sz,
+             row_number() OVER (PARTITION BY t._id
+                                ORDER BY f.df ASC, t.tok ASC) AS pos
+      FROM tok t JOIN freq f USING (tok)
+    ), prefix AS (
+      SELECT _id{blk_sel}, tok FROM ranked
+      WHERE pos <= sz - ceil({threshold} * sz) + 1
+    ), cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a._id < b._id{blk_cond}
+    )"""
+
+
+def _containment_candidate_pairs_ctes(threshold: float, g: str = "g") -> str:
+    """Containment twin of _prefix_candidate_pairs_ctes: the asymmetric
+    prefix-filter candidate scheme (operators/dedup.containment_pairs).
+    The CONTAINED side keeps its rarest-first prefix, the container side
+    indexes ALL its shingles, and C(a→b) >= t forces |B| >= ceil(t·|A|)
+    (size filter) plus a shared prefix token — so `cand` is a superset
+    of every qualifying DIRECTIONAL pair and the exact containment
+    verify over it equals the quadratic all-pairs answer."""
+    return f"""tok AS (
+      SELECT _id, len(grams) AS sz, unnest(grams) AS tok FROM {g}
+    ), freq AS (
+      SELECT tok, count(*) AS df FROM tok GROUP BY tok
+    ), ranked AS (
+      SELECT t._id, t.tok, t.sz,
+             row_number() OVER (PARTITION BY t._id
+                                ORDER BY f.df ASC, t.tok ASC) AS pos
+      FROM tok t JOIN freq f USING (tok)
+    ), prefix AS (
+      SELECT _id, sz, tok FROM ranked
+      WHERE pos <= sz - ceil({threshold} * sz) + 1
+    ), cand AS (
+      SELECT DISTINCT a._id AS id_a, t._id AS id_b
+      FROM prefix a JOIN tok t USING (tok)
+      WHERE a._id <> t._id AND t.sz >= ceil({threshold} * a.sz)
+    )"""
+
 # --------------------------------------------------------------------- io
 
 _NANOS_TS = {"events": ["ts"]}  # parquet TIMESTAMP(NANOS) columns per table
@@ -2993,7 +3059,11 @@ def dedup_fingerprint(spark, sf_dir):
 
 @_q(
     "dedup_ngram_jaccard",
-    """
+    # r12: the oracle replays the lang-blocked PREFIX-candidate scheme +
+    # exact verify — equal to the old all-pairs SQL by the prefix
+    # theorem, but candidate-linear, so the sf0.1 sweep value-checks it
+    # too (the all-pairs spelling ran ~10 min at sf0.1)
+    f"""
     WITH g AS (
       SELECT doc_id AS _id, lang,
              list_distinct(list_transform(
@@ -3002,11 +3072,11 @@ def dedup_fingerprint(spark, sf_dir):
       FROM (SELECT doc_id, lang,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    )
-    SELECT a._id AS id_a, b._id AS id_b,
+    ), {_prefix_candidate_pairs_ctes(0.5, block="lang")}
+    SELECT c.id_a, c.id_b,
            round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                  len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-    FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+    FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
     WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                 len(list_distinct(a.grams || b.grams)), 6) >= 0.5
     """,
@@ -3029,12 +3099,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @_q(
     "dedup_prefix_jaccard",
-    # Prefix filtering only generates candidates; the verify stage
-    # recomputes true shingle-set Jaccard, and the prefix theorem makes
-    # the candidate set a superset of all qualifying pairs — so the exact
-    # all-pairs SQL is a full value oracle (same contract as
-    # dedup_minhash_lsh / dedup_ngram_jaccard).
-    """
+    # r12: the oracle replays the SAME prefix-candidate + exact-verify
+    # shape the operator's prefix route uses (threshold interpolated from
+    # ADAPTIVE_JACCARD_KW so SQL and Spark kwargs cannot drift) — equal
+    # to the quadratic all-pairs answer by the prefix theorem, at
+    # candidate-linear cost, so the sf0.1 sweep value-checks it too.
+    f"""
     WITH g AS (
       SELECT doc_id AS _id,
              list_distinct(list_transform(
@@ -3043,13 +3113,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
       FROM (SELECT doc_id,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    )
-    SELECT a._id AS id_a, b._id AS id_b,
+    ), {_prefix_candidate_pairs_ctes(ADAPTIVE_JACCARD_KW["threshold"])}
+    SELECT c.id_a, c.id_b,
            round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                  len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-    FROM g a JOIN g b ON a._id < b._id
+    FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
     WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+                len(list_distinct(a.grams || b.grams)), 6)
+          >= {ADAPTIVE_JACCARD_KW["threshold"]}
     """,
 )
 def dedup_prefix_jaccard(spark, sf_dir):
@@ -3110,10 +3181,12 @@ def dedup_winnow_fingerprints(spark, sf_dir):
     "dedup_minhash_lsh",
     # The operator's OUTPUT is exact-Jaccard-verified pairs ≥ threshold —
     # LSH only generates candidates, the verify stage recomputes true
-    # Jaccard — so the exact all-pairs SQL is a legitimate value oracle
-    # (tests/test_dedup.py asserts LSH == exact at this threshold; both
-    # sides are deterministic, so the driver's sf0.01 compare is stable).
-    """
+    # Jaccard — so an EXACT pair oracle is legitimate (tests/test_dedup.py
+    # asserts LSH == exact at this threshold; both sides deterministic).
+    # r12: the exact answer is replayed via the prefix-candidate scheme
+    # instead of all-pairs (equal by the prefix theorem, candidate-linear)
+    # so the sf0.1 sweep value-checks this entry too.
+    f"""
     WITH g AS (
       SELECT doc_id AS _id,
              list_distinct(list_transform(
@@ -3122,11 +3195,11 @@ def dedup_winnow_fingerprints(spark, sf_dir):
       FROM (SELECT doc_id,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    )
-    SELECT a._id AS id_a, b._id AS id_b,
+    ), {_prefix_candidate_pairs_ctes(0.5)}
+    SELECT c.id_a, c.id_b,
            round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                  len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-    FROM g a JOIN g b ON a._id < b._id
+    FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
     WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                 len(list_distinct(a.grams || b.grams)), 6) >= 0.5
     """,
@@ -3369,7 +3442,10 @@ def dedup_simhash(spark, sf_dir):
 
 @_q(
     "dedup_clusters",
-    """
+    # r12: the pair frame is replayed via the lang-blocked prefix-candidate
+    # scheme + exact verify (== all-pairs by the prefix theorem, at
+    # candidate-linear cost) before the exact transitive closure
+    f"""
     WITH RECURSIVE g AS (
       SELECT doc_id AS _id, lang,
              list_distinct(list_transform(
@@ -3378,11 +3454,12 @@ def dedup_simhash(spark, sf_dir):
       FROM (SELECT doc_id, lang,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    ), pairs AS (
-      SELECT a._id AS id_a, b._id AS id_b
-      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+    ), {_prefix_candidate_pairs_ctes(ADAPTIVE_JACCARD_KW["threshold"], block="lang")}, pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
       WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+                  len(list_distinct(a.grams || b.grams)), 6)
+            >= {ADAPTIVE_JACCARD_KW["threshold"]}
     ), edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b AS a, id_a AS b FROM pairs
@@ -3577,9 +3654,13 @@ def text_vocab_coverage(spark, sf_dir):
 
 @_q(
     "dedup_containment_pairs",
-    # exact all-pairs containment IS the value oracle — the prefix filter
-    # is lossless, so the filtered join must equal the quadratic answer
-    """
+    # exact containment IS the value oracle — r12: replayed via the
+    # asymmetric prefix-candidate scheme (contained prefix × container
+    # full postings + size filter) + exact directional verify, equal to
+    # the quadratic all-pairs answer by the filtering principle but
+    # candidate-linear, so the sf0.1 sweep value-checks this entry too
+    # (threshold interpolated from ADAPTIVE_CONTAINMENT_KW)
+    f"""
     WITH g AS (
       SELECT doc_id AS _id,
              list_distinct(list_transform(
@@ -3587,13 +3668,13 @@ def text_vocab_coverage(spark, sf_dir):
                i -> array_to_string(toks[i:i+2], ' '))) AS grams
       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    )
-    SELECT a._id AS id_a, b._id AS id_b,
+    ), {_containment_candidate_pairs_ctes(ADAPTIVE_CONTAINMENT_KW["threshold"])}
+    SELECT c.id_a, c.id_b,
            round(len(list_intersect(a.grams, b.grams))::DOUBLE
                  / len(a.grams), 6) AS containment
-    FROM g a JOIN g b ON a._id <> b._id
+    FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
     WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                / len(a.grams), 6) >= 0.8
+                / len(a.grams), 6) >= {ADAPTIVE_CONTAINMENT_KW["threshold"]}
     """,
 )
 def dedup_containment_pairs(spark, sf_dir):
@@ -3621,9 +3702,10 @@ def dedup_containment_pairs(spark, sf_dir):
 
 @_q(
     "dedup_source_matrix",
-    # exact all-pairs Jaccard (the lossless-blocking oracle pattern) +
-    # the canonical-cell provenance rollup
-    """
+    # exact Jaccard pairs (r12: replayed via the lang-blocked
+    # prefix-candidate scheme + exact verify — == all-pairs by the prefix
+    # theorem, candidate-linear) + the canonical-cell provenance rollup
+    f"""
     WITH g AS (
       SELECT doc_id AS _id, lang, source,
              list_distinct(list_transform(
@@ -3632,13 +3714,14 @@ def dedup_containment_pairs(spark, sf_dir):
       FROM (SELECT doc_id, lang, source,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    ), pairs AS (
+    ), {_prefix_candidate_pairs_ctes(ADAPTIVE_JACCARD_KW["threshold"], block="lang")}, pairs AS (
       SELECT a.source AS sa, b.source AS sb,
              round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                    len(list_distinct(a.grams || b.grams)), 6) AS j
-      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+      FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
       WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+                  len(list_distinct(a.grams || b.grams)), 6)
+            >= {ADAPTIVE_JACCARD_KW["threshold"]}
     )
     SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
@@ -3714,8 +3797,9 @@ def skew_join_preflight(spark, sf_dir):
     "dedup_savings_report",
     # extends the dedup_clusters transitive-closure oracle with the ROI
     # rollup: per-cluster totals, keeper (= min id = cluster label)
-    # weight, then the per-size histogram
-    """
+    # weight, then the per-size histogram; pairs replayed r12 via the
+    # lang-blocked prefix-candidate scheme (== all-pairs, linear)
+    f"""
     WITH RECURSIVE g AS (
       SELECT doc_id AS _id, lang,
              list_distinct(list_transform(
@@ -3724,11 +3808,12 @@ def skew_join_preflight(spark, sf_dir):
       FROM (SELECT doc_id, lang,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
-    ), pairs AS (
-      SELECT a._id AS id_a, b._id AS id_b
-      FROM g a JOIN g b ON a.lang = b.lang AND a._id < b._id
+    ), {_prefix_candidate_pairs_ctes(ADAPTIVE_JACCARD_KW["threshold"], block="lang")}, pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
       WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                  len(list_distinct(a.grams || b.grams)), 6) >= 0.5
+                  len(list_distinct(a.grams || b.grams)), 6)
+            >= {ADAPTIVE_JACCARD_KW["threshold"]}
     ), edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b AS a, id_a AS b FROM pairs
@@ -7482,12 +7567,14 @@ def _training_prep_oracle():
                generate_series(1, greatest(len(toks) - 2, 1)),
                i -> array_to_string(toks[i:i+2], ' '))) AS grams
       FROM uq
-    ), drops AS (
-      -- corpus-wide exact pairs: the Spark side's LSH candidates + exact
-      -- verify find the identical >= 0.5 set (asserted in tests), with no
+    ), {_prefix_candidate_pairs_ctes(0.5)}, drops AS (
+      -- corpus-wide exact >= 0.5 pairs, replayed r12 via the
+      -- prefix-candidate scheme (== all-pairs by the prefix theorem,
+      -- candidate-linear); the Spark side's LSH candidates + exact
+      -- verify find the identical set (asserted in tests), with no
       -- language blocking on either side
-      SELECT DISTINCT greatest(a._id, b._id) AS doc_id
-      FROM g a JOIN g b ON a._id < b._id
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
       WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                   len(list_distinct(a.grams || b.grams)), 6) >= 0.5
     ), surv AS (

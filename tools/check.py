@@ -21,16 +21,16 @@ takes the Spark query's schema, maps both into a common spelling, and
 flags every column where the two engines' types disagree, making that
 whole mismatch class structurally impossible.
 
-NOTE on scale: the driver gate runs at sf0.01. Eight oracles are
-quadratic BY CONSTRUCTION (exact all-pairs Jaccard/containment as the
-value oracle for LSH/prefix/routed outputs: dedup_minhash_lsh,
-dedup_ngram_jaccard, dedup_clusters, training_prep_pipeline,
-dedup_containment_pairs, dedup_prefix_jaccard, dedup_source_matrix,
-dedup_savings_report) — at sf0.1+ skip them when sweeping (pass an
-explicit query list; each all-pairs oracle runs ~10 min in DuckDB at
-sf0.1); the operators themselves are linear-candidate and their sf0.1
-equivalence is pinned by tests/test_dedup.py / tests/test_keygrowth.py
-instead.
+NOTE on scale: the driver gate runs at sf0.01. Since r12 the full
+212-entry sweep passes at sf0.1 too, with NO skips: the eight near-dup
+oracles that used to be exact all-pairs joins (quadratic — ~10 min each
+in DuckDB at sf0.1: dedup_minhash_lsh, dedup_ngram_jaccard,
+dedup_clusters, training_prep_pipeline, dedup_containment_pairs,
+dedup_prefix_jaccard, dedup_source_matrix, dedup_savings_report) now
+replay the prefix-filter candidate scheme + exact verify in SQL
+(queries._prefix_candidate_pairs_ctes / _containment_candidate_pairs_ctes
+— equal to the all-pairs answer by the prefix-filtering theorem, at
+candidate-linear cost: each runs in seconds at sf0.1).
 """
 
 from __future__ import annotations
