@@ -213,8 +213,12 @@ def _fingerprint_build(ph: dict, name: str, spark, sf_dir: str, plans: dict) -> 
     probe drift became in r10. Fingerprinted BEFORE the timed build
     (plan-only; quantile's helper additionally runs the operator's own
     eager min/max scalar pass, which then warms the timed build's scan —
-    the same rounding applied every round, so cross-round comparison
-    holds)."""
+    the same rounding applied every round FROM r11 ON, so r11+ build
+    numbers compare to each other. ADVICE r11 comparability note: r10
+    and earlier had no fingerprint pre-pass, so rollup_quantile_range's
+    build_sec broke comparability ONCE at r11 — the same one-time-break
+    class as dedup_simhash's r10 phase split, flagged the same way; do
+    not read its r10→r11 build delta as drift)."""
     if "build_frame" not in ph:
         return
     try:

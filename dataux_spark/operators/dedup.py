@@ -41,6 +41,18 @@ from pyspark.sql import DataFrame, functions as F
 # entries interpolate it into BOTH their Python bodies and their oracle
 # SQL, and tools/explain_audit.py resolves routes with it (ADVICE r10:
 # the three copies must not drift independently).
+#
+# UNIT (ADVICE r11): the constant means "estimated candidate JOIN ROWS
+# per document" — each family measured in its own join's native unit.
+# The Jaccard census counts unordered pairs (Σ c·(c−1)/2: its candidate
+# join emits each pair once via _id < _id), while the containment census
+# counts ordered prefix×full rows (Σ pc·(fc−1): its asymmetric join is
+# directional, so the symmetric part appears ~2×). The shared threshold
+# therefore flips the containment router at roughly HALF the unordered-
+# pair density — deliberate, not drift: the census estimates each
+# route's own work, and the directional join really does pay ~2× rows
+# on the same corpus. Both tested corpora sit far from the boundary
+# (1.07 vs 61.6 at the two sfs), so the reading is identical either way.
 SATURATION_CAND_PER_DOC: float = 8.0
 
 # Defaults of the containment router's saturated route — module constants
@@ -862,7 +874,11 @@ def choose_containment_route(
     exceeds cand_per_doc pairs per document. Measured r11 on the
     synthetic documents: 1.07 est/doc at sf0.01 (→ prefix) and 61.6 at
     sf0.1 (→ minhash) — the same unsaturated→saturated transition the
-    Jaccard census shows at 3.2 → 86."""
+    Jaccard census shows at 3.2 → 86. Unit note: this census counts
+    ORDERED candidate join rows (the asymmetric join is directional),
+    vs the Jaccard census's unordered pairs — see the
+    SATURATION_CAND_PER_DOC comment for why the shared threshold is
+    compared against each family's own join-row unit."""
     n_docs = df.count()
     g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
     sets = g.withColumnRenamed("_grams", "_set")
@@ -883,6 +899,7 @@ def containment_minhash_pairs(
     target_recall: float = CONTAINMENT_TARGET_RECALL,
     rows_per_band: int = CONTAINMENT_ROWS_PER_BAND,
     max_bucket: int | None = None,
+    small_side_exact_max: int | None = None,
 ) -> DataFrame:
     """Banded-MinHash candidate generation for the directional containment
     join — the saturated-corpus route of adaptive_containment_pairs.
@@ -923,7 +940,23 @@ def containment_minhash_pairs(
     (both directions of each unordered candidate checked — the verify
     subsumes the |B| ≥ t·|A| size filter since |B| ≥ |A∩B|), so
     precision is 1 regardless of banding. Returns (id_a, id_b,
-    containment ≥ t), directional, a ≠ b."""
+    containment ≥ t), directional, a ≠ b.
+
+    `small_side_exact_max` (ADVICE r11): an opt-in exact supplement for
+    the high-ratio regime the ratio cap excludes — the quote-in-long-doc
+    pairs this join family exists for. When set, contained-side docs
+    with ≤ that many shingles ALSO run the lossless asymmetric prefix
+    scheme (their rarest-first prefix is ≤ ~(1−t)·small_side_exact_max
+    tokens per doc — tiny postings), and the union restores EXACT recall
+    for every pair whose contained side is small, at ANY ratio. The
+    trade is the prefix pass's saturated-corpus cost resurfacing for the
+    small slice: candidate rows = Σ over small-doc prefix tokens of the
+    token's FULL posting length, which on a vocabulary-saturated corpus
+    grows with n — that is why it is opt-in and bounded by doc size
+    rather than default-on (the default banded route keeps the
+    documented ratio-capped recall contract; the planted high-ratio
+    miss and this supplement's recovery are pinned in
+    tests/test_dedup.py)."""
     j_floor = float(threshold) / (float(ratio_cap) + 1.0 - float(threshold))
     bands = minhash_recall_bands(rows_per_band, target_recall, j_floor)
     num_hashes = bands * rows_per_band
@@ -966,7 +999,44 @@ def containment_minhash_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    return directed.filter(F.col("containment") >= float(threshold))
+    out = directed.filter(F.col("containment") >= float(threshold))
+    if small_side_exact_max is None:
+        return out
+    # Exact small-side supplement: the asymmetric prefix scheme
+    # (containment_pairs' candidate join) restricted to contained docs
+    # with ≤ small_side_exact_max shingles, unioned with the banded
+    # output. Values are computed by the same round(|A∩B|/|A|, 6), so
+    # the pair-key dedup cannot pick between disagreeing rows.
+    sets = g.withColumnRenamed("_grams", "_set")
+    sizes = sets.select("_id", F.size("_set").alias("_sz"))
+    prefix = (
+        prefix_tokens(sets, threshold)
+        .join(sizes.filter(F.col("_sz") <= int(small_side_exact_max)), "_id")
+        .select(F.col("_id").alias("_ida"), F.col("_sz").alias("_sza"), "_tok")
+    )
+    full = sets.select(
+        F.col("_id").alias("_idb"), F.size("_set").alias("_szb"),
+        F.explode("_set").alias("_tok"),
+    )
+    cand_small = (
+        prefix.join(full, "_tok")
+        .filter(
+            (F.col("_ida") != F.col("_idb"))
+            & (F.col("_szb") >= F.ceil(F.lit(float(threshold)) * F.col("_sza")))
+        )
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    cont = F.size(F.array_intersect("_sa", "_sb")).cast("double") / F.size("_sa")
+    exact_small = (
+        cand_small.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= float(threshold))
+    )
+    return out.unionByName(exact_small).dropDuplicates(["id_a", "id_b"])
 
 
 def adaptive_containment_pairs(
@@ -982,6 +1052,7 @@ def adaptive_containment_pairs(
     rows_per_band: int = CONTAINMENT_ROWS_PER_BAND,
     route: str | None = None,
     max_bucket: int | str | None = "auto",
+    small_side_exact_max: int | None = None,
 ) -> DataFrame:
     """Directional containment self-join with DATA-ADAPTIVE candidate
     generation — the containment twin of adaptive_jaccard_pairs (VERDICT
@@ -1006,7 +1077,12 @@ def adaptive_containment_pairs(
     `max_bucket` is the minhash route's hot-bucket backstop with the
     same "auto" → routed_max_bucket(n_docs) census-derived default as
     adaptive_jaccard_pairs (VERDICT r11: previously unreachable from
-    the routed path); the prefix route has no buckets and ignores it."""
+    the routed path); the prefix route has no buckets and ignores it.
+    `small_side_exact_max` (ADVICE r11) forwards to the minhash route's
+    exact small-side supplement — restores exact recall for pairs whose
+    CONTAINED doc is ≤ that many shingles at any container ratio (the
+    regime the ratio cap excludes); the prefix route is already exact
+    and ignores it."""
     g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
     if route is None:
         route = choose_containment_route(
@@ -1023,6 +1099,7 @@ def adaptive_containment_pairs(
         df, content_col, id_col, threshold, shingle_n, grams=g,
         ratio_cap=ratio_cap, target_recall=target_recall,
         rows_per_band=rows_per_band, max_bucket=max_bucket,
+        small_side_exact_max=small_side_exact_max,
     )
 
 

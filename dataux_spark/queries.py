@@ -8755,79 +8755,76 @@ BENCH_PHASES: dict[str, dict] = {
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-11 rotation (VERDICT r10 item 2). Three jobs: (1) verdict the
-    # two NEW entries — dedup_containment_census (the containment
-    # router's decision signal, full plain-SQL census replay at the
-    # shared SATURATION_CAND_PER_DOC threshold) and ann_recall_report
-    # (the ANN recall MEASUREMENT under the value gate: seeded-Rademacher
-    # LSH + fixed-IVF top-5 recall vs brute force, all three pipelines
-    # replayed in SQL — r10 item 6); (2) re-verdict the one entry whose
-    # code path changed this round: dedup_containment_pairs now routes
-    # through adaptive_containment_pairs (census → lossless prefix at
-    # sf0.01, ratio-capped banded-minhash at sf0.1 — banded == exact
-    # pinned at both sfs locally and in tests/test_keygrowth.py). NOT
-    # re-verdicted on purpose: dedup_route_census and the four adaptive
-    # Jaccard entries — their r11 change is threshold/kwargs
-    # SOURCE-sharing (ADVICE r10), the interpolated SQL and routed plans
-    # are byte-identical to the r10-verdicted ones; (3) refresh the
-    # stalest verdicts — all 20 entries whose latest driver green is
-    # round 6 (the full list VERDICT r10 item 2 names), then the 27
-    # oldest round-7 entries in registry order. Every rotated-in entry
-    # passes the local 212/212 tools/check.py run this round, so this is
-    # freshness hygiene, not risk. After this window no oracle-backed
-    # entry's latest driver green is older than r7.
-    "dedup_containment_census",
-    "ann_recall_report",
+    # Round-12 rotation (VERDICT r11 items 3+4). Two jobs: (1) re-verdict
+    # the EIGHT entries whose oracle SQL changed this round — the
+    # near-dup families' exact all-pairs oracles were replaced by the
+    # prefix-candidate replay twins (_prefix_candidate_pairs_ctes /
+    # _containment_candidate_pairs_ctes — equal to the quadratic answer
+    # by the prefix-filtering theorem, candidate-linear, so the sf0.1
+    # sweep now value-checks them too); five of these also carry the r12
+    # routed max_bucket default, a no-op at driver scale (sf0.01 routes
+    # prefix; the cap only exists on the minhash route) but re-verdicted
+    # anyway because their oracle text changed. (2) Refresh the stalest
+    # verdicts: all 13 entries whose latest driver green is round 7
+    # (VERDICT r11 item 3's list), then the 29 oldest round-8 entries in
+    # registry order. Every rotated-in entry passes the local 212/212
+    # sf0.01 AND (new, zero-skip) 212/212 sf0.1 tools/check.py runs this
+    # round, so this is freshness hygiene, not risk. After this window no
+    # oracle-backed entry's latest driver green is older than r8 (the 14
+    # r8 entries that didn't fit rotate in r13).
+    # --- changed-oracle entries (8) ---
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "training_prep_pipeline",
     "dedup_containment_pairs",
-    # --- stalest r6 verdicts (all 20) ---
-    "skew_salted_agg",
-    "dedup_incremental_minhash",
-    "streaming_incremental_neardup",
-    "dedup_simhash_md5",
-    "dedup_incremental_batch",
-    "dedup_span_stats",
-    "ann_signband_topk",
-    "embedding_cluster_assign",
-    "ann_ivf_fixed_topk",
-    "text_unigram_pppl",
-    "text_top_tfidf",
-    "text_bm25_topk",
-    "text_normalize_ws",
-    "grouped_terms_topk",
-    "session_paths_top",
-    "cohort_retention_daily",
-    "funnel_view_click_purchase",
-    "streaming_rollup_merge",
-    "dedup_semantic_keepset",
-    "cdc_table_changes",
-    # --- oldest r7 verdicts (27, registry order) ---
-    "q7_volume_shipping",
-    "q8_market_share",
-    "window_topk_per_group",
-    "qlbridge_builtins",
-    "qlbridge_datefuncs",
-    "quality_expectations_report",
-    "quality_quarantine_rows",
-    "sample_token_budget",
-    "sample_weighted_priority",
-    "graph_pagerank",
-    "sample_group_cap",
-    "skew_salted_join",
-    "streaming_url_dedup",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
-    "ann_pq_adc_topk",
-    "ann_hard_negatives",
-    "dedup_span_removal",
-    "decontaminate_embeddings",
-    "ann_ivf_incremental_topk",
-    "text_bm25_index_topk",
-    "text_chunk_windows",
-    "hybrid_rrf_retrieval",
-    "text_remove_boilerplate",
-    "text_hashed_quality",
-    "text_dsir_weights",
-    "url_canonical_dedup",
+    "dedup_prefix_jaccard",
+    "dedup_source_matrix",
+    "dedup_savings_report",
+    # --- stalest r7 verdicts (all 13) ---
+    "web_domain_rollup",
+    "pushdown_datastore_ineq_topk",
+    "pushdown_lytics_filter",
+    "sequence_match_vcp",
+    "streaming_sequence_match",
+    "link_entities_blocked",
+    "corpus_clean_pipeline",
+    "corpus_hygiene_pipeline",
+    "rollup_quantile_range",
+    "events_zscore_anomalies",
+    "cdc_incremental_aggregate",
+    "text_collocations_pmi",
+    "rollup_topk_range",
+    # --- oldest r8 verdicts (29, registry order) ---
+    "pricing_summary",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q16_supplier_part_cnt",
+    "q20_excess_suppliers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q21_waiting_suppliers",
+    "profile_embeddings_qa",
+    "profile_histogram_depth",
+    "profile_robust_means",
+    "profile_drift_psi",
+    "stats_trend_per_type",
+    "stats_ab_ttest",
+    "retrieval_eval_ndcg",
+    "graph_trustrank",
+    "graph_label_communities",
+    "graph_triangle_stats",
+    "sample_pctl_normalize",
+    "sample_kfold_counts",
+    "export_shard_manifest",
+    "compaction_roundtrip",
+    "join_bloom_reduced",
+    "text_bigram_pppl",
+    "text_lexical_drift",
+    "text_vocab_coverage",
+    "skew_join_preflight",
+    "text_taxonomy_tags",
+    "decontaminate_neardup",
 ]
 
 

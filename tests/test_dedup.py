@@ -231,6 +231,41 @@ def test_adaptive_routers_engage_hot_bucket_backstop(spark):
     assert _pairset(cauto) == cpairs
 
 
+def test_containment_banded_route_high_ratio_miss_and_supplement(spark):
+    """ADVICE r11: the banded containment route's recall contract covers
+    only pairs with |container| ≤ ratio_cap·|contained| (J floor 0.47 at
+    the defaults) — a quote swallowed by a container ~6.6× its size
+    (J ≈ 0.13) sits far outside it and is DETERMINISTICALLY missed by
+    the 36×3 banding (fixed xxhash — this test documents the miss, the
+    route's stated trade). The exact prefix route keeps the pair, and
+    the r12 `small_side_exact_max` supplement restores it on the banded
+    route by running the lossless asymmetric prefix pass for small
+    contained docs at any ratio."""
+    quote = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    filler = " ".join(f"fillerw{i}" for i in range(56))
+    rows = [
+        (1, quote),                      # 10 shingles
+        (2, quote + " " + filler),       # 66 shingles — ratio 6.6 > cap 1.5
+        (10, "completely different text about database engines and optimizers"),
+        (11, "completely different text about database engines and planners"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    exact = _pairset(dedup.containment_pairs(df, "text", "doc_id", 0.8))
+    assert (1, 2) in exact  # containment(quote → container) = 1.0
+    banded = _pairset(
+        dedup.adaptive_containment_pairs(df, "text", "doc_id", 0.8, route="minhash")
+    )
+    assert (1, 2) not in banded  # the documented high-ratio miss
+    assert banded <= exact       # precision stays 1
+    supp = _pairset(
+        dedup.adaptive_containment_pairs(
+            df, "text", "doc_id", 0.8, route="minhash", small_side_exact_max=16
+        )
+    )
+    assert (1, 2) in supp        # the supplement recovers the quote pair
+    assert banded <= supp <= exact
+
+
 def test_duplicated_span_stats_planted_spans(spark):
     """Span census catches a shared 3-token run; unique docs score 0; docs
     shorter than n collapse to one clamped span (shingle convention)."""
