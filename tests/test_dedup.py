@@ -185,6 +185,7 @@ def test_minhash_lsh_max_bucket_drops_boilerplate(spark):
     assert len(_pairset(uncapped)) >= 435  # the blowup the cap prevents
 
 
+@pytest.mark.slow  # multi-10s at birth (r11 brief item 7): four routed calls
 def test_adaptive_routers_engage_hot_bucket_backstop(spark):
     """VERDICT r11: `max_bucket` must be reachable FROM the adaptive
     routers — the saturated minhash route is exactly where a hot
@@ -231,6 +232,7 @@ def test_adaptive_routers_engage_hot_bucket_backstop(spark):
     assert _pairset(cauto) == cpairs
 
 
+@pytest.mark.slow  # multi-10s at birth: three routed calls + exact twin
 def test_containment_banded_route_high_ratio_miss_and_supplement(spark):
     """ADVICE r11: the banded containment route's recall contract covers
     only pairs with |container| ≤ ratio_cap·|contained| (J floor 0.47 at
