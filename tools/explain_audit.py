@@ -420,9 +420,15 @@ _PREFIX_SHAPE = (
     lambda p: "Window" in p and "hashpartitioning(_id" in p,
 )
 _MINHASH_SHAPE = (
-    "minhash route: band-hash equi-join candidates, no prefix window",
+    "minhash route: band-hash equi-join candidates, no prefix window, "
+    "hot-bucket cap present",
+    # r12: the routed minhash path must also SHOW the census-derived
+    # hot-bucket backstop (VERDICT r11 item 1) — a bucket-size filter
+    # `size(_ids) <= cap` in the candidate stage. Without this check the
+    # cap could silently regress to unreachable again.
     lambda p: re.search(r"hashpartitioning\(band#\d+, bh#\d+", p) is not None
-    and "Window" not in p,
+    and "Window" not in p
+    and re.search(r"size\(_ids#\d+[^)]*\) <= \d+", p) is not None,
 )
 # only the plan-transparent entries are shape-checked (see above); the
 # kwargs themselves come from queries.ADAPTIVE_JACCARD_KW/_BLOCKS and
