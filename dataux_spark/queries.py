@@ -3701,6 +3701,73 @@ def dedup_containment_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_containment_small_side",
+    # r12 (ADVICE r11 medium): value-check the banded route's exact
+    # small-side supplement under the driver gate. Quote docs (first 12
+    # tokens of every 25th document, ~10 shingles — containers run
+    # 4-10× their size, far OUTSIDE the ratio_cap=1.5 recall contract)
+    # are constructed IDENTICALLY here and in Spark; the oracle is the
+    # exact containment answer via the linear prefix-candidate replay,
+    # so equality proves banded ∪ small-side-exact == exact on a corpus
+    # where banded alone measurably misses (61 vs 72 pairs at sf0.01,
+    # 618 vs 743 at sf0.1).
+    f"""
+    WITH quotes AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:12],
+                             ' ') AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents UNION ALL SELECT * FROM quotes
+    ), g AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM corpus)
+    ), {_containment_candidate_pairs_ctes(ADAPTIVE_CONTAINMENT_KW["threshold"])}
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(a.grams), 6) AS containment
+    FROM cand c JOIN g a ON a._id = c.id_a JOIN g b ON b._id = c.id_b
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                / len(a.grams), 6) >= {ADAPTIVE_CONTAINMENT_KW["threshold"]}
+    """,
+)
+def dedup_containment_small_side(spark, sf_dir):
+    """The high-ratio containment regression harness (ADVICE r11): plant
+    quote docs (first 12 tokens of every 25th document) whose containers
+    are 4-10× their size — outside the banded route's ratio_cap=1.5
+    recall contract, so the FORCED minhash route alone deterministically
+    misses most quote→container pairs (the miss is pinned in
+    tests/test_dedup.py). With the r12 `small_side_exact_max` supplement
+    (operators/dedup.containment_minhash_pairs), contained docs ≤ 16
+    shingles also run the lossless asymmetric prefix pass, and the union
+    equals the EXACT all-pairs containment answer — which is what the
+    oracle replays (linear prefix-candidate scheme), making the
+    supplement's recall claim value-checked cross-engine at both sfs,
+    not just pytest-pinned. Scale shape: the supplement's candidate join
+    is prefix-postings(small docs only) × full postings — bounded by the
+    small slice (4% of docs here), the documented reason it is opt-in."""
+    from dataux_spark.operators.dedup import adaptive_containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quotes)
+    return adaptive_containment_pairs(
+        corpus, "text", "doc_id", route="minhash", small_side_exact_max=16,
+        **ADAPTIVE_CONTAINMENT_KW,
+    )
+
+
+@_q(
     "dedup_source_matrix",
     # exact Jaccard pairs (r12: replayed via the lang-blocked
     # prefix-candidate scheme + exact verify — == all-pairs by the prefix
@@ -8770,8 +8837,14 @@ _DRIVER_WINDOW: list[str] = [
     # registry order. Every rotated-in entry passes the local 212/212
     # sf0.01 AND (new, zero-skip) 212/212 sf0.1 tools/check.py runs this
     # round, so this is freshness hygiene, not risk. After this window no
-    # oracle-backed entry's latest driver green is older than r8 (the 14
-    # r8 entries that didn't fit rotate in r13).
+    # oracle-backed entry's latest driver green is older than r8 (the 15
+    # r8 entries that didn't fit rotate in r13). Plus ONE new entry:
+    # dedup_containment_small_side — the r12 high-ratio supplement's
+    # recall claim value-checked cross-engine (banded ∪ small-side-exact
+    # == exact oracle on a planted quote corpus where banded alone
+    # misses 11/125 directional quote pairs).
+    # --- new entry (1) ---
+    "dedup_containment_small_side",
     # --- changed-oracle entries (8) ---
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -8795,7 +8868,7 @@ _DRIVER_WINDOW: list[str] = [
     "cdc_incremental_aggregate",
     "text_collocations_pmi",
     "rollup_topk_range",
-    # --- oldest r8 verdicts (29, registry order) ---
+    # --- oldest r8 verdicts (28, registry order) ---
     "pricing_summary",
     "q6_forecast_revenue",
     "q9_product_profit",
@@ -8824,7 +8897,6 @@ _DRIVER_WINDOW: list[str] = [
     "text_vocab_coverage",
     "skew_join_preflight",
     "text_taxonomy_tags",
-    "decontaminate_neardup",
 ]
 
 
