@@ -530,6 +530,32 @@ def test_hot_bucket_cap_only_removes_pairs(spark, docs, cap):
     assert cfull <= _exact_containment(docs, 0.8), cfull
 
 
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus)
+def test_small_side_supplement_restores_exact_containment(spark, docs):
+    """The r12 small-side supplement's exactness, fuzzed: with
+    small_side_exact_max at or above every doc's shingle count (tiny-vocab
+    docs here are ≤ 10 shingles), the supplement's lossless prefix pass
+    covers EVERY contained side, so banded ∪ supplement must equal brute
+    force containment on ANY corpus — at any ratio, regardless of what
+    the banding caught. Verifies the recall restoration claim of
+    dedup_containment_small_side / ADVICE r11 as a property, not a
+    fixture."""
+    from dataux_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.adaptive_containment_pairs(
+            df, "text", "doc_id", 0.8, route="minhash", small_side_exact_max=99
+        ).collect()
+    }
+    assert got == _exact_containment(docs, 0.8)
+
+
 @settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=_corpus)
