@@ -1240,7 +1240,12 @@ def incremental_minhash_candidates(
     (band, bh) — Catalyst broadcasts the batch side when it is small (the
     common shape); historical shingles are read ONLY for the candidate
     ids via the verify join, never scanned wholesale. Probing cost is
-    independent of how many batches were ingested before."""
+    independent of how many batches were ingested before. Hot-bucket
+    note (r12, the routers' max_bucket concern checked here too): a hot
+    band-hash expands as batch-posting × store-posting rows through this
+    EQUI-JOIN — distributed across tasks and split further by AQE's
+    skew-join handling — not the single-task collect_list b² shape the
+    routed paths cap, so no bucket backstop is needed on this path."""
     spark = batch.sparkSession
     shared_sigs = sigs is not None
     if sigs is None:
