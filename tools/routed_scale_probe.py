@@ -128,16 +128,20 @@ def clique_curve(spark, clique_sizes: list[int]) -> None:
         n = docs.count()
         g = dedup.gram_sets(docs, "text", "doc_id", 3).persist()
         g.count()
-        for cap_label, cap in [("auto", dedup.routed_max_bucket(n)), ("none", None)]:
-            t0 = time.perf_counter()
-            pairs = dedup.adaptive_jaccard_pairs(
-                docs, "text", "doc_id", threshold=0.5, grams=g,
-                route="minhash", max_bucket=cap,
-            ).count()
-            wall = time.perf_counter() - t0
-            cap_str = str(cap) if cap is not None else "none"
-            print(f"{'x10+clique ' + str(k):16s} {n:7d} {cap_str:>6s} "
-                  f"{wall:8.2f} {pairs:12d}")
+        for family, pair_fn, kw in [
+            ("jaccard", dedup.adaptive_jaccard_pairs, {"threshold": 0.5}),
+            ("containment", dedup.adaptive_containment_pairs, {"threshold": 0.8}),
+        ]:
+            for cap in [dedup.routed_max_bucket(n), None]:
+                t0 = time.perf_counter()
+                pairs = pair_fn(
+                    docs, "text", "doc_id", grams=g,
+                    route="minhash", max_bucket=cap, **kw,
+                ).count()
+                wall = time.perf_counter() - t0
+                cap_str = str(cap) if cap is not None else "none"
+                print(f"{'x10+clique ' + str(k):16s} {n:7d} {family:12s} "
+                      f"{cap_str:>6s} {wall:8.2f} {pairs:12d}")
         g.unpersist()
         docs.unpersist()
 
