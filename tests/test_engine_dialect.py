@@ -497,14 +497,11 @@ def test_driver_window_contract_pinned():
     """The external correctness gate reads the FIRST 50 exported queries;
     pin the contract so an accidental registry edit cannot silently
     shuffle the gate: exactly 50 window slots, all registered, exported
-    first and in order, every one carrying a full value oracle — the
-    round-10 rotation fills the window with the new
-    multimodal_phash_neardup entry, the two r10 observability entries
-    (dedup_route_census / embedding_band_sizing), the re-oracled
-    embedding_neardup, the four entries on the adaptive candidate
-    router, and the 42 stalest r5/r6 verdicts; every slot is
-    oracle-backed this round (the registry's 7 rows-only sketch entries
-    all sit outside the window)."""
+    first and in order, every one carrying a full value oracle. The
+    window's CONTENTS rotate every round (the _DRIVER_WINDOW comment in
+    queries.py documents the current rotation's rationale); these
+    structural invariants do not — in particular the registry's 7
+    rows-only sketch entries must always sit outside the window."""
     from dataux_spark import queries as Q
 
     window = Q._DRIVER_WINDOW
