@@ -29,7 +29,11 @@ codegen applies end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import logging
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+_LOG = logging.getLogger("dataux_spark.dedup")
 
 # Saturation threshold for the data-adaptive candidate routers: a census
 # that estimates more than this many candidate pairs per document routes
@@ -71,6 +75,17 @@ CONTAINMENT_ROWS_PER_BAND: int = 3
 ROUTED_MAX_BUCKET_FLOOR: int = 64
 ROUTED_MAX_BUCKET_CEIL: int = 8192
 
+# Segment width of the chunked in-bucket pair expansion (VERDICT r12
+# hardening item 2): a bucket's b·(b−1)/2 candidate pairs are expanded
+# segment×segment instead of as ONE flatten(transform(...)) array value,
+# so no single generator input cell ever exceeds SEGMENT² structs
+# (~1M at 1024 — ~32 MB order) even at the 8192 cap ceiling, where the
+# unchunked form materialized ~33.5M structs (~1 GB order) in one cell.
+# Segment-pair rows of one bucket stay in one task (no extra shuffle);
+# the bound is per-ARRAY-CELL memory, which is what spikes on
+# adversarial many-near-cap-bucket corpora.
+BUCKET_PAIR_SEGMENT: int = 1024
+
 
 def routed_max_bucket(
     n_docs: int, cand_per_doc: float = SATURATION_CAND_PER_DOC
@@ -98,12 +113,193 @@ def routed_max_bucket(
     cap is far above every real bucket — output is bit-identical with
     and without it; docs inside a dropped bucket still pair through
     their other bands unless they collide on EVERY hot band, i.e.
-    near-exact boilerplate, which exact/fingerprint dedup upstream
-    removes for a fraction of the cost."""
+    near-exact content (J ≈ 1). ADVICE r12 correction: that near-exact
+    class INCLUDES template-plus-one-token variants (timestamp/counter
+    edits) which defeat BOTH the exact digest and the sorted-token
+    fingerprint while keeping J ≈ 0.99 — so upstream exact/fingerprint
+    dedup does NOT remove them, and on a corpus with a giant cluster of
+    such variants the cap erases that cluster's pairs. That is the
+    engineered trade (bounded per-task work over complete recall on
+    k ≫ cap near-exact cliques; measured at k = 10,000 in SCALE.md r13),
+    it is OBSERVABLE — every capped run carries a drop census
+    (last_cap_census / drain_cap_censuses below log dropped
+    buckets/doc-slots) — and the surviving mitigation is a
+    HIGH-THRESHOLD near-exact pass upstream (e.g. minhash at j ≥ 0.95,
+    or dedup_winnow_fingerprints), not exact/fingerprint dedup."""
     import math
 
     raw = math.ceil(math.sqrt(2.0 * float(cand_per_doc) * max(int(n_docs), 1)))
     return max(ROUTED_MAX_BUCKET_FLOOR, min(ROUTED_MAX_BUCKET_CEIL, raw))
+
+
+# Pending cap-drop censuses: one Observation per capped in-bucket
+# expansion, filled by Spark when the first action runs on the returned
+# pairs frame (zero extra jobs — the metrics ride the action itself).
+# drain_cap_censuses() harvests completed ones NON-blockingly and logs a
+# warning for any run that actually dropped buckets; each new capped call
+# drains first, so steady-state pipelines auto-emit every prior run's
+# census without the caller doing anything (ADVICE r12: the default-on
+# cap must not drop recall silently).
+_CAP_OBSERVATIONS: list[tuple[Observation, int]] = []
+
+
+def _observation_row_nonblocking(obs: Observation) -> dict | None:
+    """The completed metrics row of `obs`, or None if its frame has not
+    finished an action yet. Uses the JVM Observation.getRowOrEmpty —
+    the only non-blocking surface (the public .get BLOCKS until an
+    action runs, which a drain loop must never do). Guarded: any
+    bridge change degrades to 'census pending', never to an error in
+    the dedup hot path."""
+    try:
+        from pyspark.serializers import CPickleSerializer
+
+        jo = getattr(obs, "_jo", None)
+        if jo is None:  # observe() never attached
+            return None
+        opt = jo.getRowOrEmpty()
+        if opt.isEmpty():
+            return None
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        return CPickleSerializer().loads(utils.toPyRow(opt.get())).asDict(
+            recursive=False
+        )
+    except Exception:  # pragma: no cover - py4j bridge drift
+        return None
+
+
+def drain_cap_censuses() -> list[dict]:
+    """Harvest every COMPLETED capped-expansion census (non-blocking),
+    log a warning for each run whose cap dropped anything, and return
+    them. Pending censuses (frames built but no action yet) stay queued
+    for the next drain. Called automatically at the start of every new
+    capped expansion; call it explicitly at pipeline checkpoints to
+    flush the tail."""
+    done: list[dict] = []
+    pending: list[tuple[Observation, int]] = []
+    for obs, cap in _CAP_OBSERVATIONS:
+        row = _observation_row_nonblocking(obs)
+        if row is None:
+            pending.append((obs, cap))
+            continue
+        row = dict(row)
+        row["max_bucket"] = cap
+        if (row.get("buckets_dropped") or 0) > 0:
+            _LOG.warning(
+                "routed hot-bucket cap dropped %s bucket(s) / %s doc-slot(s) "
+                "(max_bucket=%s, largest bucket seen=%s, buckets total=%s): "
+                "pairs inside them were not generated — near-exact cliques "
+                "larger than the cap (template+token variants) lose recall; "
+                "run a high-threshold near-exact dedup pass upstream or "
+                "raise max_bucket.",
+                row["buckets_dropped"], row["doc_slots_dropped"], cap,
+                row.get("largest_bucket"), row.get("buckets_total"),
+            )
+        done.append(row)
+    _CAP_OBSERVATIONS[:] = pending
+    return done
+
+
+def last_cap_census(block: bool = False) -> dict | None:
+    """Census of the MOST RECENT capped routed expansion: dict with
+    buckets_total, buckets_dropped, doc_slots_dropped, largest_bucket,
+    max_bucket. None if no capped run is outstanding or (block=False)
+    its action has not completed. block=True waits on the action —
+    only call that after triggering one (e.g. in tests, right after
+    collecting the pairs). Logs the same warning drain_cap_censuses
+    logs when the cap dropped anything."""
+    if not _CAP_OBSERVATIONS:
+        return None
+    obs, cap = _CAP_OBSERVATIONS[-1]
+    if not block and _observation_row_nonblocking(obs) is None:
+        return None
+    row = dict(obs.get)
+    row["max_bucket"] = cap
+    _CAP_OBSERVATIONS.pop()
+    if (row.get("buckets_dropped") or 0) > 0:
+        _LOG.warning(
+            "routed hot-bucket cap dropped %s bucket(s) / %s doc-slot(s) "
+            "(max_bucket=%s, largest bucket seen=%s)",
+            row["buckets_dropped"], row["doc_slots_dropped"], cap,
+            row.get("largest_bucket"),
+        )
+    return row
+
+
+def _expand_bucket_pairs(
+    buckets: DataFrame,
+    max_bucket: int | None,
+    segment: int = BUCKET_PAIR_SEGMENT,
+) -> DataFrame:
+    """(band, bh, _ids sorted-ascending) bucket frame → distinct
+    candidate (id_a, id_b) pairs, id_a < id_b — the shared in-bucket
+    expansion of minhash_lsh_pairs and containment_minhash_pairs.
+
+    CHUNKED (VERDICT r12 hardening item 2): the pair set of a b-doc
+    bucket is expanded segment×segment — the sorted _ids array is cut
+    into ceil(b/segment) slices; same-slice cells expand the triangle
+    (x before y within the slice), cross-slice cells the full product
+    (every id in slice i precedes every id in slice j > i, so id_a <
+    id_b holds by sort order). Output is exactly the unchunked
+    b·(b−1)/2 set, but no single generator input cell ever holds more
+    than segment² pair structs (~1M at the 1024 default) where the
+    unchunked form materialized the whole triangle as ONE array value
+    (~33.5M structs at the 8192 cap ceiling). The slice-pair spine is
+    tiny (ceil(b/segment)² ≤ 64 rows per bucket at the ceiling) and
+    stays in the bucket's task — no extra shuffle; equality with the
+    unchunked expansion is pinned in tests/test_dedup.py and fuzzed in
+    tests/test_property_dedup.py.
+
+    When `max_bucket` is set, buckets larger than it are dropped BEFORE
+    expansion (the routed hot-bucket backstop) and the drop census rides
+    the frame as an Observation (ADVICE r12: buckets_total,
+    buckets_dropped, doc_slots_dropped, largest_bucket — filled by the
+    caller's first action at zero extra cost; see drain_cap_censuses /
+    last_cap_census)."""
+    if max_bucket is not None:
+        drain_cap_censuses()
+        obs = Observation()
+        buckets = buckets.observe(
+            obs,
+            F.count("*").alias("buckets_total"),
+            F.sum((F.size("_ids") > max_bucket).cast("long")).alias(
+                "buckets_dropped"
+            ),
+            F.sum(
+                F.when(F.size("_ids") > max_bucket, F.size("_ids")).otherwise(0)
+            ).alias("doc_slots_dropped"),
+            F.max(F.size("_ids")).alias("largest_bucket"),
+        )
+        _CAP_OBSERVATIONS.append((obs, int(max_bucket)))
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    buckets = buckets.filter(F.size("_ids") >= 2)
+    seg_pairs = F.expr(
+        f"flatten(transform(sequence(0, (size(_ids) - 1) div {segment}), i -> "
+        f"transform(sequence(i, (size(_ids) - 1) div {segment}), j -> "
+        "struct(i AS i, j AS j))))"
+    )
+    sliced = buckets.select("_ids", F.explode(seg_pairs).alias("s")).select(
+        F.expr(f"slice(_ids, s.i * {segment} + 1, {segment})").alias("_sa"),
+        F.expr(f"slice(_ids, s.j * {segment} + 1, {segment})").alias("_sb"),
+        (F.col("s.i") == F.col("s.j")).alias("_same"),
+    )
+    triangle = F.expr(
+        "flatten(transform(_sa, (x, i) -> "
+        "transform(slice(_sa, i + 2, size(_sa) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    product = F.expr(
+        "flatten(transform(_sa, x -> transform(_sb, "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        sliced.select(
+            F.explode(F.when(F.col("_same"), triangle).otherwise(product)).alias("p")
+        )
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def tokens(col, lower: bool = True):
@@ -545,10 +741,17 @@ def minhash_lsh_pairs(
          the hard backstop: buckets larger than it are dropped from
          candidate generation entirely (a b-doc bucket contributes b²
          pairs — one pathological boilerplate bucket can dominate the
-         stage). Docs sharing such a bucket
-         still pair through their other bands unless they collide on EVERY
-         hot band — i.e. near-exact boilerplate, which exact/fingerprint
-         dedup upstream removes for a fraction of the cost.
+         stage). Docs sharing such a bucket still pair through their
+         other bands unless they collide on EVERY hot band — near-exact
+         content, INCLUDING template-plus-one-token variants that
+         defeat exact/fingerprint dedup (ADVICE r12) — so a cap-sized
+         near-exact clique loses recall: an engineered, OBSERVABLE
+         trade (every capped run carries the drop census of
+         drain_cap_censuses / last_cap_census); the upstream mitigation
+         is a high-threshold near-exact pass, not exact digests. The
+         in-bucket expansion itself is chunked segment×segment
+         (_expand_bucket_pairs) so surviving near-cap buckets stay
+         memory-bounded per array cell.
       3. exact Jaccard on candidate pairs only (verify stage).
     Returns (id_a, id_b, jaccard ≥ threshold).
 
@@ -595,18 +798,7 @@ def minhash_lsh_pairs(
     # vs ~1.22 s at sf0.1): the window's per-partition sort costs more
     # than hash-aggregating the singleton lists it avoids.
     buckets = banded.groupBy("band", "bh").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
-    buckets = buckets.filter(F.size("_ids") >= 2)
-    pair_expr = F.expr(
-        "flatten(transform(_ids, (x, i) -> "
-        "transform(slice(_ids, i + 2, size(_ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
-    )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _expand_bucket_pairs(buckets, max_bucket)
     # Verify stage: re-attach shingles to the (much smaller) candidate set.
     # The gram frame appears twice (once per pair side), so the shingling
     # pass runs twice here on top of the signature branch's — Spark has no
@@ -629,6 +821,30 @@ def minhash_lsh_pairs(
         6,
     )
     return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures_md5(
+    df: DataFrame, content_col: str, id_col: str, num_hashes: int = 108,
+    shingle_n: int = 3, grams: DataFrame | None = None,
+) -> DataFrame:
+    """Oracle-checkable MinHash twin of minhash_signatures: hash value
+    for (shingle s, seed i) is the first 15 hex chars of md5(s || ':' ||
+    i) as a 60-bit BIGINT — the same md5-replay construction as
+    simhash_md5, so a SQL oracle reproduces every signature value
+    bit-for-bit (min over shingles per seed). The xxhash64 production
+    variant stays the hot path (no string hashing); this twin exists so
+    banded-minhash RECALL measurements (dedup_containment_recall_report)
+    can themselves be value-checked cross-engine. Same single-pass
+    aggregate fold as the production signature. Returns
+    (_id, _grams, sig array<bigint>)."""
+    g = grams if grams is not None else gram_sets(df, content_col, id_col, shingle_n)
+    sig = F.expr(
+        f"aggregate(_grams, array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, transform(sequence(0, {num_hashes - 1}), "
+        f"i -> CAST(conv(substring(md5(concat(s, ':', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)), "
+        f"(a, h) -> least(a, h)))"
+    )
+    return g.select("_id", "_grams", sig.alias("sig"))
 
 
 def _banded_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -966,18 +1182,7 @@ def containment_minhash_pairs(
     buckets = banded.groupBy("band", "bh").agg(
         F.sort_array(F.collect_list("_id")).alias("_ids")
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
-    buckets = buckets.filter(F.size("_ids") >= 2)
-    pair_expr = F.expr(
-        "flatten(transform(_ids, (x, i) -> "
-        "transform(slice(_ids, i + 2, size(_ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
-    )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _expand_bucket_pairs(buckets, max_bucket)
     cand = (
         cand.join(g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
         .join(g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")

@@ -282,13 +282,36 @@ def count_distinct(spark, sf_dir):
     )
 
 
-@_q("cardinality_approx")  # no oracle: approximate (HLL vs DuckDB would differ)
+@_q(
+    "cardinality_approx",
+    # r13 (VERDICT r12 item 4): converted from rows-only to a CONTRACT
+    # oracle — the HLL estimate itself cannot be replayed cross-engine
+    # (Spark HLL++ vs DuckDB's sketch differ by design), but the
+    # CONTRACT "estimate within the configured 5% rsd of exact" is plain
+    # SQL: the entry returns the exact count (replayable) beside the
+    # bound-check BOOLEAN, so a drifting sketch now hash-mismatches
+    # instead of passing a rows-only gate. Measured slack: relerr
+    # 0.025/0.027/0.024 at sf0.001/0.01/0.1 vs the 0.05 bound.
+    "SELECT count(DISTINCT l_partkey) AS exact_dct, "
+    "CAST(count(*) AS BIGINT) AS ct, TRUE AS approx_ok FROM lineitem",
+)
 def cardinality_approx(spark, sf_dir):
     """cardinality(f) — approx distinct, the ES cardinality agg
     (reference backends/elasticsearch/sqltoes.go:599-611, es_test.go:192-227).
-    rows-only check; exact twin is count_distinct."""
+    Contract-checked (r13): the HLL++ estimate must land within the
+    default 5% relative standard deviation of the exact count, computed
+    in the SAME single aggregate (one corpus pass, both aggregates
+    map-side combined); exact twin is count_distinct."""
     return read_table(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("c")
+        F.countDistinct("l_partkey").alias("exact_dct"),
+        F.count("*").alias("ct"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey").cast("double")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("approx_ok"),
     )
 
 
@@ -3432,12 +3455,86 @@ def dedup_simhash_md5(spark, sf_dir):
     ).select(F.col("_id").alias("doc_id"), "simhash")
 
 
-@_q("dedup_simhash")  # rows-only: 64 bit-sum aggs + WWW'07 combination blocking
+@_q(
+    "dedup_simhash",
+    # r13 (VERDICT r12 item 4): converted from rows-only to a CONTRACT
+    # oracle. The xxhash64 simhash VALUES can't replay in DuckDB (the
+    # md5 twin dedup_simhash_md5 pins the bit arithmetic), but the
+    # pipeline's completeness contract is replayable: token-identical
+    # docs have hamming 0, and the WWW'07 combination blocking
+    # guarantees a candidate key for EVERY pair within the radius — so
+    # recall over the exactly-replayable truth set "token-identical
+    # pairs" (planted 1%-copies ∪ organic) must be 1.0. A blocking or
+    # verify regression that drops any such pair now hash-mismatches.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS nh
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, nh FROM base
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, nh FROM base WHERE doc_id % 100 = 0
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM corpus a JOIN corpus b ON a.nh = b.nh AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(count(*) AS BIGINT) AS n_caught,
+           CAST(1.0 AS DOUBLE) AS identical_recall
+    FROM truth
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)."""
-    from dataux_spark.operators.dedup import simhash_pairs
+    """SimHash-64 near-dup pairs within hamming ≤ 3 (operators/dedup.py)
+    — contract-checked (r13): the corpus is documents plus planted
+    copies of every 100th doc under shifted ids, the truth set is every
+    token-identical pair (md5 of the normalized token stream — the same
+    tokens() normalization simhash hashes), and the entry returns
+    measured recall of simhash_pairs over that truth set. Identical
+    token streams give identical simhashes (hamming 0), and WWW'07
+    combination blocking guarantees a shared candidate key at any
+    distance ≤ the radius, so recall MUST be exactly 1.0 — value-pinning
+    the blocking + verify pipeline that the rows-only gate never
+    checked. The truth join rides md5 digests, never full texts."""
+    from dataux_spark.operators.dedup import simhash_pairs, tokens
 
-    return simhash_pairs(read_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
+    nh = corpus.select(
+        "doc_id", F.md5(F.concat_ws(" ", tokens(F.col("text")))).alias("nh")
+    )
+    truth = (
+        nh.alias("a")
+        .join(nh.alias("b"), F.col("a.nh") == F.col("b.nh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    flagged = truth.join(
+        pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    # ONE aggregate over the flagged truth frame — no scalar crossJoin
+    # spine, so the entry keeps its plan-audit contract (hash-keyed
+    # joins only, never a nested-loop join).
+    return flagged.agg(
+        F.count("*").alias("n_truth_pairs"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+            "n_caught"
+        ),
+    ).select(
+        "n_truth_pairs",
+        "n_caught",
+        F.round(
+            F.col("n_caught").cast("double") / F.col("n_truth_pairs"), 6
+        ).alias("identical_recall"),
+    )
 
 
 @_q(
@@ -3764,6 +3861,264 @@ def dedup_containment_small_side(spark, sf_dir):
     return adaptive_containment_pairs(
         corpus, "text", "doc_id", route="minhash", small_side_exact_max=16,
         **ADAPTIVE_CONTAINMENT_KW,
+    )
+
+
+# dedup_containment_recall_report corpus knobs (r13, VERDICT r12 item 3).
+# The documents table is 500/500/5000 docs at the three sfs (avg ~54
+# tokens, max ~100), so the full table stays tractable for the oracle's
+# 108-md5-per-shingle replay (SUB=1 keeps the modulo shape in the shared
+# SQL); sources are every 20th doc long enough that even the 5× prefix
+# slice keeps ≥ 6 shingles (17 sources at sf0.01, 164 at sf0.1).
+_RECALL_REPORT_RATIOS: list[tuple[int, str, float]] = [
+    (0, "1.25x", 1.25), (1, "2x", 2.0), (2, "3x", 3.0), (3, "5x", 5.0),
+]
+_RECALL_REPORT_SUB: int = 1
+_RECALL_REPORT_SRC: int = 20
+_RECALL_REPORT_MIN_TOKS: int = 40
+
+
+def _containment_recall_oracle() -> str:
+    """Full SQL replay of the banded containment route's recall
+    measurement: planting, shingling, the 36×3 md5-seeded minhash
+    signatures (bit-for-bit — the simhash_md5 conversion trick), band
+    tuples, the census-derived hot-bucket cap, shared-bucket catch test,
+    and the per-ratio-band recall arithmetic. Band count and cap policy
+    are interpolated from the SAME dedup module constants the live
+    route uses (no-drift rule)."""
+    from dataux_spark.operators import dedup as D
+
+    t = ADAPTIVE_CONTAINMENT_KW["threshold"]
+    j_floor = t / (D.CONTAINMENT_RATIO_CAP + 1.0 - t)
+    r = D.CONTAINMENT_ROWS_PER_BAND
+    bands = D.minhash_recall_bands(r, D.CONTAINMENT_TARGET_RECALL, j_floor)
+    nh = bands * r
+    vals = ", ".join(
+        f"({bi}, '{lbl}', {rho})" for bi, lbl, rho in _RECALL_REPORT_RATIOS
+    )
+    hsel = ",\n             ".join(
+        f"max(CASE WHEN seed % {r} = {j} THEN h END) AS h{j}" for j in range(r)
+    )
+    hjoin = " AND ".join(f"a.h{j} = b.h{j}" for j in range(r))
+    cjoin = " AND ".join(f"c.h{j} = a.h{j}" for j in range(r))
+    hcols = ", ".join(f"h{j}" for j in range(r))
+    return f"""
+    WITH srcs AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+      WHERE doc_id % {_RECALL_REPORT_SRC} = 0
+        AND len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+            >= {_RECALL_REPORT_MIN_TOKS}
+    ), planted AS (
+      SELECT (b.bi + 1) * 10000000 + s.doc_id AS doc_id,
+             s.doc_id AS src_id, b.ratio AS ratio,
+             array_to_string(
+               s.t[1:CAST(ceil(len(s.t) / CAST(b.rho AS DOUBLE)) AS INT)],
+               ' ') AS text
+      FROM srcs s, (VALUES {vals}) AS b(bi, ratio, rho)
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_RECALL_REPORT_SUB} = 0
+      UNION ALL
+      SELECT doc_id, text FROM planted
+    ), gr0 AS (
+      SELECT doc_id AS _id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM corpus)
+    ), gr AS (
+      SELECT _id, unnest(grams) AS gram FROM gr0
+    ), sig AS (
+      SELECT _id, s.s AS seed,
+             min(CAST(CAST(('0x' || substr(md5(gr.gram || ':' ||
+                 CAST(s.s AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)) AS h
+      FROM gr, generate_series(0, {nh - 1}) AS s(s)
+      GROUP BY _id, s.s
+    ), bnd AS (
+      SELECT _id, seed // {r} AS band,
+             {hsel}
+      FROM sig GROUP BY _id, seed // {r}
+    ), census AS (
+      SELECT band, {hcols}, count(*) AS c FROM bnd GROUP BY band, {hcols}
+    ), cap AS (
+      SELECT greatest({D.ROUTED_MAX_BUCKET_FLOOR},
+               least({D.ROUTED_MAX_BUCKET_CEIL},
+                 CAST(ceil(sqrt(2 * {D.SATURATION_CAND_PER_DOC} *
+                   (SELECT count(*) FROM corpus))) AS BIGINT))) AS cap
+    ), hit AS (
+      SELECT DISTINCT p.doc_id AS cid, p.src_id AS sid
+      FROM planted p
+      JOIN bnd a ON a._id = p.doc_id
+      JOIN bnd b ON b._id = p.src_id AND b.band = a.band AND {hjoin}
+      JOIN census c ON c.band = a.band AND {cjoin}
+      WHERE c.c <= (SELECT cap FROM cap)
+    ), gsz AS (
+      SELECT _id, len(grams) AS sz FROM gr0
+    )
+    SELECT p.ratio,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN h.cid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           round(CAST(sum(CASE WHEN h.cid IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall,
+           round(avg(CAST(gb.sz AS DOUBLE) / ga.sz), 4) AS avg_shingle_ratio
+    FROM planted p
+    JOIN gsz ga ON ga._id = p.doc_id
+    JOIN gsz gb ON gb._id = p.src_id
+    LEFT JOIN hit h ON h.cid = p.doc_id AND h.sid = p.src_id
+    GROUP BY p.ratio
+    ORDER BY p.ratio
+    """
+
+
+@_q("dedup_containment_recall_report", _containment_recall_oracle())
+def dedup_containment_recall_report(spark, sf_dir):
+    """Recall-by-ratio-band report for the SATURATED containment route
+    (r13, VERDICT r12 item 3): quantifies what the DEFAULT banded path
+    (ratio_cap=1.5, target_recall=0.98, no small-side supplement) loses
+    on a mixed-ratio corpus — the planted small-side entry proves the
+    supplement works; THIS entry measures the default's loss per
+    container/contained size ratio, as a gate-checked table rather than
+    a docstring argument.
+
+    Construction: a deterministic corpus subsample plus planted
+    contained docs (token-prefix slices, so containment = 1.0 by
+    shingle-subset construction) at ratios 1.25× (inside the cap),
+    2×, 3×, 5× (outside). Catch test = the pair shares ≥ 1 surviving
+    band bucket under the SAME band math as the live route
+    (minhash_recall_bands at the module constants) and the SAME
+    census-derived hot-bucket cap — signatures use the md5-seeded twin
+    (dedup.minhash_signatures_md5) so the oracle replays every hash,
+    band tuple, census count, and the recall arithmetic bit-for-bit.
+    Theory says recall ≈ 1−(1−(1/ρ)³)³⁶ at shingle ratio ρ — measured
+    (r13): 1.0 at 1.25×, 1.0/0.988 at 2× (sf0.01/sf0.1), 0.59/0.63 at
+    3×, 0.12/0.18 at 5× (the 3×/5× slices land at actual shingle
+    ratios ~3.15/~5.6, so theory at the MEASURED ratio ≈ 0.67/0.20 —
+    the banded route keeps its in-cap contract and loses most ≥5×
+    pairs, exactly as documented). The table is cited in COVERAGE.md
+    where the ratio-cap trade is documented (escape hatches: prefix
+    route on unsaturated corpora, ratio_cap raise,
+    small_side_exact_max supplement)."""
+    from dataux_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") % _RECALL_REPORT_SUB == 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    srcs = (
+        docs.filter(F.col("doc_id") % _RECALL_REPORT_SRC == 0)
+        .select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= _RECALL_REPORT_MIN_TOKS)
+    )
+    planted = srcs.select(
+        "doc_id",
+        "_t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"),
+                        F.lit(lbl).alias("ratio"),
+                        F.lit(rho).alias("rho"),
+                    )
+                    for bi, lbl, rho in _RECALL_REPORT_RATIOS
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        ((F.col("b.bi") + 1) * 10000000 + F.col("doc_id")).alias("cid"),
+        F.col("doc_id").alias("src_id"),
+        F.col("b.ratio").alias("ratio"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_t"),
+                F.lit(1),
+                F.ceil(F.size("_t") / F.col("b.rho")).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    corpus = sub.unionByName(
+        planted.select(F.col("cid").alias("doc_id"), "text")
+    )
+    cap = D.routed_max_bucket(corpus.count())
+    t = ADAPTIVE_CONTAINMENT_KW["threshold"]
+    j_floor = t / (D.CONTAINMENT_RATIO_CAP + 1.0 - t)
+    r = D.CONTAINMENT_ROWS_PER_BAND
+    bands = D.minhash_recall_bands(r, D.CONTAINMENT_TARGET_RECALL, j_floor)
+    g = D.gram_sets(
+        corpus, "text", "doc_id", ADAPTIVE_CONTAINMENT_KW["shingle_n"]
+    )
+    sigs = D.minhash_signatures_md5(
+        corpus, "text", "doc_id", bands * r, grams=g
+    )
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col("sig")[b * r + j].alias(f"h{j}")
+                            for j in range(r)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.*")
+    keys = ["band"] + [f"h{j}" for j in range(r)]
+    census = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= cap)
+    )
+    shared = (
+        planted.select("cid", "src_id")
+        .join(banded.select(F.col("_id").alias("cid"), *keys), "cid")
+        .join(
+            banded.select(F.col("_id").alias("src_id"), *keys),
+            ["src_id", *keys],
+        )
+        .join(census, keys, "left_semi")
+        .select("cid", "src_id")
+        .distinct()
+    )
+    gsz = g.select("_id", F.size("_grams").alias("sz"))
+    return (
+        planted.select("cid", "src_id", "ratio")
+        .join(
+            gsz.select(F.col("_id").alias("cid"), F.col("sz").alias("sza")),
+            "cid",
+        )
+        .join(
+            gsz.select(F.col("_id").alias("src_id"), F.col("sz").alias("szb")),
+            "src_id",
+        )
+        .join(shared.withColumn("_hit", F.lit(1)), ["cid", "src_id"], "left")
+        .groupBy("ratio")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_caught"
+            ),
+            F.round(
+                F.avg(F.col("szb").cast("double") / F.col("sza")), 4
+            ).alias("avg_shingle_ratio"),
+        )
+        .select(
+            "ratio",
+            "n_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_pairs"), 6
+            ).alias("recall"),
+            "avg_shingle_ratio",
+        )
+        .orderBy("ratio")
     )
 
 
@@ -4768,18 +5123,87 @@ def embedding_random_projection(spark, sf_dir):
     return out.select("vec_id", F.posexplode("proj").alias("dim", "val"))
 
 
-@_q("ann_lsh_topk")  # rows-only: random-hyperplane LSH isn't plain-SQL
+# Recall floors of the r13 contract oracles for the three
+# non-replayable ANN entries (VERDICT r12 item 4) — module constants
+# interpolated into BOTH the entry bodies and their oracle SQL (the
+# ADVICE-r10 no-drift rule). The pipelines are seeded/deterministic per
+# dataset, so the measured recall is stable; the floor sits under the
+# measured minimum with margin so only a genuine recall regression
+# (not environment) can flip the gate. Measured r13 at
+# sf0.001/0.01/0.1: lsh 0.92/0.92/0.96 (floor 0.9, the same floor the
+# pytest assertions hold); ivf nprobe=4-of-16 0.68/0.52/0.60 (floor
+# 0.45 — a quarter of the cells probed bounds recall by design; the
+# deterministic twins ann_signband_topk / ann_ivf_fixed_topk carry the
+# full value checks).
+_ANN_LSH_FLOOR: float = 0.9
+_ANN_IVF_FLOOR: float = 0.45
+
+# Exact brute-force top-5 CTE over the 5 standard query vectors — the
+# replayable half of the ANN contract oracles below (same construction
+# as ann_recall_report's `exact` CTE).
+_ANN_EXACT_CTE = """
+    WITH v AS (
+      SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qv._id AS query_id, cv._id AS neighbor_id,
+               row_number() OVER (PARTITION BY qv._id
+                 ORDER BY round(list_cosine_similarity(qv.v, cv.v), 6) DESC,
+                          cv._id) AS rn
+        FROM v qv JOIN v cv ON cv._id != qv._id
+        WHERE qv._id < 5) t
+      WHERE rn <= 5
+    )
+"""
+
+
+def _ann_contract_entry(spark, approx, exact, floor: float):
+    """(n_queries, k, n_exact, recall_floor, recall_ok) — the shared
+    contract row of the three non-replayable ANN entries: exact top-k
+    count (replayable) beside the Spark-measured recall bound check."""
+    from dataux_spark.operators.similarity import topk_recall_vs_exact
+
+    ne, nh = topk_recall_vs_exact(exact, approx)
+    return spark.createDataFrame(
+        [(5, 5, ne, float(floor), (nh / ne) >= floor)],
+        "n_queries bigint, k int, n_exact bigint, "
+        "recall_floor double, recall_ok boolean",
+    )
+
+
+@_q(
+    "ann_lsh_topk",
+    # r13 (VERDICT r12 item 4): rows-only → contract oracle. The
+    # Gaussian random hyperplanes can't replay in SQL (the seeded
+    # Rademacher twin ann_signband_topk carries the full value check),
+    # but the CONTRACT — recall vs exact brute force ≥ floor — is
+    # replayable: exact side in SQL, bound check as the returned value.
+    f"""
+    {_ANN_EXACT_CTE}
+    SELECT CAST(5 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST({_ANN_LSH_FLOOR} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    """,
+)
 def ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 with exact rerank
-    (operators/similarity.py). Recall vs brute force asserted in tests.
-    Random hyperplanes are the tunable production variant (bits
-    decorrelated from the embedding basis, nbits independent of dim);
-    ann_signband_topk is its oracle-checkable deterministic twin."""
-    from dataux_spark.operators.similarity import lsh_topk
+    (operators/similarity.py). Contract-checked (r13): returns the
+    measured recall-≥-{floor} verdict vs brute force beside the
+    replayable exact-pair count, so a recall regression in the
+    random-hyperplane pipeline hash-mismatches at the gate (it was
+    pytest-only before). Random hyperplanes are the tunable production
+    variant (bits decorrelated from the embedding basis, nbits
+    independent of dim); ann_signband_topk is its oracle-checkable
+    deterministic twin."""
+    from dataux_spark.operators.similarity import brute_force_topk, lsh_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _query_vecs(emb), "embedding", "vec_id",
-                    k=5, dim=64)
+    q = _query_vecs(emb)
+    approx = lsh_topk(emb, q, "embedding", "vec_id", k=5, dim=64)
+    exact = brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    return _ann_contract_entry(spark, approx, exact, _ANN_LSH_FLOOR)
 
 
 @_q(
@@ -4832,39 +5256,86 @@ def ann_signband_topk(spark, sf_dir):
                          k=5, band_bits=4, dim=64)
 
 
-@_q("ann_ivf_topk")  # rows-only: k-means quantizer isn't plain-SQL
+@_q(
+    "ann_ivf_topk",
+    # r13 contract oracle (see ann_lsh_topk): the k-means quantizer
+    # isn't plain-SQL (ann_ivf_fixed_topk is the deterministic
+    # value-checked twin), but recall-≥-floor vs brute force is.
+    f"""
+    {_ANN_EXACT_CTE}
+    SELECT CAST(5 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST({_ANN_IVF_FLOOR} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-5: spherical-k-means coarse quantizer, nprobe
     cell probing, exact rerank within cells (operators/similarity.py).
-    Recall vs brute force asserted in tests."""
-    from dataux_spark.operators.similarity import ivf_topk
+    Contract-checked (r13): measured recall vs brute force must clear
+    the floor the entry returns — probing 4 of 16 cells bounds recall
+    by design (measured 0.52-0.68 across sfs), so the floor is 0.45;
+    the exact-twin value check lives in ann_ivf_fixed_topk."""
+    from dataux_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _query_vecs(emb), "embedding", "vec_id",
-        k=5, n_centroids=16, nprobe=4,
+    q = _query_vecs(emb)
+    approx = ivf_topk(
+        emb, q, "embedding", "vec_id", k=5, n_centroids=16, nprobe=4
     )
+    exact = brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    return _ann_contract_entry(spark, approx, exact, _ANN_IVF_FLOOR)
 
 
-@_q("ann_ivf_index_topk")  # rows-only: persisted k-means index isn't plain-SQL
+@_q(
+    "ann_ivf_index_topk",
+    # r13 contract oracle: the persisted-index probe must (1) equal the
+    # in-memory ivf_topk result EXACTLY — the lifecycle contract the
+    # pytest assertion held, now value-checked at the gate — and
+    # (2) clear the same recall floor as ann_ivf_topk.
+    f"""
+    {_ANN_EXACT_CTE}
+    SELECT CAST(5 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST({_ANN_IVF_FLOOR} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok,
+           TRUE AS matches_memory
+    """,
+)
 def ann_ivf_index_topk(spark, sf_dir):
     """Persisted-IVF-index lifecycle: build the on-disk index (parquet
     cells partitioned by centroid, build-once serving layout), then probe
-    it (operators/similarity.py build_ivf_index/ivf_index_topk). Matches
-    the in-memory ivf_topk result exactly — asserted in
-    tests/test_similarity.py; the probe reads only nprobe/n_centroids of
-    the index files via partition pruning."""
+    it (operators/similarity.py build_ivf_index/ivf_index_topk). The
+    probe reads only nprobe/n_centroids of the index files via partition
+    pruning. Contract-checked (r13): `matches_memory` pins the
+    index probe == in-memory ivf_topk set equality (previously
+    pytest-only), `recall_ok` the shared IVF recall floor."""
     import tempfile
 
-    from dataux_spark.operators.similarity import build_ivf_index, ivf_index_topk
+    from dataux_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vecs(emb)
     slug = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
     path = f"{tempfile.gettempdir()}/dataux_ivf_index_{slug}"
     build_ivf_index(emb, "embedding", "vec_id", path, n_centroids=16)
-    return ivf_index_topk(
-        spark, path, _query_vecs(emb), "embedding", "vec_id", k=5, nprobe=4
+    idx = ivf_index_topk(
+        spark, path, q, "embedding", "vec_id", k=5, nprobe=4
     )
+    mem = ivf_topk(emb, q, "embedding", "vec_id", k=5, n_centroids=16, nprobe=4)
+    cols = ["query_id", "neighbor_id", "rank"]
+    matches = (
+        idx.select(*cols).exceptAll(mem.select(*cols)).count() == 0
+        and mem.select(*cols).exceptAll(idx.select(*cols)).count() == 0
+    )
+    exact = brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    base = _ann_contract_entry(spark, idx, exact, _ANN_IVF_FLOOR)
+    return base.select("*", F.lit(matches).alias("matches_memory"))
 
 
 @_q(
@@ -5476,18 +5947,119 @@ def ann_ivf_incremental_topk(spark, sf_dir):
     )
 
 
-@_q("embedding_kmeans_clusters")  # rows-only: k-means training isn't plain-SQL
+@_q(
+    "embedding_kmeans_clusters",
+    # r13 (VERDICT r12 item 4): rows-only → contract oracle. Trained
+    # centroids and cluster ids are not plain-SQL, but the CLUSTERING
+    # CONTRACT is: (a) every one of the k clusters is non-empty,
+    # (b) total spherical inertia of the k-means assignment beats the
+    # one-centroid global baseline — whose inertia IS exactly
+    # replayable. Determinism recipe: embedding components quantized to
+    # floor(x·10⁶) BIGINT, the baseline centroid is the per-dim
+    # round(avg) of those integers, so every dot/norm is a sum of exact
+    # integers (< 2⁵³ — exact in doubles in ANY summation order) and
+    # both engines produce bit-identical quantized inertia.
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i.i AS i, CAST(floor(v[i.i] * 1000000) AS BIGINT) AS qi
+      FROM v, generate_series(1, 64) AS i(i)
+    ),
+    m AS (
+      SELECT i, CAST(round(avg(qi)) AS BIGINT) AS mi FROM q GROUP BY i
+    ),
+    mn AS (
+      SELECT sqrt(sum(CAST(mi AS DOUBLE) * mi)) AS mn FROM m
+    ),
+    pd AS (
+      SELECT q.vec_id,
+             sum(CAST(q.qi AS DOUBLE) * m.mi) AS dot,
+             sqrt(sum(CAST(q.qi AS DOUBLE) * q.qi)) AS vn
+      FROM q JOIN m USING (i) GROUP BY q.vec_id
+    ),
+    pq AS (
+      SELECT vec_id,
+             CAST(round((1 - round(dot / (vn * (SELECT mn FROM mn)), 6))
+                        * 1000000) AS BIGINT) AS qc
+      FROM pd
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(8 AS INT) AS k,
+           TRUE AS all_clusters_nonempty,
+           CAST(sum(qc) AS BIGINT) AS global_inertia_q,
+           TRUE AS clustered_beats_global
+    FROM pq
+    """,
+)
 def embedding_kmeans_clusters(spark, sf_dir):
-    """Spherical k-means corpus clustering + per-cluster profile
-    (operators/similarity.kmeans_clusters / cluster_profile): centroids
-    trained on a deterministic sample, assignment as the zero-shuffle
-    literal-centroid projection, one small-k roll-up shuffle. Assignment
-    optimality and partition invariants are asserted in
-    tests/test_similarity.py."""
-    from dataux_spark.operators.similarity import cluster_profile, kmeans_clusters
+    """Spherical k-means corpus clustering
+    (operators/similarity.kmeans_clusters): centroids trained on a
+    deterministic sample, assignment as the zero-shuffle
+    literal-centroid projection. Contract-checked (r13): all 8 clusters
+    non-empty, and the assignment's total spherical inertia (Σ 1−cos to
+    the assigned centroid, quantized) must BEAT the replayable
+    one-centroid global baseline — the invariant that actually certifies
+    the training did something, which twelve rounds of rows-only checks
+    never could. Assignment optimality and partition invariants remain
+    in tests/test_similarity.py; cluster_profile stays the pipeline
+    surface for per-cluster roll-ups."""
+    import math
+
+    from dataux_spark.operators.similarity import kmeans_clusters
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return cluster_profile(kmeans_clusters(emb, "embedding", "vec_id", k=8))
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    mvec = [
+        int(r.mi)
+        for r in q.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.round(F.avg("qi"), 0).cast("bigint").alias("mi"))
+        .orderBy("i")
+        .collect()
+    ]
+    mn = math.sqrt(sum(x * x for x in mvec))
+    m_lit = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in mvec) + ")"
+    dot = (
+        f"aggregate(zip_with(q, {m_lit}, (a, b) -> CAST(a AS DOUBLE) * b), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    vn = (
+        "sqrt(aggregate(transform(q, x -> CAST(x AS DOUBLE) * x), "
+        "0D, (acc, y) -> acc + y))"
+    )
+    glob = q.select(
+        F.expr(
+            f"CAST(round((1 - round(({dot}) / (({vn}) * {mn!r}), 6)) "
+            "* 1000000, 0) AS BIGINT)"
+        ).alias("qc")
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.sum("qc").alias("global_inertia_q"),
+    )
+    asg = kmeans_clusters(emb, "embedding", "vec_id", k=8)
+    clus = asg.agg(
+        F.countDistinct("cluster").alias("nclus"),
+        F.sum(
+            F.expr("CAST(round((1 - cos) * 1000000, 0) AS BIGINT)")
+        ).alias("clustered_q"),
+    )
+    return glob.crossJoin(clus).select(
+        "n_points",
+        F.lit(8).cast("int").alias("k"),
+        (F.col("nclus") == 8).alias("all_clusters_nonempty"),
+        "global_inertia_q",
+        (F.col("clustered_q") < F.col("global_inertia_q")).alias(
+            "clustered_beats_global"
+        ),
+    )
 
 
 @_q(
@@ -7909,11 +8481,26 @@ def dedup_semantic_keepset(spark, sf_dir):
     return semantic_dedup(base, "embedding", "vec_id", cents, threshold=0.95)
 
 
-@_q("streaming_distinct_merge")  # rows-only by design: HLL union is
-# approximate (sparse/dense mode promotion varies with ingest order), so
-# there is no bit-exact oracle — the exact twin count_distinct IS
-# oracle-checked, and tests/test_streaming.py pins the estimate within
-# sketch tolerance of truth plus the replay-idempotence contract
+@_q(
+    "streaming_distinct_merge",
+    # r13 (VERDICT r12 item 4): rows-only → contract oracle. The HLL
+    # union is approximate (sparse/dense mode promotion varies with
+    # ingest order) so the ESTIMATE has no bit-exact replay — but the
+    # sketch contract does: per key, the streamed-then-merged estimate
+    # must land within 5% of the exact distinct count (lg_k=12 ⇒ rsd
+    # ≈1.6%; measured ≤2% at all sfs), and the rollup's event counts
+    # must equal the batch truth exactly. Both the exact distinct and
+    # the event count are plain SQL; the bound checks are the returned
+    # booleans.
+    """
+    SELECT event_type AS key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS est_within_5pct,
+           TRUE AS events_count_matches
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def streaming_distinct_merge(spark, sf_dir):
     """Streaming HLL-distinct ingest then range estimate
     (streaming/ops.streaming_distinct_ingest + the unchanged batch
@@ -7921,7 +8508,12 @@ def streaming_distinct_merge(spark, sf_dir):
     partials in replay-safe ingest_batch partitions, hll_union_agg
     merging across (bucket, batch) at read — returning users are never
     double-counted across micro-batches, which the naive per-batch sum
-    would do. Fifth and last streaming sketch twin."""
+    would do. Fifth and last streaming sketch twin. Contract-checked
+    (r13): per event_type, the merged estimate must sit within 5% of
+    the exact distinct-user count (replayable), and the rollup's
+    n_events roll-up must equal the batch count exactly — so a merge
+    that double-counts across micro-batches (the bug class this
+    operator exists to prevent) now hash-mismatches at the gate."""
     import tempfile
 
     from dataux_spark import streaming as S
@@ -7939,7 +8531,31 @@ def streaming_distinct_merge(spark, sf_dir):
         .parquet(f"{incoming}/*/")
     )
     S.streaming_distinct_ingest(stream, store).awaitTermination()
-    return distinct_over_range(spark, store)
+    est = distinct_over_range(spark, store).select(
+        "key",
+        F.col("n_distinct_est").alias("_est"),
+        F.col("n_events").alias("_est_events"),
+    )
+    exact = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return (
+        exact.join(est, "key")
+        .select(
+            "key",
+            "n_events",
+            "exact_distinct",
+            (
+                F.abs(F.col("_est").cast("double") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("est_within_5pct"),
+            (F.col("_est_events") == F.col("n_events")).alias(
+                "events_count_matches"
+            ),
+        )
+        .orderBy("key")
+    )
 
 
 @_q(
@@ -8822,81 +9438,82 @@ BENCH_PHASES: dict[str, dict] = {
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-12 rotation (VERDICT r11 items 3+4). Two jobs: (1) re-verdict
-    # the EIGHT entries whose oracle SQL changed this round — the
-    # near-dup families' exact all-pairs oracles were replaced by the
-    # prefix-candidate replay twins (_prefix_candidate_pairs_ctes /
-    # _containment_candidate_pairs_ctes — equal to the quadratic answer
-    # by the prefix-filtering theorem, candidate-linear, so the sf0.1
-    # sweep now value-checks them too); five of these also carry the r12
-    # routed max_bucket default, a no-op at driver scale (sf0.01 routes
-    # prefix; the cap only exists on the minhash route) but re-verdicted
-    # anyway because their oracle text changed. (2) Refresh the stalest
-    # verdicts: all 13 entries whose latest driver green is round 7
-    # (VERDICT r11 item 3's list), then the 29 oldest round-8 entries in
-    # registry order. Every rotated-in entry passes the local 212/212
-    # sf0.01 AND (new, zero-skip) 212/212 sf0.1 tools/check.py runs this
-    # round, so this is freshness hygiene, not risk. After this window no
-    # oracle-backed entry's latest driver green is older than r8 (the 15
-    # r8 entries that didn't fit rotate in r13). Plus ONE new entry:
-    # dedup_containment_small_side — the r12 high-ratio supplement's
-    # recall claim value-checked cross-engine (banded ∪ small-side-exact
-    # == exact oracle on a planted quote corpus where banded alone
-    # misses 11/125 directional quote pairs).
+    # Round-13 rotation (VERDICT r12 items 1+3+4). Composition: (1) ONE
+    # new entry — dedup_containment_recall_report, the saturated
+    # containment route's recall-by-ratio-band measurement, fully
+    # md5-replayed by its oracle; (2) the SEVEN former rows-only sketch
+    # entries converted to contract oracles this round (the bound check
+    # is now the value the gate hashes) — cardinality_approx,
+    # dedup_simhash, ann_lsh_topk, ann_ivf_topk, ann_ivf_index_topk,
+    # embedding_kmeans_clusters, streaming_distinct_merge; (3) the THREE
+    # entries whose physical plan changed with the chunked in-bucket
+    # pair expansion (dedup._expand_bucket_pairs) — dedup_minhash_lsh,
+    # training_prep_pipeline, dedup_containment_small_side; (4) the 15
+    # remaining round-8-stale greens (VERDICT r12 item 1's list,
+    # complete); (5) fill to 50 with the 24 OLDEST round-9 greens in
+    # registry order. Every rotated-in entry passes the local full-
+    # registry tools/check.py sweeps at sf0.01 AND sf0.1 this round, so
+    # this is freshness hygiene, not risk. After this window no
+    # oracle-backed entry's latest driver verdict is older than r9
+    # (22 r9 entries remain for r14). Correction for the r12 comment's
+    # arithmetic (ADVICE r12): the r12 window listed 28 r8 entries (not
+    # 29) and the post-landing sweeps were 213/213 (not 212/212; the
+    # registry is 214 after this round's new entry).
     # --- new entry (1) ---
-    "dedup_containment_small_side",
-    # --- changed-oracle entries (8) ---
+    "dedup_containment_recall_report",
+    # --- converted contract oracles (7) ---
+    "cardinality_approx",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_index_topk",
+    "embedding_kmeans_clusters",
+    "streaming_distinct_merge",
+    # --- chunked-expansion plan changes (3) ---
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
     "training_prep_pipeline",
-    "dedup_containment_pairs",
-    "dedup_prefix_jaccard",
-    "dedup_source_matrix",
-    "dedup_savings_report",
-    # --- stalest r7 verdicts (all 13) ---
-    "web_domain_rollup",
-    "pushdown_datastore_ineq_topk",
-    "pushdown_lytics_filter",
-    "sequence_match_vcp",
-    "streaming_sequence_match",
-    "link_entities_blocked",
-    "corpus_clean_pipeline",
-    "corpus_hygiene_pipeline",
-    "rollup_quantile_range",
-    "events_zscore_anomalies",
-    "cdc_incremental_aggregate",
-    "text_collocations_pmi",
-    "rollup_topk_range",
-    # --- oldest r8 verdicts (28, registry order) ---
-    "pricing_summary",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q16_supplier_part_cnt",
-    "q20_excess_suppliers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q21_waiting_suppliers",
-    "profile_embeddings_qa",
-    "profile_histogram_depth",
-    "profile_robust_means",
-    "profile_drift_psi",
-    "stats_trend_per_type",
-    "stats_ab_ttest",
-    "retrieval_eval_ndcg",
-    "graph_trustrank",
-    "graph_label_communities",
-    "graph_triangle_stats",
-    "sample_pctl_normalize",
-    "sample_kfold_counts",
-    "export_shard_manifest",
-    "compaction_roundtrip",
-    "join_bloom_reduced",
-    "text_bigram_pppl",
-    "text_lexical_drift",
-    "text_vocab_coverage",
-    "skew_join_preflight",
-    "text_taxonomy_tags",
+    "dedup_containment_small_side",
+    # --- remaining r8-stale verdicts (15, registry order) ---
+    "decontaminate_neardup",
+    "embedding_random_projection",
+    "ann_knn_join",
+    "multimodal_curation_gate",
+    "pushdown_mongo_filter_topk",
+    "pushdown_es_group_agg",
+    "pushdown_cass_key_topk",
+    "pushdown_bq_full_query",
+    "streaming_topk_merge",
+    "streaming_cms_merge",
+    "streaming_quantile_merge",
+    "events_active_users",
+    "events_last_touch",
+    "events_seasonal_anomalies",
+    "rollup_cms_estimates",
+    # --- oldest r9 verdicts (24, registry order) ---
+    "filter_between",
+    "count_star",
+    "agg_minmax_sum_avg",
+    "agg_over_expression",
+    "join_3way",
+    "set_union",
+    "window_running_sum",
+    "cube_counts",
+    "case_string_math",
+    "date_extract",
+    "events_hourly_agg",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "split_hash_counts",
+    "sample_temperature_mix",
+    "rollup_hourly_merge",
+    "events_json_extract",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_winnow_fingerprints",
+    "embedding_neardup_knn",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_scores",
 ]
 
 

@@ -431,6 +431,14 @@ def _exact_containment(docs: list[str], threshold: float) -> set[tuple[int, int,
     return out
 
 
+# Aggregate miss tally for the banded-route recall budget below (ADVICE
+# r12): accumulates across every example of the derandomized hypothesis
+# run so the 0.1% budget is a run-level RATE, not a per-example freebie.
+# Re-running the test in one process only ever ADDS to both counters, so
+# the rate bound stays valid across repeats.
+_CONTAINMENT_MISS_TALLY: dict[str, int] = {"within": 0, "missed": 0}
+
+
 @settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=_corpus)
@@ -444,12 +452,17 @@ def test_containment_routes_contract_on_random_corpora(spark, docs):
         and the ratio-cap recall contract: pairs whose container is
         ≤ ratio_cap× the contained size must be returned up to the
         PROBABILISTIC miss budget — target_recall=0.999 is a recall
-        floor, not a guarantee, so the assertion allows
-        ceil(0.1% · |within|) misses rather than strict inclusion
-        (ADVICE r11: derandomize + fixed xxhash freeze today's sample
-        into zero misses, but any change to the strategy, seed
-        plumbing, or hash salt could surface a legitimately-in-contract
-        miss; a hard ⊆ would flag it as a failure).
+        floor, not a guarantee (ADVICE r11: derandomize + fixed xxhash
+        freeze today's sample into zero misses, but any change to the
+        strategy, seed plumbing, or hash salt could surface a
+        legitimately-in-contract miss; a hard ⊆ would flag it as a
+        failure). ADVICE r12: a PER-EXAMPLE ceil(0.1%·|within|) budget
+        would let a deterministic one-miss-per-corpus regression pass
+        (1 miss is always in budget on these tiny corpora), so the
+        budget is enforced on the AGGREGATE tally across the whole
+        derandomized hypothesis run: one genuinely probabilistic miss
+        stays in budget, a systematic per-corpus miss blows through it
+        by the second example.
         Pairs OUTSIDE the cap (tiny doc inside a much larger one) are
         the documented trade and are NOT required.
     """
@@ -479,7 +492,11 @@ def test_containment_routes_contract_on_random_corpora(spark, docs):
         if len(_grams(docs[b])) <= cap * len(_grams(docs[a]))
     }
     missed = within - banded
-    assert len(missed) <= math.ceil(0.001 * len(within)), missed
+    _CONTAINMENT_MISS_TALLY["within"] += len(within)
+    _CONTAINMENT_MISS_TALLY["missed"] += len(missed)
+    assert _CONTAINMENT_MISS_TALLY["missed"] <= math.ceil(
+        0.001 * max(_CONTAINMENT_MISS_TALLY["within"], 1)
+    ), (missed, dict(_CONTAINMENT_MISS_TALLY))
 
 
 @settings(max_examples=6, deadline=None, derandomize=True,

@@ -22,7 +22,9 @@ flags every column where the two engines' types disagree, making that
 whole mismatch class structurally impossible.
 
 NOTE on scale: the driver gate runs at sf0.01. Since r12 the full
-212-entry sweep passes at sf0.1 too, with NO skips: the eight near-dup
+registry sweep (every entry — the count grows each round; see
+queries._REGISTRY for the current total) passes at sf0.1 too, with NO
+skips: the eight near-dup
 oracles that used to be exact all-pairs joins (quadratic — ~10 min each
 in DuckDB at sf0.1: dedup_minhash_lsh, dedup_ngram_jaccard,
 dedup_clusters, training_prep_pipeline, dedup_containment_pairs,
