@@ -111,6 +111,14 @@ def growth_curve(spark, extra_factors: list[int]) -> None:
         docs.unpersist()
 
 
+# Above this clique size the uncapped (pre-r12) run is skipped: its wall
+# and pair count grow ~k² (measured through k=4000; 49.7 s containment at
+# k=2000 already), so a k=10,000 uncapped run would only re-demonstrate
+# the quadratic the capped default exists to remove. The capped run and
+# the recovered-pair fraction ARE measured at every k.
+CLIQUE_UNCAPPED_MAX = 4000
+
+
 def clique_curve(spark, clique_sizes: list[int]) -> None:
     from dataux_spark.operators import dedup
     from dataux_spark.queries import read_table
@@ -118,7 +126,8 @@ def clique_curve(spark, clique_sizes: list[int]) -> None:
     base = repeat_docs(
         read_table(spark, "/root/testdata/sf0.1", "documents"), 10
     ).select("doc_id", "text")
-    print(f"{'corpus':16s} {'docs':>7s} {'cap':>6s} {'wall_s':>8s} {'pairs':>12s}")
+    print(f"{'corpus':16s} {'docs':>7s} {'family':12s} {'cap':>6s} "
+          f"{'wall_s':>8s} {'pairs':>12s} {'clq_rec':>8s}")
     for k in clique_sizes:
         clique = spark.range(k).select(
             (F.col("id") + 100_000_000).alias("doc_id"),
@@ -128,20 +137,40 @@ def clique_curve(spark, clique_sizes: list[int]) -> None:
         n = docs.count()
         g = dedup.gram_sets(docs, "text", "doc_id", 3).persist()
         g.count()
-        for family, pair_fn, kw in [
-            ("jaccard", dedup.adaptive_jaccard_pairs, {"threshold": 0.5}),
-            ("containment", dedup.adaptive_containment_pairs, {"threshold": 0.8}),
+        for family, pair_fn, kw, clique_total in [
+            ("jaccard", dedup.adaptive_jaccard_pairs, {"threshold": 0.5},
+             k * (k - 1) // 2),
+            ("containment", dedup.adaptive_containment_pairs,
+             {"threshold": 0.8}, k * (k - 1)),
         ]:
             for cap in [dedup.routed_max_bucket(n), None]:
+                if cap is None and k > CLIQUE_UNCAPPED_MAX:
+                    print(f"{'x10+clique ' + str(k):16s} {n:7d} {family:12s} "
+                          f"{'none':>6s} {'skip':>8s} {'~k^2':>12s} {'1.0':>8s}"
+                          f"  (uncapped measured through k={CLIQUE_UNCAPPED_MAX})")
+                    continue
                 t0 = time.perf_counter()
-                pairs = pair_fn(
+                out = pair_fn(
                     docs, "text", "doc_id", grams=g,
                     route="minhash", max_bucket=cap, **kw,
-                ).count()
+                ).persist()
+                pairs = out.count()
                 wall = time.perf_counter() - t0
+                # recovered-pair fraction (VERDICT r12 item 6): of the
+                # clique's own pairs, how many the route still returns —
+                # the docstring claim "clique members collide on EVERY
+                # band" predicts 0.0 under the cap (identical docs have
+                # identical signatures, so every band bucket holds the
+                # whole clique and is dropped); measured, not argued.
+                clq = out.filter(
+                    (F.col("id_a") >= 100_000_000)
+                    & (F.col("id_b") >= 100_000_000)
+                ).count()
+                out.unpersist()
                 cap_str = str(cap) if cap is not None else "none"
                 print(f"{'x10+clique ' + str(k):16s} {n:7d} {family:12s} "
-                      f"{cap_str:>6s} {wall:8.2f} {pairs:12d}")
+                      f"{cap_str:>6s} {wall:8.2f} {pairs:12d} "
+                      f"{clq / clique_total:8.4f}")
         g.unpersist()
         docs.unpersist()
 
