@@ -88,6 +88,13 @@ HEADLINE = [
     # wrong bill; the headline entry stays plain, pipelines that want the
     # reuse pass their own persisted grams, and build_minhash_store
     # remains the durable path.
+    # r13 fingerprint break (one-time, same class as the r10 phase
+    # split): the in-bucket pair expansion is now chunked
+    # (dedup._expand_bucket_pairs — segment×segment, bounding per-cell
+    # memory at the cap ceiling), which adds one generator stage to
+    # every minhash-route plan. dedup_minhash_lsh and
+    # training_prep_pipeline fingerprints change r12→r13; compare their
+    # walls within r13+ only.
     "dedup_minhash_lsh",
     # round-5 addition: the Lee-et-al span census — a second dedup family
     # (substring-level) in the timed set, so its two-shuffle linear plan

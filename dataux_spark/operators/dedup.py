@@ -139,8 +139,12 @@ def routed_max_bucket(
 # warning for any run that actually dropped buckets; each new capped call
 # drains first, so steady-state pipelines auto-emit every prior run's
 # census without the caller doing anything (ADVICE r12: the default-on
-# cap must not drop recall silently).
+# cap must not drop recall silently). Bounded: a capped frame that is
+# built but never executed leaves its Observation pending forever, so
+# the list keeps only the newest _CAP_OBSERVATIONS_MAX — older
+# never-run censuses are dropped, never leaked.
 _CAP_OBSERVATIONS: list[tuple[Observation, int]] = []
+_CAP_OBSERVATIONS_MAX: int = 64
 
 
 def _observation_row_nonblocking(obs: Observation) -> dict | None:
@@ -272,6 +276,7 @@ def _expand_bucket_pairs(
             F.max(F.size("_ids")).alias("largest_bucket"),
         )
         _CAP_OBSERVATIONS.append((obs, int(max_bucket)))
+        del _CAP_OBSERVATIONS[:-_CAP_OBSERVATIONS_MAX]
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
     buckets = buckets.filter(F.size("_ids") >= 2)
     seg_pairs = F.expr(

@@ -290,7 +290,7 @@ def count_distinct(spark, sf_dir):
     # CONTRACT "estimate within the configured 5% rsd of exact" is plain
     # SQL: the entry returns the exact count (replayable) beside the
     # bound-check BOOLEAN, so a drifting sketch now hash-mismatches
-    # instead of passing a rows-only gate. Measured slack: relerr
+    # instead of passing a rows-only gate. Measured margin: relerr
     # 0.025/0.027/0.024 at sf0.001/0.01/0.1 vs the 0.05 bound.
     "SELECT count(DISTINCT l_partkey) AS exact_dct, "
     "CAST(count(*) AS BIGINT) AS ct, TRUE AS approx_ok FROM lineitem",

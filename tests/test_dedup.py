@@ -185,6 +185,7 @@ def test_minhash_lsh_max_bucket_drops_boilerplate(spark):
     assert len(_pairset(uncapped)) >= 435  # the blowup the cap prevents
 
 
+@pytest.mark.slow  # multi-10s at birth: six segment configs, each collected
 def test_chunked_bucket_expansion_matches_unchunked(spark):
     """r13 (VERDICT r12 hardening item 2): the segment×segment in-bucket
     expansion must produce EXACTLY the triangular pair set of the old

@@ -421,14 +421,19 @@ _PREFIX_SHAPE = (
 )
 _MINHASH_SHAPE = (
     "minhash route: band-hash equi-join candidates, no prefix window, "
-    "hot-bucket cap present",
+    "hot-bucket cap present, chunked expansion present",
     # r12: the routed minhash path must also SHOW the census-derived
     # hot-bucket backstop (VERDICT r11 item 1) — a bucket-size filter
     # `size(_ids) <= cap` in the candidate stage. Without this check the
     # cap could silently regress to unreachable again.
+    # r13: and the CHUNKED in-bucket expansion (VERDICT r12 item 2) —
+    # the `slice(_ids, ...)` segment cells must appear in the generator
+    # stage, so the single-array form (~33.5M structs in one cell at
+    # the cap ceiling) cannot silently come back.
     lambda p: re.search(r"hashpartitioning\(band#\d+, bh#\d+", p) is not None
     and "Window" not in p
-    and re.search(r"size\(_ids#\d+[^)]*\) <= \d+", p) is not None,
+    and re.search(r"size\(_ids#\d+[^)]*\) <= \d+", p) is not None
+    and re.search(r"slice\(_ids#", p) is not None,
 )
 # only the plan-transparent entries are shape-checked (see above); the
 # kwargs themselves come from queries.ADAPTIVE_JACCARD_KW/_BLOCKS and
