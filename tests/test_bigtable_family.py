@@ -53,6 +53,7 @@ def test_each_family_is_a_table_with_parent(eng):
     assert src.parent == {"activity": "events_bt", "profile": "events_bt"}
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim)
 def test_family_filter_drops_cell_less_rows(eng):
     # u3 has no activity cells → FamilyFilter semantics exclude it
     rows = eng.sql("SELECT rowkey FROM activity ORDER BY rowkey").collect()
@@ -72,6 +73,7 @@ def test_families_recompose_via_rowkey_join(eng):
     assert [tuple(r) for r in out] == [("Ann", 12)]
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim)
 def test_bigtable_family_mutations_rowkey_upsert(spark, tmp_path):
     """BigTable mutation semantics through the engine (reference
     sql_to_bt.go:242-396: SetCell per column keyed by the row key,

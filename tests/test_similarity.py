@@ -40,6 +40,7 @@ def test_brute_force_topk_shape(emb):
         assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim): recall now ALSO gate-checked by ann_lsh_topk's contract oracle
 def test_lsh_recall_vs_brute_force(emb):
     """Sign-LSH with 64 bits / 4-bit bands: recall@5 ≥ 0.7 on random-ish
     embeddings (low-similarity corpus is the worst case for sign-LSH;
@@ -57,6 +58,7 @@ def test_lsh_recall_vs_brute_force(emb):
     assert hits / total >= 0.7, f"recall {hits}/{total}"
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim)
 def test_lsh_deterministic(emb):
     q = emb.filter(F.col("vec_id") < 3)
     a = similarity.lsh_topk(emb, q, "embedding", "vec_id", k=3, seed=7).collect()
@@ -90,6 +92,7 @@ def test_ivf_deterministic_and_shape(emb):
         assert r.neighbor_id != r.query_id and 1 <= r.rank <= 3
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim): equality now ALSO gate-checked by ann_ivf_index_topk's matches_memory contract
 def test_persisted_ivf_index_matches_inmemory(emb, spark, tmp_path):
     """build_ivf_index + ivf_index_topk returns the same top-k as the
     one-shot ivf_topk with identical hyperparameters — the on-disk cell
@@ -114,6 +117,7 @@ def test_persisted_ivf_index_matches_inmemory(emb, spark, tmp_path):
     assert sorted(map(tuple, from_index)) == sorted(map(tuple, in_memory))
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim): the signband pipeline is fully value-checked by the ann_signband_topk oracle
 def test_signband_topk_recall_and_shape(emb):
     """Axis-sign-band ANN (the oracle-checkable deterministic twin of
     lsh_topk): valid rank/cos shape, decent recall@5, and determinism."""
@@ -136,6 +140,7 @@ def test_signband_topk_recall_and_shape(emb):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim)
 def test_signband_topk_candidates_only(emb):
     """Every returned neighbor must share ≥1 (band, value) with its query
     — signband_topk never falls back to brute force."""
@@ -154,6 +159,7 @@ def test_signband_topk_candidates_only(emb):
         assert bands(vecs[r.query_id]) & bands(vecs[r.neighbor_id])
 
 
+@pytest.mark.slow  # multi-10s (r13 fast-path trim)
 def test_lsh_arrow_signature_matches_expression_path(emb):
     """The Arrow-batched signature (plan-lean path for BERT-scale dims)
     must produce the identical result set as the inlined-literal
