@@ -147,13 +147,22 @@ _CAP_OBSERVATIONS: list[tuple[Observation, int]] = []
 _CAP_OBSERVATIONS_MAX: int = 64
 
 
+# One-shot flag: if the private JVM bridge the non-blocking probe uses
+# ever drifts (rename, Spark Connect's bridgeless Observation), the
+# probe must say so ONCE instead of silently reporting every census as
+# "pending" forever — silence would void exactly the observability
+# guarantee the census exists for (r13 review).
+_CAP_BRIDGE_WARNED: bool = False
+
+
 def _observation_row_nonblocking(obs: Observation) -> dict | None:
     """The completed metrics row of `obs`, or None if its frame has not
     finished an action yet. Uses the JVM Observation.getRowOrEmpty —
     the only non-blocking surface (the public .get BLOCKS until an
-    action runs, which a drain loop must never do). Guarded: any
-    bridge change degrades to 'census pending', never to an error in
-    the dedup hot path."""
+    action runs, which a drain loop must never do). Guarded: bridge
+    drift degrades to 'census pending' but logs a warning ONCE so the
+    degradation is visible, never an error in the dedup hot path."""
+    global _CAP_BRIDGE_WARNED
     try:
         from pyspark.serializers import CPickleSerializer
 
@@ -170,7 +179,37 @@ def _observation_row_nonblocking(obs: Observation) -> dict | None:
             recursive=False
         )
     except Exception:  # pragma: no cover - py4j bridge drift
+        if not _CAP_BRIDGE_WARNED:
+            _CAP_BRIDGE_WARNED = True
+            _LOG.warning(
+                "cap-drop census bridge unavailable (JVM Observation."
+                "getRowOrEmpty probe raised) — hot-bucket cap drops will "
+                "NOT be reported this session; use Observation.get via "
+                "last_cap_census(block=True) after an action if you need "
+                "the census.",
+                exc_info=True,
+            )
         return None
+
+
+def _harvest_cap_census(row: dict, cap: int) -> dict:
+    """Attach the cap to a completed census row and emit the one shared
+    dropped-buckets warning (both retrieval paths go through here so
+    the message cannot drift between them)."""
+    row = dict(row)
+    row["max_bucket"] = cap
+    if (row.get("buckets_dropped") or 0) > 0:
+        _LOG.warning(
+            "routed hot-bucket cap dropped %s bucket(s) / %s doc-slot(s) "
+            "(max_bucket=%s, largest bucket seen=%s, buckets total=%s): "
+            "pairs inside them were not generated — near-exact cliques "
+            "larger than the cap (template+token variants) lose recall; "
+            "run a high-threshold near-exact dedup pass upstream or "
+            "raise max_bucket.",
+            row["buckets_dropped"], row["doc_slots_dropped"], cap,
+            row.get("largest_bucket"), row.get("buckets_total"),
+        )
+    return row
 
 
 def drain_cap_censuses() -> list[dict]:
@@ -187,48 +226,39 @@ def drain_cap_censuses() -> list[dict]:
         if row is None:
             pending.append((obs, cap))
             continue
-        row = dict(row)
-        row["max_bucket"] = cap
-        if (row.get("buckets_dropped") or 0) > 0:
-            _LOG.warning(
-                "routed hot-bucket cap dropped %s bucket(s) / %s doc-slot(s) "
-                "(max_bucket=%s, largest bucket seen=%s, buckets total=%s): "
-                "pairs inside them were not generated — near-exact cliques "
-                "larger than the cap (template+token variants) lose recall; "
-                "run a high-threshold near-exact dedup pass upstream or "
-                "raise max_bucket.",
-                row["buckets_dropped"], row["doc_slots_dropped"], cap,
-                row.get("largest_bucket"), row.get("buckets_total"),
-            )
-        done.append(row)
+        done.append(_harvest_cap_census(row, cap))
     _CAP_OBSERVATIONS[:] = pending
     return done
 
 
-def last_cap_census(block: bool = False) -> dict | None:
-    """Census of the MOST RECENT capped routed expansion: dict with
-    buckets_total, buckets_dropped, doc_slots_dropped, largest_bucket,
-    max_bucket. None if no capped run is outstanding or (block=False)
-    its action has not completed. block=True waits on the action —
-    only call that after triggering one (e.g. in tests, right after
-    collecting the pairs). Logs the same warning drain_cap_censuses
-    logs when the cap dropped anything."""
-    if not _CAP_OBSERVATIONS:
-        return None
-    obs, cap = _CAP_OBSERVATIONS[-1]
-    if not block and _observation_row_nonblocking(obs) is None:
-        return None
-    row = dict(obs.get)
-    row["max_bucket"] = cap
-    _CAP_OBSERVATIONS.pop()
-    if (row.get("buckets_dropped") or 0) > 0:
-        _LOG.warning(
-            "routed hot-bucket cap dropped %s bucket(s) / %s doc-slot(s) "
-            "(max_bucket=%s, largest bucket seen=%s)",
-            row["buckets_dropped"], row["doc_slots_dropped"], cap,
-            row.get("largest_bucket"),
-        )
-    return row
+def last_cap_census(block: bool = False, timeout: float = 60.0) -> dict | None:
+    """Census of the most recent COMPLETED capped routed expansion:
+    dict with buckets_total, buckets_dropped, doc_slots_dropped,
+    largest_bucket, max_bucket. Walks pending censuses newest-first and
+    returns (and removes) the newest whose action has run — so a later
+    capped frame that was built but never executed does not mask an
+    earlier completed run. With block=True it keeps polling (bounded by
+    `timeout` seconds) until some pending census completes — a bounded
+    wait, never Observation.get's unbounded block, so a capped frame
+    that is never executed cannot hang the driver (r13 review); on
+    timeout it returns None like the non-blocking path. NOTE: building
+    a NEW capped frame auto-drains completed censuses (they are logged
+    and consumed by drain_cap_censuses) — harvest programmatically
+    BEFORE the next capped build if you need the dict, not just the
+    log line."""
+    import time as _time
+
+    deadline = _time.monotonic() + (timeout if block else 0.0)
+    while True:
+        for i in range(len(_CAP_OBSERVATIONS) - 1, -1, -1):
+            obs, cap = _CAP_OBSERVATIONS[i]
+            row = _observation_row_nonblocking(obs)
+            if row is not None:
+                del _CAP_OBSERVATIONS[i]
+                return _harvest_cap_census(row, cap)
+        if not block or not _CAP_OBSERVATIONS or _time.monotonic() >= deadline:
+            return None
+        _time.sleep(0.05)
 
 
 def _expand_bucket_pairs(

@@ -3471,7 +3471,7 @@ def dedup_simhash_md5(spark, sf_dir):
       SELECT doc_id,
              md5(array_to_string(
                regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS nh
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), corpus AS (
       SELECT doc_id, nh FROM base
       UNION ALL
@@ -3500,7 +3500,15 @@ def dedup_simhash(spark, sf_dir):
     checked. The truth join rides md5 digests, never full texts."""
     from dataux_spark.operators.dedup import simhash_pairs, tokens
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-text guard (r13 review): Spark's concat_ws maps a NULL token
+    # array to '' while DuckDB's array_to_string yields NULL, so a NULL
+    # text row would enter Spark's truth set (nh = md5('')) but not the
+    # oracle's — filter NULLs identically on both sides instead.
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     planted = docs.filter(F.col("doc_id") % 100 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -5736,11 +5744,13 @@ _ANN_RECALL_BANDS, _ANN_RECALL_BITS, _ANN_RECALL_SEED = 32, 4, 3
 )
 def ann_recall_report(spark, sf_dir):
     """Measured ANN recall-vs-exact as a gate-checked table (VERDICT r10
-    item 6: the rows-only production entries ann_lsh_topk / ann_ivf_topk
-    assert recall ≥ 0.9 in pytest only — this entry puts the recall
-    MEASUREMENT itself under the external value gate, the
-    embedding_band_sizing pattern applied to recall). Two rows, one per
-    deterministic ANN pipeline:
+    item 6: this entry puts the recall MEASUREMENT itself under the
+    external value gate, the embedding_band_sizing pattern applied to
+    recall; since r13 the production entries ann_lsh_topk /
+    ann_ivf_topk ALSO carry contract oracles — recall-≥-floor as the
+    gate-hashed value — so this report and those contracts check the
+    same claim from two angles). Two rows, one per deterministic ANN
+    pipeline:
 
       signband_lsh — random-hyperplane sign-LSH whose planes are the
         md5-seeded Rademacher matrix (similarity.seeded_signband_topk,

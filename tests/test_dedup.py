@@ -1,6 +1,8 @@
 """Dedup operator tests: LSH candidate generation must agree with the exact
 (oracle-checked) pairwise computations at matching thresholds."""
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -252,6 +254,18 @@ def test_cap_census_reports_dropped_buckets(spark, caplog):
     dedup._expand_bucket_pairs(buckets, 100).count()
     drained = dedup.drain_cap_censuses()
     assert len(drained) == 1 and drained[0]["buckets_dropped"] == 0
+    # r13 review: last_cap_census returns the newest COMPLETED census
+    # (harvested before any new capped build auto-drains it), and
+    # block=True is a BOUNDED poll — a capped frame that is never
+    # executed cannot hang the driver
+    dedup._expand_bucket_pairs(buckets, 5).count()
+    got = dedup.last_cap_census(block=True)
+    assert got is not None and got["max_bucket"] == 5
+    dedup._expand_bucket_pairs(buckets, 7)  # built, never executed
+    assert dedup.last_cap_census() is None  # non-blocking: pending only
+    t0 = time.monotonic()
+    assert dedup.last_cap_census(block=True, timeout=0.3) is None
+    assert time.monotonic() - t0 < 5  # bounded, not Observation.get
 
 
 @pytest.mark.slow  # multi-10s at birth (r11 brief item 7): four routed calls

@@ -17,6 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dataux_spark.operators.dedup import (  # noqa: E402
+    BUCKET_PAIR_SEGMENT as _BUCKET_PAIR_SEGMENT,
+)
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -427,13 +431,19 @@ _MINHASH_SHAPE = (
     # `size(_ids) <= cap` in the candidate stage. Without this check the
     # cap could silently regress to unreachable again.
     # r13: and the CHUNKED in-bucket expansion (VERDICT r12 item 2) —
-    # the `slice(_ids, ...)` segment cells must appear in the generator
-    # stage, so the single-array form (~33.5M structs in one cell at
-    # the cap ceiling) cannot silently come back.
+    # the segment-offset arithmetic `(s.i * BUCKET_PAIR_SEGMENT)` must
+    # appear in the generator stage, so the single-array form (~33.5M
+    # structs in one cell at the cap ceiling) cannot silently come
+    # back. A bare `slice(_ids#` anchor would NOT do: the unchunked
+    # triangle expansion also sliced _ids (`slice(_ids, i + 2, ...)`),
+    # so only the segment-spine multiply distinguishes the shapes; the
+    # width is imported from the one dedup constant (no-drift rule).
     lambda p: re.search(r"hashpartitioning\(band#\d+, bh#\d+", p) is not None
     and "Window" not in p
     and re.search(r"size\(_ids#\d+[^)]*\) <= \d+", p) is not None
-    and re.search(r"slice\(_ids#", p) is not None,
+    and re.search(
+        r"\(s#\d+\.i \* " + str(_BUCKET_PAIR_SEGMENT) + r"\)", p
+    ) is not None,
 )
 # only the plan-transparent entries are shape-checked (see above); the
 # kwargs themselves come from queries.ADAPTIVE_JACCARD_KW/_BLOCKS and

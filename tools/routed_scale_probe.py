@@ -149,24 +149,32 @@ def clique_curve(spark, clique_sizes: list[int]) -> None:
                           f"{'none':>6s} {'skip':>8s} {'~k^2':>12s} {'1.0':>8s}"
                           f"  (uncapped measured through k={CLIQUE_UNCAPPED_MAX})")
                     continue
-                t0 = time.perf_counter()
-                out = pair_fn(
-                    docs, "text", "doc_id", grams=g,
-                    route="minhash", max_bucket=cap, **kw,
-                ).persist()
-                pairs = out.count()
-                wall = time.perf_counter() - t0
                 # recovered-pair fraction (VERDICT r12 item 6): of the
                 # clique's own pairs, how many the route still returns —
                 # the docstring claim "clique members collide on EVERY
                 # band" predicts 0.0 under the cap (identical docs have
                 # identical signatures, so every band bucket holds the
                 # whole clique and is dropped); measured, not argued.
-                clq = out.filter(
-                    (F.col("id_a") >= 100_000_000)
-                    & (F.col("id_b") >= 100_000_000)
-                ).count()
-                out.unpersist()
+                # Both counters ride ONE aggregate on the lazy frame so
+                # the timed region stays the pair stage itself — a
+                # persist-then-two-counts form would bill the cache
+                # write into the wall and break comparability with the
+                # r12 tables (r13 review).
+                t0 = time.perf_counter()
+                row = pair_fn(
+                    docs, "text", "doc_id", grams=g,
+                    route="minhash", max_bucket=cap, **kw,
+                ).agg(
+                    F.count("*").alias("pairs"),
+                    F.sum(
+                        (
+                            (F.col("id_a") >= 100_000_000)
+                            & (F.col("id_b") >= 100_000_000)
+                        ).cast("long")
+                    ).alias("clq"),
+                ).collect()[0]
+                wall = time.perf_counter() - t0
+                pairs, clq = row.pairs, row.clq or 0
                 cap_str = str(cap) if cap is not None else "none"
                 print(f"{'x10+clique ' + str(k):16s} {n:7d} {family:12s} "
                       f"{cap_str:>6s} {wall:8.2f} {pairs:12d} "
