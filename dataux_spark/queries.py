@@ -117,7 +117,30 @@ _NANOS_TS = {"events": ["ts"]}  # parquet TIMESTAMP(NANOS) columns per table
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; converts nanos timestamps to µs (matches
-    DuckDB's ns→µs truncation)."""
+    DuckDB's ns→µs truncation).
+
+    The LAZY source frame is memoized per (session, dir, table) — r13
+    optimization (guide §6 file listing/metadata): every
+    `spark.read.parquet` call re-infers the schema from footers (~80 ms
+    measured at sf0.1), and the bench re-builds each query's frame per
+    timed run, so repeated metadata inference was ~15-20% of several
+    per-query walls. A catalog-backed engine resolves a table name to a
+    schema without touching storage — this memo is that catalog. It
+    caches NO data or results: the returned DataFrame is an unexecuted
+    plan, and every action on it scans the parquet afresh. The cache
+    dies with the session object (stored as an attribute on it), so
+    cross-session isolation (e.g. check.py --vanilla) is automatic. The
+    driver testdata dirs are immutable; anything that mutates tables
+    (DML COW copies, maintenance rewrites) works on its own temp paths
+    and never reads them through here."""
+    try:
+        cache = spark._dataux_read_cache
+    except AttributeError:
+        cache = spark._dataux_read_cache = {}
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     if name in _NANOS_TS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -127,6 +150,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS LONG))"))
+    cache[key] = df
     return df
 
 
