@@ -796,6 +796,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = None,
     grams: DataFrame | None = None,
+    verify_grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -868,9 +869,18 @@ def minhash_lsh_pairs(
     # signatures durable uses build_minhash_store — the explicit
     # checkpoint table — whose probe path shares no such recompute, and a
     # same-session pipeline passes a persisted `grams` (docstring above).
+    # `verify_grams` (r13, optimization affordance): a caller whose `df`
+    # is itself an expensive subtree (e.g. a window-dedup over the raw
+    # corpus) may pass a CHEAPER (_id, _grams) frame covering a SUPERSET
+    # of df's ids — gram values depend only on the text, and the verify
+    # joins match candidate ids only (all drawn from df's signatures), so
+    # the output is identical while the two verify branches skip the
+    # expensive subtree. Signatures always come from df/grams: banding a
+    # superset would generate candidates outside df and change results.
+    vg = verify_grams if verify_grams is not None else g
     cand = (
-        cand.join(g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
-        .join(g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
+        cand.join(vg.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga")), "id_a")
+        .join(vg.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb")), "id_b")
     )
     jac = F.round(
         F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb")),

@@ -645,8 +645,19 @@ def cms_estimates(
     Returns (item string, est bigint) for every requested item."""
     r = _bucket_range(spark.read.parquet(rollup_path), start, end)
     grid = r.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
-    probe = spark.createDataFrame(
-        [(str(it), d) for it in items for d in range(depth)], ["item", "row"]
+    # VALUES literal instead of createDataFrame (r13): the probe spine is
+    # driver-literal either way, but createDataFrame builds an RDD-backed
+    # frame that costs a job per estimate call, while VALUES stays a JVM
+    # LocalRelation (the queries.py precedent) — same rows, same types.
+    vals = ", ".join(
+        "('{}', {})".format(
+            str(it).replace("\\", "\\\\").replace("'", "\\'"), int(d)
+        )
+        for it in items
+        for d in range(depth)
+    )
+    probe = spark.sql(
+        f"SELECT item, CAST(row AS BIGINT) AS row FROM (VALUES {vals}) AS t(item, row)"
     ).select(
         "item", "row",
         (

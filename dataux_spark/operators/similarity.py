@@ -998,12 +998,20 @@ def quantized_topk(
     (query_id, neighbor_id, cos, rank) contract as the exact baseline;
     recall loss is the quantization error only (asserted ≥0.9 overlap
     vs brute force in tests)."""
-    q = quantize_vectors(queries, vec_col, id_col, "query_id", "qv_q")
-    c = quantize_vectors(corpus, vec_col, id_col, "neighbor_id", "qv_c")
-    qn = F.sqrt(F.expr(
-        "aggregate(qv_q, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
-    cn = F.sqrt(F.expr(
-        "aggregate(qv_c, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
+    # Norms hoisted into the per-VECTOR projections (r13, the
+    # brute_force_topk shape): the old spelling folded |q| and |c| inside
+    # the post-join projection, re-running two 64-element interpreted
+    # folds per candidate PAIR instead of once per vector — measured
+    # ~8% off the sf0.1 wall with bit-identical output (the integer
+    # norm² accumulates in double exactly either way).
+    q = quantize_vectors(queries, vec_col, id_col, "query_id", "qv_q").withColumn(
+        "_qn", F.sqrt(F.expr(
+            "aggregate(qv_q, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
+    )
+    c = quantize_vectors(corpus, vec_col, id_col, "neighbor_id", "qv_c").withColumn(
+        "_cn", F.sqrt(F.expr(
+            "aggregate(qv_c, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
+    )
     j = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -1011,7 +1019,8 @@ def quantized_topk(
             F.round(
                 F.expr("aggregate(zip_with(qv_c, qv_q, (x, y) -> cast(x as double) * y), "
                        "cast(0 as double), (acc, x) -> acc + x)")
-                / (F.greatest(cn, F.lit(1e-12)) * F.greatest(qn, F.lit(1e-12))),
+                / (F.greatest(F.col("_cn"), F.lit(1e-12))
+                   * F.greatest(F.col("_qn"), F.lit(1e-12))),
                 6,
             ).alias("cos"),
         )

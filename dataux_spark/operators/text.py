@@ -592,11 +592,7 @@ def dsir_log_weights(
     row (collect over ≤ dim bucket counts — O(dim) state, never
     vocabulary-sized, the same bounded-spine class as the centroid
     collects) which is broadcast onto the scoring scan, and each doc's
-    log weight is a per-row higher-order fold over its own gram array:
-    Σ_g λ[bucket(g)]. Scoring therefore shuffles NOTHING — the previous
-    shape exploded the corpus to (doc, bucket) rows, shuffled them into
-    a per-(doc,bucket) count, broadcast-joined λ and re-aggregated per
-    doc (two corpus-sized exchanges, measured ~1.5 s of the sf0.1 wall);
+    log weight is Σ_g λ[bucket(g)] over its own grams:
     scoring explodes grams and projects λ[bucket(g)] per row in codegen
     (a per-doc higher-order fold was measured 2.4× SLOWER — interpreted
     lambdas lose whole-stage codegen on the md5+conv hot loop), then
@@ -783,14 +779,18 @@ def bm25_index_topk(
     terms, join the (broadcast) pruned term-df and 1-row stats frames,
     and roll up per-doc top-k."""
     terms = sorted(set(query_terms))
-    tbs = sorted(
-        {
-            r.tb
-            for r in spark.createDataFrame([(t,) for t in terms], "term: string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("tb"))
-            .collect()
-        }
+    # Query-term bucket ids as a constant-foldable literal SELECT (r13):
+    # xxhash64 over literals folds at plan time into a LocalRelation, so
+    # this collect runs NO job — the old createDataFrame+collect spelling
+    # built an RDD-backed frame and paid a full job per probe (measured
+    # ~0.35-0.5 s warm vs ~0.06-0.1 s). Same JVM hash, same bucket ids.
+    sel = ", ".join(
+        "CAST(pmod(xxhash64('{}'), {}) AS INT)".format(
+            t.replace("\\", "\\\\").replace("'", "\\'"), int(n_buckets)
+        )
+        for t in terms
     )
+    tbs = sorted(set(spark.sql(f"SELECT {sel}").collect()[0]))
     postings = (
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("tb").isin(tbs))

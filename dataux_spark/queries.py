@@ -8389,9 +8389,20 @@ def corpus_hygiene_pipeline(spark, sf_dir):
         cleaned.select("doc_id", F.col("text_clean").alias("tc")),
         "tc", "doc_id", threshold=-0.05,
     )
+    # r13: attach lang/n_chars from the RAW docs scan, not from `kept` —
+    # scored's ids are already a subset of the URL-dedup keepers (they
+    # descend from `kept` through the boilerplate/quality stages), so the
+    # inner join returns identical rows either way, and this spelling
+    # drops one full recompute of the URL-dedup subtree (no cross-branch
+    # CSE) from the lazy plan: measured 3 → 2 occurrences of the dedup
+    # groupBy in the physical plan.
     gated = (
         scored.filter(F.col("keep") == 1)
-        .join(kept.select("doc_id", "lang", "n_chars"), "doc_id")
+        .join(
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars"),
+            "doc_id",
+        )
     )
     sel = token_budget_select(
         gated, "n_tokens", {"en": 2500}, "lang", "doc_id",
@@ -8437,8 +8448,18 @@ def training_prep_pipeline(spark, sf_dir):
     # <= 1e-4 — the recall knob turned up so equality with the exact
     # oracle is near-certain by construction, not a fixture accident;
     # candidates are still exact-verified, so false positives are zero
+    # r13: the verify sides re-attach grams by candidate id only, so they
+    # can shingle the cheaper pre-window `qual` frame (a superset of
+    # uniq's ids with identical text → identical grams) instead of
+    # re-running the fingerprint window per branch — signatures still
+    # come from `uniq`, so the candidate id set is unchanged and the
+    # output pairs are identical (oracle-checked). Drops two Window
+    # stages + two md5-fingerprint computations from the physical plan.
+    from dataux_spark.operators.dedup import gram_sets
+
     pairs = minhash_lsh_pairs(
-        uniq, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3, threshold=0.5
+        uniq, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3, threshold=0.5,
+        verify_grams=gram_sets(docs.select("doc_id", "text"), "text", "doc_id", 3),
     )
     drops = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
     surv = uniq.join(drops, "doc_id", "left_anti")

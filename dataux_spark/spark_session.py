@@ -19,10 +19,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "dataux_spark", extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # shuffle partitions ~ the session's ACTUAL core count: honoring
+    # SPARK_GRAFT_CPUS (r13) keeps the low-core scaling run partitioned
+    # like its master instead of inheriting the full machine's count —
+    # on a cluster this is overridden by AQE coalescing from a high
+    # initial number, exactly as before.
+    shuffle_parts = cpus if cpus.isdigit() else str(os.cpu_count() or 32)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -38,7 +38,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Footer-schema probe memoized per (session, dir) — the same
+    # metadata-catalog memo as queries.read_table (r13): repeat
+    # streaming runs were re-reading the footer (~80-120 ms) per query
+    # build. Schema only, never data; dies with the session object.
+    try:
+        cache = spark._dataux_stream_schema_cache
+    except AttributeError:
+        cache = spark._dataux_stream_schema_cache = {}
+    batch_schema = cache.get(sf_dir)
+    if batch_schema is None:
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        cache[sf_dir] = batch_schema
     raw = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")

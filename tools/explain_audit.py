@@ -247,10 +247,16 @@ CHECKS = {
          lambda p: "LeftOuter" in p),
     ],
     "text_dsir_weights": [
-        # the fitted model is a dim-row λ table: scoring joins it
-        # broadcast — the corpus-sized side never shuffles on the join
-        ("λ model joined broadcast", lambda p: "BroadcastHashJoin" in p),
-        ("no cartesian", lambda p: "CartesianProduct" not in p),
+        # r13 shape: the fitted model is ONE dim-wide λ array row riding
+        # a broadcast scalar spine; scoring projects λ[bucket(g)] per
+        # gram in codegen and rolls up per doc — the corpus never
+        # shuffles for a join at all
+        ("λ model rides a broadcast spine", lambda p: "BroadcastExchange" in p),
+        ("no shuffled join anywhere",
+         lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
+        ("corpus hash-shuffles only for model fit + per-doc roll-up",
+         lambda p: p.count("Exchange hashpartitioning") <= 2),
+        ("no cartesian over data rows", lambda p: "CartesianProduct" not in p),
     ],
     "events_zscore_anomalies": [
         # one keyed window carries mean/stddev/count over the same frame
