@@ -400,17 +400,20 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
             sizes = [os.path.getsize(urlparse(f).path or f) for f in files]
             def _bytes_conf(key: str, default: int) -> int:
                 v = spark.conf.get(key, str(default))
-                units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+                units = {"k": 1024, "m": 1024**2, "g": 1024**3,
+                         "t": 1024**4, "p": 1024**5, "b": 1}
                 v = v.lower().rstrip("b")
                 return int(float(v[:-1]) * units[v[-1]]) if v[-1] in units else int(v)
             max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 * 1024**2)
             open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 * 1024**2)
             bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(target, 1)
-            max_split = min(max_pb, max(open_cost, int(bytes_per_core)))
+            # floor 1 byte: openCostInBytes=0 on an all-empty file set
+            # would otherwise divide by zero below
+            max_split = max(1, min(max_pb, max(open_cost, int(bytes_per_core))))
             est = sum(math.ceil(s / max_split) if s else 1 for s in sizes)
             return df if est >= target else df.repartition(target)
-        except OSError:
-            pass  # non-local storage: exact probe below
+        except Exception:  # noqa: BLE001 — any estimate failure (remote
+            pass  # storage stat, exotic conf spelling): exact probe below
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dataux_spark.operators.dedup import SATURATION_CAND_PER_DOC as _SAT
+from dataux_spark.sqlutil import session_cache
 
 # One kwargs source for every adaptive-router call site in this module AND
 # for the route resolution in tools/explain_audit.py (ADVICE r10: the audit
@@ -115,9 +116,17 @@ def _containment_candidate_pairs_ctes(threshold: float, g: str = "g") -> str:
 _NANOS_TS = {"events": ["ts"]}  # parquet TIMESTAMP(NANOS) columns per table
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
     """Read one driver table; converts nanos timestamps to µs (matches
     DuckDB's ns→µs truncation).
+
+    `fresh=True` bypasses the memo and returns a frame with new attribute
+    ids — required ONLY for frame-qualified self-joins of the same table
+    (`a["k"] == b["k"]`), where the shared plan object would raise
+    AMBIGUOUS_SELF_JOIN at analysis (loudly, at dev time). No current
+    query needs it; column-name joins and subtree reuse are unaffected.
 
     The LAZY source frame is memoized per (session, dir, table) — r13
     optimization (guide §6 file listing/metadata): every
@@ -133,14 +142,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     driver testdata dirs are immutable; anything that mutates tables
     (DML COW copies, maintenance rewrites) works on its own temp paths
     and never reads them through here."""
-    try:
-        cache = spark._dataux_read_cache
-    except AttributeError:
-        cache = spark._dataux_read_cache = {}
+    cache = session_cache(spark, "_dataux_read_cache")
     key = (sf_dir, name)
-    cached = cache.get(key)
-    if cached is not None:
-        return cached
+    if not fresh:
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
     if name in _NANOS_TS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dataux_spark.sqlutil import session_cache
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source = the local stand-in
     for Kafka; one file becomes one micro-batch).
@@ -42,10 +44,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-catalog memo as queries.read_table (r13): repeat
     # streaming runs were re-reading the footer (~80-120 ms) per query
     # build. Schema only, never data; dies with the session object.
-    try:
-        cache = spark._dataux_stream_schema_cache
-    except AttributeError:
-        cache = spark._dataux_stream_schema_cache = {}
+    cache = session_cache(spark, "_dataux_stream_schema_cache")
     batch_schema = cache.get(sf_dir)
     if batch_schema is None:
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
