@@ -990,22 +990,61 @@ def quantize_vectors(
     )
 
 
+#: Two-level impl="auto" gate for quantized_topk (both measured, r14).
+#: Level 1, free (Catalyst sizeInBytes on the corpus plan): below this
+#: the corpus is too small for the kernel's fixed cost (query collect +
+#: Python workers ≈ 0.3-0.5 s) to ever amortize — bench-scale corpora
+#: stay on the JVM fold with an UNCHANGED plan. Level 2, exact (len of
+#: the query collect, only paid once the corpus is big): the fold costs
+#: ~50 ns per array element PER PAIR (interpreted HOF), the kernel's
+#: dominant cost is the one-time JVM→Arrow conversion of the corpus list
+#: column at ~220 ns per element (the matmul itself is ~1% of that), so
+#: the kernel wins iff nq · 50 ≳ 220, i.e. ~nq ≥ 8 for ≥2× — and the
+#: ratio is dimension-independent because both sides scale with dim.
+#: Byte bar calibrated to the measured crossover (~50-100k 64-dim
+#: vectors ≈ 5-10 MB of parquet; the sf0.1 bench corpus is 0.8 MB, a
+#: 10× margin below it; the 250k-vector synthetic where the kernel
+#: measures 1.6× is 23 MB).
+_QUANT_ARROW_MIN_BYTES = 8 << 20
+_QUANT_ARROW_MIN_QUERIES = 8
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a frame (driver-side, no job) —
+    the same statistic the planner's broadcast decisions read."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate only ever gates perf
+        return -1
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 5,
+    impl: str = "auto",
 ) -> DataFrame:
     """Cosine top-k over int8-quantized vectors — brute_force_topk's
     memory-bound twin: both sides quantize (scan projection), the ≤n-row
-    query side broadcasts, and the integer dot runs in codegen over
-    tinyint arrays (widened per-element, never materialized as doubles).
-    Per-vector scales cancel in the cosine, so the score is
+    query side broadcasts, and the integer dot runs over tinyint arrays
+    (widened per-element, never materialized as doubles). Per-vector
+    scales cancel in the cosine, so the score is
     dot(q_c, q_q) / (|q_c|·|q_q|) on the integer lattice. Same
     (query_id, neighbor_id, cos, rank) contract as the exact baseline;
     recall loss is the quantization error only (asserted ≥0.9 overlap
-    vs brute force in tests)."""
+    vs brute force in tests).
+
+    impl: 'jvm' = the expression fold (one interpreted zip_with/aggregate
+    per candidate pair); 'arrow' = the corpus-side mapInArrow kernel
+    (each corpus vector crosses Arrow ONCE, all dots as one exact float64
+    BLAS matmul, per-batch margin top-k so the window sees candidates,
+    not pairs); 'auto' = 'arrow' iff the corpus plan's Catalyst size
+    estimate exceeds _QUANT_ARROW_MIN_BYTES. Both paths are bit-identical
+    by construction (r14 tests pin it): integer products and partial sums
+    are exact in double below 2^53, norms/division are the same IEEE
+    float64 ops, and round+rank stay in the JVM either way."""
     # Norms hoisted into the per-VECTOR projections (r13, the
     # brute_force_topk shape): the old spelling folded |q| and |c| inside
     # the post-join projection, re-running two 64-element interpreted
@@ -1020,21 +1059,187 @@ def quantized_topk(
         "_cn", F.sqrt(F.expr(
             "aggregate(qv_c, cast(0 as double), (acc, x) -> acc + cast(x as double) * x)"))
     )
-    j = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(
-                F.expr("aggregate(zip_with(qv_c, qv_q, (x, y) -> cast(x as double) * y), "
-                       "cast(0 as double), (acc, x) -> acc + x)")
-                / (F.greatest(F.col("_cn"), F.lit(1e-12))
-                   * F.greatest(F.col("_qn"), F.lit(1e-12))),
-                6,
-            ).alias("cos"),
+    q_rows = None
+    if impl == "auto":
+        impl = "jvm"
+        if _plan_size_bytes(corpus) >= _QUANT_ARROW_MIN_BYTES:
+            # the corpus is big enough that one tiny query-collect job is
+            # noise; its exact count decides (see the gate constants)
+            q_rows = q.select("query_id", "qv_q", "_qn").collect()
+            if len(q_rows) >= _QUANT_ARROW_MIN_QUERIES:
+                impl = "arrow"
+    if impl == "arrow":
+        scored = _quantized_dots_arrow(c, q, k, q_rows)
+    else:
+        scored = (
+            c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id",
+                (
+                    F.expr(
+                        "aggregate(zip_with(qv_c, qv_q, (x, y) -> cast(x as double) * y), "
+                        "cast(0 as double), (acc, x) -> acc + x)")
+                    / (F.greatest(F.col("_cn"), F.lit(1e-12))
+                       * F.greatest(F.col("_qn"), F.lit(1e-12)))
+                ).alias("cos"),
+            )
         )
-    )
+    j = scored.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _quantized_dots_arrow(
+    c: DataFrame, q: DataFrame, k: int, q_rows: list | None = None
+) -> DataFrame:
+    """Corpus-side Arrow kernel for quantized_topk (guide §4): the ≤n-row
+    quantized query side is collected into the task closure, each corpus
+    vector crosses the Python boundary exactly once as an Arrow int8
+    batch, and every (corpus row × query) integer dot is one float64 BLAS
+    matmul — replacing the per-PAIR interpreted zip_with/aggregate fold,
+    whose cost scales with candidate pairs.
+
+    Exactness vs the fold: products and partial sums of int8 lattices are
+    ≤ dim·127² ≪ 2^53, so the JVM's double accumulation is exact and equals the
+    float64 matmul in any summation order; |c|,|q| come from the SAME JVM projections
+    both paths share; cosine = dot / (max(|c|,1e-12)·max(|q|,1e-12)) is
+    the same two IEEE float64 ops. NULL semantics reproduced: a NULL
+    element makes the JVM norm NULL (→ cos NULL), a NULL vector or a
+    dim-mismatched zip makes the dot NULL (→ cos NULL); the kernel emits
+    cos NULL exactly when (vector NULL or |c| NULL or |q| NULL or
+    len(c) ≠ len(q)).
+
+    Output is a CANDIDATE SUPERSET, not all pairs: per Arrow batch and
+    query, valid rows with raw cos ≥ (k-th best raw cos − 3e-6) plus the
+    k smallest-id NULL-cos rows. Final round(·,6) + row_number run in the
+    JVM on this superset, so the window shuffles O(batches·queries·k),
+    never O(pairs). Margin proof: rounding moves a score by ≤ 5e-7+ulp,
+    so a row beaten by ≥k rounded scores is beaten by ≥k raw scores more
+    than 1.2e-6 above it; any row NOT kept has ≥k batch-mates above the
+    3e-6 margin and can never enter the global top-k (rank ties only
+    matter between equal rounded scores, which sit inside the margin).
+    Degenerate plateaus (≥k identical raw scores, e.g. all-zero vectors)
+    keep the whole plateau — a perf, never a correctness, effect."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    if q_rows is None:
+        q_rows = q.select("query_id", "qv_q", "_qn").collect()
+    q_set = [
+        (
+            r.query_id,
+            None if r.qv_q is None or any(v is None for v in r.qv_q)
+            else np.asarray(r.qv_q, dtype=np.float64),
+            r._qn,
+        )
+        for r in q_rows
+    ]
+    qid_type = to_arrow_type(q.schema["query_id"].dataType)
+    nid_field = c.schema["neighbor_id"]
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", qid_type),
+            pa.field("neighbor_id", to_arrow_type(nid_field.dataType)),
+            pa.field("cos", pa.float64()),
+        ]
+    )
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            vecs = b.column(1)
+            cn = b.column(2)
+            n = b.num_rows
+            if n == 0:
+                continue
+            try:
+                id_arr = ids.to_numpy(zero_copy_only=False)
+            except Exception:  # noqa: BLE001 — non-numeric id types
+                id_arr = np.asarray(ids.to_pylist(), dtype=object)
+            cn_arr = cn.to_numpy(zero_copy_only=False)  # NULL -> NaN
+            # Vectorized fast path (the whole point of the kernel): no
+            # NULL vectors/elements and one uniform length, so the Arrow
+            # list column IS its values buffer reshaped — zero Python
+            # objects cross per element (to_pylist here measured 4 s per
+            # 250k×64 batch set, ~30× the matmul). float64 is EXACT for
+            # these dots: every product |x·y| ≤ 127² and every partial
+            # sum stays an integer below 2^53, so any BLAS summation
+            # order yields the identical double the JVM fold computes.
+            offs = vecs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offs)
+            by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            if (
+                vecs.null_count == 0
+                and vecs.values.null_count == 0
+                and lens.min() == lens.max()
+            ):
+                length = int(lens[0])
+                vals = vecs.values.to_numpy(zero_copy_only=False)
+                full = vals[offs[0]: offs[-1]].reshape(n, length).astype(np.float64)
+                idx = np.nonzero(~np.isnan(cn_arr))[0]
+                by_len[length] = (idx, full[idx])
+            else:
+                # general path: NULL/ragged rows get cos NULL, exactly as
+                # the JVM fold (a NULL element already NULLs the norm)
+                vec_list = vecs.to_pylist()
+                vlens = np.array(
+                    [len(v) if v is not None and all(x is not None for x in v)
+                     else -1 for v in vec_list]
+                )
+                row_ok = (vlens >= 0) & ~np.isnan(cn_arr)
+                for length in np.unique(vlens[row_ok]):
+                    idx = np.nonzero(row_ok & (vlens == length))[0]
+                    mat = np.asarray(
+                        [vec_list[i] for i in idx], dtype=np.float64
+                    ).reshape(len(idx), int(length))
+                    by_len[int(length)] = (idx, mat)
+            out_qid, out_nid, out_cos = [], [], []
+            for qid, qv, qn in q_set:
+                not_self = id_arr != qid
+                cos = np.full(n, np.nan)
+                valid = np.zeros(n, dtype=bool)
+                if qv is not None and qn is not None and len(qv) in by_len:
+                    idx, mat = by_len[len(qv)]
+                    dots = mat @ qv
+                    denom = np.maximum(cn_arr[idx], 1e-12) * max(qn, 1e-12)
+                    cos[idx] = dots / denom
+                    valid[idx] = True
+                valid &= not_self
+                vi = np.nonzero(valid)[0]
+                if len(vi):
+                    if len(vi) > k:
+                        kth = np.partition(cos[vi], len(vi) - k)[len(vi) - k]
+                        keep = vi[cos[vi] >= kth - 3e-6]
+                    else:
+                        keep = vi
+                    out_qid.extend([qid] * len(keep))
+                    out_nid.extend(id_arr[keep])
+                    out_cos.extend(cos[keep])
+                ni = np.nonzero(~valid & not_self)[0]
+                if len(ni):
+                    null_keep = ni[np.argsort(id_arr[ni])[:k]] if len(ni) > k else ni
+                    out_qid.extend([qid] * len(null_keep))
+                    out_nid.extend(id_arr[null_keep])
+                    out_cos.extend([None] * len(null_keep))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_qid, type=qid_type),
+                    pa.array(list(out_nid), type=out_schema.field(1).type),
+                    pa.array(
+                        [None if x is None or (isinstance(x, float) and np.isnan(x))
+                         else float(x) for x in out_cos],
+                        type=pa.float64(),
+                    ),
+                ],
+                schema=out_schema,
+            )
+
+    nid_sql = nid_field.dataType.simpleString()
+    qid_sql = q.schema["query_id"].dataType.simpleString()
+    return c.select("neighbor_id", "qv_c", "_cn").mapInArrow(
+        kernel, f"query_id {qid_sql}, neighbor_id {nid_sql}, cos double"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -366,6 +366,41 @@ def test_quantized_topk_recall_and_lattice(emb, spark):
     assert len(out) == 1 and math.isfinite(out[0].cos)
 
 
+def test_quantized_topk_arrow_kernel_bit_identical(emb, spark):
+    """The corpus-side Arrow matmul kernel (impl='arrow', the size-gated
+    scale path) must be BIT-identical to the JVM expression fold
+    (impl='jvm') — same integer lattice, same IEEE float64 norm/division,
+    round+rank shared in the JVM. Covers the normal corpus plus the
+    degenerate shapes whose NULL semantics the kernel reproduces:
+    ragged dims (zip_with NULL-pads → cos NULL), NULL vectors, NULL
+    elements (norm NULL), zero-vector plateaus bigger than k, duplicate
+    cosines at the rounding boundary, and near-zero norms."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = canon(similarity.quantized_topk(emb, q, "embedding", "vec_id", k=K, impl="jvm"))
+    b = canon(similarity.quantized_topk(emb, q, "embedding", "vec_id", k=K, impl="arrow"))
+    assert a == b
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0]),
+        (3, [0.0, 0.0, 0.0]), (4, [0.0, 0.0, 0.0]),
+        (5, [1.0, 2.0]), (6, None), (7, [1.0, None, 3.0]),
+        (8, [2.0, 4.0, 6.0]), (9, [3.0, 6.0, 9.0]), (10, [1e-13, 0.0, 0.0]),
+    ]
+    edge = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = edge.filter(F.col("vec_id").isin(0, 3, 5, 6))
+    a = canon(similarity.quantized_topk(edge, qs, "embedding", "vec_id", k=3, impl="jvm"))
+    b = canon(similarity.quantized_topk(edge, qs, "embedding", "vec_id", k=3, impl="arrow"))
+    assert a == b
+
+    # auto gate: a sub-MB corpus plan must choose the JVM fold (level 1),
+    # and the byte bar itself is the documented constant
+    assert similarity._plan_size_bytes(emb) < similarity._QUANT_ARROW_MIN_BYTES
+
+
 def test_pq_encode_seed_rows_round_trip(emb, spark):
     # a corpus row that IS a seed encodes to its own code in every
     # subspace (distance 0 to itself)
