@@ -46,6 +46,31 @@ def test_windowed_agg_equals_batch(spark, stream, batch):
         assert (r.win_end - r.win_start).total_seconds() == 3600
 
 
+def test_state_partitions_follow_declared_cardinality(spark, stream):
+    """State-store count derives from the DECLARED expected-state-keys
+    conf (the data knob), never from cores; run_to_memory restores the
+    session's batch shuffle setting afterwards; and the partition count
+    provably does not change results."""
+    assert S.ops._state_partitions(spark) == 8  # 2048 keys / 256 per store
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(S.ops._STATE_KEYS_CONF, str(1024 * 1024))
+    try:
+        assert S.ops._state_partitions(spark) == 4096
+        spark.conf.set(S.ops._STATE_KEYS_CONF, "1")
+        assert S.ops._state_partitions(spark) == 1
+        out = S.run_to_memory(
+            S.windowed_agg(stream, "1 hour"), "win_one_store", "complete"
+        )
+        rows_one = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.unset(S.ops._STATE_KEYS_CONF)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    out = S.run_to_memory(
+        S.windowed_agg(stream, "1 hour"), "win_default_stores", "complete"
+    )
+    assert sorted(map(tuple, out.collect())) == rows_one
+
+
 def test_append_mode_withholds_open_windows(spark, stream, batch):
     """Append emits only windows the final watermark has passed — the
     correct late-data contract: everything emitted is final."""
