@@ -291,11 +291,17 @@ def unigram_logprob_scores(
     hash join — vocabulary-sized, Catalyst broadcasts when small) and one
     doc-keyed roll-up. Returns (id, n_tokens, mean_neg_logprob, pppl)."""
     n_t = df.select(F.explode(tokens(F.col(content_col))).alias("term"))
-    # persisted: the totals .first() below materializes the count shuffle
-    # eagerly, and the per-doc join reuses that result instead of
-    # re-exploding the corpus (the vocab table IS the trained model — the
-    # checkpoint a production pipeline would write to disk)
-    vocab = n_t.groupBy("term").agg(F.count("*").alias("c")).persist()
+    # localCheckpoint, not persist (r14): the vocab table IS the trained
+    # model — the totals .first() below materializes it once and the
+    # per-doc join reuses it instead of re-exploding the corpus. A plain
+    # persist() pinned one CacheManager entry PER CALL with no unpersist
+    # point (the returned frame is lazy); the checkpointed RDD instead
+    # lives exactly as long as the returned frame references it and is
+    # freed by the ContextCleaner when the caller drops it — loop-scoring
+    # no longer grows the cache (tests/test_text_multimodal.py pins it).
+    vocab = (
+        n_t.groupBy("term").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
     totals = vocab.agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
     ).first()
@@ -602,10 +608,10 @@ def dsir_log_weights(
     the 1024-row λ table and re-aggregated per doc — two corpus-sized
     exchanges + a join, measured ~1.5 s of the sf0.1 wall. The eager
     totals `.first()` is gone: totals fold over the same collected count
-    row, keeping the operator lazy. The one-ROW λ spine keeps the
-    fitted-model persist of the old design (the artifact a production
-    pipeline checkpoints — bounded at a single dim-wide array row,
-    reused across repeat scorings in a session). Both corpus scans are
+    row, keeping the operator lazy. The λ spine is NOT persisted (r14):
+    it is referenced once, so the old per-call persist pinned a cache
+    entry per invocation and bought nothing; a caller scoring repeatedly
+    persists the RESULT frame. Both corpus scans are
     scan_parallelize'd so the md5 gram hashing spreads across cores even
     on a one-file local scan (the old scoring pass hashed on the scan's
      1-2 partitions). Returns (id, n_grams, log_weight) with log_weight
@@ -665,7 +671,11 @@ def dsir_log_weights(
         )
         .select("_id", F.explode(F.concat(F.col("_toks"),
                                           shingles("_toks", 2))).alias("_g"))
-        .crossJoin(F.broadcast(lam_row.persist()))
+        # no persist on the 1-row λ spine (r14): it is referenced exactly
+        # once (this broadcast), so the old per-call persist() pinned a
+        # CacheManager entry per invocation and bought nothing within an
+        # action; a caller scoring repeatedly persists the RESULT frame
+        .crossJoin(F.broadcast(lam_row))
         .select(
             "_id",
             F.expr(
@@ -1117,7 +1127,7 @@ def bigram_logprob_scores(
 
     Plan: the SAME checkpoint pattern as the unigram scorer — one
     unigram census and one bigram census (both map-side combined,
-    vocabulary-sized, persisted as the trained model), scalar totals
+    vocabulary-sized, checkpointed as the trained model), scalar totals
     folded in as literals, then the per-(doc, bigram) counts join the
     two count tables and roll up per doc. Bigram arrays come from the
     same zip_with idiom as repetition_profile — no second tokenizer.
@@ -1134,13 +1144,19 @@ def bigram_logprob_scores(
         .select("_id", F.explode(bigrams).alias("_bg"))
         .select("_id", F.col("_bg.a").alias("w1"), F.col("_bg.b").alias("w2"))
     )
+    # uni: localCheckpoint for the same reason as the unigram scorer's
+    # vocab table (eager totals + two lazy references; GC-bound lifetime
+    # instead of a leaked per-call cache entry). bg: its persist() bought
+    # NOTHING — the bigram census is referenced exactly once in the
+    # returned plan and nothing eager touches it, so the entry only
+    # leaked; dropped (r14).
     uni = (
         df.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cu"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    bg = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
+    bg = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     totals = uni.agg(F.sum("cu").alias("total"), F.count("*").alias("v")).first()
     denom = float(totals.total + totals.v)
     cu1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))

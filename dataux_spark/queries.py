@@ -3678,7 +3678,8 @@ def text_bigram_pppl(spark, sf_dir):
     — catches "right words, wrong order" text a unigram model scores as
     normal. Jelinek-Mercer mixture of the ML bigram with the add-one
     unigram floor; same census-as-checkpoint plan shape as
-    text_unigram_pppl (two map-side-combined censuses, persisted, scalar
+    text_unigram_pppl (two map-side-combined censuses, the unigram one
+    checkpointed as the model, scalar
     totals folded as literals, one doc roll-up)."""
     from dataux_spark.operators.text import bigram_logprob_scores
 

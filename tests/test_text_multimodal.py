@@ -622,6 +622,43 @@ def test_vocab_coverage_tie_break_deterministic(spark):
     assert got[1] == 2
 
 
+def test_loop_scoring_leaves_no_cache_entries(spark):
+    """Per-call operator persists used to leak one CacheManager entry per
+    invocation (r14): the dsir λ spine and the bigram census lost their
+    persist (single-reference), and the unigram/bigram model censuses
+    moved to GC-bound localCheckpoints. Loop-scoring must leave the SQL
+    cache empty and keep checkpointed RDDs bounded by live frames."""
+    import gc
+
+    from dataux_spark.operators.text import (
+        bigram_logprob_scores,
+        dsir_log_weights,
+        unigram_logprob_scores,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    spark.catalog.clearCache()
+    for _ in range(3):
+        dsir_log_weights(docs, "text", "doc_id",
+                         F.col("doc_id") < 10, dim=64).count()
+        unigram_logprob_scores(docs, "text", "doc_id").count()
+        bigram_logprob_scores(docs, "text", "doc_id").count()
+    # SQL cache: nothing registered at all (the old persists landed here)
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "loop scoring leaked SQL cache entries"
+    # RDD-level storage: checkpointed censuses die with their frames
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    import time as _t
+    for _ in range(20):  # ContextCleaner is async
+        if spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0:
+            break
+        _t.sleep(0.5)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
 def test_bigram_pppl_orders_scramble_below_prose(spark):
     """The bigram scorer's whole point: a scrambled doc (same unigrams,
     broken order) must score WORSE (higher mean neg logprob) than the
