@@ -373,8 +373,10 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
       2. file-backed frames below the file-count bar estimate the scan
          width with Spark's own split-packing math over the real file
          sizes (FilePartition.maxSplitBytes: bytesPerCore from
-         defaultParallelism, clamped by maxPartitionBytes/openCost) —
-         local filesystem stat calls, no JVM plan work. The estimate
+         minPartitionNum/defaultParallelism, clamped by
+         maxPartitionBytes/openCost) — local stat calls for local paths,
+         Hadoop FileSystem status calls for any other scheme
+         (_scan_file_sizes, r14), no JVM plan work. The estimate
          reproduces the scan's split count; it cannot see post-scan
          repartition/coalesce operators, but a wrong call in either
          direction only costs one narrow-row round-robin exchange or a
@@ -382,8 +384,6 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
       3. only non-file-backed frames (createDataFrame test corpora)
          still pay the exact `rdd.getNumPartitions()` probe."""
     import math
-    import os
-    from urllib.parse import urlparse
 
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -397,7 +397,7 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
         return df
     if files:
         try:
-            sizes = [os.path.getsize(urlparse(f).path or f) for f in files]
+            sizes = _scan_file_sizes(spark, files)
             def _bytes_conf(key: str, default: int) -> int:
                 v = spark.conf.get(key, str(default))
                 units = {"k": 1024, "m": 1024**2, "g": 1024**3,
@@ -406,17 +406,55 @@ def scan_parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
                 return int(float(v[:-1]) * units[v[-1]]) if v[-1] in units else int(v)
             max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 * 1024**2)
             open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 * 1024**2)
-            bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(target, 1)
+            # bytesPerCore divides by minPartitionNum (default: the
+            # session's defaultParallelism), exactly as FilePartition
+            # does — NOT by `target`: for factor>1 callers dividing by
+            # target under-stated maxSplitBytes and over-stated the real
+            # split count, skipping a needed repartition (ADVICE r13).
+            # `target` stays the >=-comparison bar only.
+            min_pn = int(spark.conf.get(
+                "spark.sql.files.minPartitionNum", str(sc.defaultParallelism)
+            ))
+            bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(min_pn, 1)
             # floor 1 byte: openCostInBytes=0 on an all-empty file set
             # would otherwise divide by zero below
             max_split = max(1, min(max_pb, max(open_cost, int(bytes_per_core))))
             est = sum(math.ceil(s / max_split) if s else 1 for s in sizes)
             return df if est >= target else df.repartition(target)
-        except Exception:  # noqa: BLE001 — any estimate failure (remote
-            pass  # storage stat, exotic conf spelling): exact probe below
+        except Exception:  # noqa: BLE001 — any estimate failure (storage
+            pass  # stat error, exotic conf spelling): exact probe below
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _scan_file_sizes(
+    spark, files: list[str], local_schemes: tuple = ("", "file")
+) -> list[int]:
+    """File lengths for scan_parallelize's split-packing estimate. Local
+    paths stat directly; any other scheme (s3a/hdfs/abfs/...) asks the
+    scheme's Hadoop FileSystem for the status — metadata-only calls, so
+    remote stores take the estimate tier instead of silently falling
+    back to the exact RDD probe and re-paying the ~300-400 ms that tier
+    exists to remove (r14, VERDICT r13 item 8). `local_schemes` is a
+    test seam: shrinking it forces given schemes down the Hadoop branch,
+    which tests the py4j plumbing against the local FS."""
+    import os
+    from urllib.parse import urlparse
+
+    sizes: list[int] = []
+    jvm_path = None
+    for f in files:
+        u = urlparse(f)
+        if u.scheme in local_schemes:
+            sizes.append(os.path.getsize(u.path or f))
+            continue
+        if jvm_path is None:
+            jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm_path(f)
+        sizes.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
+    return sizes
 
 
 def gram_sets(df: DataFrame, content_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:

@@ -482,6 +482,25 @@ def test_scan_parallelize_widens_narrow_and_leaves_wide(spark, docs):
     assert same is wide  # identical object: no plan node added at all
 
 
+def test_scan_file_sizes_hadoop_tier_matches_local(spark, docs):
+    """Non-local schemes take the Hadoop FileSystem branch of the size
+    lookup (r14): forcing a file: URI down that branch via the test seam
+    must return byte-identical sizes to the local stat — proving a
+    remote store (s3a/hdfs) gets the split-packing ESTIMATE, not the
+    silent fallback to the exact RDD probe."""
+    from dataux_spark.queries import read_table
+
+    # sf0.01, not the fixture's sf0.001 docs: the module fixture cache()s
+    # that scan, and the CacheManager matches any identical plan — a
+    # cached relation has no inputFiles()
+    files = read_table(spark, "/root/testdata/sf0.01", "documents").inputFiles()
+    assert files and all(f.startswith("file:") for f in files)
+    local = dedup._scan_file_sizes(spark, files)
+    via_hadoop = dedup._scan_file_sizes(spark, files, local_schemes=())
+    assert via_hadoop == local
+    assert all(s > 0 for s in via_hadoop)
+
+
 def test_simhash_md5_twin_near_dup_properties(spark):
     """The oracle-checkable md5 twin must behave like a simhash: identical
     docs hash identically, a small edit flips few of the 60 bits, and an
