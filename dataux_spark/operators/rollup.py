@@ -652,19 +652,29 @@ def cms_estimates(
     Returns (item string, est bigint) for every requested item."""
     r = _bucket_range(spark.read.parquet(rollup_path), start, end)
     grid = r.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
-    # VALUES literal instead of createDataFrame (r13): the probe spine is
+    # VALUES instead of createDataFrame (r13): the probe spine is
     # driver-literal either way, but createDataFrame builds an RDD-backed
     # frame that costs a job per estimate call, while VALUES stays a JVM
     # LocalRelation (the queries.py precedent) — same rows, same types.
-    vals = ", ".join(
-        "('{}', {})".format(
-            str(it).replace("\\", "\\\\").replace("'", "\\'"), int(d)
+    # r14 (ADVICE r13): item strings bind as NAMED parameters, not
+    # string-built literals, so the spelling is independent of
+    # spark.sql.parser.escapedStringLiterals; an empty item list returns
+    # the documented empty (item, est) frame instead of a parse error.
+    # Named, not positional: repeated positional `?` slots inside one
+    # inline VALUES table misbind in Spark 4.1 (adjacent literals get
+    # swapped/duplicated — reproduced and pinned in tests), named ones
+    # bind correctly.
+    if not items:
+        return spark.sql(
+            "SELECT '' AS item, CAST(0 AS BIGINT) AS est WHERE false"
         )
-        for it in items
-        for d in range(depth)
+    args = {f"i{n}": str(it) for n, it in enumerate(items)}
+    vals = ", ".join(
+        f"(:i{n}, {int(d)})" for n in range(len(items)) for d in range(depth)
     )
     probe = spark.sql(
-        f"SELECT item, CAST(row AS BIGINT) AS row FROM (VALUES {vals}) AS t(item, row)"
+        f"SELECT item, CAST(row AS BIGINT) AS row FROM (VALUES {vals}) AS t(item, row)",
+        args=args,
     ).select(
         "item", "row",
         (

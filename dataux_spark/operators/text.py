@@ -789,18 +789,26 @@ def bm25_index_topk(
     terms, join the (broadcast) pruned term-df and 1-row stats frames,
     and roll up per-doc top-k."""
     terms = sorted(set(query_terms))
-    # Query-term bucket ids as a constant-foldable literal SELECT (r13):
-    # xxhash64 over literals folds at plan time into a LocalRelation, so
-    # this collect runs NO job — the old createDataFrame+collect spelling
+    # Query-term bucket ids as a constant-foldable SELECT (r13): xxhash64
+    # over literals folds at plan time into a LocalRelation, so this
+    # collect runs NO job — the old createDataFrame+collect spelling
     # built an RDD-backed frame and paid a full job per probe (measured
     # ~0.35-0.5 s warm vs ~0.06-0.1 s). Same JVM hash, same bucket ids.
-    sel = ", ".join(
-        "CAST(pmod(xxhash64('{}'), {}) AS INT)".format(
-            t.replace("\\", "\\\\").replace("'", "\\'"), int(n_buckets)
+    # r14 (ADVICE r13): terms bind as NAMED parameters, not string-built
+    # literals, so the spelling is independent of
+    # spark.sql.parser.escapedStringLiterals (named rather than
+    # positional — repeated `?` slots misbind inside inline tables in
+    # Spark 4.1, see rollup.cms_estimates); and an empty term list
+    # short-circuits instead of parsing "SELECT " (empty projection).
+    if terms:
+        sel = ", ".join(
+            f"CAST(pmod(xxhash64(:t{n}), {int(n_buckets)}) AS INT)"
+            for n in range(len(terms))
         )
-        for t in terms
-    )
-    tbs = sorted(set(spark.sql(f"SELECT {sel}").collect()[0]))
+        args = {f"t{n}": t for n, t in enumerate(terms)}
+        tbs = sorted(set(spark.sql(f"SELECT {sel}", args=args).collect()[0]))
+    else:
+        tbs = []
     postings = (
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("tb").isin(tbs))

@@ -45,6 +45,11 @@ def values_frame(spark, rows: list[tuple], schema: list[tuple[str, str]]):
         if t in ("int", "bigint"):
             return f"CAST({int(v)} AS {t.upper()})"
         if t == "string":
+            # escaping assumes the DEFAULT parser: with
+            # spark.sql.parser.escapedStringLiterals=true, \' stops
+            # escaping — callers binding untrusted strings under that
+            # conf should use parameterized spark.sql(..., args=...)
+            # (the bm25/cms probe pattern) instead
             s = str(v).replace("\\", "\\\\").replace("'", "\\'")
             return f"'{s}'"
         if t == "array<double>":

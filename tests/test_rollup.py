@@ -320,6 +320,46 @@ def test_topk_rollup_bounds_are_sound(spark, sf_dir, tmp_path):
             assert item in present, (item, cnt, total_dmax)
 
 
+def test_cms_probe_named_params_and_edge_items(spark, sf_dir, tmp_path):
+    """The probe's item spine binds items as NAMED sql parameters (r14):
+    (a) estimates are identical to the old literal spelling (pinned by
+    recomputing md5 buckets in Python for a present item), (b) items
+    containing quotes/backslashes survive any parser mode, (c) an empty
+    item list returns the documented empty (item, est) frame, (d) the
+    positional-`?` spelling this replaced MISBINDS in inline VALUES
+    tables on this Spark — kept as a canary so an upstream fix or
+    regression is visible."""
+    from dataux_spark.operators.rollup import build_cms_rollup, cms_estimates
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "cms_np")
+    build_cms_rollup(ev, path, item_col="user_id", depth=4, width=64)
+    some = str(ev.select("user_id").first()[0])
+    items = [some, "o'brien\\x", ""]
+    est = {r.item: r.est for r in
+           cms_estimates(spark, path, items, depth=4, width=64).collect()}
+    assert set(est) == set(items)
+    true_cnt = ev.filter(F.col("user_id").cast("string") == some).count()
+    assert est[some] >= true_cnt > 0
+    assert est["o'brien\\x"] == 0
+    empty = cms_estimates(spark, path, [], depth=4, width=64)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["item", "est"]
+    # the positional-parameter canary: repeated ? slots in one inline
+    # VALUES table bind wrong (duplicated/swapped adjacent literals)
+    try:
+        rows = spark.sql(
+            "SELECT a, b FROM (VALUES " + ", ".join(["(?, ?)"] * 16) + ") t(a, b)",
+            args=[v for i in range(16) for v in (str(i), i)],
+        )
+        ok = sorted(map(tuple, rows.collect())) == sorted(
+            (str(i), i) for i in range(16)
+        )
+    except Exception:
+        ok = False
+    assert not ok, "positional VALUES binding fixed upstream — revisit the named-param note"
+
+
 @pytest.mark.slow  # multi-10s property/soundness check — full suite only
 def test_cms_one_sided_error_and_range_merge(spark, sf_dir, tmp_path):
     """Count-min soundness: every estimate >= the true count (never

@@ -438,6 +438,26 @@ def test_bm25_index_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert len(pf) >= 2  # both postings and termdf scans prune to one bucket
 
 
+def test_bm25_index_probe_edge_terms(spark, sf_dir, tmp_path):
+    """The probe's term-bucket SELECT binds terms as NAMED sql parameters
+    (r14, ADVICE r13): empty term lists return an empty result instead of
+    a ParseException, and quote/backslash terms work regardless of
+    spark.sql.parser.escapedStringLiterals."""
+    from dataux_spark.operators.text import bm25_index_topk, build_bm25_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25_edge")
+    build_bm25_index(docs, "text", "doc_id", path, n_buckets=16)
+    assert bm25_index_topk(spark, path, [], "doc_id", k=5,
+                           n_buckets=16).count() == 0
+    got = bm25_index_topk(spark, path, ["o'brien\\x", "spark"], "doc_id",
+                          k=5, n_buckets=16)
+    plain = bm25_index_topk(spark, path, ["spark"], "doc_id", k=5,
+                            n_buckets=16)
+    # the absent quoted term contributes nothing: identical result rows
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_phash_neardup_identical_payloads_pair(spark):
     """Perceptual-hash near-dup: byte-identical payloads collide at
     hamming 0 through the banded join; unrelated payloads (random fake
