@@ -1613,19 +1613,26 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
     ).select("_id", F.explode(tokens(F.col("_c"))).alias("tok"))
     t = t.withColumn("h", F.xxhash64("tok"))
+    # Parsed expr strings, not Column composition (r14, the _banded_rows
+    # precedent): the 64 when/sum aggregates plus the 64-term XOR fold
+    # issued ~900 py4j round-trips — ~1.6-2.0 s of pure driver time PER
+    # CALL. The SQL spellings parse to the IDENTICAL analyzed plan (CASE
+    # WHEN is `when`, `&`/`>>`/`^` are the same bitwise nodes), so the
+    # plan fingerprint is unchanged; construct drops to a handful of
+    # round-trips.
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{b}"
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
         )
         for b in range(64)
     ]
     agg = t.groupBy("_id").agg(*bit_sums)
-    sh = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sh = term if sh is None else sh.bitwiseXOR(term)
-    return agg.select("_id", sh.alias("simhash"))
+    sh = " ^ ".join(
+        f"shiftleft(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, {b})"
+        for b in range(64)
+    )
+    return agg.select("_id", F.expr(f"({sh}) AS simhash"))
 
 
 def hamming_candidate_keys(
@@ -1669,16 +1676,19 @@ def hamming_candidate_keys(
     mask = (1 << width) - 1
     src = hashes.select("_id", F.col(hash_col).alias("_h"))
     # chunk c = bits [c·width, (c+1)·width): arithmetic shiftright's sign
-    # extension is masked off, so extraction is logical on signed longs
-    cvs = [
-        F.shiftright(F.col("_h"), c * width).bitwiseAND(F.lit(mask))
-        for c in range(chunks)
-    ]
-    keys = [
-        F.xxhash64(F.lit(ci), *[cvs[c] for c in combo])
+    # extension is masked off, so extraction is logical on signed longs.
+    # ONE parsed expr (r14, the _banded_rows precedent): the 56-key
+    # Column composition issued ~400 py4j round-trips per call; the SQL
+    # spelling is the same analyzed plan (& IS bitwiseAND, the int
+    # combo-id literal IS F.lit) for ~2.
+    def cv(c: int) -> str:
+        return f"(shiftright(_h, {c * width}) & {mask})"
+
+    keys = ", ".join(
+        "xxhash64({}, {})".format(ci, ", ".join(cv(c) for c in combo))
         for ci, combo in enumerate(combinations(range(chunks), chunks - max_hamming))
-    ]
-    return src.select("_id", "_h", F.explode(F.array(*keys)).alias("key"))
+    )
+    return src.select("_id", "_h", F.expr(f"explode(array({keys})) AS key"))
 
 
 def hamming_pairs(
@@ -1846,19 +1856,24 @@ def signband_signature(
             f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
         ).alias("q"),
     )
-    bands = []
-    for b in range(n_bands):
-        bv = None
-        for j in range(band_bits):
-            lits = ", ".join(str(s) for s in signs[b][j])
-            dot = F.expr(
-                f"aggregate(zip_with(q, array({lits}), (x, s) -> x * s), "
-                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    # ONE parsed expr (r14, the _banded_rows precedent): the
+    # n_bands × band_bits when/lit/add Column composition issued ~1000
+    # py4j round-trips per call at the neardup sizing; the SQL spelling
+    # analyzes to the identical plan for ~2.
+    def bv_sql(b: int) -> str:
+        return " + ".join(
+            "CASE WHEN aggregate(zip_with(q, array({lits}), (x, s) -> x * s), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) > 0 "
+            "THEN CAST({bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END".format(
+                lits=", ".join(str(s) for s in signs[b][j]), bit=1 << j
             )
-            bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-            bv = bit if bv is None else bv + bit
-        bands.append(F.struct(F.lit(b).alias("band"), bv.alias("bv")))
-    return v.select("_id", F.explode(F.array(*bands)).alias("bb")).select(
+            for j in range(band_bits)
+        )
+
+    bands = ", ".join(
+        f"struct({b} AS band, ({bv_sql(b)}) AS bv)" for b in range(n_bands)
+    )
+    return v.select("_id", F.expr(f"explode(array({bands})) AS bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
     )
 
@@ -2261,20 +2276,20 @@ def simhash_md5(df: DataFrame, content_col: str, id_col: str, bits: int = 60) ->
     t = t.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     )
+    # parsed exprs, not Column composition — see simhash() (r14)
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN ((h div {1 << b}) % 2) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(bits)
     ]
     agg = t.groupBy("_id").agg(*bit_sums)
-    sh = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sh = term if sh is None else sh + term
-    return agg.select("_id", sh.alias("simhash"))
+    sh = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return agg.select("_id", F.expr(f"({sh}) AS simhash"))
 
 
 def semantic_dedup(
