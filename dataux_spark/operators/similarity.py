@@ -644,17 +644,23 @@ def _centroid_structs(centroids: list[tuple[int, list[float]]]):
     smallest-id tie-break (array_max picks max cos, then max -cid = min
     cid), so the oracle-checked twins cannot drift from the production
     variants."""
-    cands = []
-    for cid, vec in centroids:
+    # ONE parsed expr (r14, the _banded_rows precedent): the per-centroid
+    # Column composition issued ~6 py4j round-trips per centroid per
+    # call; the SQL spelling folds to the identical physical plan (the
+    # CAST(...AS DOUBLE)/negated-int literals constant-fold to the same
+    # double/int literals F.lit produced).
+    def cand(cid: int, vec) -> str:
         lit_vec = f"array({', '.join(f'cast({float(x)!r} as double)' for x in vec)})"
         cn = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2))) or 1e-12
-        dot = F.expr(
-            f"aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
-            f"cast(0 as double), (acc, x) -> acc + x)"
+        return (
+            f"struct((aggregate(zip_with(_v, {lit_vec}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, x) -> acc + x) "
+            f"/ (_vn * cast({cn!r} as double))) AS cos, {-int(cid)} AS ncid)"
         )
-        cos = dot / (F.col("_vn") * F.lit(cn))
-        cands.append(F.struct(cos.alias("cos"), F.lit(-int(cid)).alias("ncid")))
-    return F.array(*cands)
+
+    return F.expr(
+        "array(" + ", ".join(cand(cid, vec) for cid, vec in centroids) + ")"
+    )
 
 
 def _assign_cells_join(
