@@ -1159,10 +1159,19 @@ def _quantized_dots_arrow(
             n = b.num_rows
             if n == 0:
                 continue
-            try:
-                id_arr = ids.to_numpy(zero_copy_only=False)
-            except Exception:  # noqa: BLE001 — non-numeric id types
+            # NULL ids force the object path (to_numpy would coerce a
+            # nullable int column to float64/NaN); a NULL-id corpus row
+            # joins nothing on the JVM side (the != condition is NULL),
+            # so it is excluded from every emission here too.
+            if ids.null_count == 0:
+                try:
+                    id_arr = ids.to_numpy(zero_copy_only=False)
+                except Exception:  # noqa: BLE001 — non-numeric id types
+                    id_arr = np.asarray(ids.to_pylist(), dtype=object)
+                id_ok = np.ones(n, dtype=bool)
+            else:
                 id_arr = np.asarray(ids.to_pylist(), dtype=object)
+                id_ok = np.array([x is not None for x in id_arr])
             cn_arr = cn.to_numpy(zero_copy_only=False)  # NULL -> NaN
             # Vectorized fast path (the whole point of the kernel): no
             # NULL vectors/elements and one uniform length, so the Arrow
@@ -1202,7 +1211,11 @@ def _quantized_dots_arrow(
                     by_len[int(length)] = (idx, mat)
             out_qid, out_nid, out_cos = [], [], []
             for qid, qv, qn in q_set:
-                not_self = id_arr != qid
+                if qid is None:
+                    # the JVM join's neighbor_id != NULL is NULL — a
+                    # NULL-id query contributes no rows there either
+                    continue
+                not_self = (id_arr != qid) & id_ok
                 cos = np.full(n, np.nan)
                 valid = np.zeros(n, dtype=bool)
                 if qv is not None and qn is not None and len(qv) in by_len:

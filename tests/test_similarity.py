@@ -389,9 +389,10 @@ def test_quantized_topk_arrow_kernel_bit_identical(emb, spark):
         (3, [0.0, 0.0, 0.0]), (4, [0.0, 0.0, 0.0]),
         (5, [1.0, 2.0]), (6, None), (7, [1.0, None, 3.0]),
         (8, [2.0, 4.0, 6.0]), (9, [3.0, 6.0, 9.0]), (10, [1e-13, 0.0, 0.0]),
+        (None, [1.0, 1.0, 1.0]),  # NULL id: joins nothing on either side
     ]
     edge = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    qs = edge.filter(F.col("vec_id").isin(0, 3, 5, 6))
+    qs = edge.filter(F.col("vec_id").isin(0, 3, 5, 6) | F.col("vec_id").isNull())
     a = canon(similarity.quantized_topk(edge, qs, "embedding", "vec_id", k=3, impl="jvm"))
     b = canon(similarity.quantized_topk(edge, qs, "embedding", "vec_id", k=3, impl="arrow"))
     assert a == b
