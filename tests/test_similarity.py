@@ -402,6 +402,29 @@ def test_quantized_topk_arrow_kernel_bit_identical(emb, spark):
     assert similarity._plan_size_bytes(emb) < similarity._QUANT_ARROW_MIN_BYTES
 
 
+@pytest.mark.slow  # ~1 min: 60k-vector corpus, exercises many Arrow batches
+def test_quantized_arrow_kernel_multibatch_identity(spark):
+    """At 60k corpus vectors the kernel sees many 10k-row Arrow batches
+    across many partitions, so the per-BATCH margin top-k must merge
+    exactly through the JVM window — the property the single-batch edge
+    test cannot reach. Deterministic hash-derived vectors, 300k pairs."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(60_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> "
+            "cast(pmod(xxhash64(id * 64 + j), 2000) - 1000 as double) / 250.0)"
+        ).alias("embedding"),
+    )
+    q = corpus.filter(F.col("vec_id") < 5).limit(5)
+    a = sorted(map(tuple, similarity.quantized_topk(
+        corpus, q, "embedding", "vec_id", k=5, impl="jvm").collect()))
+    b = sorted(map(tuple, similarity.quantized_topk(
+        corpus, q, "embedding", "vec_id", k=5, impl="arrow").collect()))
+    assert a == b and len(a) == 25
+
+
 def test_pq_encode_seed_rows_round_trip(emb, spark):
     # a corpus row that IS a seed encodes to its own code in every
     # subspace (distance 0 to itself)
