@@ -9515,82 +9515,75 @@ BENCH_PHASES: dict[str, dict] = {
 # regression canaries; everything that already has green CORRECTNESS_r03
 # rows follows after the window.
 _DRIVER_WINDOW: list[str] = [
-    # Round-13 rotation (VERDICT r12 items 1+3+4). Composition: (1) ONE
-    # new entry — dedup_containment_recall_report, the saturated
-    # containment route's recall-by-ratio-band measurement, fully
-    # md5-replayed by its oracle; (2) the SEVEN former rows-only sketch
-    # entries converted to contract oracles this round (the bound check
-    # is now the value the gate hashes) — cardinality_approx,
-    # dedup_simhash, ann_lsh_topk, ann_ivf_topk, ann_ivf_index_topk,
-    # embedding_kmeans_clusters, streaming_distinct_merge; (3) the THREE
-    # entries whose physical plan changed with the chunked in-bucket
-    # pair expansion (dedup._expand_bucket_pairs) — dedup_minhash_lsh,
-    # training_prep_pipeline, dedup_containment_small_side; (4) the 15
-    # remaining round-8-stale greens (VERDICT r12 item 1's list,
-    # complete); (5) fill to 50 with the 24 OLDEST round-9 greens in
-    # registry order. Every rotated-in entry passes the local full-
-    # registry tools/check.py sweeps at sf0.01 AND sf0.1 this round, so
-    # this is freshness hygiene, not risk. After this window no
-    # oracle-backed entry's latest driver verdict is older than r9
-    # (22 r9 entries remain for r14). Correction for the r12 comment's
-    # arithmetic (ADVICE r12): the r12 window listed 28 r8 entries (not
-    # 29) and the post-landing sweeps were 213/213 (not 212/212; the
-    # registry is 214 after this round's new entry).
-    # --- new entry (1) ---
-    "dedup_containment_recall_report",
-    # --- converted contract oracles (7) ---
-    "cardinality_approx",
-    "dedup_simhash",
-    "ann_lsh_topk",
+    # Round-14 rotation (same policy as r13's: fresh driver verdicts for
+    # everything whose results-path CODE changed this round, then the
+    # stalest standing verdicts). Composition: (1) the TWO entries whose
+    # plan fingerprint intentionally changed (text_dsir_weights — persist
+    # removed from the λ spine; corpus_hygiene_pipeline — keeper-id
+    # checkpoint, 10→6 scans); (2) 23 more entries whose code path was
+    # touched by this round's optimizations (VALUES-literal store writes,
+    # declared-cardinality state stores, parsed-expr rewrites,
+    # checkpointed model censuses, named probe parameters, the gated
+    # quantized kernel) — every one locally green at sf0.01 AND sf0.1
+    # plus the --types audit, so this is freshness hygiene, not risk;
+    # (3) fill to 50 with the 25 STALEST standing verdicts (all 21
+    # remaining r9 entries — the r9 backlog is retired after this
+    # window — plus the 4 oldest r10s in registry order). Staleness
+    # computed from the committed CORRECTNESS_r*.json artifacts
+    # (latest round each entry appears in).
+    # --- (1) fingerprint-changed this round ---
+    "text_dsir_weights",
+    "corpus_hygiene_pipeline",
+    # --- (2) results-path code touched this round ---
+    "streaming_windowed_agg",
+    "rollup_quantile_range",
+    "streaming_quantile_merge",
     "ann_ivf_topk",
     "ann_ivf_index_topk",
+    "ann_ivf_incremental_topk",
+    "ann_quantized_topk",
+    "embedding_cluster_assign",
+    "dedup_semantic_keepset",
     "embedding_kmeans_clusters",
-    "streaming_distinct_merge",
-    # --- chunked-expansion plan changes (3) ---
-    "dedup_minhash_lsh",
-    "training_prep_pipeline",
-    "dedup_containment_small_side",
-    # --- remaining r8-stale verdicts (15, registry order) ---
-    "decontaminate_neardup",
-    "embedding_random_projection",
-    "ann_knn_join",
-    "multimodal_curation_gate",
-    "pushdown_mongo_filter_topk",
-    "pushdown_es_group_agg",
-    "pushdown_cass_key_topk",
-    "pushdown_bq_full_query",
-    "streaming_topk_merge",
-    "streaming_cms_merge",
-    "streaming_quantile_merge",
-    "events_active_users",
-    "events_last_touch",
-    "events_seasonal_anomalies",
-    "rollup_cms_estimates",
-    # --- oldest r9 verdicts (24, registry order) ---
-    "filter_between",
-    "count_star",
-    "agg_minmax_sum_avg",
-    "agg_over_expression",
-    "join_3way",
-    "set_union",
-    "window_running_sum",
-    "cube_counts",
-    "case_string_math",
-    "date_extract",
-    "events_hourly_agg",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "split_hash_counts",
-    "sample_temperature_mix",
-    "rollup_hourly_merge",
-    "events_json_extract",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_winnow_fingerprints",
+    "dedup_simhash",
+    "dedup_simhash_md5",
+    "embedding_neardup",
     "embedding_neardup_knn",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_scores",
+    "decontaminate_neardup",
+    "text_unigram_pppl",
+    "text_bigram_pppl",
+    "text_bm25_index_topk",
+    "rollup_cms_estimates",
+    "streaming_cms_merge",
+    "streaming_topk_merge",
+    "streaming_distinct_merge",
+    "streaming_sequence_match",
+    # --- (3) stalest standing verdicts (21 r9 + 4 oldest r10) ---
+    "text_repetition",
+    "text_redact_pii",
+    "multimodal_features",
+    "text_langid_ngram",
+    "multimodal_frame_sample",
+    "cross_source_join",
+    "correlated_subquery",
+    "cte_scalar_subquery",
+    "explode_top_tokens",
+    "array_functions",
+    "asof_join_events",
+    "range_join_price_bands",
+    "sessionize_stats",
+    "events_gap_fill_hourly",
+    "streaming_dedup",
+    "streaming_session_window",
+    "streaming_join",
+    "pivot_status_priority",
+    "percentiles",
+    "dedup_keep_best",
+    "dml_merge_result",
+    "point_filter",
+    "filter_and_or",
+    "filter_like",
+    "filter_in",
 ]
 
 
